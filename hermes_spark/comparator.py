@@ -1,0 +1,354 @@
+"""Dataset comparator — the engine's flagship dataflow.
+
+Semantics follow the reference comparator
+(``datasetComparison/.../DatasetComparator.scala:65-141``):
+
+1. row counts of both inputs
+2. schema equivalence check (or provided cherry-pick schema subset check)
+3. sort-aligned projection on both sides (``schema_utils.sorted_selector``)
+4. synthetic key column ``md5(concat_ws("|", keys cast string))``; falls
+   back to all selected columns when no keys are given
+5. duplicate gate: a side's duplicate count = number of DISTINCT keys
+   occurring >= 2 times (cf. ``DatasetComparator.scala:278-289`` and the
+   counting semantics pinned in ``DatasetComparatorSuite.scala:213-219``)
+6. relative complements in both directions with EXCEPT DISTINCT semantics
+7. ``passed_count = ref_row_count - ref_except_count``
+8. diff DataFrame: full-outer join of prefixed complements on the key,
+   positional flattening, per-leaf null-safe comparison into ``errCol``
+   (concatenated in REVERSED column order, a reference quirk pinned by its
+   golden files — ``DatasetComparator.scala:221-230``)
+
+Two execution modes (``ComparisonConfig.mode``):
+
+* ``"reference"`` — replays the reference action-for-action (~9-11 Spark
+  jobs, inputs re-read per action, no caching), for plan-parity debugging.
+* ``"fast"`` (default) — the plan you would actually run on 100 TB:
+  a single tagged-union full-row aggregation classifies every distinct row
+  as ref-only / actual-only / matched in ONE shuffle, is persisted, and
+  then feeds row counts, duplicate counts, both complements and the diff
+  join from that one materialization (~3-4 Spark jobs).  Results are
+  identical to ``"reference"`` mode (property-tested).
+
+Scale notes (100 TB design):
+* the only unavoidable full-data shuffle is the row-classification
+  aggregation; it is keyed on the full row, so it is skew-free by
+  construction (identical rows are duplicates, which the duplicate gate
+  bounds).
+* the diff joins run over the complements only (usually a tiny fraction of
+  the input) and AQE broadcast-joins them at runtime.
+* the md5-key inherits the reference's separator-injection caveat
+  (``"a|b"+"c"`` vs ``"a"+"b|c"`` collide, SURVEY.md §7.3); key columns are
+  length-prefixed when ``safe_key_hash`` is enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .config import ComparisonConfig, DEFAULT_CONFIG
+from .exceptions import BadProvidedSchema, DuplicateRowsInDF, SchemasDifferException
+from .flatten import flatten_selector
+from .naming import generate_unique_column_name
+from .result import ComparisonResult
+from .schema_utils import (
+    diff_schema,
+    is_subset,
+    schemas_equivalent,
+    sorted_selector,
+    strip_metadata,
+)
+
+_UNIQUE_KEY_BASE = "HermesDatasetComparisonUniqueId"
+
+
+class DatasetComparator:
+    """Library API mirroring the reference class
+    (``DatasetComparator.scala:41-46``): construct with the two DataFrames
+    and call :meth:`compare`."""
+
+    def __init__(
+        self,
+        data_frame_reference: DataFrame,
+        data_frame_actual: DataFrame,
+        keys: Sequence[str] = (),
+        config: ComparisonConfig = DEFAULT_CONFIG,
+        optional_schema: Optional[StructType] = None,
+        safe_key_hash: bool = False,
+    ) -> None:
+        self.ref = data_frame_reference
+        self.actual = data_frame_actual
+        # NOTE: the reference takes Set[String]; we keep the caller's order
+        # so the synthetic key is deterministic.
+        self.keys = list(keys)
+        self.config = config.validate()
+        self.optional_schema = optional_schema
+        self.safe_key_hash = safe_key_hash
+        self._persisted: list[DataFrame] = []
+
+    # ------------------------------------------------------------------ API
+
+    def compare(self) -> ComparisonResult:
+        mode = self.config.mode
+        if self.config.except_all:
+            mode = "reference"  # EXCEPT ALL is only meaningful row-by-row
+        if mode == "fast":
+            return self._compare_fast()
+        return self._compare_reference()
+
+    def release(self) -> None:
+        """Unpersist any DataFrames cached by fast mode."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
+    # ------------------------------------------------- reference-faithful
+
+    def _compare_reference(self) -> ComparisonResult:
+        ref_count = self.ref.count()
+        actual_count = self.actual.count()
+
+        self._check_schemas()
+
+        selector = sorted_selector(self.optional_schema or self.ref.schema)
+        ref_sorted = self.ref.select(*selector)
+        actual_sorted = self.actual.select(*selector)
+
+        key = generate_unique_column_name(actual_sorted.columns, _UNIQUE_KEY_BASE)
+        keyed_ref = self._add_key_column(selector, ref_sorted, key)
+        keyed_actual = self._add_key_column(selector, actual_sorted, key)
+
+        dup_ref = self._duplicate_count(keyed_ref, key)
+        dup_actual = self._duplicate_count(keyed_actual, key)
+        if (dup_ref + dup_actual) > 0 and not self.config.allow_duplicates:
+            raise DuplicateRowsInDF(dup_ref, dup_actual)
+
+        if self.config.except_all:
+            ref_except = keyed_ref.exceptAll(keyed_actual)
+            actual_except = keyed_actual.exceptAll(keyed_ref)
+        else:
+            ref_except = keyed_ref.subtract(keyed_actual)
+            actual_except = keyed_actual.subtract(keyed_ref)
+
+        ref_except_count = ref_except.count()
+        actual_except_count = actual_except.count()
+        passed_count = ref_count - ref_except_count
+
+        result_df = None
+        if ref_except_count + actual_except_count > 0:
+            result_df = self._create_diff_dataframe(key, ref_except, actual_except)
+        diff_count = result_df.count() if result_df is not None else 0
+
+        return ComparisonResult(
+            ref_row_count=ref_count,
+            new_row_count=actual_count,
+            ref_duplicate_count=dup_ref,
+            new_duplicate_count=dup_actual,
+            passed_count=passed_count,
+            used_schema_selector=selector,
+            result_df=result_df,
+            diff_count=diff_count,
+        )
+
+    # ------------------------------------------------------ fast (scale)
+
+    def _compare_fast(self) -> ComparisonResult:
+        self._check_schemas()
+
+        selector = sorted_selector(self.optional_schema or self.ref.schema)
+        ref_sorted = self.ref.select(*selector)
+        actual_sorted = self.actual.select(*selector)
+
+        key = generate_unique_column_name(actual_sorted.columns, _UNIQUE_KEY_BASE)
+        keyed_ref = self._add_key_column(selector, ref_sorted, key)
+        keyed_actual = self._add_key_column(selector, actual_sorted, key)
+        data_cols = keyed_ref.columns  # selected cols + key
+
+        side = generate_unique_column_name(data_cols, "HermesDatasetComparisonSide")
+        rcnt = generate_unique_column_name(data_cols, "HermesRefCnt")
+        acnt = generate_unique_column_name(data_cols, "HermesActCnt")
+
+        # ONE full-data shuffle: classify every distinct row.
+        tagged = keyed_ref.withColumn(side, F.lit("r")).unionByName(
+            keyed_actual.withColumn(side, F.lit("a"))
+        )
+        classified = (
+            tagged.groupBy(*[F.col(f"`{c}`") for c in data_cols])
+            .agg(
+                F.sum(F.when(F.col(side) == "r", 1).otherwise(0)).alias(rcnt),
+                F.sum(F.when(F.col(side) == "a", 1).otherwise(0)).alias(acnt),
+            )
+            .persist()
+        )
+        self._persisted.append(classified)
+
+        # Row counts + duplicate counts per side in a single action.
+        # A side's duplicate count = distinct keys with >= 2 rows on that side.
+        per_key = classified.groupBy(F.col(f"`{key}`")).agg(
+            F.sum(rcnt).alias(rcnt), F.sum(acnt).alias(acnt)
+        )
+        metrics = per_key.agg(
+            F.coalesce(F.sum(rcnt), F.lit(0)).alias("ref_rows"),
+            F.coalesce(F.sum(acnt), F.lit(0)).alias("act_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(rcnt) >= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("ref_dups"),
+            F.coalesce(
+                F.sum(F.when(F.col(acnt) >= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("act_dups"),
+        ).collect()[0]
+        ref_count, actual_count = metrics["ref_rows"], metrics["act_rows"]
+        dup_ref, dup_actual = metrics["ref_dups"], metrics["act_dups"]
+        if (dup_ref + dup_actual) > 0 and not self.config.allow_duplicates:
+            self.release()
+            raise DuplicateRowsInDF(dup_ref, dup_actual)
+
+        # Complement counts from the cached classification (cheap action).
+        except_counts = classified.agg(
+            F.coalesce(
+                F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("ref_except"),
+            F.coalesce(
+                F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("act_except"),
+        ).collect()[0]
+        ref_except_count = except_counts["ref_except"]
+        actual_except_count = except_counts["act_except"]
+        passed_count = ref_count - ref_except_count
+
+        result_df = None
+        diff_count = 0
+        if ref_except_count + actual_except_count > 0:
+            ref_except = classified.filter(F.col(acnt) == 0).select(
+                *[F.col(f"`{c}`") for c in data_cols]
+            )
+            actual_except = classified.filter(F.col(rcnt) == 0).select(
+                *[F.col(f"`{c}`") for c in data_cols]
+            )
+            result_df = self._create_diff_dataframe(key, ref_except, actual_except)
+            diff_count = result_df.count()
+        else:
+            self.release()
+
+        return ComparisonResult(
+            ref_row_count=ref_count,
+            new_row_count=actual_count,
+            ref_duplicate_count=dup_ref,
+            new_duplicate_count=dup_actual,
+            passed_count=passed_count,
+            used_schema_selector=selector,
+            result_df=result_df,
+            diff_count=diff_count,
+        )
+
+    # ------------------------------------------------------------ helpers
+
+    def _check_schemas(self) -> None:
+        expected = strip_metadata(self.ref.schema)
+        actual = strip_metadata(self.actual.schema)
+        if self.optional_schema is not None:
+            provided = strip_metadata(self.optional_schema)
+            if not is_subset(provided, actual) or not is_subset(provided, expected):
+                diff = diff_schema(provided, actual) + diff_schema(provided, expected)
+                raise BadProvidedSchema("\n".join(diff))
+        elif not schemas_equivalent(expected, actual):
+            diff = diff_schema(expected, actual) + diff_schema(actual, expected)
+            raise SchemasDifferException("\n".join(diff))
+
+    def _add_key_column(
+        self, selector: list[Column], df: DataFrame, key: str
+    ) -> DataFrame:
+        if self.keys:
+            cols = [F.col(f"`{k}`").cast("string") for k in self.keys]
+        else:
+            # whole-row key, cf. DatasetComparator.scala:263-270
+            cols = [F.col(f"`{c}`").cast("string") for c in df.columns]
+        if self.safe_key_hash:
+            # length-prefix each part to defeat separator injection
+            cols = [
+                F.concat_ws(":", F.length(c).cast("string"), c) for c in cols
+            ]
+        return df.withColumn(key, F.md5(F.concat_ws("|", *cols)))
+
+    @staticmethod
+    def _duplicate_count(df: DataFrame, key: str) -> int:
+        return (
+            df.groupBy(F.col(f"`{key}`"))
+            .count()
+            .filter(F.col("count") >= 2)
+            .count()
+        )
+
+    def _join_prefixed(
+        self, ref_df: DataFrame, actual_df: DataFrame, key: str
+    ) -> DataFrame:
+        """Full-outer join of the two sides on the key, all non-key columns
+        renamed with the expected/actual prefixes
+        (cf. ``DatasetComparator.scala:207-211,298-308``)."""
+
+        def rename(df: DataFrame, prefix: str) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(f"`{c}`")
+                    if c == key
+                    else F.col(f"`{c}`").alias(f"{prefix}_{c}")
+                    for c in df.columns
+                ]
+            )
+
+        expected = rename(ref_df, self.config.expected_prefix)
+        actual = rename(actual_df, self.config.actual_prefix)
+        return expected.join(actual, on=[key], how="full")
+
+    def _create_diff_dataframe(
+        self, key: str, ref_except: DataFrame, actual_except: DataFrame
+    ) -> DataFrame:
+        joined = self._join_prefixed(ref_except, actual_except, key)
+
+        formula = flatten_selector(ref_except, actual_except)
+        flat_expected = ref_except.select(*formula)
+        flat_actual = actual_except.select(*formula)
+        flat_joined = self._join_prefixed(flat_expected, flat_actual, key)
+
+        columns = [c for c in flat_expected.columns if c != key]
+        err_parts = [
+            F.when(
+                F.col(f"`{self.config.actual_prefix}_{c}`").eqNullSafe(
+                    F.col(f"`{self.config.expected_prefix}_{c}`")
+                ),
+                F.array().cast("array<string>"),
+            ).otherwise(F.array(F.lit(c)))
+            # reversed order is a reference quirk pinned by its golden files
+            for c in reversed(columns)
+        ]
+        err_col = (
+            F.concat(*err_parts) if err_parts else F.array().cast("array<string>")
+        )
+        flat_with_err = flat_joined.withColumn(self.config.error_column_name, err_col)
+
+        return (
+            joined.alias("df1")
+            .join(flat_with_err.alias("df2"), on=[key])
+            .select("df1.*", f"df2.{self.config.error_column_name}")
+            .drop(key)
+        )
+
+
+def compare(
+    ref: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str] = (),
+    config: ComparisonConfig = DEFAULT_CONFIG,
+    schema: Optional[StructType] = None,
+    safe_key_hash: bool = False,
+) -> ComparisonResult:
+    """Compare two DataFrames; the primary library entry point
+    (cf. reference usage ``DatasetComparator.scala:41-46`` /
+    ``plugins/DatasetComparisonPlugin.scala:84-104``)."""
+    return DatasetComparator(
+        ref, actual, keys=keys, config=config, optional_schema=schema,
+        safe_key_hash=safe_key_hash,
+    ).compare()

@@ -1,0 +1,59 @@
+"""Configuration of the dataset comparison.
+
+Defaults mirror the reference's ``reference.conf``
+(``datasetComparison/src/main/resources/reference.conf:16-21``):
+``errCol`` / ``actual`` / ``expected`` / ``allowDuplicates=false``.
+Column-name validation mirrors
+``config/DatasetComparisonConfig.scala:27-45`` (forbidden-character regex).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_FORBIDDEN_COLUMN_CHARS = re.compile(r".*[ ,;{}()\n\t=].*", re.DOTALL)
+
+
+@dataclass(frozen=True)
+class ComparisonConfig:
+    error_column_name: str = "errCol"
+    actual_prefix: str = "actual"
+    expected_prefix: str = "expected"
+    allow_duplicates: bool = False
+
+    # --- extensions beyond reference parity (SURVEY.md §7.1 step 6) ---
+    #: "reference" replays the reference dataflow action-for-action;
+    #: "fast" runs the single-shuffle/cached plan designed for very large
+    #: inputs (see comparator.py). Results are identical.
+    mode: str = "fast"
+    #: Use EXCEPT ALL instead of EXCEPT DISTINCT semantics (scale-friendly
+    #: variant; reference always uses EXCEPT DISTINCT, SURVEY.md §2.5).
+    except_all: bool = False
+
+    def validate(self) -> "ComparisonConfig":
+        for value, name in (
+            (self.error_column_name, "errorColumnName"),
+            (self.actual_prefix, "actualPrefix"),
+            (self.expected_prefix, "expectedPrefix"),
+        ):
+            if _FORBIDDEN_COLUMN_CHARS.match(value):
+                raise ValueError(
+                    f"{name} configuration options has forbidden characters "
+                    "for a column name"
+                )
+        if self.mode not in ("reference", "fast"):
+            raise ValueError(f"unknown comparison mode: {self.mode!r}")
+        return self
+
+    def loggable_string(self) -> str:
+        return (
+            "Effective DatasetComparison configuration:\n"
+            f' Error Column Name (errorColumnName) -> "{self.error_column_name}"\n'
+            f' Prefix of original columns (expectedPrefix) -> "{self.expected_prefix}"\n'
+            f' Prefix of new columns (actualPrefix) -> "{self.actual_prefix}"\n'
+            f' Allow duplicities in dataframes (allowDuplicates) -> "{self.allow_duplicates}"'
+        )
+
+
+DEFAULT_CONFIG = ComparisonConfig()

@@ -1,0 +1,233 @@
+"""Comparator kernel tests — semantics pinned to the reference suite
+(``DatasetComparatorSuite.scala``, ``DatasetComparatorJobSuite.scala``)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hermes_spark import (
+    ComparisonConfig,
+    DatasetComparator,
+    DuplicateRowsInDF,
+    BadProvidedSchema,
+    SchemasDifferException,
+    compare,
+)
+
+REF_MODE = ComparisonConfig(mode="reference")
+FAST_MODE = ComparisonConfig(mode="fast")
+MODES = [REF_MODE, FAST_MODE]
+
+
+def people(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, city string")
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return people(
+        spark,
+        [
+            (1, "Alice", "Paris"),
+            (2, "Bob", "Lyon"),
+            (3, "Carol", "Nice"),
+            (4, "Dan", "Metz"),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def mutated(spark):
+    # row 2 changed city, row 4 removed, row 5 added
+    return people(
+        spark,
+        [
+            (1, "Alice", "Paris"),
+            (2, "Bob", "Brest"),
+            (3, "Carol", "Nice"),
+            (5, "Eve", "Lille"),
+        ],
+    )
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_identical_passes(spark, base, config):
+    result = compare(base, base, keys=["id"], config=config)
+    assert result.passed
+    assert result.diff_count == 0
+    assert result.ref_row_count == 4
+    assert result.new_row_count == 4
+    assert result.passed_count == 4
+    assert result.result_df is None
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_differences_detected(spark, base, mutated, config):
+    result = compare(base, mutated, keys=["id"], config=config)
+    assert not result.passed
+    assert result.ref_row_count == 4
+    assert result.new_row_count == 4
+    # rows 1 and 3 matched
+    assert result.passed_count == 2
+    # diff rows: id=2 (changed), id=4 (ref only), id=5 (actual only)
+    assert result.diff_count == 3
+
+    rows = {
+        r["expected_id"] if r["expected_id"] is not None else r["actual_id"]: r
+        for r in result.result_df.collect()
+    }
+    assert set(rows) == {2, 4, 5}
+    # changed row: only city differs
+    assert rows[2]["errCol"] == ["city"]
+    assert rows[2]["expected_city"] == "Lyon"
+    assert rows[2]["actual_city"] == "Brest"
+    # ref-only row: every actual_* is null -> all columns flagged
+    assert set(rows[4]["errCol"]) == {"id", "name", "city"}
+    assert rows[4]["actual_id"] is None
+    # actual-only row likewise
+    assert set(rows[5]["errCol"]) == {"id", "name", "city"}
+    assert rows[5]["expected_id"] is None
+
+
+def test_errcol_reversed_order(spark, base, mutated):
+    """Reference concats per-column errors in REVERSED selector order."""
+    result = compare(base, mutated, keys=["id"], config=REF_MODE)
+    row = [r for r in result.result_df.collect() if r["expected_id"] == 4][0]
+    # selector order is alphabetical: city, id, name -> errCol reversed: name, id, city
+    assert row["errCol"] == ["name", "id", "city"]
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_modes_agree(spark, base, mutated, config):
+    ref = compare(base, mutated, keys=["id"], config=REF_MODE)
+    fast = compare(base, mutated, keys=["id"], config=FAST_MODE)
+    for attr in (
+        "ref_row_count",
+        "new_row_count",
+        "ref_duplicate_count",
+        "new_duplicate_count",
+        "passed_count",
+        "diff_count",
+    ):
+        assert getattr(ref, attr) == getattr(fast, attr), attr
+    cols = sorted(ref.result_df.columns)
+    a = ref.result_df.select(*cols).orderBy("expected_id", "actual_id").collect()
+    b = fast.result_df.select(*cols).orderBy("expected_id", "actual_id").collect()
+    assert a == b
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_duplicate_gate(spark, config):
+    df = people(spark, [(1, "A", "X"), (1, "A", "X"), (2, "B", "Y")])
+    clean = people(spark, [(1, "A", "X"), (2, "B", "Y")])
+    with pytest.raises(DuplicateRowsInDF) as err:
+        compare(df, clean, keys=["id"], config=config)
+    assert "Reference Dataset has 1 duplicates" in str(err.value)
+    assert "New Dataset has 0 duplicates" in str(err.value)
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_duplicate_count_is_distinct_keys(spark, config):
+    """One key occurring twice => duplicate count 1 (not 2), cf.
+    DatasetComparatorSuite.scala:213-219."""
+    df = people(spark, [(1, "A", "X"), (1, "A", "Z"), (2, "B", "Y")])
+    allow = ComparisonConfig(mode=config.mode, allow_duplicates=True)
+    result = compare(df, df, keys=["id"], config=allow)
+    assert result.ref_duplicate_count == 1
+    assert result.new_duplicate_count == 1
+
+
+def test_schema_mismatch_raises(spark, base):
+    other = spark.createDataFrame([(1, "x", 2.0)], "id int, name string, score double")
+    with pytest.raises(SchemasDifferException) as err:
+        compare(base, other, keys=["id"])
+    assert "cannot be found in both schemas" in str(err.value)
+
+
+def test_cherry_pick_schema(spark, base, mutated):
+    """Comparing on a subset schema ignores the excluded column
+    (cf. DatasetComparatorSuite.scala:70-111)."""
+    from pyspark.sql.types import StructType, StructField, IntegerType, StringType
+
+    sub = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    result = compare(base, mutated, keys=["id"], schema=sub)
+    # with city excluded, only the add/remove rows differ
+    assert result.diff_count == 2
+    assert {c for c in result.result_df.columns} == {
+        "expected_id",
+        "expected_name",
+        "actual_id",
+        "actual_name",
+        "errCol",
+    }
+
+
+def test_bad_cherry_pick_schema(spark, base, mutated):
+    from pyspark.sql.types import StructType, StructField, IntegerType
+
+    bad = StructType([StructField("nope", IntegerType())])
+    with pytest.raises(BadProvidedSchema):
+        compare(base, mutated, keys=["id"], schema=bad)
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_no_keys_whole_row_hash(spark, base, mutated, config):
+    result = compare(base, mutated, config=config)
+    assert result.diff_count == 4  # 2 and 4 from ref, 2 and 5 from actual: keys never match
+    # every diff row is one-sided -> all columns flagged
+    for r in result.result_df.collect():
+        assert set(r["errCol"]) == {"id", "name", "city"}
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_nested_struct_and_array(spark, config):
+    schema = "id int, info struct<b:string, a:int>, tags array<string>"
+    ref = spark.createDataFrame(
+        [(1, Row(b="x", a=1), ["t1", "t2"]), (2, Row(b="y", a=2), ["t3"])], schema
+    )
+    act = spark.createDataFrame(
+        [(1, Row(b="x", a=1), ["t1", "t2"]), (2, Row(b="y", a=9), ["t3", "t4"])], schema
+    )
+    result = compare(ref, act, keys=["id"], config=config)
+    assert result.diff_count == 1
+    row = result.result_df.collect()[0]
+    assert set(row["errCol"]) == {"info_a", "tags_1"}
+    assert row["expected_info"]["a"] == 2 and row["actual_info"]["a"] == 9
+
+
+def test_column_order_insensitive(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([("x", 1)], "name string, id int")
+    result = compare(a, b, keys=["id"])
+    assert result.passed
+
+
+@pytest.mark.parametrize("config", MODES, ids=["reference", "fast"])
+def test_lineitem_self_compare(lineitem, config):
+    # sf0.001 lineitem has duplicate (orderkey, linenumber) pairs, so allow
+    # duplicates and rely on the whole pipeline still agreeing
+    cfg = ComparisonConfig(mode=config.mode, allow_duplicates=True)
+    result = compare(
+        lineitem, lineitem, keys=["l_orderkey", "l_linenumber"], config=cfg
+    )
+    assert result.passed
+    assert result.ref_row_count == result.passed_count
+
+
+def test_except_all_mode(spark):
+    cfg = ComparisonConfig(except_all=True, allow_duplicates=True)
+    a = people(spark, [(1, "A", "X"), (1, "A", "X"), (2, "B", "Y")])
+    b = people(spark, [(1, "A", "X"), (2, "B", "Y")])
+    result = compare(a, b, keys=["id"], config=cfg)
+    # EXCEPT ALL keeps the second (1, A, X) as a ref-only row
+    assert result.ref_row_count - result.passed_count == 1
+
+
+def test_unique_key_column_collision(spark):
+    df = spark.createDataFrame(
+        [(1, "v")], "HermesDatasetComparisonUniqueId int, x string"
+    )
+    result = compare(df, df, keys=["HermesDatasetComparisonUniqueId"])
+    assert result.passed
