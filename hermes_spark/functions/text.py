@@ -1,0 +1,111 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, vectorizable, no Python UDFs) and
+all reproducible in ANSI SQL so each operator has a DuckDB oracle:
+
+* ``tokens`` / ``token_count`` — whitespace tokenization
+* ``lang_id`` — stopword-ratio n-gram-free heuristic over a fixed
+  per-language marker list (deterministic, portable)
+* ``quality_score`` — length / punctuation / stopword-ratio composite
+* ``doc_fingerprint`` — md5 of whitespace-normalized lowercased text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Fixed marker vocabularies. Deliberately tiny: the point is a
+# deterministic, engine-portable heuristic, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by",
+)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens as ``array<string>`` (empty for blank strings)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
+    in_list = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return in_list / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column, min_ratio: float = 0.05) -> Column:
+    """Best-scoring language code by marker-word ratio, or ``'und'``.
+
+    Ties break by language-code order (deterministic). The same CASE
+    cascade is expressible in SQL — see ``oracle`` helpers in
+    ``__spark_entry__``.
+    """
+    toks = F.transform(tokens(F.lower(col)), lambda t: t)
+    ratios = {lang: _marker_ratio(toks, m) for lang, m in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        r = ratios[lang]
+        cond = r >= F.lit(min_ratio)
+        for other in langs:
+            if other == lang:
+                continue
+            if other < lang:
+                # earlier language wins ties -> this one must be strictly better
+                cond = cond & (r > ratios[other])
+            else:
+                cond = cond & (r >= ratios[other])
+        branch = F.when(cond, F.lit(lang))
+        best = branch if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, 1] (higher = better), rounded to 6dp.
+
+    Components (equal-weighted):
+    * length score: ``least(n_chars, 2000) / 2000``
+    * alpha ratio: alphabetic+space chars / total chars
+    * stopword ratio clamped to [0, 0.5] then scaled to [0, 1]
+    * mean token length in the sweet spot [3, 10] -> 1, else decays
+    """
+    text = F.trim(col)
+    n_chars = F.length(text)
+    toks = tokens(F.lower(text))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+
+    length_score = F.least(n_chars.cast("double"), F.lit(2000.0)) / F.lit(2000.0)
+
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+
+    stop_ratio = _marker_ratio(toks, ENGLISH_STOPWORDS)
+    stop_score = F.least(stop_ratio, F.lit(0.5)) * 2.0
+
+    mean_len = (n_chars - (F.size(toks) - 1)) / n_toks
+    word_score = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+
+    score = (length_score + alpha_ratio + stop_score + word_score) / 4.0
+    return F.round(score, 6)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """md5 of lowercased, whitespace-collapsed text — exact-dup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)

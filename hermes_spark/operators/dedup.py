@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond reference parity (the reference's only dup machinery is the
+keyed duplicate gate, ``DatasetComparator.scala:278-289``); these are the
+first-class large-scale extensions called for in SURVEY.md §7.1 step 6.
+
+Scale design notes (100 TB):
+
+* ``exact_dedup`` — one hash-aggregate shuffle on the fingerprint. The
+  fingerprint is computed JVM-side (md5 expression); with AQE on, skewed
+  fingerprints (e.g. empty documents) are split automatically.
+* ``minhash_lsh_pairs`` — shingling/minhashing is embarrassingly parallel
+  (no shuffle); candidate generation shuffles only ``num_bands`` small
+  (band, key) rows per document, NOT the text. Joining buckets instead of
+  cross-joining documents is what makes this O(candidates) rather than
+  O(n²). Hot buckets (boilerplate docs) are capped via ``max_bucket_size``
+  to bound the quadratic blowup inside a single bucket.
+* ``ngram_jaccard_pairs`` — exact verification; intended for the
+  *candidate pairs* produced by LSH (or small within-group spaces), never
+  the full corpus.
+* ``simhash`` — 32-bit signature via bit-vote aggregation, pure
+  expressions; near-dup = hamming distance <= k on signature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_keys, minhash_signature, portable_hash64, shingles
+from ..functions.text import doc_fingerprint, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: Optional[str] = None,
+    subset: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep one row per duplicate group (the minimum ``id_col``).
+
+    Group key: normalized-text fingerprint when ``text_col`` is given,
+    else the given ``subset`` of columns (exact match).
+    Returns ``df``'s rows (original schema) for the kept ids, plus a
+    ``dup_count`` column with the group size.
+    """
+    if text_col is not None:
+        key = doc_fingerprint(F.col(text_col))
+    elif subset:
+        key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in subset]))
+    else:
+        key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]))
+
+    keyed = df.withColumn("__fp", key)
+    keepers = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        keyed.join(keepers, on=["__fp", id_col], how="inner")
+        .drop("__fp")
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact-duplicate groups with size >= 2: (fingerprint, size, member ids)."""
+    return (
+        df.groupBy(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.0,
+    portable: bool = True,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``;
+    ``est_jaccard`` is the fraction of equal signature components (an
+    unbiased estimator of shingle-set Jaccard).
+    """
+    assert num_hashes % num_bands == 0
+    rows_per_band = num_hashes // num_bands
+
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(
+            shingles(F.col(text_col), n=shingle_n), num_hashes, portable=portable
+        ).alias("__sig"),
+    )
+
+    buckets = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
+    )
+
+    # cap pathological buckets (boilerplate text) to bound the n² join
+    bucket_sizes = buckets.groupBy("__band").count()
+    buckets = buckets.join(
+        F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket_size)),
+        on="__band",
+        how="left_anti",
+    )
+
+    left = buckets.select(
+        F.col("__band"),
+        F.col("__id").alias("id_a"),
+        F.col("__sig").alias("__sig_a"),
+    )
+    right = buckets.select(
+        F.col("__band"),
+        F.col("__id").alias("id_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    pairs = (
+        left.join(right, on="__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .distinct()
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    out = pairs.withColumn("est_jaccard", F.round(est, 6)).drop("__sig_a", "__sig_b")
+    if min_jaccard > 0:
+        out = out.filter(F.col("est_jaccard") >= min_jaccard)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: Sequence[str] = (),
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs within each group.
+
+    ``group_cols`` bounds the pair space (e.g. same source+lang); with no
+    groups this is a full cross-product — only for small/candidate inputs.
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    sh = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), n=shingle_n).alias("__sh"),
+    )
+    on = list(group_cols)
+    left = sh.select(*on, F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    right = sh.select(*on, F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    joined = (
+        left.join(right, on=on) if on else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash (Charikar '02): token hashes vote per bit.
+
+    Returns ``(id, simhash)`` with ``simhash`` a ``bits``-wide integer.
+    Pure expressions: one hash per token, then ``bits`` sign-sums.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    hashed = F.transform(toks, lambda t: portable_hash64(t))
+
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes >= 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+
+    sim = bit_vote(0)
+    for b in range(1, bits):
+        sim = sim + bit_vote(b)
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Blocking: two signatures within hamming k must agree exactly on at
+    least one of k+1 disjoint bit blocks (pigeonhole); we join on
+    ``block_bits``-wide blocks instead of cross-joining. Returns
+    ``(id_a, id_b, hamming)``.
+    """
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    n_blocks = max(max_hamming + 1, bits // block_bits)
+    width = bits // n_blocks
+
+    block_cols = [
+        (
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+        ).alias(f"__b{i}")
+        for i in range(n_blocks)
+    ]
+    blocked = fps.select("id", "simhash", *block_cols)
+
+    pair_frames = []
+    for i in range(n_blocks):
+        left = blocked.select(
+            F.col(f"__b{i}").alias("__k"),
+            F.col("id").alias("id_a"),
+            F.col("simhash").alias("__s_a"),
+        )
+        right = blocked.select(
+            F.col(f"__b{i}").alias("__k"),
+            F.col("id").alias("id_b"),
+            F.col("simhash").alias("__s_b"),
+        )
+        pair_frames.append(
+            left.join(right, on="__k").filter(F.col("id_a") < F.col("id_b")).drop("__k")
+        )
+    candidates = pair_frames[0]
+    for pf in pair_frames[1:]:
+        candidates = candidates.unionByName(pf)
+    candidates = candidates.distinct()
+
+    hamming = F.bit_count(
+        F.col("__s_a").bitwiseXOR(F.col("__s_b"))
+    )
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

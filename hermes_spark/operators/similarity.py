@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extensions beyond reference parity (SURVEY.md §7.1 step 6): approximate
+nearest neighbors for training-data curation.
+
+Scale design (100 TB / billions of vectors):
+
+* ``brute_force_cosine_topk`` — correctness baseline. Queries are
+  broadcast (small side), the corpus streams; one window (or groupBy-max)
+  per query for top-k. Exact but O(|corpus| * |queries|) multiplies —
+  right answer for <= a few thousand queries.
+* ``ivf_assign`` / ``lsh_cosine_topk`` — the scale path. IVF: vectors are
+  partitioned by nearest centroid (one broadcast join); queries probe only
+  their centroid's partition — the classic inverted-file ANN layout.
+  LSH: random-hyperplane signatures bucket the corpus; queries join only
+  their bucket.
+
+All dot products are pure Column expressions (``zip_with`` +
+``aggregate``), evaluated JVM-side; elements are cast to double before
+multiply so results are bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows.
+
+    Returns ``(query_id, vec_id, cosine, rank)``; ties break by corpus id
+    (deterministic). ``queries`` should be small — it is broadcast.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF partitioning step).
+
+    ``centroids`` is broadcast. Returns ``(vec_id, centroid_id, cosine)``
+    where ``centroid_id`` maximizes cosine similarity (ties -> smaller id).
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__centroid")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        F.col("__cid"),
+        F.round(cosine_similarity(F.col("__vec"), F.col("__centroid")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("__cid").alias(centroid_id_col), "cosine")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane_seed: str, dim: int) -> Column:
+    """Sign of <vec, h> for a pseudo-random hyperplane derived from md5.
+
+    Component ``j`` of the hyperplane is +1/-1 from a portable hash of
+    ``(plane_seed, j)`` — reproducible on any engine, no stored planes.
+    """
+    weighted = F.transform(
+        vec,
+        lambda x, i: x.cast("double")
+        * F.when(
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{plane_seed}:"), i.cast("string"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            == 0,
+            1.0,
+        ).otherwise(-1.0),
+    )
+    total = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    Corpus and queries get a ``num_planes``-bit signature; candidates are
+    corpus rows sharing the query's bucket (plus exact re-scoring inside
+    the bucket). Recall < 1 by construction; the bucket join replaces the
+    full cross-product, shuffling only bucket keys at scale.
+    """
+    qid = query_id_col or id_col
+
+    def with_sig(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        bits = [
+            _hyperplane_sign(F.col(vec_col), f"plane{p}", dim) for p in range(num_planes)
+        ]
+        sig = bits[0]
+        for p in range(1, num_planes):
+            sig = sig * 2 + bits[p]
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_vec"), sig.alias("__bucket")
+        )
+
+    c = with_sig(corpus, id_col, "vec_id")
+    q = with_sig(queries, qid, "query_id")
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="__bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__query_id_vec"), F.col("__vec_id_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

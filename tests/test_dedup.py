@@ -1,0 +1,66 @@
+from pyspark.sql import functions as F
+
+from hermes_spark.operators import (
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "The  quick brown fox jumps over the lazy dog"),  # normalized dup
+            (4, "the quick brown fox jumped over the lazy dogs"),  # near dup
+            (5, "completely different content about spark engines"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs(spark), "doc_id", text_col="text")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert set(rows) == {1, 4, 5}
+    assert rows[1] == 3  # docs 1, 2, 3 collapse
+
+
+def test_duplicate_clusters(spark):
+    out = duplicate_clusters(docs(spark), "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 3
+    assert out[0]["member_ids"] == [1, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = minhash_lsh_pairs(docs(spark), "doc_id", "text").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0  # identical docs agree on every component
+    # near-dup 4 should be caught against at least one of 1/2
+    near = [p for p in pairs if 4 in p and (1 in p or 2 in p)]
+    assert near, pairs
+    # unrelated doc 5 must not pair with jaccard 1.0
+    assert all(v < 1.0 for k, v in pairs.items() if 5 in k)
+
+
+def test_ngram_jaccard(spark):
+    out = ngram_jaccard_pairs(docs(spark), "doc_id", "text", min_jaccard=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs  # near dup above 0.5
+    assert not any(5 in k for k in pairs)
+
+
+def test_simhash_near_dups(spark):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs(spark), "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert all(0 <= v < 2 ** 32 for v in fps.values())
+    out = simhash_near_dup_pairs(spark and docs(spark), "doc_id", "text", max_hamming=6).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) in pairs or (2, 4) in pairs

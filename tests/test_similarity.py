@@ -1,0 +1,61 @@
+import math
+
+from pyspark.sql import functions as F
+
+from hermes_spark.operators import brute_force_cosine_topk, ivf_assign, lsh_cosine_topk
+
+
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    corpus = vecs(spark)
+    queries = corpus.filter("vec_id = 0")
+    out = brute_force_cosine_topk(corpus, queries, k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 0  # itself, cosine 1.0
+    assert ranked[1] == 1  # closest neighbor
+    got = {r["vec_id"]: r["cosine"] for r in out}
+    assert got[0] == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(got[1] - expected) < 1e-5
+
+
+def test_brute_force_real_embeddings(spark, embeddings):
+    queries = embeddings.filter("vec_id < 3")
+    out = brute_force_cosine_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        top = [r for r in rs if r["rank"] == 1][0]
+        assert top["vec_id"] == q  # self is nearest
+        assert abs(top["cosine"] - 1.0) < 1e-5
+
+
+def test_ivf_assign(spark):
+    corpus = vecs(spark)
+    centroids = corpus.filter("vec_id IN (0, 2)").withColumnRenamed("vec_id", "centroid_id")
+    out = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(corpus, centroids).collect()}
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == 2 and out[3] == 2
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, embeddings):
+    queries = embeddings.filter("vec_id < 2")
+    lsh = lsh_cosine_topk(embeddings, queries, k=3, num_planes=4)
+    rows = lsh.collect()
+    # every returned row must be correctly scored (spot check self-match)
+    self_rows = [r for r in rows if r["query_id"] == r["vec_id"]]
+    for r in self_rows:
+        assert abs(r["cosine"] - 1.0) < 1e-5

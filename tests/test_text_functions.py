@@ -1,0 +1,69 @@
+from pyspark.sql import functions as F
+
+from hermes_spark.functions import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from hermes_spark.functions.hashing import portable_hash64, shingles
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("  ",), ("one",), ("x\ty\nz w",)], "t string"
+    )
+    out = [r[0] for r in df.select(token_count(F.col("t"))).collect()]
+    assert out == [3, 0, 1, 4]
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    values = ["abc", "hello world", "", "äöü"]
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    for v in values:
+        expected = duckdb.sql(
+            "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", params=[v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("aaaa",)], "t string")
+    rows = [r[0] for r in df.select(shingles(F.col("t"), 3)).collect()]
+    assert rows[0] == ["abc", "bcd"]
+    assert rows[1] == ["ab"]
+    assert rows[2] == ["aaa"]  # distinct
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der Hund und die Katze ist nicht da",),
+            ("le chat et la maison est une belle",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "t string",
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_bounds(spark, documents):
+    out = documents.select(quality_score(F.col("text")).alias("q"))
+    row = out.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("  Hello   World ", "hello world")], "a string, b string")
+    row = df.select(
+        doc_fingerprint(F.col("a")).alias("fa"), doc_fingerprint(F.col("b")).alias("fb")
+    ).collect()[0]
+    assert row["fa"] == row["fb"]
