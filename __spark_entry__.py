@@ -1,38 +1,807 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dataset-comparison on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 plus
+the training-data extensions); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — equivalent DuckDB SQL per query. Every computed column
+is aliased identically on both sides; floating-point outputs are rounded
+to 6 (or 4) decimals on both sides; hash-dependent operators use the
+md5-derived portable hash (see hermes_spark.functions.hashing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from hermes_spark import ComparisonConfig, compare
+from hermes_spark.flatten import flatten_dataframe
+from hermes_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from hermes_spark.operators import (
+    brute_force_cosine_topk,
+    duplicate_clusters,
+    exact_dedup,
+    ivf_assign,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from hermes_spark.schema_utils import sorted_selector
+
+# ---------------------------------------------------------------------------
+# shared constants (keep Spark and SQL sides in lockstep)
+# ---------------------------------------------------------------------------
+
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+LINEITEM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+ANN_QUERIES = 10
+ANN_K = 10
+IVF_CENTROIDS = 8
+EMBED_DIM = 64
+JACCARD_MIN = 0.2
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic mutations (same rule on both engines)
+# ---------------------------------------------------------------------------
+
+
+def _mutated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with: price doubled where o_orderkey%97==0, key 1 dropped,
+    one synthetic row (o_orderkey=999999, copied from key 2) added."""
+    orders = _read(spark, sf_dir, "orders")
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).filter(F.col("o_orderkey") != 1)
+    extra = (
+        orders.filter(F.col("o_orderkey") == 2)
+        .withColumn("o_orderkey", F.lit(999999).cast("long"))
+    )
+    return mutated.unionByName(extra)
+
+
+_MUTATED_ORDERS_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey <> 1
+    UNION ALL
+    SELECT 999999, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey = 2
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus re-keyed copies of doc_id < 50 (exact duplicates)."""
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", (F.col("doc_id") + 100000).cast("long")
+    )
+    return docs.unionByName(copies)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 50
+"""
+
+_NORM_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+# portable 60-bit hash (see hermes_spark/functions/hashing.py)
+def _dhash(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _shingles_sql(text: str = "text", n: int = SHINGLE_N) -> str:
+    return (
+        f"CASE WHEN length({text}) <= {n} THEN [substring({text}, 1, {n})] "
+        f"ELSE list_distinct([substring({text}, i, {n}) "
+        f"FOR i IN range(1, length({text}) - {n - 1} + 1)]) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_compare_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    actual = _mutated_orders(spark, sf_dir)
+    result = compare(orders, actual, keys=["o_orderkey"], config=ComparisonConfig(mode="fast"))
+    schema = StructType(
+        [
+            StructField("ref_row_count", LongType()),
+            StructField("new_row_count", LongType()),
+            StructField("ref_duplicate_count", LongType()),
+            StructField("new_duplicate_count", LongType()),
+            StructField("passed_count", LongType()),
+            StructField("diff_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                result.ref_row_count,
+                result.new_row_count,
+                result.ref_duplicate_count,
+                result.new_duplicate_count,
+                result.passed_count,
+                result.diff_count,
+            )
+        ],
+        schema,
+    )
+
+
+def q_compare_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    actual = _mutated_orders(spark, sf_dir)
+    result = compare(orders, actual, keys=["o_orderkey"], config=ComparisonConfig(mode="fast"))
+    df = result.result_df
+    return df.select(
+        *[F.col(f"expected_{c}") for c in ORDERS_COLS],
+        *[F.col(f"actual_{c}") for c in ORDERS_COLS],
+        F.array_join(F.array_sort(F.col("errCol")), ",").alias("err_cols"),
+    )
+
+
+def q_dedup_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .filter(F.col("count") >= 2)
+        .agg(F.count(F.lit(1)).alias("dup_key_count"))
+    )
+    return dup
+
+
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 193 == 0, F.col("l_quantity") * 2).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return li.subtract(mutated)
+
+
+def q_key_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            )
+        ).alias("row_key"),
+    )
+
+
+def q_sort_aligned_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    return customer.select(*sorted_selector(customer.schema))
+
+
+def q_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    nested = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("od"),
+        ).alias("info"),
+        F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("tags"),
+    )
+    return flatten_dataframe(nested)
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    # all factors cast to exact decimals BEFORE multiplying so both engines
+    # compute the identical rational value (double*double then ->decimal
+    # rounds differently across engines at the last digit)
+    disc = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"
+    charge = f"{disc} * CAST(1+l_tax AS DECIMAL(4,2))"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").alias("sum_qty"),
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(disc)).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(charge)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and convert (truncate) to a
+    timestamp_ntz column, matching what DuckDB sees."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = _read(spark, sf_dir, "events")
+    return events.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events(spark, sf_dir)
+    return (
+        events.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    out = exact_dedup(docs, "doc_id", text_col="text")
+    return out.select("doc_id", "lang", "source", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    out = duplicate_clusters(docs, "doc_id", "text")
+    return out.select(
+        "fingerprint",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias(
+            "member_ids"
+        ),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        num_hashes=MINHASH_HASHES,
+        num_bands=MINHASH_BANDS,
+        portable=True,
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        group_cols=("lang", "source"),
+        shingle_n=SHINGLE_N,
+        min_jaccard=JACCARD_MIN,
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_BITS).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = brute_force_cosine_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    return ivf_assign(emb, centroids)
+
+
+# -- non-SQL-expressible (rows-only check): approximate variants ------------
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = lsh_cosine_topk(emb, queries, k=ANN_K, num_planes=6, dim=EMBED_DIM)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    out = simhash_near_dup_pairs(docs, "doc_id", "text", bits=SIMHASH_BITS, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators
+# ---------------------------------------------------------------------------
+
+
+def _sql_compare_metrics() -> str:
+    return f"""
+WITH actual AS ({_MUTATED_ORDERS_SQL}),
+ref_e AS (SELECT * FROM orders EXCEPT SELECT * FROM actual),
+act_e AS (SELECT * FROM actual EXCEPT SELECT * FROM orders)
+SELECT
+  (SELECT count(*) FROM orders)::BIGINT AS ref_row_count,
+  (SELECT count(*) FROM actual)::BIGINT AS new_row_count,
+  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) >= 2))::BIGINT AS ref_duplicate_count,
+  (SELECT count(*) FROM (SELECT o_orderkey FROM actual GROUP BY 1 HAVING count(*) >= 2))::BIGINT AS new_duplicate_count,
+  ((SELECT count(*) FROM orders) - (SELECT count(*) FROM ref_e))::BIGINT AS passed_count,
+  (SELECT count(*) FROM (SELECT o_orderkey FROM ref_e UNION SELECT o_orderkey FROM act_e))::BIGINT AS diff_count
+"""
+
+
+def _sql_compare_diff() -> str:
+    exp = ",\n  ".join(f"e.{c} AS expected_{c}" for c in ORDERS_COLS)
+    act = ",\n  ".join(f"a.{c} AS actual_{c}" for c in ORDERS_COLS)
+    err_items = ", ".join(
+        f"CASE WHEN e.{c} IS DISTINCT FROM a.{c} THEN '{c}' END" for c in ORDERS_COLS
+    )
+    return f"""
+WITH actual AS ({_MUTATED_ORDERS_SQL}),
+ref_e AS (SELECT * FROM orders EXCEPT SELECT * FROM actual),
+act_e AS (SELECT * FROM actual EXCEPT SELECT * FROM orders)
+SELECT
+  {exp},
+  {act},
+  array_to_string(list_sort(list_filter([{err_items}], x -> x IS NOT NULL)), ',') AS err_cols
+FROM ref_e e FULL OUTER JOIN act_e a ON e.o_orderkey = a.o_orderkey
+"""
+
+
+def _sql_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _sql_q3() -> str:
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _sql_q5() -> str:
+    return """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    ratio = {}
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        ratio[lang] = (
+            f"(len(list_filter(toks, t -> t IN ({markers})))::DOUBLE"
+            f" / greatest(len(toks), 1))"
+        )
+    branches = []
+    for lang in langs:
+        conds = [f"{ratio[lang]} >= 0.05"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"{ratio[lang]} {op} {ratio[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id, {case} AS lang_guess FROM tok
+"""
+
+
+def _sql_text_stats() -> str:
+    stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS t, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+  CASE WHEN t = '' THEN 0 ELSE len(toks) END::BIGINT AS n_tokens,
+  round((
+      least(length(t)::DOUBLE, 2000.0) / 2000.0
+    + length(regexp_replace(t, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(length(t), 1)
+    + least(len(list_filter(toks, x -> x IN ({stop})))::DOUBLE / greatest(len(toks), 1), 0.5) * 2.0
+    + CASE WHEN (length(t) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1) BETWEEN 3 AND 10
+           THEN 1.0 ELSE 0.5 END
+  ) / 4.0, 6) AS quality,
+  {_NORM_FP_SQL} AS fingerprint
+FROM base
+"""
+
+
+def _sql_dedup_exact() -> str:
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+fp AS (SELECT *, {_NORM_FP_SQL} AS __fp FROM docs2),
+keep AS (SELECT __fp, min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY __fp)
+SELECT f.doc_id, f.lang, f.source, k.dup_count::BIGINT AS dup_count
+FROM fp f JOIN keep k ON f.__fp = k.__fp AND f.doc_id = k.doc_id
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL})
+SELECT {_NORM_FP_SQL} AS fingerprint,
+  count(*)::BIGINT AS cluster_size,
+  array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+FROM docs2
+GROUP BY fingerprint
+HAVING count(*) >= 2
+"""
+
+
+def _sql_minhash() -> str:
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    comp_list = []
+    for i in range(MINHASH_HASHES):
+        seeded = _dhash(f"'{i}:' || s")
+        comp_list.append(f"list_min(list_transform(sh, s -> {seeded}))")
+    comps = ", ".join(comp_list)
+    bands = ", ".join(
+        "concat_ws('_', '%d', %s)"
+        % (b, ", ".join(f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)))
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM docs2),
+sigs AS (SELECT doc_id, [{comps}] AS sig FROM sh),
+buckets AS (SELECT doc_id, unnest([{bands}]) AS band FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+  round(len(list_filter(range(1, {MINHASH_HASHES + 1}), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {MINHASH_HASHES}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+"""
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (SELECT lang, source, doc_id, {_shingles_sql()} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+FROM sh a
+JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= {JACCARD_MIN}
+"""
+
+
+def _sql_simhash() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN {2 ** b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+hashed AS (SELECT doc_id, list_transform(toks, t -> {_dhash('t')}) AS hs FROM tok)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM hashed
+"""
+
+
+def _cosine_sql(qvec: str, cvec: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> CAST({qvec}[i] AS DOUBLE) * CAST({cvec}[i] AS DOUBLE)))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform({qvec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nc = (
+        f"sqrt(list_sum(list_transform({cvec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"round({dot} / ({nq} * {nc}), 6)"
+
+
+def _sql_ann_topk() -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, {cos} AS cosine
+  FROM q CROSS JOIN embeddings c
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _sql_ivf_assign() -> str:
+    cos = _cosine_sql("v.vec_emb", "c.cent_emb")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id, {cos} AS cosine
+  FROM (SELECT vec_id, embedding AS vec_emb FROM embeddings) v
+  CROSS JOIN (SELECT centroid_id, embedding AS cent_emb FROM cent) c
+),
+ranked AS (
+  SELECT vec_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
+    return q_compare_diff(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "compare_metrics": q_compare_metrics,
+        "compare_diff": q_compare_diff,
+        "dedup_duplicate_keys": q_dedup_duplicate_keys,
+        "except_distinct": q_except_distinct,
+        "key_hash_md5": q_key_hash_md5,
+        "sort_aligned_projection": q_sort_aligned_projection,
+        "flatten_nested": q_flatten_nested,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_json_extract": q_events_json_extract,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_clusters": q_dedup_clusters,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "lang_id": q_lang_id,
+        "text_stats": q_text_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_assign": q_ivf_assign,
+        # approximate / not SQL-expressible -> rows-only check
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "simhash_near_dups": q_simhash_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    orders_cols = ", ".join(ORDERS_COLS)
+    return {
+        "compare_metrics": _sql_compare_metrics(),
+        "compare_diff": _sql_compare_diff(),
+        "dedup_duplicate_keys": """
+SELECT count(*)::BIGINT AS dup_key_count
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2)
+""",
+        "except_distinct": """
+SELECT * FROM lineitem
+EXCEPT
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       CASE WHEN l_orderkey % 193 = 0 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+FROM lineitem
+""",
+        "key_hash_md5": """
+SELECT o_orderkey,
+       md5(concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR)) AS row_key
+FROM orders
+""",
+        "sort_aligned_projection": """
+SELECT c_acctbal, c_custkey, c_mktsegment, c_name, c_nationkey FROM customer
+""",
+        "flatten_nested": """
+SELECT o_orderkey AS id, o_custkey AS info_cust, o_totalprice AS info_od_price,
+       o_orderstatus AS info_od_status, o_orderpriority AS tags_0,
+       o_orderstatus AS tags_1
+FROM orders
+""",
+        "q1_pricing_summary": _sql_q1(),
+        "q3_shipping_priority": _sql_q3(),
+        "q5_nation_revenue": _sql_q5(),
+        "events_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_json_extract": """
+SELECT (props::JSON ->> 'k')::BIGINT AS k, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+""",
+        "dedup_exact_docs": _sql_dedup_exact(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        "minhash_lsh_pairs": _sql_minhash(),
+        "ngram_jaccard_pairs": _sql_ngram_jaccard(),
+        "simhash_fingerprints": _sql_simhash(),
+        "lang_id": _sql_lang_id(),
+        "text_stats": _sql_text_stats(),
+        "ann_cosine_topk": _sql_ann_topk(),
+        "ivf_assign": _sql_ivf_assign(),
+    }

@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized fully via the no-op sink (no driver collect
+bottleneck), mirroring how a production job would terminate in a write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from hermes_spark import ComparisonConfig, DatasetComparator
+
+
+def _mutated_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 97 == 0, F.col("l_quantity") * 2).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+
+def bench_compare(mode: str):
+    def run(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        actual = _mutated_lineitem(spark, sf_dir)
+        cmp = DatasetComparator(
+            li,
+            actual,
+            keys=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            config=ComparisonConfig(mode=mode, allow_duplicates=True),
+        )
+        result = cmp.compare()
+        if result.result_df is not None:
+            result.result_df.write.mode("overwrite").format("noop").save()
+        cmp.release()
+        return result.diff_count
+
+    return run
+
+
+def _materialize(df):
+    df.write.mode("overwrite").format("noop").save()
+    return None
+
+
+BENCH_QUERIES = {
+    "compare_fast": bench_compare("fast"),
+    "compare_reference": bench_compare("reference"),
+    "q1_pricing_summary": lambda s, d: _materialize(entry.q_q1_pricing_summary(s, d)),
+    "q3_shipping_priority": lambda s, d: _materialize(entry.q_q3_shipping_priority(s, d)),
+    "q5_nation_revenue": lambda s, d: _materialize(entry.q_q5_nation_revenue(s, d)),
+    "except_distinct": lambda s, d: _materialize(entry.q_except_distinct(s, d)),
+    "events_hourly_rollup": lambda s, d: _materialize(entry.q_events_hourly_rollup(s, d)),
+    "dedup_exact_docs": lambda s, d: _materialize(entry.q_dedup_exact_docs(s, d)),
+    "minhash_lsh_pairs": lambda s, d: _materialize(entry.q_minhash_lsh_pairs(s, d)),
+    "ngram_jaccard_pairs": lambda s, d: _materialize(entry.q_ngram_jaccard_pairs(s, d)),
+    "simhash_fingerprints": lambda s, d: _materialize(entry.q_simhash_fingerprints(s, d)),
+    "ann_cosine_topk": lambda s, d: _materialize(entry.q_ann_cosine_topk(s, d)),
+    "text_stats": lambda s, d: _materialize(entry.q_text_stats(s, d)),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hermes-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record failure, keep going
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

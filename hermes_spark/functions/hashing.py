@@ -61,16 +61,17 @@ def minhash_signature(
     hasher = (
         (lambda c: portable_hash64(c)) if portable else (lambda c: fast_hash64(c, seed))
     )
-    components = [
-        F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s, i=i: hasher(F.concat(F.lit(f"{i}:"), s)),
-            )
+
+    def component(i: int):
+        prefix = f"{i}:"
+        # NOTE: the lambda must take exactly ONE argument — PySpark passes
+        # the array index to a second parameter, which would clobber a
+        # seed captured via default-arg.
+        return F.array_min(
+            F.transform(shingle_col, lambda s: hasher(F.concat(F.lit(prefix), s)))
         )
-        for i in range(num_hashes)
-    ]
-    return F.array(*components)
+
+    return F.array(*[component(i) for i in range(num_hashes)])
 
 
 def band_keys(
