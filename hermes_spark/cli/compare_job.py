@@ -1,0 +1,100 @@
+"""The dataset-comparison job: CLI → load → compare → write diff +
+``_METRICS`` → exception-as-exit-code.
+
+Mirrors the lifecycle of
+``datasetComparison/.../DatasetComparisonJob.scala:36-109`` (SURVEY.md §3.1):
+load both sides via the generic reader, optionally load a cherry-pick
+schema, run the comparator, write the diff DataFrame to a collision-free
+path, write the pretty-JSON ``_METRICS`` file next to it, and raise
+``DatasetsDifferException`` when differences were found (the process exit
+code is the CI contract).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from hermes_spark.comparator import DatasetComparator
+from hermes_spark.config import ComparisonConfig, DEFAULT_CONFIG
+from hermes_spark.exceptions import DatasetsDifferException
+from hermes_spark.result import ComparisonResult
+from hermes_spark.sources.io import (
+    get_unique_file_path,
+    load_dataframe,
+    read_text_file,
+    write_dataframe,
+    write_metrics_file,
+)
+from hermes_spark.sources.parameters import CliParameters
+
+log = logging.getLogger(__name__)
+
+
+def load_cherry_pick_schema(spark: SparkSession, schema_path: str) -> StructType:
+    """Load a user-provided Spark JSON schema restricting the comparison
+    (reference ``DatasetComparisonJob.scala:84-89``)."""
+    return StructType.fromJson(__import__("json").loads(read_text_file(spark, schema_path)))
+
+
+def run(
+    spark: SparkSession,
+    cli: CliParameters,
+    config: ComparisonConfig = DEFAULT_CONFIG,
+) -> ComparisonResult:
+    """Execute the comparison described by ``cli``; returns the result and
+    raises :class:`DatasetsDifferException` if the datasets differ."""
+    schema: Optional[StructType] = None
+    if cli.schema_path:
+        schema = load_cherry_pick_schema(spark, cli.schema_path)
+
+    ref_df = load_dataframe(spark, cli.reference)
+    actual_df = load_dataframe(spark, cli.actual)
+
+    comparator = DatasetComparator(
+        ref_df, actual_df, keys=cli.keys, config=config, optional_schema=schema
+    )
+    result = comparator.compare()
+    result.passed_options = cli.raw_options
+
+    out_path = ""
+    if cli.output is not None:
+        out_path = get_unique_file_path(spark, cli.output.path)
+        if result.result_df is not None:
+            write_dataframe(
+                result.result_df,
+                cli.output.__class__(
+                    format=cli.output.format,
+                    options=cli.output.options,
+                    path=out_path,
+                ),
+            )
+        write_metrics_file(spark, out_path, result.get_pretty_json())
+    comparator.release()
+
+    if not result.passed:
+        raise DatasetsDifferException(
+            cli.reference.path,
+            cli.actual.path,
+            out_path,
+            result.ref_row_count,
+            result.new_row_count,
+        )
+    log.info("Expected and actual datasets are the same.")
+    return result
+
+
+def main(argv: list[str]) -> int:
+    from hermes_spark.cli.parser import parse_cli_parameters
+
+    cli = parse_cli_parameters(argv)
+    spark = SparkSession.builder.appName("Dataset comparison").getOrCreate()
+    try:
+        run(spark, cli)
+    except DatasetsDifferException as exc:
+        print(exc)
+        return 1
+    return 0

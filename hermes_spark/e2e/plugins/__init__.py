@@ -1,0 +1,9 @@
+"""Bundled plugins (reference ``e2eRunner/.../plugins/``): Bash,
+DatasetComparison, InfoFileComparison. Importing this package registers
+them."""
+
+from hermes_spark.e2e.plugins.bash import BashPlugin
+from hermes_spark.e2e.plugins.dataset_comparison import DatasetComparisonPlugin
+from hermes_spark.e2e.plugins.info_comparison import InfoFileComparisonPlugin
+
+__all__ = ["BashPlugin", "DatasetComparisonPlugin", "InfoFileComparisonPlugin"]

@@ -1,0 +1,126 @@
+"""Generic DataFrame IO over any Spark DataSource, plus driver-side file
+helpers that work on every Hadoop-supported filesystem (file://, HDFS,
+s3a://).
+
+Mirrors the behavior of ``datasetComparison/.../dataFrame/Utils.scala``:
+- ``load_dataframe``  — ``spark.read.format(f).options(o).load(path?)``
+  (jdbc loads with no path; ``dbtable`` is an option)    (Utils.scala:48-52)
+- ``write_dataframe`` — ``df.write.format(f).options(o).save(path?)``
+                                                         (Utils.scala:54-59)
+- ``write_next_dataframe`` / ``get_unique_file_path`` — collision-free
+  output path: if the target exists, suffix ``_<currentTimeMillis>``
+                                                         (Utils.scala:38-46,61-68)
+- ``write_metrics_file`` — pretty-JSON ``_METRICS`` file next to the diff
+  output, written through the Hadoop FileSystem API
+                                               (DatasetComparisonJob.scala:97-109)
+
+Driver-side file access goes through ``spark._jvm`` Hadoop ``FileSystem``
+so the same code path serves local disk, HDFS and S3 — on a 1000-executor
+cluster the driver cannot assume a POSIX view of the data.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hermes_spark.sources.parameters import Parameters
+
+
+# ---------------------------------------------------------------------------
+# DataFrame readers / writers
+# ---------------------------------------------------------------------------
+
+
+def load_dataframe(spark: SparkSession, parameters: Parameters) -> DataFrame:
+    """Read a DataFrame via any Spark DataSource format."""
+    reader = spark.read.format(parameters.format)
+    if parameters.options:
+        reader = reader.options(**parameters.options)
+    if parameters.format == "jdbc":
+        return reader.option("dbtable", parameters.path).load()
+    return reader.load(parameters.path)
+
+
+def write_dataframe(
+    df: DataFrame, parameters: Parameters, path_suffix: str = "", mode: str = "error"
+) -> None:
+    """Write a DataFrame via any Spark DataSource format."""
+    writer = df.write.format(parameters.format).mode(mode)
+    if parameters.options:
+        writer = writer.options(**parameters.options)
+    if parameters.format == "jdbc":
+        writer.option("dbtable", parameters.path).save()
+    else:
+        writer.save(f"{parameters.path}{path_suffix}")
+
+
+def write_next_dataframe(
+    df: DataFrame, parameters: Parameters, path_suffix: str = ""
+) -> str:
+    """Write to a collision-free path; returns the path actually used."""
+    spark = df.sparkSession
+    target = get_unique_file_path(spark, f"{parameters.path}{path_suffix}")
+    writer = df.write.format(parameters.format)
+    if parameters.options:
+        writer = writer.options(**parameters.options)
+    writer.save(target)
+    return target
+
+
+def get_unique_file_path(spark: SparkSession, path: str) -> str:
+    """If ``path`` exists on its filesystem, suffix ``_<millis>``."""
+    if _fs_exists(spark, path):
+        return f"{path}_{int(time.time() * 1000)}"
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FileSystem helpers (driver-side small files on any FS)
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(conf), hpath, jvm
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def write_text_file(spark: SparkSession, path: str, content: str) -> None:
+    """Create/overwrite a small driver-side text file on any Hadoop FS."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(content, "utf-8"))
+        stream.flush()
+    finally:
+        stream.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str:
+    """Read a small driver-side text file from any Hadoop FS.
+
+    Used for the cherry-pick schema JSON (reference reads it via
+    ``wholeTextFiles``, ``DatasetComparisonJob.scala:84-89``)."""
+    rdd = spark.sparkContext.wholeTextFiles(path)
+    return rdd.collect()[0][1]
+
+
+def write_metrics_file(spark: SparkSession, diff_path: str, metrics_json: str) -> str:
+    """Write the pretty-JSON ``_METRICS`` file next to the diff output."""
+    metrics_path = diff_path.rstrip("/") + "/_METRICS"
+    write_text_file(spark, metrics_path, metrics_json + "\n")
+    return metrics_path
+
+
+def read_json_strings(spark: SparkSession, strings: list[str]) -> DataFrame:
+    """DataFrame from in-memory JSON strings (reference
+    ``utils/.../HelperFunctions.scala:156-159``)."""
+    return spark.read.json(spark.sparkContext.parallelize(strings))

@@ -1,0 +1,137 @@
+"""IO layer + compare-job end-to-end tests, mirroring the reference's
+``DatasetComparatorJobSuite`` coverage: CLI → files → `_METRICS` →
+exception contract, cross-format compare, collision-free output paths."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark.cli.compare_job import run
+from hermes_spark.cli.parser import parse_cli_parameters
+from hermes_spark.exceptions import DatasetsDifferException
+from hermes_spark.sources import (
+    Parameters,
+    get_unique_file_path,
+    load_dataframe,
+    read_json_strings,
+    write_dataframe,
+    write_next_dataframe,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_load_write_round_trip_csv(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_csv")
+    write_dataframe(
+        orders.limit(100),
+        Parameters("csv", {"header": "true"}, path),
+    )
+    back = load_dataframe(
+        spark, Parameters("csv", {"header": "true", "inferSchema": "true"}, path)
+    )
+    assert back.count() == 100
+    assert set(back.columns) == set(orders.columns)
+
+
+def test_unique_path_suffixes_on_collision(spark, tmp_path):
+    path = str(tmp_path / "exists")
+    os.makedirs(path)
+    unique = get_unique_file_path(spark, path)
+    assert unique != path and unique.startswith(path + "_")
+    assert get_unique_file_path(spark, str(tmp_path / "fresh")) == str(
+        tmp_path / "fresh"
+    )
+
+
+def test_write_next_dataframe_does_not_overwrite(spark, orders, tmp_path):
+    params = Parameters("parquet", {}, str(tmp_path / "out"))
+    first = write_next_dataframe(orders.limit(5), params)
+    second = write_next_dataframe(orders.limit(5), params)
+    assert first == str(tmp_path / "out")
+    assert second != first
+    assert spark.read.parquet(first).count() == 5
+    assert spark.read.parquet(second).count() == 5
+
+
+def test_read_json_strings(spark):
+    df = read_json_strings(spark, ['{"a": 1, "b": "x"}', '{"a": 2, "b": "y"}'])
+    assert df.count() == 2
+    assert set(df.columns) == {"a", "b"}
+
+
+def test_compare_job_identical_inputs_pass(spark, orders, tmp_path):
+    ref_path = str(tmp_path / "ref")
+    orders.limit(200).write.parquet(ref_path)
+    cli = parse_cli_parameters(
+        f"--format parquet --ref-path {ref_path} --new-path {ref_path} "
+        f"--out-path {tmp_path}/out --keys o_orderkey".split()
+    )
+    result = run(spark, cli)
+    assert result.passed
+    # _METRICS is written even on pass
+    metrics = json.loads(
+        open(f"{tmp_path}/out/_METRICS", encoding="utf-8").read()
+    )
+    assert metrics["passed"] is True
+    assert metrics["referenceRowCount"] == 200
+
+
+def test_compare_job_differing_inputs_raise_and_write_diff(
+    spark, orders, tmp_path
+):
+    ref_path = str(tmp_path / "ref")
+    new_path = str(tmp_path / "new")
+    orders.limit(200).write.parquet(ref_path)
+    (
+        orders.limit(200)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .write.parquet(new_path)
+    )
+    cli = parse_cli_parameters(
+        f"--format parquet --ref-path {ref_path} --new-path {new_path} "
+        f"--out-path {tmp_path}/out --keys o_orderkey".split()
+    )
+    with pytest.raises(DatasetsDifferException) as err:
+        run(spark, cli)
+    assert "Expected and actual datasets differ." in str(err.value)
+    diff = spark.read.parquet(f"{tmp_path}/out")
+    assert diff.count() > 0
+    assert "errCol" in diff.columns
+    metrics = json.loads(
+        open(f"{tmp_path}/out/_METRICS", encoding="utf-8").read()
+    )
+    assert metrics["passed"] is False
+    assert metrics["numberOfDifferences"] == diff.count()
+
+
+def test_compare_job_cross_format(spark, orders, tmp_path):
+    """csv vs parquet compare of the same data passes (cf. reference
+    ``DatasetComparatorJobSuite.scala:96-114`` csv-vs-json)."""
+    subset = orders.select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+    ).limit(100)
+    csv_path = str(tmp_path / "ref_csv")
+    pq_path = str(tmp_path / "new_pq")
+    subset.write.options(header="true").csv(csv_path)
+    subset.write.parquet(pq_path)
+    cli = parse_cli_parameters(
+        f"--ref-format csv --ref-header true "
+        f"--ref-path {csv_path} --new-format parquet --new-path {pq_path} "
+        f"--out-path {tmp_path}/out --keys o_orderkey".split()
+    )
+    result = run(spark, cli)
+    assert result.passed
