@@ -23,6 +23,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from hermes_spark import ComparisonConfig, compare
 from hermes_spark.flatten import flatten_dataframe
+from hermes_spark.functions.hashing import MERSENNE31, permutation_params
 from hermes_spark.functions.text import (
     ENGLISH_STOPWORDS,
     LANG_MARKERS,
@@ -611,10 +612,11 @@ HAVING count(*) >= 2
 
 def _sql_minhash() -> str:
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    comp_list = []
-    for i in range(MINHASH_HASHES):
-        seeded = _dhash(f"'{i}:' || s")
-        comp_list.append(f"list_min(list_transform(sh, s -> {seeded}))")
+    p = MERSENNE31
+    comp_list = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for a, b in permutation_params(MINHASH_HASHES)
+    ]
     comps = ", ".join(comp_list)
     bands = ", ".join(
         "concat_ws('_', '%d', %s)"
@@ -624,7 +626,10 @@ def _sql_minhash() -> str:
     return f"""
 WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
 sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM docs2),
-sigs AS (SELECT doc_id, [{comps}] AS sig FROM sh),
+hsh AS (SELECT doc_id,
+        list_transform(sh, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % {p}) AS hs
+        FROM sh),
+sigs AS (SELECT doc_id, [{comps}] AS sig FROM hsh),
 buckets AS (SELECT doc_id, unnest([{bands}]) AS band FROM sigs),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

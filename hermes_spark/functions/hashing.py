@@ -49,29 +49,79 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.length(col) <= n, shorter).otherwise(full)
 
 
+#: Mersenne prime 2^31-1: the permutation modulus. Hash values and the
+#: affine coefficients are all < 2^31, so a*h+b < 2^62 never overflows a
+#: 64-bit signed integer — required because both Spark (ANSI mode) and
+#: DuckDB error on BIGINT overflow rather than wrapping.
+MERSENNE31 = 2_147_483_647
+
+
+def permutation_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients ``(a_i, b_i)`` shared
+    by the Spark expressions and any SQL oracle re-implementation."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def base_hash31(col: Column, portable: bool = True, seed: int = 42) -> Column:
+    """31-bit base hash of a string, reduced mod 2^31-1.
+
+    Portable variant (DuckDB: ``('0x' || substring(md5(s), 1, 8))::BIGINT
+    % 2147483647``); fast variant uses xxhash64.
+    """
+    if portable:
+        h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.abs(F.xxhash64(col, F.lit(seed)))
+    return h % F.lit(MERSENNE31)
+
+
+def minhash_signature_from_hashes(
+    hash_col: Column, num_hashes: int = 16, seed: int = 42
+) -> Column:
+    """MinHash signature ``array<bigint>`` from a base-hash array column.
+
+    Component ``i`` is ``min over shingles of (a_i*h + b_i) mod (2^31-1)``
+    — the classic permutation-family minimum (Broder '97). Each shingle is
+    hashed ONCE (by :func:`base_hash31`); the per-component work is two
+    integer ops, not another string hash. At 16–128 components this is
+    what keeps minhashing compute-bound on the cheap path instead of
+    md5-bound (the difference is ~10× wall-clock at sf0.1).
+    """
+
+    def component(a: int, b: int) -> Column:
+        # single-param lambda: PySpark passes the array index to a second
+        # parameter, which would clobber values captured via default-args
+        return F.array_min(
+            F.transform(
+                hash_col,
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31),
+            )
+        )
+
+    return F.array(
+        *[component(a, b) for a, b in permutation_params(num_hashes, seed)]
+    )
+
+
 def minhash_signature(
     shingle_col: Column, num_hashes: int = 16, portable: bool = True, seed: int = 42
 ) -> Column:
-    """MinHash signature ``array<bigint>`` of a shingle array.
+    """MinHash signature of a shingle array (one-shot expression form).
 
-    Component ``i`` is ``min over shingles of hash(i || ':' || shingle)`` —
-    the classic per-permutation minimum (Broder '97), with the permutation
-    family realized as seeded hashes.
+    Prefer materializing ``base_hash31`` into its own projection first
+    (as :func:`hermes_spark.operators.minhash_lsh_pairs` does) so the
+    base hashes are provably computed once per row.
     """
-    hasher = (
-        (lambda c: portable_hash64(c)) if portable else (lambda c: fast_hash64(c, seed))
+    base = F.transform(
+        shingle_col, lambda s: base_hash31(s, portable=portable, seed=seed)
     )
-
-    def component(i: int):
-        prefix = f"{i}:"
-        # NOTE: the lambda must take exactly ONE argument — PySpark passes
-        # the array index to a second parameter, which would clobber a
-        # seed captured via default-arg.
-        return F.array_min(
-            F.transform(shingle_col, lambda s: hasher(F.concat(F.lit(prefix), s)))
-        )
-
-    return F.array(*[component(i) for i in range(num_hashes)])
+    return minhash_signature_from_hashes(base, num_hashes, seed)
 
 
 def band_keys(

@@ -29,7 +29,13 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_keys, minhash_signature, portable_hash64, shingles
+from ..functions.hashing import (
+    band_keys,
+    base_hash31,
+    minhash_signature_from_hashes,
+    portable_hash64,
+    shingles,
+)
 from ..functions.text import doc_fingerprint, tokens
 
 
@@ -97,11 +103,20 @@ def minhash_lsh_pairs(
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
 
-    sigs = df.select(
+    # two-step projection: base hashes land in their own column so the
+    # md5-per-shingle work runs exactly once per document (Catalyst's
+    # CollapseProject keeps projections separate when an alias is
+    # referenced many times by non-cheap expressions)
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(
-            shingles(F.col(text_col), n=shingle_n), num_hashes, portable=portable
-        ).alias("__sig"),
+        F.transform(
+            shingles(F.col(text_col), n=shingle_n),
+            lambda s: base_hash31(s, portable=portable),
+        ).alias("__hs"),
+    )
+    sigs = hashed.select(
+        "__id",
+        minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
     )
 
     buckets = sigs.select(
@@ -157,12 +172,22 @@ def ngram_jaccard_pairs(
     group_cols: Sequence[str] = (),
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    num_salts: int = 16,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs within each group.
 
     ``group_cols`` bounds the pair space (e.g. same source+lang); with no
     groups this is a full cross-product — only for small/candidate inputs.
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Scale note: a plain self-join on ``group_cols`` gets at most
+    one task per distinct group (and one task total for a single-file
+    input) — the pair-space work would serialize. We salt instead: the
+    left side keeps one row with ``salt = hash(id) % num_salts``, the
+    right side is replicated ``num_salts`` times, and the join adds the
+    salt to the key, so every group's quadratic work fans out over
+    ``num_salts`` tasks. Each pair still joins exactly once (at the left
+    row's salt).
     """
     sh = df.select(
         *[F.col(c) for c in group_cols],
@@ -170,11 +195,28 @@ def ngram_jaccard_pairs(
         shingles(F.col(text_col), n=shingle_n).alias("__sh"),
     )
     on = list(group_cols)
-    left = sh.select(*on, F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    right = sh.select(*on, F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    left = sh.select(
+        *on,
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.pmod(F.hash("__id"), F.lit(num_salts)).alias("__salt"),
+    )
+    right = sh.select(
+        *on,
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt"),
+    )
+    # force a shuffled join: a broadcast join would inherit the left
+    # side's (possibly single-file) partitioning AND ship the replicated
+    # shingle arrays to every executor; the merge hint makes both sides
+    # shuffle by (group, salt), giving groups×salts-way parallelism
     joined = (
-        left.join(right, on=on) if on else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
+        left.hint("merge")
+        .join(right, on=on + ["__salt"])
+        .drop("__salt")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
 
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
@@ -194,12 +236,17 @@ def simhash_fingerprints(
     Returns ``(id, simhash)`` with ``simhash`` a ``bits``-wide integer.
     Pure expressions: one hash per token, then ``bits`` sign-sums.
     """
+    # materialize token hashes in their own projection: one md5 per token
+    # total, instead of one per token per bit (32× less hashing)
     toks = tokens(F.lower(F.col(text_col)))
-    hashed = F.transform(toks, lambda t: portable_hash64(t))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: portable_hash64(t)).alias("__hs"),
+    )
 
     def bit_vote(b: int) -> Column:
         votes = F.aggregate(
-            hashed,
+            F.col("__hs"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
@@ -209,7 +256,7 @@ def simhash_fingerprints(
     sim = bit_vote(0)
     for b in range(1, bits):
         sim = sim + bit_vote(b)
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return hashed.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
