@@ -35,11 +35,13 @@ from hermes_spark.functions.text import (
 from hermes_spark.operators import (
     brute_force_cosine_topk,
     duplicate_clusters,
+    embedding_near_dup_pairs,
     exact_dedup,
     ivf_assign,
     lsh_cosine_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    sessionize,
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
@@ -442,6 +444,29 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events(spark, sf_dir)
+    return sessionize(
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
+        "user_id",
+        "ts",
+        gap_seconds=1800,
+    )
+
+
+NEAR_DUP_MAX_ID = 500
+NEAR_DUP_MIN_COSINE = 0.4
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_ID
+    )
+    return embedding_near_dup_pairs(
+        emb, min_cosine=NEAR_DUP_MIN_COSINE, exact=True
+    )
+
+
 # -- non-SQL-expressible (rows-only check): approximate variants ------------
 
 
@@ -718,6 +743,37 @@ SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1
 """
 
 
+def _sql_sessionize() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR (epoch_us(ts) / 1000000.0) - (epoch_us(lag(ts) OVER w) / 1000000.0) > 1800
+         THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sidx
+"""
+
+
+def _sql_embedding_near_dup() -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_MIN_COSINE}
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -751,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_assign": q_ivf_assign,
+        "sessionize_events": q_sessionize_events,
+        "embedding_near_dup": q_embedding_near_dup,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -809,4 +867,6 @@ FROM events GROUP BY 1
         "text_stats": _sql_text_stats(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ivf_assign": _sql_ivf_assign(),
+        "sessionize_events": _sql_sessionize(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
     }

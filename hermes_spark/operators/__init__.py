@@ -6,7 +6,19 @@ from .dedup import (
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
-from .similarity import brute_force_cosine_topk, ivf_assign, lsh_cosine_topk
+from .multimodal import (
+    decode_image_stub,
+    extract_image_features,
+    frame_sample,
+    with_media_metadata,
+)
+from .sessionize import sessionize
+from .similarity import (
+    brute_force_cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    lsh_cosine_topk,
+)
 
 __all__ = [
     "exact_dedup",
@@ -16,6 +28,12 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",
+    "embedding_near_dup_pairs",
     "ivf_assign",
     "lsh_cosine_topk",
+    "sessionize",
+    "decode_image_stub",
+    "extract_image_features",
+    "frame_sample",
+    "with_media_metadata",
 ]

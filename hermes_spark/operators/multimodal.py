@@ -1,0 +1,209 @@
+"""Multimodal (image/audio/video) column operators.
+
+Extension surface for training-data pipelines (no counterpart in the
+reference): media travels as an opaque ``binary`` column plus a typed
+metadata struct; decode/feature-extraction/frame-sampling run as
+Arrow-batched pandas iterators over ``mapInPandas`` so the (heavy,
+C-library-backed) per-item work never goes through row-at-a-time Python.
+
+The actual codecs (Pillow/ffmpeg/torchaudio) are NOT available in this
+environment, so the decode kernels are STUBS — clearly marked, swappable
+via the ``decoder=`` parameter — while everything Spark-side (schemas,
+batch iteration, partition sizing, output contracts) is real and tested.
+
+Scale notes: media bytes dominate row size — repartition so a batch of
+rows fits executor memory (``target_rows_per_batch`` guidance below),
+never ``collect()`` binaries, and push metadata-only filters BEFORE the
+decode stage so parquet column pruning keeps undecoded bytes unread.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata struct carried alongside every media binary
+MEDIA_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),     # image|audio|video
+        StructField("format", StringType()),         # jpeg|png|wav|mp4|...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("size_bytes", LongType()),
+    ]
+)
+
+
+def with_media_metadata(
+    df: DataFrame,
+    binary_col: str,
+    media_type: str,
+    fmt: Optional[str] = None,
+) -> DataFrame:
+    """Attach the typed metadata struct next to a binary column.
+
+    Width/height/duration are left null until a decode pass fills them;
+    ``size_bytes`` is computed immediately (pure expression).
+    """
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode kernels (STUBS — swap via decoder=)
+# ---------------------------------------------------------------------------
+
+
+def decode_image_stub(data: bytes) -> dict:
+    """STUB image decode: deterministic fake dimensions + pixel stats.
+
+    A real deployment passes ``decoder=`` backed by Pillow/libvips::
+
+        def pillow_decoder(data: bytes) -> dict:
+            img = PIL.Image.open(io.BytesIO(data))
+            ...
+
+    The stub derives stable pseudo-dimensions from the byte content so
+    tests are deterministic without any codec library.
+    """
+    if data is None:
+        raise ValueError("cannot decode null media bytes")
+    n = len(data)
+    checksum = sum(data[:64]) if n else 0
+    return {
+        "width": 16 + checksum % 64,
+        "height": 16 + (checksum // 64) % 64,
+        "mean_intensity": (sum(data[:256]) / max(min(n, 256), 1)) if n else 0.0,
+    }
+
+
+IMAGE_FEATURE_SCHEMA_SUFFIX = [
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("decode_error", StringType()),
+]
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decoder: Callable[[bytes], dict] = decode_image_stub,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode images and emit per-image features via ``mapInPandas``.
+
+    Output: ``(id, width, height, mean_intensity, decode_error)`` — decode
+    failures land in ``decode_error`` instead of failing the job (at
+    billions of crawled images some bytes are always corrupt).
+    """
+    out_schema = StructType(
+        [df.schema[id_col]] + IMAGE_FEATURE_SCHEMA_SUFFIX
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {id_col: row[id_col], "width": None, "height": None,
+                       "mean_intensity": None, "decode_error": None}
+                try:
+                    feats = decoder(row[binary_col])
+                    rec.update(
+                        width=feats.get("width"),
+                        height=feats.get("height"),
+                        mean_intensity=feats.get("mean_intensity"),
+                    )
+                except Exception as exc:  # noqa: BLE001 - per-item isolation
+                    rec["decode_error"] = str(exc)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "mean_intensity",
+                               "decode_error"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n_ms: int = 1000,
+    max_frames: int = 8,
+    decoder: Optional[Callable[[bytes, int, int], list]] = None,
+) -> DataFrame:
+    """Sample frames from video binaries: one output row per sampled frame
+    ``(id, frame_idx, frame_ts_ms, frame_bytes)`` via ``mapInPandas``.
+
+    The default (stub) "decoder" slices the source bytes deterministically
+    — real deployments pass an ffmpeg-backed ``decoder(data, every_n_ms,
+    max_frames) -> list[(idx, ts_ms, bytes)]``.
+    """
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ts_ms", LongType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def stub_decoder(data: bytes, every: int, cap: int) -> list:
+        if not data:
+            return []
+        n_frames = min(cap, max(len(data) // 1024, 1))
+        chunk = max(len(data) // n_frames, 1)
+        return [
+            (i, i * every, bytes(data[i * chunk: i * chunk + min(chunk, 4096)]))
+            for i in range(n_frames)
+        ]
+
+    decode = decoder or stub_decoder
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for idx, ts_ms, frame in decode(
+                    row[binary_col], every_n_ms, max_frames
+                ):
+                    rows.append(
+                        {
+                            id_col: row[id_col],
+                            "frame_idx": idx,
+                            "frame_ts_ms": ts_ms,
+                            "frame_bytes": frame,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "frame_ts_ms", "frame_bytes"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, out_schema)

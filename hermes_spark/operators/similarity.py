@@ -115,6 +115,63 @@ def ivf_assign(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= min_cosine``.
+
+    Default (``exact=False``) is the scale path: random-hyperplane LSH
+    buckets the corpus, pairs are generated within buckets only, then
+    exactly re-scored — near-identical vectors share all plane signs with
+    high probability, so recall at ``min_cosine >= 0.9`` stays high while
+    the join touches ~n²/2^planes candidate pairs instead of n².
+    ``exact=True`` is the all-pairs verification variant (oracle-checked;
+    quadratic — small inputs only).
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    if exact:
+        left = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+        right = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bits = [
+            _hyperplane_sign(F.col("__vec"), f"plane{p}", dim)
+            for p in range(num_planes)
+        ]
+        sig = bits[0]
+        for p in range(1, num_planes):
+            sig = sig * 2 + bits[p]
+        bucketed = base.withColumn("__bucket", sig)
+        left = bucketed.select(
+            "__bucket", F.col("__id").alias("id_a"), F.col("__vec").alias("__va")
+        )
+        right = bucketed.select(
+            "__bucket", F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")
+        )
+        pairs = (
+            left.join(right, on="__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("__bucket")
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def _hyperplane_sign(vec: Column, plane_seed: str, dim: int) -> Column:
     """Sign of <vec, h> for a pseudo-random hyperplane derived from md5.
 

@@ -1,0 +1,18 @@
+"""Structured Streaming extensions.
+
+The reference has NO streaming surface (SURVEY.md §2.8) — everything
+here is a scale extension built on the same kernels:
+
+- :func:`compare_stream` — continuous comparison of a stream against a
+  static reference via ``foreachBatch`` running the batch compare core.
+- :func:`windowed_rollup` — watermarked tumbling-window aggregation
+  (the streaming analogue of the ``events_hourly_rollup`` query).
+- :func:`sessionize_stream` — custom stateful sessionization via
+  ``applyInPandasWithState``.
+"""
+
+from hermes_spark.streaming.compare import compare_stream
+from hermes_spark.streaming.rollup import windowed_rollup
+from hermes_spark.streaming.sessionize import sessionize_stream
+
+__all__ = ["compare_stream", "sessionize_stream", "windowed_rollup"]

@@ -1,0 +1,148 @@
+"""Structured Streaming extension tests: rollup vs batch equivalence,
+continuous compare via foreachBatch, stateful sessionization."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark.operators.sessionize import sessionize
+from hermes_spark.streaming import compare_stream, sessionize_stream, windowed_rollup
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as micros-timestamp parquet (streaming-readable)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .write.parquet(out)
+    )
+    return out
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+def test_windowed_rollup_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_rollup(
+            batch, "ts", "1 hour", group_cols=("event_type",)
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    rolled = windowed_rollup(
+        stream, "ts", "1 hour", watermark="2 hours", group_cols=("event_type",)
+    )
+    query = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(query)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    assert got == expected
+
+
+def test_compare_stream_detects_differences(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+    mutated_dir = str(tmp_path / "mutated")
+    (
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 50 == 0, F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ).write.parquet(mutated_dir)
+    )
+    results = []
+    stream = spark.readStream.schema(orders.schema).parquet(mutated_dir)
+    query = compare_stream(
+        orders,
+        stream,
+        keys=["o_orderkey"],
+        on_result=lambda bid, res: results.append(res),
+        trigger={"availableNow": True},
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    _await(query)
+    assert len(results) >= 1
+    total_diff = sum(r.diff_count for r in results)
+    expected_bad = orders.filter(F.col("o_orderkey") % 50 == 0).count()
+    assert total_diff == expected_bad
+    # restricted-reference mode: each batch compares against <= batch rows
+    assert all(r.ref_row_count <= 500 for r in results)
+
+
+def test_sessionize_stream_closes_sessions_on_timeout(spark, tmp_path):
+    """Two bursts 2h apart for one user: the event-time timeout (driven
+    past by the second burst's watermark) closes the first session."""
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 10:20:00"),
+        (2, "2024-01-01 10:05:00"),
+        (1, "2024-01-01 14:00:00"),
+        (1, "2024-01-01 14:05:00"),
+    ]
+    src = str(tmp_path / "events")
+    (
+        spark.createDataFrame(rows, ["user_id", "ts_str"])
+        .select("user_id", F.to_timestamp("ts_str").alias("ts"))
+        .write.parquet(src)
+    )
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    sessions = sessionize_stream(
+        stream, "user_id", "ts", gap_seconds=1800, watermark="0 seconds"
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(query)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # the 10:00-10:20 session (3 events) closes once the 14:00 burst moves
+    # event time past its timeout; open sessions (14:00 burst, user 2's
+    # single event) remain in state
+    assert ("1", "2024-01-01 10:00:00", 3) in got
+
+
+def test_batch_sessionize_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:30:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+        "user_id", F.to_timestamp("ts_str").alias("ts")
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+    }
