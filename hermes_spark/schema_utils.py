@@ -123,8 +123,27 @@ def _contains_struct(dt: DataType) -> bool:
     return False
 
 
+def _needs_rewrite(dt: DataType) -> bool:
+    """Does the selector have to rebuild this value? True for structs
+    (field order), and for maps anywhere (normalized to sorted entry
+    arrays — see :func:`_reorder`)."""
+    if isinstance(dt, (StructType, MapType)):
+        return True
+    if isinstance(dt, ArrayType):
+        return _needs_rewrite(dt.elementType)
+    return False
+
+
 def _reorder(col: Column, dt: DataType) -> Column:
-    """Rebuild ``col`` with struct fields sorted by name, recursively."""
+    """Rebuild ``col`` with struct fields sorted by name, recursively.
+
+    MapType columns are normalized to ``array_sort(map_entries(col))`` —
+    an ``array<struct<key,value>>`` sorted by key. The reference has no
+    map handling at all (a map column would hit Spark's "<=> on map"
+    error, SURVEY.md §1.2); the normalized form is deterministic,
+    groupable and null-safe-comparable, which is what the single-shuffle
+    compare needs (Spark forbids grouping by raw map columns).
+    """
     if isinstance(dt, StructType):
         return F.struct(
             *[
@@ -132,7 +151,19 @@ def _reorder(col: Column, dt: DataType) -> Column:
                 for f in sorted(dt.fields, key=lambda f: f.name)
             ]
         )
-    if isinstance(dt, ArrayType) and _contains_struct(dt.elementType):
+    if isinstance(dt, MapType):
+        entries = F.map_entries(col)
+        if _needs_rewrite(dt.keyType) or _needs_rewrite(dt.valueType):
+            key_t, value_t = dt.keyType, dt.valueType
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    _reorder(e.getField("key"), key_t).alias("key"),
+                    _reorder(e.getField("value"), value_t).alias("value"),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dt, ArrayType) and _needs_rewrite(dt.elementType):
         elem = dt.elementType
         return F.transform(col, lambda x: _reorder(x, elem))
     return col
@@ -143,7 +174,7 @@ def sorted_selector(schema: StructType) -> list[Column]:
     out: list[Column] = []
     for f in sorted(schema.fields, key=lambda f: f.name):
         col = F.col(f"`{f.name}`")
-        if _contains_struct(f.dataType):
+        if _needs_rewrite(f.dataType):
             out.append(_reorder(col, f.dataType).alias(f.name))
         else:
             out.append(col)

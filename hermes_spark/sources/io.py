@@ -34,7 +34,20 @@ from hermes_spark.sources.parameters import Parameters
 
 
 def load_dataframe(spark: SparkSession, parameters: Parameters) -> DataFrame:
-    """Read a DataFrame via any Spark DataSource format."""
+    """Read a DataFrame via any Spark DataSource format.
+
+    ``format == "fixed-width"`` routes to the expression-based reader in
+    :mod:`hermes_spark.sources.fixed_width` (option ``widths`` =
+    ``"name:width,..."``; optional ``trimValues``)."""
+    if parameters.format == "fixed-width":
+        from hermes_spark.sources.fixed_width import (
+            parse_widths_option,
+            read_fixed_width,
+        )
+
+        widths = parse_widths_option(parameters.options["widths"])
+        trim = parameters.options.get("trimValues", "true").lower() == "true"
+        return read_fixed_width(spark, parameters.path, widths, trim=trim)
     reader = spark.read.format(parameters.format)
     if parameters.options:
         reader = reader.options(**parameters.options)

@@ -135,3 +135,50 @@ def test_compare_job_cross_format(spark, orders, tmp_path):
     )
     result = run(spark, cli)
     assert result.passed
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    data = "   1 Alice      100\n   2 Bob         42\n"
+    src = tmp_path / "fw.txt"
+    src.write_text(data)
+    from hermes_spark.sources import Parameters, load_dataframe
+
+    df = load_dataframe(
+        spark,
+        Parameters("fixed-width", {"widths": "id:4,name:11,score:4"}, str(src)),
+    )
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {"1": ("Alice", "100"), "2": ("Bob", "42")}
+
+
+def test_fixed_width_compare_vs_csv(spark, tmp_path):
+    """Cross-format: fixed-width vs csv of the same data compares equal
+    (reference supports fixed-width via a bundled datasource)."""
+    (tmp_path / "fw.txt").write_text("   1 Alice\n   2 Bob  \n")
+    (tmp_path / "c.csv").write_text("id,name\n1,Alice\n2,Bob\n")
+    cli = parse_cli_parameters(
+        f"--ref-format fixed-width --ref-widths id:4,name:6 "
+        f"--ref-path {tmp_path}/fw.txt "
+        f"--new-format csv --new-header true --new-path {tmp_path}/c.csv "
+        f"--out-path {tmp_path}/out --keys id".split()
+    )
+    assert run(spark, cli).passed
+
+
+def test_xml_round_trip_compare(spark, orders, tmp_path):
+    """XML source/sink work natively in Spark 4 (the reference needs the
+    spark-xml package; same --rowTag option surface)."""
+    subset = orders.select(
+        F.concat(F.lit("K"), F.col("o_orderkey").cast("string")).alias("k"),
+        "o_orderstatus",
+    ).limit(50)
+    xml_path = str(tmp_path / "orders_xml")
+    subset.write.option("rowTag", "order").format("xml").save(xml_path)
+    pq_path = str(tmp_path / "orders_pq")
+    subset.write.parquet(pq_path)
+    cli = parse_cli_parameters(
+        f"--ref-format xml --ref-rowTag order --ref-path {xml_path} "
+        f"--new-format parquet --new-path {pq_path} "
+        f"--out-path {tmp_path}/out --keys k".split()
+    )
+    assert run(spark, cli).passed

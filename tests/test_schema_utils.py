@@ -91,3 +91,31 @@ def test_selector_names():
         [StructField("c", IntegerType()), StructField("a", IntegerType()), StructField("b", IntegerType())]
     )
     assert sorted_selector_names(schema) == ["a", "b", "c"]
+
+
+def test_map_columns_normalized_and_comparable(spark):
+    """Map columns (unsupported in the reference, SURVEY.md §1.2) are
+    normalized to key-sorted entry arrays so the compare kernel can group
+    and null-safe-compare them in both modes."""
+    from hermes_spark import ComparisonConfig, compare
+
+    rows = [
+        (1, {"b": 2, "a": 1}),
+        (2, {"x": 9}),
+        (3, None),
+    ]
+    ref = spark.createDataFrame(rows, "id int, props map<string,int>")
+    same = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"x": 9}), (3, None)],
+        "id int, props map<string,int>",
+    )
+    changed = spark.createDataFrame(
+        [(1, {"a": 1, "b": 99}), (2, {"x": 9}), (3, None)],
+        "id int, props map<string,int>",
+    )
+    for mode in ("reference", "fast"):
+        cfg = ComparisonConfig(mode=mode)
+        ok = compare(ref, same, keys=["id"], config=cfg)
+        assert ok.passed, mode  # insertion order must not matter
+        bad = compare(ref, changed, keys=["id"], config=cfg)
+        assert bad.diff_count == 1, mode
