@@ -125,41 +125,53 @@ def minhash_lsh_pairs(
         F.explode(band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
     )
 
-    # cap pathological buckets (boilerplate text) to bound the n² join
-    bucket_sizes = buckets.groupBy("__band").count()
-    buckets = buckets.join(
-        F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket_size)),
-        on="__band",
-        how="left_anti",
+    # ONE shuffle: gather each bucket's members, then generate the
+    # intra-bucket pairs in-task (array expressions, no self-join).
+    # A self-join here would recompute the shingle+hash pipeline once
+    # per join side (Spark re-executes un-cached branches) — with this
+    # shape the documents are scanned and hashed exactly once, and
+    # est_jaccard is computed before the dedup shuffle so signature
+    # arrays never travel twice.
+    # The bucket-size cap (pathological boilerplate buckets) becomes a
+    # plain size() filter on the gathered array.
+    grouped = (
+        buckets.groupBy("__band")
+        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
+        .filter(
+            (F.size("__members") >= 2) & (F.size("__members") <= max_bucket_size)
+        )
     )
 
-    left = buckets.select(
-        F.col("__band"),
-        F.col("__id").alias("id_a"),
-        F.col("__sig").alias("__sig_a"),
+    members = F.col("__members")
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda m1, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda m2: F.struct(
+                    F.least(m1["__id"], m2["__id"]).alias("id_a"),
+                    F.greatest(m1["__id"], m2["__id"]).alias("id_b"),
+                    F.round(
+                        F.size(
+                            F.filter(
+                                F.zip_with(
+                                    m1["__sig"], m2["__sig"], lambda x, y: x == y
+                                ),
+                                lambda eq: eq,
+                            )
+                        )
+                        / F.lit(float(num_hashes)),
+                        6,
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
     )
-    right = buckets.select(
-        F.col("__band"),
-        F.col("__id").alias("id_b"),
-        F.col("__sig").alias("__sig_b"),
-    )
-    pairs = (
-        left.join(right, on="__band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
+    out = (
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.est_jaccard")
         .distinct()
     )
-
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    out = pairs.withColumn("est_jaccard", F.round(est, 6)).drop("__sig_a", "__sig_b")
     if min_jaccard > 0:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
     return out
@@ -278,40 +290,50 @@ def simhash_near_dup_pairs(
     n_blocks = max(max_hamming + 1, bits // block_bits)
     width = bits // n_blocks
 
-    block_cols = [
-        (
-            F.shiftright(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-        ).alias(f"__b{i}")
-        for i in range(n_blocks)
-    ]
-    blocked = fps.select("id", "simhash", *block_cols)
-
-    pair_frames = []
-    for i in range(n_blocks):
-        left = blocked.select(
-            F.col(f"__b{i}").alias("__k"),
-            F.col("id").alias("id_a"),
-            F.col("simhash").alias("__s_a"),
+    # one row per (doc, block): the bucket key is (block index, block
+    # bits) — same single-shuffle gather-and-pair shape as minhash LSH;
+    # a per-block self-join would re-run the whole simhash pipeline
+    # twice per block (2*n_blocks document scans)
+    block_key = F.concat_ws(
+        "_",
+        F.col("__blk").cast("string"),
+        # SQL form: pyspark's shiftright() only takes a literal shift
+        F.expr(f"shiftright(simhash, __blk * {width})")
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .cast("string"),
+    )
+    bucketed = (
+        fps.select(
+            "id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
         )
-        right = blocked.select(
-            F.col(f"__b{i}").alias("__k"),
-            F.col("id").alias("id_b"),
-            F.col("simhash").alias("__s_b"),
+        .select("id", "simhash", block_key.alias("__k"))
+    )
+    grouped = (
+        bucketed.groupBy("__k")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("__members"))
+        .filter(F.size("__members") >= 2)
+    )
+    members = F.col("__members")
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda m1, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda m2: F.struct(
+                    F.least(m1["id"], m2["id"]).alias("id_a"),
+                    F.greatest(m1["id"], m2["id"]).alias("id_b"),
+                    F.bit_count(
+                        m1["simhash"].bitwiseXOR(m2["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
         )
-        pair_frames.append(
-            left.join(right, on="__k").filter(F.col("id_a") < F.col("id_b")).drop("__k")
-        )
-    candidates = pair_frames[0]
-    for pf in pair_frames[1:]:
-        candidates = candidates.unionByName(pf)
-    candidates = candidates.distinct()
-
-    hamming = F.bit_count(
-        F.col("__s_a").bitwiseXOR(F.col("__s_b"))
     )
     return (
-        candidates.withColumn("hamming", hamming)
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -1,0 +1,76 @@
+"""Helpers for reading Spark physical plans programmatically."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text of a DataFrame, as a string."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def plan_operators(df: DataFrame) -> list[str]:
+    """Physical operator names in plan order (``Scan parquet``,
+    ``BroadcastHashJoin``, ...)."""
+    ops = []
+    for line in explain_formatted(df).splitlines():
+        m = re.match(r"^\(\d+\)\s+(.*?)(?:\s*\[codegen.*)?$", line.strip())
+        if m:
+            ops.append(m.group(1).strip())
+    return ops
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas outside parentheses (predicates contain commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every ``PushedFilters`` predicate across the plan's scans."""
+    out = []
+    for line in explain_formatted(df).splitlines():
+        if "PushedFilters:" in line:
+            body = line.split("PushedFilters:", 1)[1].strip()
+            if body.startswith("[") and body.endswith("]"):
+                body = body[1:-1]
+            out.extend(_split_top_level(body))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """The ``ReadSchema`` line of each scan — asserts column pruning."""
+    return [
+        line.split("ReadSchema:", 1)[1].strip()
+        for line in explain_formatted(df).splitlines()
+        if "ReadSchema:" in line
+    ]
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return any("BroadcastHashJoin" in op or "BroadcastNestedLoopJoin" in op
+               for op in plan_operators(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (broadcast exchanges excluded)."""
+    return sum(1 for op in plan_operators(df) if op == "Exchange")

@@ -1,0 +1,66 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast, shuffle
+counts. These pin the 100 TB posture — a change that turns a pushed
+filter into a post-scan filter or a broadcast into a shuffle fails here
+first."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from hermes_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    plan_operators,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    q1 = entry.q_q1_pricing_summary(spark, sf_dir)
+    schemas = read_schemas(q1)
+    assert len(schemas) == 1
+    # 7 needed columns, nothing else (lineitem has 11)
+    assert schemas[0].count(",") == 6, schemas
+    assert "l_partkey" not in schemas[0]
+    assert any("l_shipdate" in f for f in pushed_filters(q1))
+
+
+def test_q3_broadcasts_small_sides(spark, sf_dir):
+    q3 = entry.q_q3_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(q3)
+    assert any("c_mktsegment" in f and "BUILDING" in f for f in pushed_filters(q3))
+    # top-k is TakeOrderedAndProject, not global sort
+    assert any("TakeOrderedAndProject" in op for op in plan_operators(q3))
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_totalprice")
+    )
+    assert any("o_orderkey" in f and "42" in f for f in pushed_filters(df))
+    schemas = read_schemas(df)
+    assert schemas and schemas[0].count(",") == 1
+
+
+def test_minhash_single_scan_of_documents(spark, sf_dir):
+    """Candidate generation re-uses one signature computation; the text
+    column is scanned, hashed once, and never shuffled raw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hermes_spark.operators import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    ops = plan_operators(pairs)
+    scans = [op for op in ops if op.startswith("Scan parquet")]
+    # documents scanned at most twice (bucket-size stats + join input)
+    assert 1 <= len(scans) <= 3, scans
+
+
+def test_exact_dedup_is_two_shuffles_max(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hermes_spark.operators import exact_dedup
+
+    out = exact_dedup(docs, "doc_id", text_col="text")
+    assert count_exchanges(out) <= 3
