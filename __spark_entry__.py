@@ -38,6 +38,7 @@ from hermes_spark.operators import (
     embedding_near_dup_pairs,
     exact_dedup,
     ivf_assign,
+    ivf_topk,
     lsh_cosine_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -444,6 +445,18 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = ivf_topk(emb, centroids, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events(spark, sf_dir)
     return sessionize(
@@ -743,6 +756,39 @@ SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1
 """
 
 
+def _sql_ivf_topk() -> str:
+    assign_cos = _cosine_sql("v.vec_emb", "c.cent_emb")
+    final_cos = _cosine_sql("q.qvec", "v2.cvec")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+  FROM (SELECT vec_id, embedding AS vec_emb FROM embeddings) v
+  CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, centroid_id AS cell FROM assigned WHERE rn = 1),
+qcells AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, cl.cell
+  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+  WHERE e.vec_id < {ANN_QUERIES}
+),
+candidates AS (
+  SELECT q.query_id, v2.vec_id, {final_cos} AS cosine
+  FROM qcells q
+  JOIN (SELECT e.vec_id, e.embedding AS cvec, cl.cell
+        FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id) v2
+    ON v2.cell = q.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM candidates
+)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_sessionize() -> str:
     return """
 WITH flagged AS (
@@ -809,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "sessionize_events": q_sessionize_events,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -869,4 +916,5 @@ FROM events GROUP BY 1
         "ivf_assign": _sql_ivf_assign(),
         "sessionize_events": _sql_sessionize(),
         "embedding_near_dup": _sql_embedding_near_dup(),
+        "ivf_topk": _sql_ivf_topk(),
     }

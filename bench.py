@@ -69,7 +69,10 @@ BENCH_QUERIES = {
     "ngram_jaccard_pairs": lambda s, d: _materialize(entry.q_ngram_jaccard_pairs(s, d)),
     "simhash_fingerprints": lambda s, d: _materialize(entry.q_simhash_fingerprints(s, d)),
     "ann_cosine_topk": lambda s, d: _materialize(entry.q_ann_cosine_topk(s, d)),
+    "ivf_topk": lambda s, d: _materialize(entry.q_ivf_topk(s, d)),
     "text_stats": lambda s, d: _materialize(entry.q_text_stats(s, d)),
+    "sessionize_events": lambda s, d: _materialize(entry.q_sessionize_events(s, d)),
+    "simhash_near_dups": lambda s, d: _materialize(entry.q_simhash_near_dups(s, d)),
 }
 
 

@@ -20,7 +20,25 @@ from .result import ComparisonResult
 
 __version__ = "0.1.0"
 
+#: Spark versions the engine is validated against (cf. the reference's
+#: SparkVersionGuard at DatasetComparisonJob.scala:32 / E2ERunnerJob.scala:38)
+MIN_SPARK_VERSION = (3, 4)
+
+
+def ensure_spark_version(spark) -> None:
+    """Fail fast on unsupported Spark versions (needs zip_with/transform
+    HOFs, AQE, and — for stateful streaming — applyInPandasWithState)."""
+    parts = tuple(int(p) for p in spark.version.split(".")[:2])
+    if parts < MIN_SPARK_VERSION:
+        raise RuntimeError(
+            f"hermes_spark requires Spark >= "
+            f"{'.'.join(map(str, MIN_SPARK_VERSION))}, got {spark.version}"
+        )
+
+
 __all__ = [
+    "MIN_SPARK_VERSION",
+    "ensure_spark_version",
     "DatasetComparator",
     "compare",
     "ComparisonConfig",

@@ -90,8 +90,11 @@ def run(
 def main(argv: list[str]) -> int:
     from hermes_spark.cli.parser import parse_cli_parameters
 
+    from hermes_spark import ensure_spark_version
+
     cli = parse_cli_parameters(argv)
     spark = SparkSession.builder.appName("Dataset comparison").getOrCreate()
+    ensure_spark_version(spark)
     try:
         run(spark, cli)
     except DatasetsDifferException as exc:

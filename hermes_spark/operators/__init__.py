@@ -17,6 +17,7 @@ from .similarity import (
     brute_force_cosine_topk,
     embedding_near_dup_pairs,
     ivf_assign,
+    ivf_topk,
     lsh_cosine_topk,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "brute_force_cosine_topk",
     "embedding_near_dup_pairs",
     "ivf_assign",
+    "ivf_topk",
     "lsh_cosine_topk",
     "sessionize",
     "decode_image_stub",
