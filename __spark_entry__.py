@@ -457,6 +457,106 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL semantics (duplicate-preserving complement) — the
+    scale-friendly variant the engine offers beyond the reference's
+    EXCEPT DISTINCT (SURVEY.md §2.5)."""
+    li = _read(spark, sf_dir, "lineitem")
+    doubled = li.unionByName(li.filter(F.col("l_orderkey") % 151 == 0))
+    return doubled.exceptAll(li)
+
+
+def q_compare_metrics_nokeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row-hash compare mode (no keys): any column change makes the
+    row unmatched on both sides (reference behavior, SURVEY.md §7.3)."""
+    orders = _read(spark, sf_dir, "orders")
+    actual = _mutated_orders(spark, sf_dir)
+    result = compare(orders, actual, config=ComparisonConfig(mode="fast"))
+    schema = StructType(
+        [
+            StructField("ref_row_count", LongType()),
+            StructField("new_row_count", LongType()),
+            StructField("passed_count", LongType()),
+            StructField("diff_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                result.ref_row_count,
+                result.new_row_count,
+                result.passed_count,
+                result.diff_count,
+            )
+        ],
+        schema,
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events(spark, sf_dir)
+    return (
+        events.cube(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events(spark, sf_dir)
     return sessionize(
@@ -756,6 +856,78 @@ SELECT vec_id, centroid_id, cosine FROM ranked WHERE rn = 1
 """
 
 
+_SQL_EXCEPT_ALL = """
+SELECT * FROM (
+  SELECT * FROM lineitem
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_orderkey % 151 = 0
+)
+EXCEPT ALL
+SELECT * FROM lineitem
+"""
+
+_SQL_COMPARE_NOKEYS = """
+WITH actual AS ({mutated}),
+ref_e AS (SELECT * FROM orders EXCEPT SELECT * FROM actual),
+act_e AS (SELECT * FROM actual EXCEPT SELECT * FROM orders)
+SELECT
+  (SELECT count(*) FROM orders)::BIGINT AS ref_row_count,
+  (SELECT count(*) FROM actual)::BIGINT AS new_row_count,
+  ((SELECT count(*) FROM orders) - (SELECT count(*) FROM ref_e))::BIGINT AS passed_count,
+  ((SELECT count(*) FROM ref_e) + (SELECT count(*) FROM act_e))::BIGINT AS diff_count
+"""
+
+_SQL_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+_SQL_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank::BIGINT AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+_SQL_EVENTS_CUBE = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
+
+def _sql_docs_quality_filter() -> str:
+    stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, trim(text) AS t, {_TOKENS_SQL} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    (CASE WHEN t = '' THEN 0 ELSE len(toks) END)::BIGINT AS n_tokens,
+    round((
+        least(length(t)::DOUBLE, 2000.0) / 2000.0
+      + length(regexp_replace(t, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(length(t), 1)
+      + least(len(list_filter(toks, x -> x IN ({stop})))::DOUBLE / greatest(len(toks), 1), 0.5) * 2.0
+      + CASE WHEN (length(t) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1) BETWEEN 3 AND 10
+             THEN 1.0 ELSE 0.5 END
+    ) / 4.0, 6) AS quality
+  FROM base
+)
+SELECT doc_id, lang, n_tokens, quality FROM scored
+WHERE quality >= 0.5 AND n_tokens >= 10
+"""
+
+
 def _sql_ivf_topk() -> str:
     assign_cos = _cosine_sql("v.vec_emb", "c.cent_emb")
     final_cos = _cosine_sql("q.qvec", "v2.cvec")
@@ -856,6 +1028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "except_all": q_except_all,
+        "compare_metrics_nokeys": q_compare_metrics_nokeys,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_cube": q_events_cube,
+        "docs_quality_filter": q_docs_quality_filter,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -917,4 +1095,12 @@ FROM events GROUP BY 1
         "sessionize_events": _sql_sessionize(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ivf_topk": _sql_ivf_topk(),
+        "except_all": _SQL_EXCEPT_ALL,
+        "compare_metrics_nokeys": _SQL_COMPARE_NOKEYS.format(
+            mutated=_MUTATED_ORDERS_SQL
+        ),
+        "q6_forecast_revenue": _SQL_Q6,
+        "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
+        "events_cube": _SQL_EVENTS_CUBE,
+        "docs_quality_filter": _sql_docs_quality_filter(),
     }
