@@ -58,6 +58,7 @@ def _materialize(df):
 
 BENCH_QUERIES = {
     "compare_fast": bench_compare("fast"),
+    "compare_hash": bench_compare("hash"),
     "compare_reference": bench_compare("reference"),
     "q1_pricing_summary": lambda s, d: _materialize(entry.q_q1_pricing_summary(s, d)),
     "q3_shipping_priority": lambda s, d: _materialize(entry.q_q3_shipping_priority(s, d)),

@@ -97,6 +97,8 @@ class DatasetComparator:
             mode = "reference"  # EXCEPT ALL is only meaningful row-by-row
         if mode == "fast":
             return self._compare_fast()
+        if mode == "hash":
+            return self._compare_hash()
         return self._compare_reference()
 
     def release(self) -> None:
@@ -228,6 +230,127 @@ class DatasetComparator:
             actual_except = classified.filter(F.col(rcnt) == 0).select(
                 *[F.col(f"`{c}`") for c in data_cols]
             )
+            result_df = self._create_diff_dataframe(key, ref_except, actual_except)
+            diff_count = result_df.count()
+        else:
+            self.release()
+
+        return ComparisonResult(
+            ref_row_count=ref_count,
+            new_row_count=actual_count,
+            ref_duplicate_count=dup_ref,
+            new_duplicate_count=dup_actual,
+            passed_count=passed_count,
+            used_schema_selector=selector,
+            result_df=result_df,
+            diff_count=diff_count,
+        )
+
+    # ----------------------------------------------------- hash-classify
+
+    def _compare_hash(self) -> ComparisonResult:
+        """The widest-scale mode: classify by (key, xxhash64(row)) so the
+        classification shuffle moves ~16 bytes per row instead of full
+        rows, then rematerialize only the unmatched rows for the diff.
+
+        At 100 TB with sub-percent drift this shuffles ~3 orders of
+        magnitude less data than ``"fast"``. Trade-off: a ref row and an
+        actual row sharing key and colliding in xxhash64 (p = 2^-64 per
+        candidate pair) would be misclassified as equal — acceptable for
+        monitoring pipelines, use ``"fast"`` for certification runs.
+        """
+        self._check_schemas()
+
+        selector = sorted_selector(self.optional_schema or self.ref.schema)
+        ref_sorted = self.ref.select(*selector)
+        actual_sorted = self.actual.select(*selector)
+
+        key = generate_unique_column_name(actual_sorted.columns, _UNIQUE_KEY_BASE)
+        keyed_ref = self._add_key_column(selector, ref_sorted, key)
+        keyed_actual = self._add_key_column(selector, actual_sorted, key)
+        data_cols = keyed_ref.columns
+
+        rh = generate_unique_column_name(data_cols, "HermesRowHash")
+        side = generate_unique_column_name(data_cols, "HermesDatasetComparisonSide")
+        rcnt = generate_unique_column_name(data_cols, "HermesRefCnt")
+        acnt = generate_unique_column_name(data_cols, "HermesActCnt")
+
+        def light(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(f"`{key}`"),
+                F.xxhash64(*[F.col(f"`{c}`") for c in data_cols]).alias(rh),
+            )
+
+        tagged = light(keyed_ref).withColumn(side, F.lit("r")).unionByName(
+            light(keyed_actual).withColumn(side, F.lit("a"))
+        )
+        classified = (
+            tagged.groupBy(F.col(f"`{key}`"), F.col(f"`{rh}`"))
+            .agg(
+                F.sum(F.when(F.col(side) == "r", 1).otherwise(0)).alias(rcnt),
+                F.sum(F.when(F.col(side) == "a", 1).otherwise(0)).alias(acnt),
+            )
+            .persist()
+        )
+        self._persisted.append(classified)
+
+        per_key = classified.groupBy(F.col(f"`{key}`")).agg(
+            F.sum(rcnt).alias(rcnt), F.sum(acnt).alias(acnt)
+        )
+        metrics = per_key.agg(
+            F.coalesce(F.sum(rcnt), F.lit(0)).alias("ref_rows"),
+            F.coalesce(F.sum(acnt), F.lit(0)).alias("act_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(rcnt) >= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("ref_dups"),
+            F.coalesce(
+                F.sum(F.when(F.col(acnt) >= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("act_dups"),
+        ).collect()[0]
+        ref_count, actual_count = metrics["ref_rows"], metrics["act_rows"]
+        dup_ref, dup_actual = metrics["ref_dups"], metrics["act_dups"]
+        if (dup_ref + dup_actual) > 0 and not self.config.allow_duplicates:
+            self.release()
+            raise DuplicateRowsInDF(dup_ref, dup_actual)
+
+        except_counts = classified.agg(
+            F.coalesce(
+                F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("ref_except"),
+            F.coalesce(
+                F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("act_except"),
+        ).collect()[0]
+        ref_except_count = except_counts["ref_except"]
+        actual_except_count = except_counts["act_except"]
+        passed_count = ref_count - ref_except_count
+
+        result_df = None
+        diff_count = 0
+        if ref_except_count + actual_except_count > 0:
+            # pull back ONLY the unmatched rows; broadcast the (key, hash)
+            # sets when small enough, else let AQE pick the join
+            broadcastable = (
+                ref_except_count + actual_except_count
+            ) <= self.config.hash_mode_broadcast_rows
+
+            def rematerialize(keyed: DataFrame, cnt_other: str) -> DataFrame:
+                wanted = classified.filter(F.col(cnt_other) == 0).select(
+                    F.col(f"`{key}`"), F.col(f"`{rh}`")
+                )
+                if broadcastable:
+                    wanted = F.broadcast(wanted)
+                hashed = keyed.withColumn(
+                    rh, F.xxhash64(*[F.col(f"`{c}`") for c in data_cols])
+                )
+                return (
+                    hashed.join(wanted, on=[key, rh], how="left_semi")
+                    .drop(rh)
+                    .distinct()
+                )
+
+            ref_except = rematerialize(keyed_ref, acnt)
+            actual_except = rematerialize(keyed_actual, rcnt)
             result_df = self._create_diff_dataframe(key, ref_except, actual_except)
             diff_count = result_df.count()
         else:

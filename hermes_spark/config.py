@@ -25,11 +25,17 @@ class ComparisonConfig:
     # --- extensions beyond reference parity (SURVEY.md §7.1 step 6) ---
     #: "reference" replays the reference dataflow action-for-action;
     #: "fast" runs the single-shuffle/cached plan designed for very large
-    #: inputs (see comparator.py). Results are identical.
+    #: inputs; "hash" classifies by (key, xxhash64(row)) so the shuffle
+    #: moves ~16 bytes/row and only unmatched rows rematerialize (the
+    #: 100 TB monitoring mode; 2^-64 per-pair collision caveat — see
+    #: comparator.py). Results are identical across modes (tested).
     mode: str = "fast"
     #: Use EXCEPT ALL instead of EXCEPT DISTINCT semantics (scale-friendly
     #: variant; reference always uses EXCEPT DISTINCT, SURVEY.md §2.5).
     except_all: bool = False
+    #: In "hash" mode, broadcast the unmatched (key, hash) set into the
+    #: rematerialization joins when it has at most this many rows.
+    hash_mode_broadcast_rows: int = 1_000_000
 
     def validate(self) -> "ComparisonConfig":
         for value, name in (
@@ -42,7 +48,7 @@ class ComparisonConfig:
                     f"{name} configuration options has forbidden characters "
                     "for a column name"
                 )
-        if self.mode not in ("reference", "fast"):
+        if self.mode not in ("reference", "fast", "hash"):
             raise ValueError(f"unknown comparison mode: {self.mode!r}")
         return self
 

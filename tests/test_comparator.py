@@ -231,3 +231,58 @@ def test_unique_key_column_collision(spark):
     )
     result = compare(df, df, keys=["HermesDatasetComparisonUniqueId"])
     assert result.passed
+
+
+def test_all_three_modes_agree(spark, sf_dir):
+    """reference / fast / hash modes must produce identical metrics AND
+    identical diff contents (hash mode rematerializes unmatched rows)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark import ComparisonConfig, DatasetComparator
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    actual = (
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .filter(F.col("o_orderkey") != 1)
+    )
+
+    results = {}
+    diffs = {}
+    for mode in ("reference", "fast", "hash"):
+        cmp = DatasetComparator(
+            orders, actual, keys=["o_orderkey"], config=ComparisonConfig(mode=mode)
+        )
+        res = cmp.compare()
+        results[mode] = (
+            res.ref_row_count,
+            res.new_row_count,
+            res.ref_duplicate_count,
+            res.new_duplicate_count,
+            res.passed_count,
+            res.diff_count,
+        )
+        diffs[mode] = {
+            tuple(str(v) for v in row)
+            for row in res.result_df.select(
+                "expected_o_orderkey",
+                "actual_o_orderkey",
+                F.array_join(F.array_sort("errCol"), ",").alias("errs"),
+            ).collect()
+        }
+        cmp.release()
+
+    assert results["reference"] == results["fast"] == results["hash"], results
+    assert diffs["reference"] == diffs["fast"] == diffs["hash"]
+
+
+def test_hash_mode_identical_inputs(spark, sf_dir):
+    from hermes_spark import ComparisonConfig, compare
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = compare(orders, orders, keys=["o_orderkey"],
+                  config=ComparisonConfig(mode="hash"))
+    assert res.passed and res.diff_count == 0
