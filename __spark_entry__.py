@@ -557,6 +557,65 @@ def q_docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming rollup operator run in batch mode (same code path
+    minus the watermark) — ties hermes_spark.streaming into the gate."""
+    from hermes_spark.streaming import windowed_rollup
+
+    events = _read_events(spark, sf_dir)
+    out = windowed_rollup(
+        events.select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"),
+        "ts",
+        "1 hour",
+        group_cols=("event_type",),
+        aggs=(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ),
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick schema compare: restrict the comparison to a subset
+    of columns (the reference's 'ignore the volatile column' mechanism,
+    DatasetComparator.scala:36-38). The o_totalprice mutation is outside
+    the picked columns, so only the dropped/added keys remain as diffs."""
+    from pyspark.sql.types import StringType
+
+    orders = _read(spark, sf_dir, "orders")
+    actual = _mutated_orders(spark, sf_dir)
+    picked = StructType(
+        [
+            StructField("o_orderkey", orders.schema["o_orderkey"].dataType),
+            StructField("o_custkey", orders.schema["o_custkey"].dataType),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    result = compare(
+        orders,
+        actual,
+        keys=["o_orderkey"],
+        config=ComparisonConfig(mode="fast"),
+        schema=picked,
+    )
+    schema = StructType(
+        [
+            StructField("passed_count", LongType()),
+            StructField("diff_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(result.passed_count, result.diff_count)], schema
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events(spark, sf_dir)
     return sessionize(
@@ -905,6 +964,25 @@ GROUP BY CUBE (event_type, date_trunc('day', ts))
 """
 
 
+_SQL_COMPARE_CHERRY_PICK = """
+WITH actual AS ({mutated}),
+refp AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+actp AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM actual),
+ref_e AS (SELECT * FROM refp EXCEPT SELECT * FROM actp),
+act_e AS (SELECT * FROM actp EXCEPT SELECT * FROM refp)
+SELECT
+  ((SELECT count(*) FROM refp) - (SELECT count(*) FROM ref_e))::BIGINT AS passed_count,
+  (SELECT count(*) FROM (SELECT o_orderkey FROM ref_e UNION SELECT o_orderkey FROM act_e))::BIGINT AS diff_count
+"""
+
+_SQL_WINDOWED_ROLLUP = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def _sql_docs_quality_filter() -> str:
     stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
     return f"""
@@ -1030,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "except_all": q_except_all,
         "compare_metrics_nokeys": q_compare_metrics_nokeys,
+        "compare_cherry_pick": q_compare_cherry_pick,
+        "windowed_rollup": q_windowed_rollup,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_cube": q_events_cube,
@@ -1099,6 +1179,10 @@ FROM events GROUP BY 1
         "compare_metrics_nokeys": _SQL_COMPARE_NOKEYS.format(
             mutated=_MUTATED_ORDERS_SQL
         ),
+        "compare_cherry_pick": _SQL_COMPARE_CHERRY_PICK.format(
+            mutated=_MUTATED_ORDERS_SQL
+        ),
+        "windowed_rollup": _SQL_WINDOWED_ROLLUP,
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,
