@@ -265,29 +265,61 @@ def lsh_cosine_topk(
     k: int = 10,
     num_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+    """Approximate cosine top-k via random-hyperplane LSH bucketing with
+    multi-probe.
 
-    Corpus and queries get a ``num_planes``-bit signature; candidates are
-    corpus rows sharing the query's bucket (plus exact re-scoring inside
-    the bucket). Recall < 1 by construction; the bucket join replaces the
-    full cross-product, shuffling only bucket keys at scale.
+    Corpus rows get a ``num_planes``-bit signature and live in exactly one
+    bucket; each query probes its own bucket PLUS every bucket within
+    ``probe_hamming`` sign flips (multi-probe LSH, Lv et al. VLDB'07) —
+    near neighbors most often differ in the one hyperplane they straddle,
+    so probing 1-flip buckets recovers most of the recall a single probe
+    loses, at (1 + num_planes) probe keys per query instead of 2^planes
+    buckets scanned. The bucket join replaces the full cross-product;
+    only bucket keys and query vectors shuffle.
     """
     qid = query_id_col or id_col
 
-    def with_sig(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+    def sig_expr() -> Column:
         bits = [
-            _hyperplane_sign(F.col(vec_col), f"plane{p}", dim) for p in range(num_planes)
+            _hyperplane_sign(F.col(vec_col), f"plane{p}", dim)
+            for p in range(num_planes)
         ]
         sig = bits[0]
         for p in range(1, num_planes):
             sig = sig * 2 + bits[p]
-        return df.select(
-            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_vec"), sig.alias("__bucket")
-        )
+        return sig
 
-    c = with_sig(corpus, id_col, "vec_id")
-    q = with_sig(queries, qid, "query_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cvec"),
+        sig_expr().alias("__bucket"),
+    )
+
+    probes = [F.col("__sig")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("__sig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("__sig").bitwiseXOR(F.lit((1 << p1) | (1 << p2)))
+            for p1 in range(num_planes)
+            for p2 in range(p1 + 1, num_planes)
+        ]
+    q = (
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            sig_expr().alias("__sig"),
+        )
+        .select(
+            "query_id",
+            "__qvec",
+            F.explode(F.array(*probes)).alias("__bucket"),
+        )
+    )
 
     scored = (
         F.broadcast(q)
@@ -296,7 +328,7 @@ def lsh_cosine_topk(
             "query_id",
             "vec_id",
             F.round(
-                cosine_similarity(F.col("__query_id_vec"), F.col("__vec_id_vec")), 6
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
             ).alias("cosine"),
         )
     )

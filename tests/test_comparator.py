@@ -286,3 +286,37 @@ def test_hash_mode_identical_inputs(spark, sf_dir):
     res = compare(orders, orders, keys=["o_orderkey"],
                   config=ComparisonConfig(mode="hash"))
     assert res.passed and res.diff_count == 0
+
+
+def test_empty_vs_empty_passes(spark, sf_dir):
+    from hermes_spark import ComparisonConfig, compare
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    empty = orders.filter(F.lit(False))
+    for mode in ("reference", "fast", "hash"):
+        res = compare(empty, empty, keys=["o_orderkey"],
+                      config=ComparisonConfig(mode=mode))
+        assert res.passed and res.ref_row_count == 0, mode
+
+
+def test_empty_vs_nonempty_all_diff(spark, sf_dir):
+    from hermes_spark import ComparisonConfig, compare
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(10)
+    empty = orders.filter(F.lit(False))
+    for mode in ("reference", "fast", "hash"):
+        res = compare(orders, empty, keys=["o_orderkey"],
+                      config=ComparisonConfig(mode=mode))
+        assert not res.passed and res.diff_count == 10, mode
+        assert res.passed_count == 0, mode
+
+
+def test_single_column_frame(spark):
+    from hermes_spark import compare
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(4).withColumnRenamed("id", "k")
+    res = compare(a, b, keys=["k"])
+    assert res.diff_count == 1

@@ -59,3 +59,26 @@ def test_lsh_topk_subset_of_bruteforce(spark, embeddings):
     self_rows = [r for r in rows if r["query_id"] == r["vec_id"]]
     for r in self_rows:
         assert abs(r["cosine"] - 1.0) < 1e-5
+
+
+def test_multi_probe_lsh_recall_improves(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import brute_force_cosine_topk, lsh_cosine_topk
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_cosine_topk(embeddings, q, k=5).collect()}
+
+    def recall(probe):
+        approx = {(r.query_id, r.vec_id)
+                  for r in lsh_cosine_topk(embeddings, q, k=5, num_planes=6,
+                                           probe_hamming=probe).collect()}
+        return len(approx & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0  # multi-probe can only add candidate buckets
+    # every query retrieves itself (cosine 1.0) in its own bucket
+    got = lsh_cosine_topk(embeddings, q, k=5, num_planes=6).collect()
+    top1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert all(qid == vid for qid, vid in top1.items())
