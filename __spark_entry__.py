@@ -34,6 +34,7 @@ from hermes_spark.functions.text import (
 )
 from hermes_spark.operators import (
     brute_force_cosine_topk,
+    connected_components,
     duplicate_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -616,6 +617,24 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components over the exact
+    n-gram-Jaccard near-dup pair graph."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        group_cols=("lang", "source"),
+        shingle_n=SHINGLE_N,
+        min_jaccard=JACCARD_MIN,
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events(spark, sf_dir)
     return sessionize(
@@ -1039,6 +1058,30 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_near_dup_components() -> str:
+    pairs_sql = _sql_ngram_jaccard().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT n.src::BIGINT AS doc_id,
+       least(n.src, min(r.dst))::BIGINT AS component
+FROM (SELECT DISTINCT src FROM edges) n
+LEFT JOIN reach r ON r.src = n.src
+GROUP BY n.src
+"""
+
+
 def _sql_sessionize() -> str:
     return """
 WITH flagged AS (
@@ -1110,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_metrics_nokeys": q_compare_metrics_nokeys,
         "compare_cherry_pick": q_compare_cherry_pick,
         "windowed_rollup": q_windowed_rollup,
+        "near_dup_components": q_near_dup_components,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_cube": q_events_cube,
@@ -1183,6 +1227,7 @@ FROM events GROUP BY 1
             mutated=_MUTATED_ORDERS_SQL
         ),
         "windowed_rollup": _SQL_WINDOWED_ROLLUP,
+        "near_dup_components": _sql_near_dup_components(),
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

@@ -1,6 +1,8 @@
 from .dedup import (
+    connected_components,
     duplicate_clusters,
     exact_dedup,
+    fuzzy_dedup_keep_one,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -22,8 +24,10 @@ from .similarity import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "duplicate_clusters",
+    "fuzzy_dedup_keep_one",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",

@@ -240,6 +240,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    ``(id, component)`` where ``component`` is the minimum id reachable
+    from ``id`` (including itself). The clustering step of fuzzy dedup —
+    pairs from minhash/simhash/jaccard become duplicate groups.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow —
+    star-like around a template — so a handful of rounds suffices).
+    Each round is one join + one aggregation; lineage is truncated with
+    ``localCheckpoint`` so plans don't grow unboundedly. For
+    billion-edge graphs swap in the large-star/small-star algorithm
+    (Kiveris et al., 2014) — same contract.
+    """
+    edges_one_way = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges_one_way.unionByName(
+        edges_one_way.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("nc")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("nc"))
+            .select(F.col("src").alias("id"), "nc")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_dedup_keep_one(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id member of each
+    component; rows not appearing in ``pairs`` are kept untouched."""
+    components = connected_components(pairs, id_a, id_b)
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

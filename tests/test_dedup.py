@@ -64,3 +64,45 @@ def test_simhash_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs[(1, 2)] == 0
     assert (1, 4) in pairs or (2, 4) in pairs
+
+
+def test_connected_components_basic(spark):
+    from hermes_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (6, 5)}
+
+
+def test_connected_components_chain_converges(spark):
+    """A long path graph needs diameter rounds — pins the iteration loop."""
+    from hermes_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(13)}
+
+
+def test_fuzzy_dedup_keep_one(spark, documents):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import fuzzy_dedup_keep_one, minhash_lsh_pairs
+
+    dups = documents.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", (F.col("doc_id") + 100000).cast("long")
+    )
+    corpus = documents.unionByName(dups)
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.999
+    )
+    kept = fuzzy_dedup_keep_one(corpus, "doc_id", pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every re-keyed copy is dropped, every original kept
+    assert all(i + 100000 not in kept_ids for i in range(10))
+    assert all(i in kept_ids for i in range(10))
