@@ -25,8 +25,11 @@ from hermes_spark import ComparisonConfig, compare
 from hermes_spark.flatten import flatten_dataframe
 from hermes_spark.functions.hashing import MERSENNE31, permutation_params
 from hermes_spark.functions.text import (
+    BPE_CHARS_PER_PIECE,
+    BPE_CHUNK_PATTERN,
     ENGLISH_STOPWORDS,
     LANG_MARKERS,
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -143,6 +146,8 @@ _DOCS_WITH_DUPS_SQL = """
 """
 
 _NORM_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_BPE_PATTERN = BPE_CHUNK_PATTERN
 
 # portable 60-bit hash (see hermes_spark/functions/hashing.py)
 def _dhash(expr: str) -> str:
@@ -424,6 +429,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
@@ -792,6 +798,10 @@ WITH base AS (
 )
 SELECT doc_id,
   CASE WHEN t = '' THEN 0 ELSE len(toks) END::BIGINT AS n_tokens,
+  coalesce(list_sum(list_transform(
+      regexp_extract_all(t, '{_BPE_PATTERN}'),
+      c -> greatest(ceil(length(trim(c)) / {BPE_CHARS_PER_PIECE}.0), 1)
+  )), 0)::BIGINT AS n_bpe_tokens,
   round((
       least(length(t)::DOUBLE, 2000.0) / 2000.0
     + length(regexp_replace(t, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(length(t), 1)

@@ -42,6 +42,35 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: GPT-style pre-tokenization chunks: word / number / punctuation runs
+#: (leading space folded into the chunk). Portable to DuckDB's
+#: regexp_extract_all.
+BPE_CHUNK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+#: ~4 chars/token is the usual BPE rule of thumb; chunks longer than this
+#: count as multiple subword pieces.
+BPE_CHARS_PER_PIECE = 6
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token estimate, pure expressions (no tokenizer library):
+    pre-tokenize into word/number/punct chunks with
+    :data:`BPE_CHUNK_PATTERN`, then charge ``ceil(len/6)`` pieces per
+    chunk — long words split into several subwords, as a real BPE would.
+    Deterministic and SQL-portable (oracle-checked)."""
+    chunks = F.regexp_extract_all(F.trim(col), F.lit(BPE_CHUNK_PATTERN), 0)
+    pieces = F.transform(
+        chunks,
+        lambda c: F.greatest(
+            F.ceil(F.length(F.trim(c)) / F.lit(BPE_CHARS_PER_PIECE)), F.lit(1)
+        ),
+    )
+    return F.coalesce(
+        F.aggregate(pieces, F.lit(0).cast("long"), lambda acc, v: acc + v),
+        F.lit(0).cast("long"),
+    )
+
+
 def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
     in_list = F.size(F.filter(toks, lambda t: t.isin(*markers)))
     return in_list / F.greatest(F.size(toks), F.lit(1))

@@ -8,6 +8,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
+from .joins import read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
     extract_image_features,
@@ -38,6 +39,9 @@ __all__ = [
     "ivf_topk",
     "lsh_cosine_topk",
     "sessionize",
+    "salted_join",
+    "write_bucketed",
+    "read_bucketed",
     "decode_image_stub",
     "extract_image_features",
     "frame_sample",
