@@ -623,6 +623,64 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via the DataFrame pivot operator (explicit
+    value list keeps the plan single-pass and deterministic)."""
+    events = _read_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+        )
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .select(
+            "day", *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+        )
+    )
+
+
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: sessionize -> per-user session analytics."""
+    sessions = q_sessionize_events(spark, sf_dir)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(
+            F.avg(
+                F.col("session_end").cast("double")
+                - F.col("session_start").cast("double")
+            ),
+            4,
+        ).alias("avg_session_secs"),
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation flow, composed end-to-end:
+    quality/length gate -> exact dedup (keep min id per fingerprint) ->
+    per-language corpus stats."""
+    docs = _docs_with_dups(spark, sf_dir)
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keep, on=["fp", "doc_id"], how="inner")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup clustering: connected components over the exact
     n-gram-Jaccard near-dup pair graph."""
@@ -1068,6 +1126,67 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_events_pivot() -> str:
+    cases = ",\n  ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT date_trunc('day', ts) AS day,
+  {cases}
+FROM events GROUP BY 1
+"""
+
+
+def _sql_user_session_stats() -> str:
+    return f"""
+WITH sessions AS ({_sql_sessionize()})
+SELECT user_id,
+  count(*)::BIGINT AS n_sessions,
+  sum(n_events)::BIGINT AS n_events,
+  round(avg((epoch_us(session_end) / 1000000.0) - (epoch_us(session_start) / 1000000.0)), 4) AS avg_session_secs
+FROM sessions GROUP BY user_id
+"""
+
+
+def _sql_quality_expr() -> str:
+    """Quality-score expression over aliases ``t`` (trimmed text) and
+    ``toks`` (token list) — shared by text_stats / quality-filter /
+    curation oracles."""
+    stop = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+    return f"""round((
+      least(length(t)::DOUBLE, 2000.0) / 2000.0
+    + length(regexp_replace(t, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(length(t), 1)
+    + least(len(list_filter(toks, x -> x IN ({stop})))::DOUBLE / greatest(len(toks), 1), 0.5) * 2.0
+    + CASE WHEN (length(t) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1) BETWEEN 3 AND 10
+           THEN 1.0 ELSE 0.5 END
+  ) / 4.0, 6)"""
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+base AS (
+  SELECT doc_id, lang, text, trim(text) AS t, {_TOKENS_SQL} AS toks FROM docs2
+),
+scored AS (
+  SELECT doc_id, lang,
+    (CASE WHEN t = '' THEN 0 ELSE len(toks) END)::BIGINT AS n_tokens,
+    {_sql_quality_expr()} AS quality,
+    {_NORM_FP_SQL} AS fp
+  FROM base
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+kept AS (
+  SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM kept GROUP BY lang
+"""
+
+
 def _sql_near_dup_components() -> str:
     pairs_sql = _sql_ngram_jaccard().strip()
     return f"""
@@ -1168,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_cube": q_events_cube,
         "docs_quality_filter": q_docs_quality_filter,
+        "events_pivot": q_events_pivot,
+        "user_session_stats": q_user_session_stats,
+        "curation_pipeline": q_curation_pipeline,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1238,6 +1360,9 @@ FROM events GROUP BY 1
         ),
         "windowed_rollup": _SQL_WINDOWED_ROLLUP,
         "near_dup_components": _sql_near_dup_components(),
+        "events_pivot": _sql_events_pivot(),
+        "user_session_stats": _sql_user_session_stats(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,
