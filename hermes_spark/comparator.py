@@ -385,7 +385,15 @@ class DatasetComparator:
         self, selector: list[Column], df: DataFrame, key: str
     ) -> DataFrame:
         if self.keys:
-            cols = [F.col(f"`{k}`").cast("string") for k in self.keys]
+            # a key not present as a top-level column may address a nested
+            # struct field by dotted path (reference supports compound keys
+            # like `ckey.value`, cf. its xml_examples golden test) — only
+            # backtick names that are actual top-level columns
+            top = set(df.columns)
+            cols = [
+                (F.col(f"`{k}`") if k in top else F.col(k)).cast("string")
+                for k in self.keys
+            ]
         else:
             # whole-row key, cf. DatasetComparator.scala:263-270
             cols = [F.col(f"`{c}`").cast("string") for c in df.columns]
@@ -470,7 +478,13 @@ def compare(
 ) -> ComparisonResult:
     """Compare two DataFrames; the primary library entry point
     (cf. reference usage ``DatasetComparator.scala:41-46`` /
-    ``plugins/DatasetComparisonPlugin.scala:84-104``)."""
+    ``plugins/DatasetComparisonPlugin.scala:84-104``).
+
+    Note: fast/hash modes persist an intermediate the returned
+    ``result_df`` depends on. When you are done with ``result_df``,
+    construct :class:`DatasetComparator` directly and call
+    :meth:`~DatasetComparator.release` to free executor storage (the
+    CLI job and plugins do)."""
     return DatasetComparator(
         ref, actual, keys=keys, config=config, optional_schema=schema,
         safe_key_hash=safe_key_hash,

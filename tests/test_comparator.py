@@ -320,3 +320,25 @@ def test_single_column_frame(spark):
     b = spark.range(4).withColumnRenamed("id", "k")
     res = compare(a, b, keys=["k"])
     assert res.diff_count == 1
+
+
+def test_nested_struct_key(spark):
+    """Compound nested keys like 'info.id' (cf. the reference's XML
+    compound-key golden test with key ckey.value)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark import compare
+
+    def mk(price_of_2):
+        return spark.createDataFrame(
+            [(1, 10.0), (2, price_of_2), (3, 30.0)], ["id", "price"]
+        ).select(
+            F.struct(F.col("id").alias("id")).alias("info"),
+            "price",
+        )
+
+    res = compare(mk(20.0), mk(99.0), keys=["info.id"])
+    assert res.diff_count == 1
+    row = res.result_df.collect()[0]
+    assert row.expected_info.id == 2 and list(row.errCol) == ["price"]
+    assert compare(mk(20.0), mk(20.0), keys=["info.id"]).passed
