@@ -146,3 +146,57 @@ def test_batch_sessionize_semantics(spark):
         (1, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
         (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
     }
+
+
+def test_rollup_watermark_drops_late_rows(spark, tmp_path):
+    """Late rows beyond the watermark are dropped, on-time windows emit
+    once the watermark passes them — exercised across two checkpointed
+    availableNow runs (state persists between runs)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(rows, path):
+        (
+            spark.createDataFrame(rows, ["ts_str", "k"])
+            .select(F.to_timestamp("ts_str").alias("ts"), "k")
+            .write.mode("append").parquet(path)
+        )
+
+    # run 1: events 10:00-12:00; watermark 1h -> max 12:00 puts the
+    # watermark at 11:00, so only the [10:00, 11:00) window emits
+    write_batch(
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:40:00", "a"),
+         ("2024-01-01 11:10:00", "a"), ("2024-01-01 12:00:00", "a")],
+        src,
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_rollup(stream, "ts", "1 hour", watermark="1 hour",
+                            group_cols=("k",))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_once()
+    # run 2: one LATE row (08:30, window long past the watermark -> must
+    # be dropped) and one on-time row advancing the watermark
+    write_batch(
+        [("2024-01-01 08:30:00", "a"), ("2024-01-01 12:30:00", "a")], src
+    )
+    run_once()
+
+    got = {
+        (str(r.window_start), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("2024-01-01 10:00:00", 2) in got     # on-time window emitted
+    assert not any(w.startswith("2024-01-01 08") for w, _ in got)  # late dropped
