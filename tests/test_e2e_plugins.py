@@ -1,0 +1,86 @@
+"""Bundled-plugin integration: DatasetComparison and InfoComparison run
+through the e2e runner against real files (cf. the reference's
+``DatasetComparatorPluginTest`` incl. the write path)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import hermes_spark.e2e.plugins  # noqa: F401 - registers bundled plugins
+from hermes_spark.e2e import TestDefinitions, run_tests
+
+
+@pytest.fixture(scope="module")
+def data(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e_data")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(300)
+    orders.write.parquet(str(base / "ref"))
+    (
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 60 == 0, F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ).write.parquet(str(base / "new"))
+    )
+    info = {"metadata": {"country": "CZ", "version": 1,
+                         "additionalInfo": {}}, "checkpoints": []}
+    (base / "info_ref.json").write_text(json.dumps(info))
+    (base / "info_same.json").write_text(json.dumps(info))
+    return base
+
+
+def test_dataset_comparison_plugin_pass_and_fail(spark, data, tmp_path):
+    defs = TestDefinitions.from_string(json.dumps({
+        "vars": {"base": str(data), "out": str(tmp_path)},
+        "runs": [
+            {
+                "pluginName": "DatasetComparison",
+                "name": "same",
+                "order": 0,
+                "args": ["--format", "parquet",
+                         "--ref-path", "#{base}#/ref",
+                         "--new-path", "#{base}#/ref",
+                         "--keys", "o_orderkey"],
+            },
+            {
+                "pluginName": "DatasetComparison",
+                "name": "differs",
+                "order": 1,
+                "args": ["--format", "parquet",
+                         "--ref-path", "#{base}#/ref",
+                         "--new-path", "#{base}#/new",
+                         "--keys", "o_orderkey"],
+                "writeArgs": ["--format", "parquet",
+                              "--path", "#{out}#/diff"],
+            },
+        ],
+    }))
+    results = run_tests(defs)
+    assert results[0].passed
+    assert not results[1].passed
+    meta = json.loads(results[1].returned_value)
+    assert meta["numberOfDifferences"] == 5  # 60,120,...,300 within limit(300)
+    # write path produced the diff parquet + _METRICS next to it
+    diff = spark.read.parquet(f"{tmp_path}/diff")
+    assert diff.count() == 5 and "errCol" in diff.columns
+    metrics = json.loads(open(f"{tmp_path}/diff/_METRICS").read())
+    assert metrics["passed"] is False
+
+
+def test_info_comparison_plugin(data, tmp_path):
+    defs = TestDefinitions.from_string(json.dumps({
+        "runs": [
+            {
+                "pluginName": "InfoComparison",
+                "name": "info_same",
+                "order": 0,
+                "args": [str(data / "info_ref.json"),
+                         str(data / "info_same.json"),
+                         str(tmp_path / "info_diff.json")],
+            },
+        ],
+    }))
+    results = run_tests(defs)
+    assert results[0].passed
