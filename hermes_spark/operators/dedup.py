@@ -10,11 +10,16 @@ Scale design notes (100 TB):
   fingerprint is computed JVM-side (md5 expression); with AQE on, skewed
   fingerprints (e.g. empty documents) are split automatically.
 * ``minhash_lsh_pairs`` — shingling/minhashing is embarrassingly parallel
-  (no shuffle); candidate generation shuffles only ``num_bands`` small
-  (band, key) rows per document, NOT the text. Joining buckets instead of
-  cross-joining documents is what makes this O(candidates) rather than
-  O(n²). Hot buckets (boilerplate docs) are capped via ``max_bucket_size``
-  to bound the quadratic blowup inside a single bucket.
+  (no shuffle; one base hash per shingle, k affine permutations);
+  candidate generation shuffles only ``num_bands`` small (band-key,
+  signature) rows per document, NOT the text, into a gather-and-pair
+  aggregation (documents are scanned exactly once — a bucket self-join
+  would re-run the hash pipeline per side). Buckets are O(candidates)
+  rather than O(n²); hot buckets (boilerplate docs) are dropped via
+  ``max_bucket_size`` to bound the quadratic work inside one bucket.
+* ``connected_components`` / ``fuzzy_dedup_keep_one`` — turn any pair
+  list into duplicate groups (iterative min-label propagation) and keep
+  one representative per group.
 * ``ngram_jaccard_pairs`` — exact verification; intended for the
   *candidate pairs* produced by LSH (or small within-group spaces), never
   the full corpus.
