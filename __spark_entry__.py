@@ -626,6 +626,34 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent 6-hourly average
+    'rate' for its event type (backward temporal match, left-join
+    semantics; oracle = DuckDB's native ASOF LEFT JOIN)."""
+    from hermes_spark.operators import asof_join
+
+    events = _read_events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    rates = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("rate_ts"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("rate"))
+        .filter(F.hour("rate_ts") % 6 == 0)
+    )
+    out = asof_join(
+        events, rates, ts_col="ts", by=("event_type",), right_ts_col="rate_ts"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "rate",
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-type matrix via the DataFrame pivot operator (explicit
     value list keeps the plan single-pass and deterministic)."""
@@ -1126,6 +1154,20 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+_SQL_ASOF_JOIN_RATES = """
+WITH ev AS (SELECT event_id, event_type, ts, value FROM events),
+rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rate_ts,
+         round(avg(value), 4) AS rate
+  FROM events GROUP BY 1, 2
+  HAVING hour(date_trunc('hour', ts)) % 6 = 0
+)
+SELECT e.event_id, e.event_type, e.ts, r.rate
+FROM ev e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rate_ts
+"""
+
+
 def _sql_events_pivot() -> str:
     cases = ",\n  ".join(
         f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
@@ -1290,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "user_session_stats": q_user_session_stats,
         "curation_pipeline": q_curation_pipeline,
+        "asof_join_rates": q_asof_join_rates,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1363,6 +1406,7 @@ FROM events GROUP BY 1
         "events_pivot": _sql_events_pivot(),
         "user_session_stats": _sql_user_session_stats(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "asof_join_rates": _SQL_ASOF_JOIN_RATES,
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

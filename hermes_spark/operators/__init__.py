@@ -8,6 +8,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
+from .asof import asof_join
 from .joins import read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
@@ -25,6 +26,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "exact_dedup",
     "duplicate_clusters",
