@@ -626,6 +626,38 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup: every (hour, event_type) bucket present,
+    zero-filled when no events landed in it."""
+    from hermes_spark.operators import gapfill_rollup
+
+    events = _read_events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    out = gapfill_rollup(
+        events, "ts", "value", unit="hour", group_cols=("event_type",)
+    )
+    return out.select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value quantiles per event type (Spark percentile() and
+    DuckDB quantile_cont() share the linear-interpolation definition)."""
+    events = _read_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
 def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks the most recent 6-hourly average
     'rate' for its event type (backward temporal match, left-join
@@ -1154,6 +1186,32 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+_SQL_GAPFILL_ROLLUP = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+grp AS (SELECT DISTINCT event_type FROM events),
+dense AS (SELECT s.bucket, g.event_type FROM spine s CROSS JOIN grp g)
+SELECT d.bucket, d.event_type,
+       coalesce(b.n_events, 0)::BIGINT AS n_events,
+       coalesce(b.sum_value, 0.0) AS sum_value
+FROM dense d LEFT JOIN b ON b.bucket = d.bucket AND b.event_type = d.event_type
+"""
+
+_SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  round(min(value), 6) AS min_value,
+  round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
 _SQL_ASOF_JOIN_RATES = """
 WITH ev AS (SELECT event_id, event_type, ts, value FROM events),
 rates AS (
@@ -1333,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_session_stats": q_user_session_stats,
         "curation_pipeline": q_curation_pipeline,
         "asof_join_rates": q_asof_join_rates,
+        "events_quantiles": q_events_quantiles,
+        "gapfill_rollup": q_gapfill_rollup,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1407,6 +1467,8 @@ FROM events GROUP BY 1
         "user_session_stats": _sql_user_session_stats(),
         "curation_pipeline": _sql_curation_pipeline(),
         "asof_join_rates": _SQL_ASOF_JOIN_RATES,
+        "events_quantiles": _SQL_EVENTS_QUANTILES,
+        "gapfill_rollup": _SQL_GAPFILL_ROLLUP,
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

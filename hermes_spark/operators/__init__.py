@@ -9,6 +9,7 @@ from .dedup import (
     simhash_near_dup_pairs,
 )
 from .asof import asof_join
+from .gapfill import gapfill_rollup
 from .joins import read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
@@ -28,6 +29,7 @@ from .similarity import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "gapfill_rollup",
     "exact_dedup",
     "duplicate_clusters",
     "fuzzy_dedup_keep_one",

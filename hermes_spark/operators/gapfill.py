@@ -1,0 +1,91 @@
+"""Gap-filled time-bucket rollup (hypertable-style dense series).
+
+Downstream consumers of time-series rollups (dashboards, anomaly
+detectors, models trained on regular grids) need EVERY bucket present,
+including empty ones — a plain groupBy silently omits them. This
+operator densifies:
+
+1. bucket + aggregate (one shuffle);
+2. build the bucket spine with ``sequence(min, max, 1 unit)`` exploded
+   once on the driver-side bounds row — NOT a per-group scan;
+3. cross-join the (tiny) spine with the distinct group keys and
+   left-join the aggregates back;
+4. fill misses with zero, or carry the last observation forward
+   (``fill="locf"``) via one more window over the same partitioning.
+
+Scale: the spine is |buckets| × |groups| rows — small by construction
+(time grids are bounded); the only data-sized operation is the initial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNIT_INTERVAL = {"hour": "interval 1 hour", "day": "interval 1 day",
+                  "minute": "interval 1 minute"}
+
+
+def gapfill_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    group_cols: Sequence[str] = (),
+    fill: str = "zero",
+) -> DataFrame:
+    """Dense per-bucket rollup: ``(bucket, *group_cols, n_events,
+    sum_value)`` with every bucket between the global min and max
+    present for every group. ``fill="zero"`` fills empty buckets with
+    0 / 0.0; ``fill="locf"`` carries the previous bucket's ``sum_value``
+    forward (count stays 0)."""
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unsupported unit {unit!r}; use {sorted(_UNIT_INTERVAL)}")
+    if fill not in ("zero", "locf"):
+        raise ValueError(f"unsupported fill {fill!r}")
+    groups = list(group_cols)
+
+    bucketed = (
+        df.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            *[F.col(c) for c in groups],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )
+
+    bounds = bucketed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr(f"sequence(lo, hi, {_UNIT_INTERVAL[unit]})")
+        ).alias("bucket")
+    )
+    if groups:
+        spine = spine.crossJoin(df.select(*groups).distinct())
+
+    dense = spine.join(bucketed, on=["bucket"] + groups, how="left")
+    n_filled = F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+    if fill == "zero":
+        value_filled = F.coalesce(F.col("sum_value"), F.lit(0.0))
+    else:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        value_filled = F.coalesce(
+            F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+        )
+    return dense.select(
+        "bucket",
+        *groups,
+        n_filled.alias("n_events"),
+        value_filled.alias("sum_value"),
+    )

@@ -200,3 +200,34 @@ def test_rollup_watermark_drops_late_rows(spark, tmp_path):
     }
     assert ("2024-01-01 10:00:00", 2) in got     # on-time window emitted
     assert not any(w.startswith("2024-01-01 08") for w, _ in got)  # late dropped
+
+
+def test_gapfill_rollup_zero_and_locf(spark):
+    from hermes_spark.operators import gapfill_rollup
+
+    rows = [
+        ("2024-01-01 10:15:00", "a", 5.0),
+        ("2024-01-01 13:45:00", "a", 7.0),  # 11:00 and 12:00 are gaps
+    ]
+    df = spark.createDataFrame(rows, ["ts_str", "k", "value"]).select(
+        F.to_timestamp("ts_str").alias("ts"), "k", "value"
+    )
+    zero = {
+        str(r.bucket): (r.n_events, r.sum_value)
+        for r in gapfill_rollup(df, "ts", "value", group_cols=("k",)).collect()
+    }
+    assert zero == {
+        "2024-01-01 10:00:00": (1, 5.0),
+        "2024-01-01 11:00:00": (0, 0.0),
+        "2024-01-01 12:00:00": (0, 0.0),
+        "2024-01-01 13:00:00": (1, 7.0),
+    }
+    locf = {
+        str(r.bucket): r.sum_value
+        for r in gapfill_rollup(
+            df, "ts", "value", group_cols=("k",), fill="locf"
+        ).collect()
+    }
+    assert locf["2024-01-01 11:00:00"] == 5.0
+    assert locf["2024-01-01 12:00:00"] == 5.0
+    assert locf["2024-01-01 13:00:00"] == 7.0
