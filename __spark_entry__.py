@@ -626,6 +626,33 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval: events matched to deterministic 8-hour
+    'observation windows' (every 7th hour per type), overlapping so some
+    events match two windows; bucketized equi-join, no nested loop."""
+    from hermes_spark.operators import range_join
+
+    events = _read_events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    windows = (
+        events.select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("w_start")
+        )
+        .distinct()
+        .filter(F.hour("w_start") % 7 == 0)
+        .withColumn("w_end", F.col("w_start") + F.expr("interval 8 hours"))
+    )
+    out = range_join(
+        events, windows, "ts", "w_start", "w_end", by=("event_type",)
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+    )
+
+
 def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly rollup: every (hour, event_type) bucket present,
     zero-filled when no events landed in it."""
@@ -1186,6 +1213,19 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+_SQL_RANGE_JOIN_WINDOWS = """
+WITH ev AS (SELECT event_id, event_type, ts FROM events),
+w AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS w_start,
+         date_trunc('hour', ts) + INTERVAL 8 HOUR AS w_end
+  FROM events
+  WHERE hour(date_trunc('hour', ts)) % 7 = 0
+)
+SELECT e.event_id, e.event_type, w.w_start
+FROM ev e JOIN w ON e.event_type = w.event_type
+  AND e.ts >= w.w_start AND e.ts < w.w_end
+"""
+
 _SQL_GAPFILL_ROLLUP = """
 WITH b AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -1393,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_rates": q_asof_join_rates,
         "events_quantiles": q_events_quantiles,
         "gapfill_rollup": q_gapfill_rollup,
+        "range_join_windows": q_range_join_windows,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1469,6 +1510,7 @@ FROM events GROUP BY 1
         "asof_join_rates": _SQL_ASOF_JOIN_RATES,
         "events_quantiles": _SQL_EVENTS_QUANTILES,
         "gapfill_rollup": _SQL_GAPFILL_ROLLUP,
+        "range_join_windows": _SQL_RANGE_JOIN_WINDOWS,
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

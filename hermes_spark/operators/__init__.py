@@ -10,7 +10,7 @@ from .dedup import (
 )
 from .asof import asof_join
 from .gapfill import gapfill_rollup
-from .joins import read_bucketed, salted_join, write_bucketed
+from .joins import range_join, read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
     extract_image_features,
@@ -44,6 +44,7 @@ __all__ = [
     "lsh_cosine_topk",
     "sessionize",
     "salted_join",
+    "range_join",
     "write_bucketed",
     "read_bucketed",
     "decode_image_stub",

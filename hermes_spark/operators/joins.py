@@ -49,6 +49,57 @@ def salted_join(
     return left_salted.join(right_salted, on=on + [salt], how=how).drop(salt)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: each point row matched with every interval
+    row where ``start <= ts < end`` (and the ``by`` keys agree).
+
+    Without help Spark plans this as BroadcastNestedLoopJoin (quadratic)
+    or an equi-join only on ``by`` (one partition per key doing the full
+    per-key cross product). Bucketizing fixes both: each point lands in
+    one ``bucket_seconds``-wide bucket, each interval replicates into
+    every bucket it covers, and the join becomes an equi-join on
+    ``by + bucket`` followed by the exact range filter. Each (point,
+    interval) pair meets in exactly one bucket (the point's), so no
+    dedup pass is needed. Shuffle volume: points once, intervals ×
+    (average interval length / bucket width) — pick ``bucket_seconds``
+    near the typical interval length.
+    """
+    on = list(by)
+    bucket = "__hermes_range_bucket"
+    p = points.withColumn(
+        bucket,
+        F.floor(F.col(ts_col).cast("double") / F.lit(bucket_seconds)).cast("long"),
+    )
+    i = intervals.withColumn(
+        bucket,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / F.lit(bucket_seconds)).cast(
+                    "long"
+                ),
+                F.floor(F.col(end_col).cast("double") / F.lit(bucket_seconds)).cast(
+                    "long"
+                ),
+            )
+        ),
+    )
+    return (
+        p.join(i, on=on + [bucket])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop(bucket)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -60,3 +60,49 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_range_join_semantics(spark):
+    from hermes_spark.operators import range_join
+
+    points = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:30:00"),
+         (2, "a", "2024-01-01 13:00:00"),
+         (3, "b", "2024-01-01 10:30:00")],
+        ["pid", "k", "ts_str"],
+    ).select("pid", "k", F.to_timestamp("ts_str").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00", "w1"),
+         ("a", "2024-01-01 10:30:00", "2024-01-01 11:00:00", "w2"),
+         ("b", "2024-01-01 11:00:00", "2024-01-01 12:00:00", "w3")],
+        ["k", "s_str", "e_str", "name"],
+    ).select(
+        "k",
+        F.to_timestamp("s_str").alias("start"),
+        F.to_timestamp("e_str").alias("end"),
+        "name",
+    )
+    got = {(r.pid, r.name) for r in range_join(
+        points, intervals, "ts", "start", "end", by=("k",),
+        bucket_seconds=1800,
+    ).collect()}
+    # point 1 in both overlapping a-windows (inclusive start); point 2
+    # after both; point 3 is b but before w3
+    assert got == {(1, "w1"), (1, "w2")}
+
+
+def test_range_join_end_exclusive(spark):
+    from hermes_spark.operators import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], ["pid", "ts_str"]
+    ).select("pid", F.to_timestamp("ts_str").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 12:00:00", "w")],
+        ["s_str", "e_str", "name"],
+    ).select(
+        F.to_timestamp("s_str").alias("start"),
+        F.to_timestamp("e_str").alias("end"),
+        "name",
+    )
+    assert range_join(points, intervals, "ts", "start", "end").count() == 0
