@@ -74,7 +74,20 @@ BENCH_QUERIES = {
     "text_stats": lambda s, d: _materialize(entry.q_text_stats(s, d)),
     "sessionize_events": lambda s, d: _materialize(entry.q_sessionize_events(s, d)),
     "simhash_near_dups": lambda s, d: _materialize(entry.q_simhash_near_dups(s, d)),
+    "asof_join_rates": lambda s, d: _materialize(entry.q_asof_join_rates(s, d)),
+    "range_join_windows": lambda s, d: _materialize(entry.q_range_join_windows(s, d)),
+    "gapfill_rollup": lambda s, d: _materialize(entry.q_gapfill_rollup(s, d)),
+    "minhash_fast_hash": lambda s, d: _materialize(_minhash_fast(s, d)),
 }
+
+
+def _minhash_fast(spark, sf_dir):
+    """The production-hash minhash path (xxhash64 instead of the
+    oracle-portable md5 base hash) — what a real 100 TB run uses."""
+    from hermes_spark.operators import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", portable=False)
 
 
 def main() -> None:
