@@ -626,6 +626,25 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT_FRACTION = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-language rebalancing of the documents corpus
+    (hash-threshold sampling — layout-independent, nested-subset safe)."""
+    from hermes_spark.operators import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        SAMPLE_FRACTIONS,
+        default_fraction=SAMPLE_DEFAULT_FRACTION,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval: events matched to deterministic 8-hour
     'observation windows' (every 7th hour per type), overlapping so some
@@ -1213,6 +1232,21 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_stratified_sample() -> str:
+    denom = 10_000
+    threshold = f"{int(SAMPLE_DEFAULT_FRACTION * denom)}"
+    for value, fraction in sorted(SAMPLE_FRACTIONS.items()):
+        threshold = (
+            f"CASE WHEN lang = '{value}' THEN {int(fraction * denom)} "
+            f"ELSE {threshold} END"
+        )
+    bucket = _dhash("'sample:' || doc_id::VARCHAR") + f" % {denom}"
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ({bucket}) < ({threshold})
+"""
+
+
 _SQL_RANGE_JOIN_WINDOWS = """
 WITH ev AS (SELECT event_id, event_type, ts FROM events),
 w AS (
@@ -1434,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "gapfill_rollup": q_gapfill_rollup,
         "range_join_windows": q_range_join_windows,
+        "stratified_sample": q_stratified_sample,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1511,6 +1546,7 @@ FROM events GROUP BY 1
         "events_quantiles": _SQL_EVENTS_QUANTILES,
         "gapfill_rollup": _SQL_GAPFILL_ROLLUP,
         "range_join_windows": _SQL_RANGE_JOIN_WINDOWS,
+        "stratified_sample": _sql_stratified_sample(),
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

@@ -17,6 +17,7 @@ from .multimodal import (
     frame_sample,
     with_media_metadata,
 )
+from .sampling import deterministic_sample, stratified_sample
 from .sessionize import sessionize
 from .similarity import (
     brute_force_cosine_topk,
@@ -43,6 +44,8 @@ __all__ = [
     "ivf_topk",
     "lsh_cosine_topk",
     "sessionize",
+    "deterministic_sample",
+    "stratified_sample",
     "salted_join",
     "range_join",
     "write_bucketed",

@@ -1,0 +1,68 @@
+"""Deterministic (hash-threshold) sampling for corpus curation.
+
+``df.sample()`` is seed-dependent on partitioning and row order, which
+makes training-data subsets irreproducible across re-runs/re-shards.
+Hash-threshold sampling keys the decision to the ROW ITSELF: keep a row
+iff ``hash(key) mod D < fraction * D`` — the same row is always in or
+out regardless of cluster layout, and nested subsets compose (a 1%
+sample is a strict subset of the 10% sample of the same key). Pure
+expressions, no shuffle at all — the filter rides the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+#: denominator of the sampling ratio: fraction resolution of 0.01%
+SAMPLE_DENOMINATOR = 10_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), key.cast("string"))),
+        F.lit(SAMPLE_DENOMINATOR),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by a hash of ``key_col``.
+
+    Same key ⇒ same decision in every run and on every engine (the hash
+    is the portable md5 variant, so the result is oracle-checkable).
+    Change ``salt`` to draw an independent sample.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * SAMPLE_DENOMINATOR)
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps a stratum
+    value (e.g. language) to its keep-fraction; unlisted strata use
+    ``default_fraction``. This is how corpus language/source mixes are
+    rebalanced reproducibly."""
+    threshold = F.lit(int(default_fraction * SAMPLE_DENOMINATOR))
+    for value, fraction in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value,
+            F.lit(int(fraction * SAMPLE_DENOMINATOR)),
+        ).otherwise(threshold)
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)

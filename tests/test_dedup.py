@@ -106,3 +106,44 @@ def test_fuzzy_dedup_keep_one(spark, documents):
     # every re-keyed copy is dropped, every original kept
     assert all(i + 100000 not in kept_ids for i in range(10))
     assert all(i in kept_ids for i in range(10))
+
+
+def test_deterministic_sample_invariants(spark, documents):
+    from hermes_spark.operators import deterministic_sample
+
+    s10 = deterministic_sample(documents, "doc_id", 0.10)
+    s50 = deterministic_sample(documents, "doc_id", 0.50)
+    ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+    ids50 = {r.doc_id for r in s50.select("doc_id").collect()}
+    # nested-subset property: smaller fraction ⊆ larger fraction
+    assert ids10 <= ids50
+    # determinism across runs and repartitioning
+    again = {
+        r.doc_id
+        for r in deterministic_sample(documents.repartition(7), "doc_id", 0.10)
+        .select("doc_id").collect()
+    }
+    assert again == ids10
+    # fraction roughly honored
+    n = documents.count()
+    assert 0.03 * n <= len(ids10) <= 0.2 * n
+    # independent salt draws a different sample
+    other = {
+        r.doc_id
+        for r in deterministic_sample(documents, "doc_id", 0.10, salt="v2")
+        .select("doc_id").collect()
+    }
+    assert other != ids10
+
+
+def test_stratified_sample_fractions(spark, documents):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import stratified_sample
+
+    out = stratified_sample(
+        documents, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == documents.filter(F.col("lang") == "en").count()
