@@ -29,10 +29,13 @@ from hermes_spark.functions.text import (
     BPE_CHUNK_PATTERN,
     ENGLISH_STOPWORDS,
     LANG_MARKERS,
+    PII_PATTERNS,
     bpe_token_count,
     doc_fingerprint,
     lang_id,
+    pii_match_count,
     quality_score,
+    scrub_pii,
     token_count,
 )
 from hermes_spark.operators import (
@@ -624,6 +627,16 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + density counting over the documents corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+        pii_match_count(F.col("text")).alias("n_pii_matches"),
+    )
 
 
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
@@ -1232,6 +1245,18 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_scrub_pii() -> str:
+    scrub = "text"
+    total = "0"
+    for name, pattern in sorted(PII_PATTERNS.items()):
+        scrub = f"regexp_replace({scrub}, '{pattern}', '<{name.upper()}>', 'g')"
+        total += f" + len(regexp_extract_all(text, '{pattern}'))"
+    return f"""
+SELECT doc_id, md5({scrub}) AS scrubbed_md5, ({total})::BIGINT AS n_pii_matches
+FROM documents
+"""
+
+
 def _sql_stratified_sample() -> str:
     denom = 10_000
     threshold = f"{int(SAMPLE_DEFAULT_FRACTION * denom)}"
@@ -1469,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_rollup": q_gapfill_rollup,
         "range_join_windows": q_range_join_windows,
         "stratified_sample": q_stratified_sample,
+        "scrub_pii": q_scrub_pii,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1547,6 +1573,7 @@ FROM events GROUP BY 1
         "gapfill_rollup": _SQL_GAPFILL_ROLLUP,
         "range_join_windows": _SQL_RANGE_JOIN_WINDOWS,
         "stratified_sample": _sql_stratified_sample(),
+        "scrub_pii": _sql_scrub_pii(),
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

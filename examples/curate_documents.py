@@ -1,0 +1,107 @@
+"""End-to-end training-data curation example.
+
+Runs the full curation flow over the synthetic documents corpus:
+
+  read -> language ID -> quality/token gate -> PII scrub ->
+  exact dedup -> minhash near-dup dedup (cluster, keep one) ->
+  stratified rebalance -> corpus stats
+
+Usage (from the repo root):
+
+    python examples/curate_documents.py [sf_dir] [out_dir]
+
+Defaults: sf_dir=/root/testdata/sf0.001, out_dir=/tmp/curated_docs.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hermes_spark.functions.text import (
+    lang_id,
+    pii_match_count,
+    quality_score,
+    scrub_pii,
+    token_count,
+)
+from hermes_spark.operators import (
+    exact_dedup,
+    fuzzy_dedup_keep_one,
+    minhash_lsh_pairs,
+    stratified_sample,
+)
+
+
+def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. annotate: language, tokens, quality, PII density
+    annotated = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        pii_match_count(F.col("text")).alias("n_pii"),
+    )
+
+    # 2. gate: quality floor, minimum length, low PII density
+    gated = annotated.filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10) & (F.col("n_pii") <= 5)
+    )
+
+    # 3. scrub remaining PII spans
+    scrubbed = gated.withColumn("text", scrub_pii(F.col("text")))
+
+    # 4. exact dedup (normalized-text fingerprint, keep min id)
+    exact = exact_dedup(scrubbed, "doc_id", text_col="text").drop("dup_count")
+
+    # 5. fuzzy dedup: minhash candidates -> components -> keep one
+    pairs = minhash_lsh_pairs(
+        exact, "doc_id", "text", portable=False
+    ).filter(F.col("est_jaccard") >= 0.8)
+    deduped = fuzzy_dedup_keep_one(exact, "doc_id", pairs)
+
+    # 6. rebalance the language mix, reproducibly
+    final = stratified_sample(
+        deduped, "doc_id", "lang",
+        {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0},
+        default_fraction=0.5,   # halve 'und' and everything else
+    )
+
+    final.write.mode("overwrite").parquet(out_dir)
+
+    stats = (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.avg("quality"), 3).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+    print(f"\ncurated {n0} -> {final.count()} docs; per-language mix:")
+    stats.show(truncate=False)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_docs"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("curate-documents")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    curate(spark, sf_dir, out_dir)
+
+
+if __name__ == "__main__":
+    main()

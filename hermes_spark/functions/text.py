@@ -134,6 +134,33 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 6)
 
 
+#: simple, RE2-compatible patterns (portable between Spark's Java regex
+#: and DuckDB's RE2) — the defaults a curation pass masks before training
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "long_number": r"[0-9]{8,}",
+}
+
+
+def scrub_pii(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Mask PII-like spans with ``<TYPE>`` placeholders (``<EMAIL>``,
+    ``<LONG_NUMBER>``, ...). Chained ``regexp_replace`` — stays in
+    whole-stage codegen, no UDF."""
+    out = col
+    for name, pattern in sorted((patterns or PII_PATTERNS).items()):
+        out = F.regexp_replace(out, pattern, f"<{name.upper()}>")
+    return out
+
+
+def pii_match_count(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Total count of PII-like matches in the text (for filtering docs
+    with heavy PII density rather than scrubbing them)."""
+    total = F.lit(0)
+    for _, pattern in sorted((patterns or PII_PATTERNS).items()):
+        total = total + F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+    return total.cast("long")
+
+
 def doc_fingerprint(col: Column) -> Column:
     """md5 of lowercased, whitespace-collapsed text — exact-dup key."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")

@@ -67,3 +67,24 @@ def test_doc_fingerprint_normalizes(spark):
         doc_fingerprint(F.col("a")).alias("fa"), doc_fingerprint(F.col("b")).alias("fb")
     ).collect()[0]
     assert row["fa"] == row["fb"]
+
+
+def test_scrub_pii_and_match_count(spark):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.text import pii_match_count, scrub_pii
+
+    rows = [
+        (1, "contact me at alice@example.com or 12345678901"),
+        (2, "clean text with short 1234 number"),
+        (3, "two mails a@b.io c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: (r.scrubbed, r.n) for r in df.select(
+        "id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        pii_match_count(F.col("text")).alias("n"),
+    ).collect()}
+    assert out[1] == ("contact me at <EMAIL> or <LONG_NUMBER>", 2)
+    assert out[2] == ("clean text with short 1234 number", 0)
+    assert out[3] == ("two mails <EMAIL> <EMAIL>", 2)
