@@ -231,3 +231,45 @@ def test_gapfill_rollup_zero_and_locf(spark):
     assert locf["2024-01-01 11:00:00"] == 5.0
     assert locf["2024-01-01 12:00:00"] == 5.0
     assert locf["2024-01-01 13:00:00"] == 7.0
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    from hermes_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ["doc_id", "text", "ts_str"]).select(
+            "doc_id", "text", F.to_timestamp("ts_str").alias("ts")
+        ).write.mode("append").parquet(src)
+
+    def run_once(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_exact_dedup(stream, "text", ts_col="ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _await(q)
+
+    write_batch([
+        (1, "the quick brown fox", "2024-01-01 10:00:00"),
+        (2, "THE  quick brown fox", "2024-01-01 10:01:00"),  # normalized dup
+        (3, "something else", "2024-01-01 10:02:00"),
+    ])
+    schema = spark.read.parquet(src).schema
+    run_once(schema)
+    # second batch: a cross-batch duplicate within the watermark + new doc
+    write_batch([
+        (4, "the quick  BROWN fox", "2024-01-01 10:30:00"),
+        (5, "genuinely new", "2024-01-01 10:31:00"),
+    ])
+    run_once(schema)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # one of {1,2} survives, 3 survives, 4 deduped cross-batch, 5 survives
+    assert 3 in ids and 5 in ids and 4 not in ids
+    assert len([i for i in ids if i in (1, 2)]) == 1
