@@ -35,6 +35,7 @@ from hermes_spark.functions.text import (
     lang_id,
     pii_match_count,
     quality_score,
+    repetition_ratio,
     scrub_pii,
     token_count,
 )
@@ -627,6 +628,16 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: repeated word/bigram fractions."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        repetition_ratio(F.col("text"), 1).alias("rep_unigram"),
+        repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
+    )
 
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1256,22 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+_SQL_REPETITION = f"""
+WITH base AS (SELECT doc_id, trim(text) AS t, {_TOKENS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id,
+  CASE WHEN t = '' THEN []::VARCHAR[] ELSE toks END AS g1,
+  CASE WHEN t = '' OR len(toks) < 2 THEN []::VARCHAR[]
+       ELSE [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] END AS g2
+FROM base)
+SELECT doc_id,
+  round(CASE WHEN len(g1) = 0 THEN 0.0
+        ELSE 1 - len(list_distinct(g1))::DOUBLE / len(g1) END, 6) AS rep_unigram,
+  round(CASE WHEN len(g2) = 0 THEN 0.0
+        ELSE 1 - len(list_distinct(g2))::DOUBLE / len(g2) END, 6) AS rep_bigram
+FROM g
+"""
+
+
 def _sql_scrub_pii() -> str:
     scrub = "text"
     total = "0"
@@ -1495,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "stratified_sample": q_stratified_sample,
         "scrub_pii": q_scrub_pii,
+        "repetition_ratio": q_repetition_ratio,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1574,6 +1602,7 @@ FROM events GROUP BY 1
         "range_join_windows": _SQL_RANGE_JOIN_WINDOWS,
         "stratified_sample": _sql_stratified_sample(),
         "scrub_pii": _sql_scrub_pii(),
+        "repetition_ratio": _SQL_REPETITION,
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

@@ -134,6 +134,32 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 6)
 
 
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams: ``1 - distinct/total`` in
+    [0, 1] (0 = no repetition). The classic boilerplate/spam signal from
+    Gopher-style quality filtering — pages that loop the same phrases
+    score high. Pure expressions over the token array; ``n=1`` measures
+    repeated words, ``n=2``/``n=3`` repeated phrases."""
+    toks = tokens(F.lower(col))
+    n_tokens = F.size(toks)
+    grams = F.when(n_tokens < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(
+        F.when(total <= 0, F.lit(0.0)).otherwise(
+            1.0 - distinct / total.cast("double")
+        ),
+        6,
+    )
+
+
 #: simple, RE2-compatible patterns (portable between Spark's Java regex
 #: and DuckDB's RE2) — the defaults a curation pass masks before training
 PII_PATTERNS: dict[str, str] = {

@@ -88,3 +88,27 @@ def test_scrub_pii_and_match_count(spark):
     assert out[1] == ("contact me at <EMAIL> or <LONG_NUMBER>", 2)
     assert out[2] == ("clean text with short 1234 number", 0)
     assert out[3] == ("two mails <EMAIL> <EMAIL>", 2)
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.text import repetition_ratio
+
+    rows = [
+        (1, "buy now buy now buy now"),
+        (2, "all distinct words here friend"),
+        (3, ""),
+        (4, "word"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: (r.r1, r.r2) for r in df.select(
+        "id",
+        repetition_ratio(F.col("text"), 1).alias("r1"),
+        repetition_ratio(F.col("text"), 2).alias("r2"),
+    ).collect()}
+    # 6 tokens, 2 distinct -> 1 - 2/6; 5 bigrams, 2 distinct -> 1 - 2/5
+    assert out[1] == (round(1 - 2 / 6, 6), round(1 - 2 / 5, 6))
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
