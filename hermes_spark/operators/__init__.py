@@ -17,7 +17,7 @@ from .multimodal import (
     frame_sample,
     with_media_metadata,
 )
-from .sampling import deterministic_sample, stratified_sample
+from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
 from .similarity import (
     brute_force_cosine_topk,
@@ -45,6 +45,7 @@ __all__ = [
     "lsh_cosine_topk",
     "sessionize",
     "deterministic_sample",
+    "mix_corpora",
     "stratified_sample",
     "salted_join",
     "range_join",

@@ -47,6 +47,31 @@ def deterministic_sample(
     return df.filter(_bucket(F.col(key_col), salt) < threshold)
 
 
+def mix_corpora(
+    corpora: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+    source_col: Optional[str] = "mix_source",
+) -> DataFrame:
+    """Reproducible weighted mixture of corpora: each input keeps its
+    fraction via deterministic sampling, then all are unioned (schemas
+    merged by name). The standard pretraining-mix step — e.g. 100% of a
+    curated set, 30% of a crawl — and because membership is keyed to the
+    rows, re-running with a changed weight only adds/removes rows, never
+    reshuffles the rest. ``source_col`` (optional) tags each row with
+    its corpus index for downstream per-source accounting."""
+    sampled = []
+    for index, (df, fraction) in enumerate(corpora):
+        part = deterministic_sample(df, key_col, fraction, salt=f"{salt}{index}")
+        if source_col:
+            part = part.withColumn(source_col, F.lit(index))
+        sampled.append(part)
+    out = sampled[0]
+    for part in sampled[1:]:
+        out = out.unionByName(part, allowMissingColumns=True)
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

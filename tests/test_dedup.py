@@ -147,3 +147,23 @@ def test_stratified_sample_fractions(spark, documents):
     langs = {r.lang for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == documents.filter(F.col("lang") == "en").count()
+
+
+def test_mix_corpora(spark, documents):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import mix_corpora
+
+    curated = documents.filter(F.col("doc_id") < 200)
+    crawl = documents.filter(F.col("doc_id") >= 200)
+    mixed = mix_corpora([(curated, 1.0), (crawl, 0.3)], "doc_id")
+    n_cur, n_crawl = curated.count(), crawl.count()
+    by_src = {r.mix_source: r.n for r in mixed.groupBy("mix_source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src[0] == n_cur                     # 100% kept
+    assert 0.1 * n_crawl < by_src[1] < 0.5 * n_crawl  # ~30%
+    # reproducible
+    again = mix_corpora([(curated, 1.0), (crawl, 0.3)], "doc_id")
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in mixed.select("doc_id").collect()
+    }
