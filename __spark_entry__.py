@@ -630,6 +630,27 @@ def q_compare_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+BOILER_FOOTER = "footer: subscribe to our newsletter"
+BOILER_MIN_DOCS = 3
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: a footer line injected into every
+    even-id document is detected by document frequency and stripped;
+    odd-id documents pass through untouched."""
+    from hermes_spark.operators import strip_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\n" + BOILER_FOOTER)),
+        ).otherwise(F.col("text")),
+    )
+    out = strip_boilerplate_lines(docs, "doc_id", "text", min_docs=BOILER_MIN_DOCS)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: repeated word/bigram fractions."""
     docs = _read(spark, sf_dir, "documents")
@@ -1256,6 +1277,35 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_strip_boilerplate() -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || '{BOILER_FOOTER}'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, g.line, g.pos
+  FROM docs2,
+       LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos) g
+),
+boiler AS (
+  SELECT trim(lower(line)) AS n FROM lines
+  WHERE trim(lower(line)) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  WHERE trim(lower(l.line)) NOT IN (SELECT n FROM boiler)
+)
+SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+FROM kept GROUP BY doc_id
+"""
+
+
 _SQL_REPETITION = f"""
 WITH base AS (SELECT doc_id, trim(text) AS t, {_TOKENS_SQL} AS toks FROM documents),
 g AS (SELECT doc_id,
@@ -1523,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "scrub_pii": q_scrub_pii,
         "repetition_ratio": q_repetition_ratio,
+        "strip_boilerplate": q_strip_boilerplate,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1603,6 +1654,7 @@ FROM events GROUP BY 1
         "stratified_sample": _sql_stratified_sample(),
         "scrub_pii": _sql_scrub_pii(),
         "repetition_ratio": _SQL_REPETITION,
+        "strip_boilerplate": _sql_strip_boilerplate(),
         "q6_forecast_revenue": _SQL_Q6,
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,

@@ -9,6 +9,7 @@ from .dedup import (
     simhash_near_dup_pairs,
 )
 from .asof import asof_join
+from .boilerplate import boilerplate_lines, strip_boilerplate_lines
 from .gapfill import gapfill_rollup
 from .joins import range_join, read_bucketed, salted_join, write_bucketed
 from .multimodal import (
@@ -29,6 +30,8 @@ from .similarity import (
 
 __all__ = [
     "asof_join",
+    "boilerplate_lines",
+    "strip_boilerplate_lines",
     "connected_components",
     "gapfill_rollup",
     "exact_dedup",

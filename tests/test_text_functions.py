@@ -112,3 +112,31 @@ def test_repetition_ratio(spark):
     assert out[2] == (0.0, 0.0)
     assert out[3] == (0.0, 0.0)
     assert out[4] == (0.0, 0.0)
+
+
+def test_strip_boilerplate_lines(spark):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import boilerplate_lines, strip_boilerplate_lines
+
+    footer = "FOOTER: buy premium"
+    rows = [
+        (1, f"unique alpha\n{footer}\nbody one"),
+        (2, f"unique beta\n{footer}"),
+        (3, f"{footer}\nunique gamma"),
+        (4, "no boilerplate here"),
+        (5, footer),  # doc that is ONLY boilerplate -> drops out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    boiler = {r.line for r in boilerplate_lines(df, "doc_id", "text", 3).collect()}
+    assert boiler == {footer.lower()}
+
+    out = {r.doc_id: r.text for r in strip_boilerplate_lines(
+        df, "doc_id", "text", min_docs=3
+    ).collect()}
+    assert out[1] == "unique alpha\nbody one"   # order preserved
+    assert out[2] == "unique beta"
+    assert out[3] == "unique gamma"
+    assert out[4] == "no boilerplate here"
+    assert 5 not in out
