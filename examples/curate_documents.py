@@ -2,8 +2,9 @@
 
 Runs the full curation flow over the synthetic documents corpus:
 
-  read -> language ID -> quality/token gate -> PII scrub ->
-  exact dedup -> minhash near-dup dedup (cluster, keep one) ->
+  read -> boilerplate line removal -> language ID ->
+  quality/token/repetition gate -> PII scrub -> exact dedup ->
+  minhash near-dup dedup (cluster, keep one) ->
   stratified rebalance -> corpus stats
 
 Usage (from the repo root):
@@ -24,6 +25,7 @@ from hermes_spark.functions.text import (
     lang_id,
     pii_match_count,
     quality_score,
+    repetition_ratio,
     scrub_pii,
     token_count,
 )
@@ -32,6 +34,7 @@ from hermes_spark.operators import (
     fuzzy_dedup_keep_one,
     minhash_lsh_pairs,
     stratified_sample,
+    strip_boilerplate_lines,
 )
 
 
@@ -39,7 +42,10 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
-    # 1. annotate: language, tokens, quality, PII density
+    # 0. strip corpus-level boilerplate lines (navbars/footers)
+    docs = strip_boilerplate_lines(docs, "doc_id", "text", min_docs=5)
+
+    # 1. annotate: language, tokens, quality, repetition, PII density
     annotated = docs.select(
         "doc_id",
         "source",
@@ -47,12 +53,16 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         lang_id(F.col("text")).alias("lang"),
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
+        repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
         pii_match_count(F.col("text")).alias("n_pii"),
     )
 
-    # 2. gate: quality floor, minimum length, low PII density
+    # 2. gate: quality floor, minimum length, low repetition, low PII
     gated = annotated.filter(
-        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10) & (F.col("n_pii") <= 5)
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("rep_bigram") <= 0.3)
+        & (F.col("n_pii") <= 5)
     )
 
     # 3. scrub remaining PII spans
