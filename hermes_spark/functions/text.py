@@ -22,6 +22,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
     "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
     "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "it": ("il", "la", "di", "che", "e", "un", "una", "per"),
+    "pt": ("o", "a", "de", "que", "e", "um", "uma", "para"),
+    "nl": ("de", "het", "een", "van", "en", "is", "niet", "dat"),
 }
 
 ENGLISH_STOPWORDS: tuple[str, ...] = (
