@@ -20,14 +20,20 @@ Semantics follow the reference comparator
 
 Two execution modes (``ComparisonConfig.mode``):
 
-* ``"reference"`` — replays the reference action-for-action (~9-11 Spark
-  jobs, inputs re-read per action, no caching), for plan-parity debugging.
+* ``"reference"`` — replays the reference dataflow (~9-11 Spark jobs,
+  inputs re-read per action, no caching), for plan-parity debugging. With
+  ``observe_metrics`` (default on) the two input row counts ride along on
+  the duplicate-count jobs via ``DataFrame.observe`` — two fewer scans,
+  identical values.
 * ``"fast"`` (default) — the plan you would actually run on 100 TB:
   a single tagged-union full-row aggregation classifies every distinct row
   as ref-only / actual-only / matched in ONE shuffle, is persisted, and
   then feeds row counts, duplicate counts, both complements and the diff
   join from that one materialization (~3-4 Spark jobs).  Results are
   identical to ``"reference"`` mode (property-tested).
+* ``"auto"`` — schema-width heuristic resolves to ``"hash"`` for wide
+  rows (the classification shuffle then moves ~40 bytes/row) else
+  ``"fast"``; see :meth:`DatasetComparator.choose_mode`.
 
 Scale notes (100 TB design):
 * the only unavoidable full-data shuffle is the row-classification
@@ -45,8 +51,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from .config import ComparisonConfig, DEFAULT_CONFIG
@@ -63,6 +70,33 @@ from .schema_utils import (
 )
 
 _UNIQUE_KEY_BASE = "HermesDatasetComparisonUniqueId"
+
+
+def _estimate_row_bytes(dtype: T.DataType) -> int:
+    """Static estimate of serialized row width from the schema alone.
+
+    Used only to steer ``mode="auto"`` — deliberately crude (no data
+    statistics): fixed-width types use their storage size, variable-width
+    types a flat guess, containers a small fan-out multiplier.
+    """
+    if isinstance(dtype, T.StructType):
+        return sum(_estimate_row_bytes(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return 8 * _estimate_row_bytes(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return 8 * (
+            _estimate_row_bytes(dtype.keyType)
+            + _estimate_row_bytes(dtype.valueType)
+        )
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        return 24
+    if isinstance(dtype, T.DecimalType):
+        return 16
+    if isinstance(dtype, (T.DoubleType, T.LongType, T.TimestampType)):
+        return 8
+    if isinstance(dtype, (T.BooleanType, T.ByteType)):
+        return 1
+    return 4  # int/float/date/short and anything exotic
 
 
 class DatasetComparator:
@@ -95,11 +129,27 @@ class DatasetComparator:
         mode = self.config.mode
         if self.config.except_all:
             mode = "reference"  # EXCEPT ALL is only meaningful row-by-row
+        elif mode == "auto":
+            mode = self.choose_mode()
         if mode == "fast":
             return self._compare_fast()
         if mode == "hash":
             return self._compare_hash()
         return self._compare_reference()
+
+    def choose_mode(self) -> str:
+        """Resolve ``mode="auto"``: pick ``"hash"`` for wide rows, where
+        shuffling (key, xxhash64) ~40 bytes/row instead of the full row
+        dominates the extra rematerialization scan, else ``"fast"``.
+
+        Width is estimated from the (cherry-picked) schema alone — no
+        Spark job. The hash mode's 2^-64 per-pair collision caveat applies
+        (see :meth:`_compare_hash`); set the mode explicitly for
+        certification runs.
+        """
+        schema = self.optional_schema or self.ref.schema
+        width = _estimate_row_bytes(schema)
+        return "hash" if width > self.config.auto_hash_row_bytes else "fast"
 
     def release(self) -> None:
         """Unpersist any DataFrames cached by fast mode."""
@@ -110,8 +160,10 @@ class DatasetComparator:
     # ------------------------------------------------- reference-faithful
 
     def _compare_reference(self) -> ComparisonResult:
-        ref_count = self.ref.count()
-        actual_count = self.actual.count()
+        use_observe = self.config.observe_metrics
+        if not use_observe:
+            ref_count = self.ref.count()
+            actual_count = self.actual.count()
 
         self._check_schemas()
 
@@ -123,8 +175,32 @@ class DatasetComparator:
         keyed_ref = self._add_key_column(selector, ref_sorted, key)
         keyed_actual = self._add_key_column(selector, actual_sorted, key)
 
+        if use_observe:
+            # Piggyback the two input row counts on the duplicate-count
+            # jobs (which scan every row anyway) — two fewer input scans
+            # than the reference's dedicated count() actions, same values.
+            obs_ref, obs_actual = Observation(), Observation()
+            keyed_ref = keyed_ref.observe(
+                obs_ref, F.count(F.lit(1)).alias("rows")
+            )
+            keyed_actual = keyed_actual.observe(
+                obs_actual, F.count(F.lit(1)).alias("rows")
+            )
+
         dup_ref = self._duplicate_count(keyed_ref, key)
         dup_actual = self._duplicate_count(keyed_actual, key)
+        if use_observe:
+            # Catalyst's empty-relation propagation can prune the
+            # CollectMetrics node (e.g. comparing empty local frames);
+            # fall back to a plain count — the input is tiny then anyway.
+            try:
+                ref_count = obs_ref.get["rows"]
+            except Exception:
+                ref_count = self.ref.count()
+            try:
+                actual_count = obs_actual.get["rows"]
+            except Exception:
+                actual_count = self.actual.count()
         if (dup_ref + dup_actual) > 0 and not self.config.allow_duplicates:
             raise DuplicateRowsInDF(dup_ref, dup_actual)
 

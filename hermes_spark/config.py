@@ -28,7 +28,8 @@ class ComparisonConfig:
     #: inputs; "hash" classifies by (key, xxhash64(row)) so the shuffle
     #: moves ~16 bytes/row and only unmatched rows rematerialize (the
     #: 100 TB monitoring mode; 2^-64 per-pair collision caveat — see
-    #: comparator.py). Results are identical across modes (tested).
+    #: comparator.py); "auto" resolves to "hash"/"fast" from the estimated
+    #: row width. Results are identical across modes (tested).
     mode: str = "fast"
     #: Use EXCEPT ALL instead of EXCEPT DISTINCT semantics (scale-friendly
     #: variant; reference always uses EXCEPT DISTINCT, SURVEY.md §2.5).
@@ -36,6 +37,15 @@ class ComparisonConfig:
     #: In "hash" mode, broadcast the unmatched (key, hash) set into the
     #: rematerialization joins when it has at most this many rows.
     hash_mode_broadcast_rows: int = 1_000_000
+    #: In "reference" mode, piggyback the two input row counts on the
+    #: duplicate-count jobs via ``DataFrame.observe`` instead of running
+    #: dedicated ``count()`` actions — two fewer full input scans, bitwise
+    #: identical results. Disable to replay the reference action-for-action.
+    observe_metrics: bool = True
+    #: "auto" mode picks "hash" when the estimated serialized row width
+    #: exceeds this many bytes (wide rows -> classification shuffle moves
+    #: key+hash only), else "fast".
+    auto_hash_row_bytes: int = 128
 
     def validate(self) -> "ComparisonConfig":
         for value, name in (
@@ -48,7 +58,7 @@ class ComparisonConfig:
                     f"{name} configuration options has forbidden characters "
                     "for a column name"
                 )
-        if self.mode not in ("reference", "fast", "hash"):
+        if self.mode not in ("reference", "fast", "hash", "auto"):
             raise ValueError(f"unknown comparison mode: {self.mode!r}")
         return self
 

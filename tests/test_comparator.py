@@ -342,3 +342,49 @@ def test_nested_struct_key(spark):
     row = res.result_df.collect()[0]
     assert row.expected_info.id == 2 and list(row.errCol) == ["price"]
     assert compare(mk(20.0), mk(20.0), keys=["info.id"]).passed
+
+
+def test_reference_observe_parity(spark, base, mutated):
+    """observe_metrics=True (default) must match the plain-count replay."""
+    plain = compare(
+        base, mutated, keys=["id"],
+        config=ComparisonConfig(mode="reference", observe_metrics=False),
+    )
+    observed = compare(
+        base, mutated, keys=["id"],
+        config=ComparisonConfig(mode="reference", observe_metrics=True),
+    )
+    for attr in (
+        "ref_row_count",
+        "new_row_count",
+        "ref_duplicate_count",
+        "new_duplicate_count",
+        "passed_count",
+        "diff_count",
+    ):
+        assert getattr(plain, attr) == getattr(observed, attr), attr
+
+
+def test_auto_mode_resolution(spark, base):
+    """auto -> fast for narrow rows, hash for wide rows."""
+    narrow = DatasetComparator(
+        base, base, keys=["id"], config=ComparisonConfig(mode="auto")
+    )
+    assert narrow.choose_mode() == "fast"
+
+    wide = base
+    for i in range(10):
+        wide = wide.withColumn(f"pad{i}", F.col("name"))
+    cmp_wide = DatasetComparator(
+        wide, wide, keys=["id"], config=ComparisonConfig(mode="auto")
+    )
+    assert cmp_wide.choose_mode() == "hash"
+
+
+def test_auto_mode_end_to_end(spark, base, mutated):
+    auto = compare(
+        base, mutated, keys=["id"], config=ComparisonConfig(mode="auto")
+    )
+    fast = compare(base, mutated, keys=["id"], config=FAST_MODE)
+    assert auto.diff_count == fast.diff_count == 3
+    assert auto.passed_count == fast.passed_count == 2
