@@ -448,6 +448,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized (mapInPandas + BLAS matmul, per-batch top-k
+    pruning) exact ANN — same results as ann_cosine_topk, checked
+    against the same oracle."""
+    from hermes_spark.operators import brute_force_cosine_topk_pandas
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = brute_force_cosine_topk_pandas(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
@@ -1550,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
         "ivf_assign": q_ivf_assign,
         "sessionize_events": q_sessionize_events,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1631,6 +1646,7 @@ FROM events GROUP BY 1
         "lang_id": _sql_lang_id(),
         "text_stats": _sql_text_stats(),
         "ann_cosine_topk": _sql_ann_topk(),
+        "ann_cosine_topk_vec": _sql_ann_topk(),
         "ivf_assign": _sql_ivf_assign(),
         "sessionize_events": _sql_sessionize(),
         "embedding_near_dup": _sql_embedding_near_dup(),

@@ -22,6 +22,7 @@ from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
 from .similarity import (
     brute_force_cosine_topk,
+    brute_force_cosine_topk_pandas,
     embedding_near_dup_pairs,
     ivf_assign,
     ivf_topk,
@@ -42,6 +43,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",
+    "brute_force_cosine_topk_pandas",
     "embedding_near_dup_pairs",
     "ivf_assign",
     "ivf_topk",

@@ -83,6 +83,80 @@ def brute_force_cosine_topk(
     )
 
 
+def brute_force_cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-vectorized exact cosine top-k — same contract and results as
+    :func:`brute_force_cosine_topk`, different physical plan.
+
+    Queries are collected to the driver (small side — the same constraint
+    the broadcast variant has) and shipped as one normalized numpy matrix
+    in the UDF closure. Each Arrow batch of corpus vectors then scores
+    against ALL queries with a single BLAS matmul inside ``mapInPandas``
+    and keeps only its per-batch top-k per query, so the window re-rank
+    downstream sees O(k * batches * |queries|) candidate rows instead of
+    the |corpus| * |queries| scored rows the Column-expression variant
+    shuffles. For wide embeddings / many queries this is the faster path;
+    for a handful of queries the JVM-side variant avoids Python entirely.
+
+    Rounding (6 dp) happens inside the batch *before* pruning so batch
+    top-k selection and the global rank agree on tie-breaks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    q_rows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+    q_norms[q_norms == 0.0] = 1.0
+    Qn = Q / q_norms[:, None]
+
+    qid_type = queries.schema[qid].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, vec_id {id_type}, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((M / norms[:, None]) @ Qn.T, 6)  # (batch, q)
+            ids = pdf[id_col].to_numpy()
+            top = min(k, len(ids))
+            out_q, out_id, out_sim = [], [], []
+            for j, query_id in enumerate(q_ids):
+                col = sims[:, j]
+                # top-k by (cosine desc, vec_id asc) — argsort on vec_id
+                # first, then stable sort on -cosine keeps id order in ties
+                order = np.argsort(ids, kind="stable")
+                order = order[np.argsort(-col[order], kind="stable")][:top]
+                out_q.extend([query_id] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_sim.extend(col[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_id, "cosine": out_sim}
+            )
+
+    candidates = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -82,3 +82,27 @@ def test_multi_probe_lsh_recall_improves(spark, embeddings):
     got = lsh_cosine_topk(embeddings, q, k=5, num_planes=6).collect()
     top1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
     assert all(qid == vid for qid, vid in top1.items())
+
+
+def test_pandas_topk_matches_column_variant(spark, embeddings):
+    """Arrow-vectorized variant must reproduce the JVM-side plan exactly,
+    including 6-dp rounding and (cosine desc, vec_id asc) tie-breaks."""
+    from hermes_spark.operators import brute_force_cosine_topk_pandas
+
+    queries = embeddings.filter("vec_id < 3")
+    a = brute_force_cosine_topk(embeddings, queries, k=5)
+    b = brute_force_cosine_topk_pandas(embeddings, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    ra = sorted(a.collect(), key=key)
+    rb = sorted(b.collect(), key=key)
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+
+
+def test_pandas_topk_small(spark):
+    from hermes_spark.operators import brute_force_cosine_topk_pandas
+
+    corpus = vecs(spark)
+    queries = corpus.filter("vec_id = 0")
+    out = brute_force_cosine_topk_pandas(corpus, queries, k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 0 and ranked[1] == 1
