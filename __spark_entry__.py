@@ -864,6 +864,27 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as near_dup_components, computed with the
+    large-star/small-star algorithm (Kiveris et al. 2014) — the
+    billion-edge scale path; checked against the same oracle."""
+    from hermes_spark.operators import connected_components_star
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        group_cols=("lang", "source"),
+        shingle_n=SHINGLE_N,
+        min_jaccard=JACCARD_MIN,
+    )
+    return connected_components_star(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events(spark, sf_dir)
     return sessionize(
@@ -1574,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_cherry_pick": q_compare_cherry_pick,
         "windowed_rollup": q_windowed_rollup,
         "near_dup_components": q_near_dup_components,
+        "near_dup_components_star": q_near_dup_components_star,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_cube": q_events_cube,
@@ -1660,6 +1682,7 @@ FROM events GROUP BY 1
         ),
         "windowed_rollup": _SQL_WINDOWED_ROLLUP,
         "near_dup_components": _sql_near_dup_components(),
+        "near_dup_components_star": _sql_near_dup_components(),
         "events_pivot": _sql_events_pivot(),
         "user_session_stats": _sql_user_session_stats(),
         "curation_pipeline": _sql_curation_pipeline(),

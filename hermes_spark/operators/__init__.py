@@ -1,5 +1,6 @@
 from .dedup import (
     connected_components,
+    connected_components_star,
     duplicate_clusters,
     exact_dedup,
     fuzzy_dedup_keep_one,
@@ -34,6 +35,7 @@ __all__ = [
     "boilerplate_lines",
     "strip_boilerplate_lines",
     "connected_components",
+    "connected_components_star",
     "gapfill_rollup",
     "exact_dedup",
     "duplicate_clusters",

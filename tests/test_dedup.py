@@ -167,3 +167,54 @@ def test_mix_corpora(spark, documents):
     assert {r.doc_id for r in again.select("doc_id").collect()} == {
         r.doc_id for r in mixed.select("doc_id").collect()
     }
+
+
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star must agree with min-label propagation on a
+    basic graph, a long chain, and a seeded random graph."""
+    import random
+
+    from hermes_spark.operators import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (5, 6), (9, 3)],
+        [(i, i + 1) for i in range(40)],  # path graph: worst diameter
+    ]
+    rng = random.Random(42)
+    cases.append(
+        list({(rng.randrange(60), rng.randrange(60)) for _ in range(80)})
+    )
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        lp = {
+            (r.id, r.component)
+            for r in connected_components(pairs).collect()
+        }
+        star = {
+            (r.id, r.component)
+            for r in connected_components_star(pairs).collect()
+        }
+        # star drops nodes only ever seen in self-loops (a,a); label
+        # propagation keeps them — align before comparing
+        self_only = {a for a, b in edges if a == b}
+        linked = {x for a, b in edges if a != b for x in (a, b)}
+        lp = {(i, c) for i, c in lp if i in linked or i not in self_only}
+        assert star == lp, edges
+
+
+def test_star_components_converges_fast_on_chain(spark):
+    """O(log^2 n) rounds: a 64-node path must finish well under the
+    diameter-many rounds label propagation would need."""
+    from hermes_spark.operators import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(pairs, max_iter=8).collect()
+    }
+    assert got == {(i, 0) for i in range(64)}
