@@ -12,7 +12,7 @@ here is a scale extension built on the same kernels:
 """
 
 from hermes_spark.streaming.compare import compare_stream
-from hermes_spark.streaming.dedup import stream_exact_dedup
+from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
 from hermes_spark.streaming.rollup import windowed_rollup
 from hermes_spark.streaming.sessionize import sessionize_stream
 
@@ -20,5 +20,6 @@ __all__ = [
     "compare_stream",
     "sessionize_stream",
     "stream_exact_dedup",
+    "stream_minhash_dedup",
     "windowed_rollup",
 ]

@@ -1,4 +1,4 @@
-"""Streaming exact deduplication across micro-batches.
+"""Streaming deduplication across micro-batches — exact and near-dup.
 
 For continuously-ingested corpora: drop any document whose normalized
 fingerprint was already seen, with state bounded by a watermark (a
@@ -13,11 +13,18 @@ duplicate.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
+from ..functions.hashing import (
+    band_keys,
+    base_hash31,
+    minhash_signature_from_hashes,
+    shingles,
+)
 from ..functions.text import doc_fingerprint
 
 
@@ -42,3 +49,144 @@ def stream_exact_dedup(
     else:
         deduped = keyed.dropDuplicates(["__fp"])
     return deduped.drop("__fp")
+
+def stream_minhash_dedup(
+    stream: DataFrame,
+    state_path: str,
+    output_path: Optional[str] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.7,
+    on_batch: Optional[Callable[[DataFrame, int], None]] = None,
+    **start_kwargs,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate dedup: drop any incoming document whose
+    MinHash signature matches an already-accepted document at
+    ``est_jaccard >= min_jaccard``, across micro-batches.
+
+    Per micro-batch (``foreachBatch``):
+
+    1. signature + LSH band keys for every incoming doc (same
+       ``shingles -> base_hash31 -> minhash`` pipeline as the batch
+       :func:`~hermes_spark.operators.minhash_lsh_pairs`, so batch and
+       streaming agree on what counts as a near-dup);
+    2. candidate join against the accepted-signature store at
+       ``state_path`` on band key only — the join touches O(colliding
+       bands) rows, never the full history — then exact signature
+       agreement filters candidates to true matches;
+    3. within-batch near-dups collapse to their minimum surviving id
+       (min-label over the in-batch match pairs, transitively closed the
+       same way :func:`~hermes_spark.operators.fuzzy_dedup_keep_one`
+       does for small diameters);
+    4. survivors append their ``(band, id, sig)`` rows to the store and
+       flow to ``output_path`` (parquet append) and/or ``on_batch``.
+
+    State grows with accepted UNIQUE documents only (duplicates add
+    nothing) — the right bound for dedup; unlike watermarked exact
+    dedup this catches re-posts arbitrarily far apart. On a cluster
+    point ``state_path`` at reliable storage. Failure semantics: a
+    replayed batch may re-append survivor rows to the store;
+    the store is deduped on read by ``(band, id)``, so replays cost
+    storage, not correctness.
+    """
+    spark = stream.sparkSession
+    state_schema = "__band string, __id long, __sig array<bigint>"
+
+    def sig_frame(df: DataFrame) -> DataFrame:
+        rows_per_band = num_hashes // num_bands
+        hashed = df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                shingles(F.col(text_col), n=shingle_n),
+                lambda s: base_hash31(s, portable=True),
+            ).alias("__hs"),
+        )
+        sigs = hashed.select(
+            "__id",
+            minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+        )
+        return sigs.select(
+            "__id",
+            "__sig",
+            F.explode(
+                band_keys(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("__band"),
+        )
+
+    def est_jaccard(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(num_hashes)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        banded = sig_frame(batch_df).persist()
+        try:
+            try:
+                state = (
+                    spark.read.schema(state_schema)
+                    .parquet(state_path)
+                    .dropDuplicates(["__band", "__id"])
+                )
+            except Exception:  # first batch: no store yet
+                state = spark.createDataFrame([], state_schema)
+
+            # vs accepted history: band-key equi-join, then exact check
+            hist_hits = (
+                banded.alias("b")
+                .join(state.alias("s"), on="__band")
+                .filter(
+                    est_jaccard(F.col("b.__sig"), F.col("s.__sig"))
+                    >= F.lit(min_jaccard)
+                )
+                .select(F.col("b.__id").alias("__id"))
+                .distinct()
+            )
+
+            # within-batch: min-label over in-batch match pairs
+            batch_pairs = (
+                banded.alias("l")
+                .join(banded.alias("r"), on="__band")
+                .filter(F.col("l.__id") < F.col("r.__id"))
+                .filter(
+                    est_jaccard(F.col("l.__sig"), F.col("r.__sig"))
+                    >= F.lit(min_jaccard)
+                )
+                .select(
+                    F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+                )
+                .distinct()
+            )
+            in_batch_losers = batch_pairs.select(
+                F.col("id_b").alias("__id")
+            ).distinct()
+
+            dropped = hist_hits.unionByName(in_batch_losers).distinct()
+            survivors = batch_df.join(
+                dropped.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+            )
+
+            banded.join(
+                survivors.select(F.col(id_col).alias("__id")), on="__id", how="left_semi"
+            ).select("__band", "__id", "__sig").write.mode("append").parquet(state_path)
+
+            if output_path is not None:
+                survivors.write.mode("append").parquet(output_path)
+            if on_batch is not None:
+                on_batch(survivors, batch_id)
+        finally:
+            banded.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch)
+    trigger = start_kwargs.pop("trigger", None)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    for key, value in start_kwargs.items():
+        writer = writer.option(key, value)
+    return writer.start()

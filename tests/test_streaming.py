@@ -273,3 +273,51 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     # one of {1,2} survives, 3 survives, 4 deduped cross-batch, 5 survives
     assert 3 in ids and 5 in ids and 4 not in ids
     assert len([i for i in ids if i in (1, 2)]) == 1
+
+
+def test_stream_minhash_dedup_across_batches(spark, tmp_path):
+    """Near-dup (not byte-identical) re-posts are dropped across
+    micro-batches; genuinely new docs survive and enter the store."""
+    from hermes_spark.streaming import stream_minhash_dedup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain stays mainly on the plain"
+    )
+    other = (
+        "completely different content about spark structured streaming "
+        "watermarks state stores and micro batch execution semantics"
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_minhash_dedup(
+            stream,
+            state_path=state,
+            output_path=out,
+            min_jaccard=0.5,
+            checkpointLocation=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    # within-batch near-dups: 1 and 2 differ by one word
+    write_batch([(1, base), (2, base + " extra"), (3, other)])
+    schema = spark.read.parquet(src).schema
+    run_once(schema)
+    # cross-batch near-dup of 1, plus a new doc
+    write_batch([(4, base.replace("lazy", "sleepy")), (5, "short new thing")])
+    run_once(schema)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3, 5], ids
