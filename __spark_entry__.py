@@ -53,6 +53,7 @@ from hermes_spark.operators import (
     sessionize,
     simhash_fingerprints,
     simhash_near_dup_pairs,
+    tfidf_topk_terms,
 )
 from hermes_spark.schema_utils import sorted_selector
 
@@ -864,6 +865,44 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (hermes_spark.operators.tfidf)."""
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, "doc_id", "text", k=TFIDF_K)
+
+
+def _sql_tfidf_topk_terms() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term
+  FROM docs WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df_t + 1)) + 1), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
 def q_near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as near_dup_components, computed with the
     large-star/small-star algorithm (Kiveris et al. 2014) — the
@@ -1583,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
+        "tfidf_topk_terms": q_tfidf_topk_terms,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
@@ -1666,6 +1706,7 @@ FROM events GROUP BY 1
         "ngram_jaccard_pairs": _sql_ngram_jaccard(),
         "simhash_fingerprints": _sql_simhash(),
         "lang_id": _sql_lang_id(),
+        "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "text_stats": _sql_text_stats(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_cosine_topk_vec": _sql_ann_topk(),

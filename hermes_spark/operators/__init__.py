@@ -21,6 +21,7 @@ from .multimodal import (
 )
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
+from .tfidf import tfidf_topk_terms
 from .similarity import (
     brute_force_cosine_topk,
     brute_force_cosine_topk_pandas,
@@ -43,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "tfidf_topk_terms",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",
     "brute_force_cosine_topk_pandas",

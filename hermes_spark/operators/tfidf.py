@@ -1,0 +1,86 @@
+"""TF-IDF keyword extraction over a document corpus.
+
+Extension beyond reference parity (the reference has no text analytics;
+SURVEY.md §7.1 step 6): per-document characteristic terms are a standard
+feature for corpus curation — topical clustering, boilerplate spotting,
+searchable doc summaries.
+
+Scale design (100 TB corpus):
+
+* one explode + groupBy for term frequencies — map-side partial
+  aggregation absorbs the token explosion before the shuffle;
+* document frequencies derive from the tf frame (already distinct
+  (doc, term)), so no second pass over raw text;
+* the tf x df join is keyed on term; both sides exit their aggregations
+  hash-partitioned by compatible keys and AQE coalesces; the corpus
+  document count joins as a 1-row broadcast (no driver collect);
+* top-k per doc is a single window over the scored frame — rank data
+  never leaves its doc partition.
+
+Numeric parity: score = tf * (ln((N+1)/(df+1)) + 1) rounded to 6 dp.
+The ratio is an exact IEEE division of integers on both engines; ln is
+within 1 ulp across libms, far below the rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    Returns ``(doc_id, term, tf, score, rank)``; terms are lowercased
+    whitespace tokens; ties break lexically. Documents with no tokens
+    produce no rows.
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("__t"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1))
+                        / (F.col("df_t") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

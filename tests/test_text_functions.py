@@ -140,3 +140,31 @@ def test_strip_boilerplate_lines(spark):
     assert out[3] == "unique gamma"
     assert out[4] == "no boilerplate here"
     assert 5 not in out
+
+
+def test_tfidf_topk_terms(spark):
+    from hermes_spark.operators import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # blank doc produces no rows
+    assert 4 not in by_doc
+    # doc 1: apple (tf=2, df=1) must outrank banana (tf=1, df=2)
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert top1[0].term == "apple" and top1[0].tf == 2
+    # doc 3: cherry tf=2 but df=2; durian tf=1 df=1 -> cherry score
+    # 2*(ln(5/3)+1) ≈ 3.02 > durian 1*(ln(5/2)+1) ≈ 1.92
+    top3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert top3[0].term == "cherry"
+    assert all(r.rank <= 2 for r in out)
