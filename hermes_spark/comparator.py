@@ -28,8 +28,9 @@ Two execution modes (``ComparisonConfig.mode``):
 * ``"fast"`` (default) — the plan you would actually run on 100 TB:
   a single tagged-union full-row aggregation classifies every distinct row
   as ref-only / actual-only / matched in ONE shuffle, is persisted, and
-  then feeds row counts, duplicate counts, both complements and the diff
-  join from that one materialization (~3-4 Spark jobs).  Results are
+  then feeds row counts, duplicate counts, both complement counts (one
+  metric action) and the diff join from that one materialization
+  (~2-3 Spark jobs).  Results are
   identical to ``"reference"`` mode (property-tested).
 * ``"auto"`` — schema-width heuristic resolves to ``"hash"`` for wide
   rows (the classification shuffle then moves ~40 bytes/row) else
@@ -263,10 +264,18 @@ class DatasetComparator:
         )
         self._persisted.append(classified)
 
-        # Row counts + duplicate counts per side in a single action.
-        # A side's duplicate count = distinct keys with >= 2 rows on that side.
+        # ALL six driver metrics in ONE action over the cached
+        # classification: the per-key rollup carries the distinct-row
+        # complement counts alongside per-key row sums, then a single
+        # global aggregation folds everything.
+        # A side's duplicate count = distinct keys with >= 2 rows on
+        # that side; a side's except count = distinct rows the other
+        # side never produced.
         per_key = classified.groupBy(F.col(f"`{key}`")).agg(
-            F.sum(rcnt).alias(rcnt), F.sum(acnt).alias(acnt)
+            F.sum(rcnt).alias(rcnt),
+            F.sum(acnt).alias(acnt),
+            F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)).alias("__refx"),
+            F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)).alias("__actx"),
         )
         metrics = per_key.agg(
             F.coalesce(F.sum(rcnt), F.lit(0)).alias("ref_rows"),
@@ -277,6 +286,8 @@ class DatasetComparator:
             F.coalesce(
                 F.sum(F.when(F.col(acnt) >= 2, 1).otherwise(0)), F.lit(0)
             ).alias("act_dups"),
+            F.coalesce(F.sum("__refx"), F.lit(0)).alias("ref_except"),
+            F.coalesce(F.sum("__actx"), F.lit(0)).alias("act_except"),
         ).collect()[0]
         ref_count, actual_count = metrics["ref_rows"], metrics["act_rows"]
         dup_ref, dup_actual = metrics["ref_dups"], metrics["act_dups"]
@@ -284,17 +295,8 @@ class DatasetComparator:
             self.release()
             raise DuplicateRowsInDF(dup_ref, dup_actual)
 
-        # Complement counts from the cached classification (cheap action).
-        except_counts = classified.agg(
-            F.coalesce(
-                F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)), F.lit(0)
-            ).alias("ref_except"),
-            F.coalesce(
-                F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)), F.lit(0)
-            ).alias("act_except"),
-        ).collect()[0]
-        ref_except_count = except_counts["ref_except"]
-        actual_except_count = except_counts["act_except"]
+        ref_except_count = metrics["ref_except"]
+        actual_except_count = metrics["act_except"]
         passed_count = ref_count - ref_except_count
 
         result_df = None
@@ -370,8 +372,13 @@ class DatasetComparator:
         )
         self._persisted.append(classified)
 
+        # same one-action metric fold as fast mode (see _compare_fast);
+        # here the per-key rollup groups (key, rowhash) classifications
         per_key = classified.groupBy(F.col(f"`{key}`")).agg(
-            F.sum(rcnt).alias(rcnt), F.sum(acnt).alias(acnt)
+            F.sum(rcnt).alias(rcnt),
+            F.sum(acnt).alias(acnt),
+            F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)).alias("__refx"),
+            F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)).alias("__actx"),
         )
         metrics = per_key.agg(
             F.coalesce(F.sum(rcnt), F.lit(0)).alias("ref_rows"),
@@ -382,6 +389,8 @@ class DatasetComparator:
             F.coalesce(
                 F.sum(F.when(F.col(acnt) >= 2, 1).otherwise(0)), F.lit(0)
             ).alias("act_dups"),
+            F.coalesce(F.sum("__refx"), F.lit(0)).alias("ref_except"),
+            F.coalesce(F.sum("__actx"), F.lit(0)).alias("act_except"),
         ).collect()[0]
         ref_count, actual_count = metrics["ref_rows"], metrics["act_rows"]
         dup_ref, dup_actual = metrics["ref_dups"], metrics["act_dups"]
@@ -389,16 +398,8 @@ class DatasetComparator:
             self.release()
             raise DuplicateRowsInDF(dup_ref, dup_actual)
 
-        except_counts = classified.agg(
-            F.coalesce(
-                F.sum(F.when(F.col(acnt) == 0, 1).otherwise(0)), F.lit(0)
-            ).alias("ref_except"),
-            F.coalesce(
-                F.sum(F.when(F.col(rcnt) == 0, 1).otherwise(0)), F.lit(0)
-            ).alias("act_except"),
-        ).collect()[0]
-        ref_except_count = except_counts["ref_except"]
-        actual_except_count = except_counts["act_except"]
+        ref_except_count = metrics["ref_except"]
+        actual_except_count = metrics["act_except"]
         passed_count = ref_count - ref_except_count
 
         result_df = None
