@@ -865,6 +865,68 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP_N = 20
+
+
+def q_events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report over the events stream table — the pre-flight
+    check for any user_id-keyed join/agg (operators/profile.py)."""
+    from hermes_spark.operators import skew_report
+
+    events = _read_events(spark, sf_dir)
+    return skew_report(events, ["user_id"], top_n=SKEW_TOP_N).select(
+        F.col("user_id").cast("long").alias("user_id"), "cnt", "pct", "rank"
+    )
+
+
+def _sql_events_user_skew() -> str:
+    return f"""
+WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+n AS (SELECT count(*) AS total FROM events),
+ranked AS (
+  SELECT user_id, cnt, round(cnt / total, 6) AS pct,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+  FROM c CROSS JOIN n
+)
+SELECT user_id, cnt, pct, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {SKEW_TOP_N}
+"""
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of events (operators/profile.py)."""
+    from hermes_spark.operators import column_profile
+
+    events = _read_events(spark, sf_dir)
+    return column_profile(events, ["event_type", "user_id", "value"])
+
+
+def _sql_events_profile() -> str:
+    per_col = []
+    for c in ("event_type", "user_id", "value"):
+        per_col.append(f"""
+  SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_pct,
+         count(DISTINCT {c})::BIGINT AS n_distinct
+  FROM events""")
+    return " UNION ALL ".join(per_col) + ' ORDER BY "column"'
+
+
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained IVF: fit centroids with DataFrame k-means, then
+    search. Iterative fit -> rows-only check (no SQL oracle)."""
+    from hermes_spark.operators import kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(emb, k=IVF_CENTROIDS, dim=64, max_iter=3)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = ivf_topk(emb, centroids, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 TFIDF_K = 5
 
 
@@ -1651,8 +1713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "repetition_ratio": q_repetition_ratio,
         "strip_boilerplate": q_strip_boilerplate,
+        "events_user_skew": q_events_user_skew,
+        "events_profile": q_events_profile,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "kmeans_ivf_topk": q_kmeans_ivf_topk,
         "simhash_near_dups": q_simhash_near_dups,
     }
 
@@ -1707,6 +1772,8 @@ FROM events GROUP BY 1
         "simhash_fingerprints": _sql_simhash(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
+        "events_user_skew": _sql_events_user_skew(),
+        "events_profile": _sql_events_profile(),
         "text_stats": _sql_text_stats(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_cosine_topk_vec": _sql_ann_topk(),

@@ -78,6 +78,8 @@ BENCH_QUERIES = {
     "range_join_windows": lambda s, d: _materialize(entry.q_range_join_windows(s, d)),
     "gapfill_rollup": lambda s, d: _materialize(entry.q_gapfill_rollup(s, d)),
     "minhash_fast_hash": lambda s, d: _materialize(_minhash_fast(s, d)),
+    "ann_cosine_topk_vec": lambda s, d: _materialize(entry.q_ann_cosine_topk_vec(s, d)),
+    "tfidf_topk_terms": lambda s, d: _materialize(entry.q_tfidf_topk_terms(s, d)),
 }
 
 

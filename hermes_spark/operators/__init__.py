@@ -19,6 +19,7 @@ from .multimodal import (
     frame_sample,
     with_media_metadata,
 )
+from .profile import column_profile, skew_report
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
 from .tfidf import tfidf_topk_terms
@@ -28,6 +29,7 @@ from .similarity import (
     embedding_near_dup_pairs,
     ivf_assign,
     ivf_topk,
+    kmeans_centroids,
     lsh_cosine_topk,
 )
 
@@ -51,7 +53,10 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_centroids",
     "lsh_cosine_topk",
+    "column_profile",
+    "skew_report",
     "sessionize",
     "deterministic_sample",
     "mix_corpora",

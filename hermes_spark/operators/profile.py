@@ -1,0 +1,76 @@
+"""Data profiling for shuffle planning: key-skew and column reports.
+
+Extension beyond reference parity (SURVEY.md §7.1 step 6). Before
+running a 100 TB join or aggregation, the question is always "how bad
+is the key skew?" — these reports answer it with one aggregation pass,
+and their output feeds the choice between a plain shuffle join,
+``salted_join``, or AQE skew handling (docs/TUNING.md).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_report(
+    df: DataFrame, cols: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Top-``top_n`` heaviest key groups of ``cols``:
+    ``(*cols, cnt, pct, rank)``, heaviest first; ties break by key.
+
+    One groupBy pass (map-side partial counts), a 1-row broadcast for
+    the total, and the global order happens on the already-aggregated
+    count frame — the raw data is never resorted. A ``pct`` near
+    ``1/shuffle_partitions`` or above means one task will receive that
+    whole group: salt or split that key.
+    """
+    counts = df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("cnt") / F.col("__total"), 6))
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in cols])
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in cols])
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(*cols, "cnt", "pct", "rank")
+    )
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile: ``(column, n_rows, n_null, null_pct,
+    n_distinct)`` — exact counts (deterministic, oracle-checkable), one
+    aggregation job for null counts plus one count-distinct per column
+    folded into the same plan via a single multi-aggregate.
+
+    Exact distincts shuffle per column; for quick looks at petabyte
+    inputs swap ``approx_count_distinct`` in (not oracle-stable, hence
+    not the default here).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__null_{c}").cast("long").alias("n_null"),
+            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_pct"),
+            F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

@@ -304,6 +304,58 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, pure DataFrame ops —
+    fits the centroid table :func:`ivf_assign` / :func:`ivf_topk`
+    partition by, so the IVF pipeline is self-contained.
+
+    Deterministic: init = the ``k`` smallest-id vectors; assignment ties
+    break toward the smaller centroid id (same rule as ``ivf_assign``).
+    Each iteration is one broadcast cross-join assignment plus one
+    groupBy whose per-component ``avg`` aggregates are all computed in
+    a single shuffle (the map side emits k partial sums, not k x dim
+    rows). Empty clusters drop out (standard Lloyd's on sparse data).
+    Iterative and order-sensitive, hence no SQL oracle — covered by
+    convergence/recall tests instead.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    centroids = (
+        df.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col))
+        .localCheckpoint(eager=True)
+    )
+    corpus = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    for _ in range(max_iter):
+        assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+            "vec_id", "centroid_id"
+        )
+        centroids = (
+            assigned.join(corpus, on="vec_id")
+            .groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.get(F.col("__v"), i).cast("double")).alias(f"__c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "centroid_id",
+                F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias(vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def _hyperplane_sign(vec: Column, plane_seed: str, dim: int) -> Column:
     """Sign of <vec, h> for a pseudo-random hyperplane derived from md5.
 

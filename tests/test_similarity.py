@@ -106,3 +106,29 @@ def test_pandas_topk_small(spark):
     out = brute_force_cosine_topk_pandas(corpus, queries, k=3).collect()
     ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked[0] == 0 and ranked[1] == 1
+
+
+def test_kmeans_centroids_recovers_clusters(spark):
+    """Three well-separated direction clusters: k-means must place one
+    centroid per cluster and assignments must match ground truth."""
+    import random
+
+    from hermes_spark.operators import ivf_assign, kmeans_centroids
+
+    rng = random.Random(7)
+    rows = []
+    bases = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    for i in range(60):
+        b = bases[i % 3]
+        rows.append((i, [c + rng.uniform(-0.5, 0.5) for c in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(df, k=3, dim=3, max_iter=4)
+    assert cents.count() == 3
+    assigned = ivf_assign(df, cents).collect()
+    groups = {}
+    for r in assigned:
+        groups.setdefault(r["vec_id"] % 3, set()).add(r["centroid_id"])
+    # every ground-truth cluster maps to exactly one centroid, all distinct
+    assert all(len(s) == 1 for s in groups.values())
+    assert len(set.union(*groups.values())) == 3
