@@ -5,6 +5,7 @@ Spark-first (DataFrame/Catalyst), plus large-scale training-data operators
 """
 
 from .comparator import DatasetComparator, compare
+from .incremental import IncrementalResult, incremental_compare, partition_digests
 from .config import ComparisonConfig, DEFAULT_CONFIG
 from .exceptions import (
     BadProvidedSchema,
@@ -41,6 +42,9 @@ __all__ = [
     "ensure_spark_version",
     "DatasetComparator",
     "compare",
+    "IncrementalResult",
+    "incremental_compare",
+    "partition_digests",
     "ComparisonConfig",
     "DEFAULT_CONFIG",
     "ComparisonResult",

@@ -1,0 +1,63 @@
+"""Incremental (partition-pruned) compare tests (incremental.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark import compare, incremental_compare, partition_digests
+
+
+@pytest.fixture()
+def parts(spark, tmp_path):
+    """Partitioned snapshot + a copy with exactly one mutated partition
+    and one extra partition."""
+    base = spark.range(300).select(
+        F.concat(F.lit("d"), (F.col("id") % 3)).alias("day"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    ref_path, act_path = str(tmp_path / "ref"), str(tmp_path / "act")
+    base.write.partitionBy("day").parquet(ref_path)
+    mutated = spark.range(300).select(
+        F.concat(F.lit("d"), (F.col("id") % 3)).alias("day"),
+        F.col("id").alias("k"),
+        F.when((F.col("id") % 3 == 1) & (F.col("id") < 30), -1)
+        .otherwise(F.col("id") * 2)
+        .alias("v"),
+    )
+    extra = spark.createDataFrame([("d9", 9001, 1)], "day string, k long, v long")
+    mutated.unionByName(extra).write.partitionBy("day").parquet(act_path)
+    return spark.read.parquet(ref_path), spark.read.parquet(act_path)
+
+
+def test_partition_digests_classify(spark, parts):
+    ref, act = parts
+    rows = {r["day"]: r["status"] for r in partition_digests(ref, act, "day").collect()}
+    assert rows == {"d0": "unchanged", "d1": "changed", "d2": "unchanged", "d9": "actual_only"}
+
+
+def test_incremental_matches_full_compare(spark, parts):
+    ref, act = parts
+    inc = incremental_compare(ref, act, "day", keys=["k"])
+    full = compare(ref, act, keys=["k"])
+    assert sorted(inc.changed_partitions) == ["d1", "d9"]
+    assert not inc.passed
+    assert inc.result.diff_count == full.diff_count
+    # the incremental diff rows equal the full diff rows
+    cols = sorted(inc.result.result_df.columns)
+    def norm(rows):
+        return {
+            tuple(tuple(x) if isinstance(x, list) else x for x in r)
+            for r in rows
+        }
+
+    a = norm(inc.result.result_df.select(*cols).collect())
+    b = norm(full.result_df.select(*cols).collect())
+    assert a == b
+
+
+def test_incremental_all_unchanged_skips_compare(spark, parts):
+    ref, _ = parts
+    inc = incremental_compare(ref, ref, "day", keys=["k"])
+    assert inc.result is None
+    assert inc.passed
+    assert inc.changed_partitions == []
