@@ -51,6 +51,15 @@ def run(
     if cli.schema_path:
         schema = load_cherry_pick_schema(spark, cli.schema_path)
 
+    if cli.mode or cli.allow_duplicates:
+        config = ComparisonConfig(
+            error_column_name=config.error_column_name,
+            actual_prefix=config.actual_prefix,
+            expected_prefix=config.expected_prefix,
+            allow_duplicates=cli.allow_duplicates or config.allow_duplicates,
+            mode=cli.mode or config.mode,
+        )
+
     ref_df = load_dataframe(spark, cli.reference)
     actual_df = load_dataframe(spark, cli.actual)
 

@@ -35,6 +35,8 @@ HELP_TEXT = """Dataset comparison options (all as "--key value" pairs):
   --out-format/--out-path/--out-<option>   output overrides (format defaults to parquet)
   --keys A,B             comparison key columns (optional; whole-row hash without)
   --schema PATH          cherry-pick Spark JSON schema restricting the comparison
+  --mode MODE            comparison mode: fast (default) / hash / auto / reference
+  --allow-duplicates BOOL   allow duplicate keys on both sides (default false)
   any other --option value is passed to the Spark DataFrameReader/Writer
 """
 
@@ -59,7 +61,7 @@ def _route(options: dict[str, str]) -> tuple[dict, dict, dict, dict]:
         k: v
         for k, v in options.items()
         if not k.startswith((_REF_PREFIX, _NEW_PREFIX, _OUT_PREFIX))
-        and k not in ("keys", "schema")
+        and k not in ("keys", "schema", "mode", "allow-duplicates")
     }
     return ref, new, out, generic
 
@@ -103,6 +105,10 @@ def parse_cli_parameters(
     options = _args_to_map(args)
     schema = options.get("schema")
     keys = tuple(options["keys"].split(",")) if "keys" in options else ()
+    mode = options.get("mode")
+    allow_duplicates = options.get("allow-duplicates", "false").lower() in (
+        "true", "1", "yes",
+    )
 
     ref_map, new_map, out_map, generic = _route(options)
     ref_merged = {**generic, **ref_map}
@@ -121,4 +127,6 @@ def parse_cli_parameters(
         keys=keys,
         raw_options=" ".join(args),
         schema_path=schema,
+        mode=mode,
+        allow_duplicates=allow_duplicates,
     )

@@ -70,3 +70,6 @@ class CliParameters:
     keys: tuple[str, ...] = ()
     raw_options: str = ""
     schema_path: Optional[str] = None
+    #: extensions beyond the reference CLI: execution mode + duplicate gate
+    mode: Optional[str] = None
+    allow_duplicates: bool = False

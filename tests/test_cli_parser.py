@@ -72,3 +72,30 @@ def test_missing_path_error_is_enriched():
 def test_odd_arg_count_rejected():
     with pytest.raises(MissingArgumentException):
         parse_cli_parameters(["--format", "csv", "--path"])
+
+
+def test_mode_and_allow_duplicates_options():
+    from hermes_spark.cli.parser import parse_cli_parameters
+
+    cli = parse_cli_parameters(
+        [
+            "--format", "parquet", "--ref-path", "/r", "--new-path", "/n",
+            "--out-path", "/o", "--keys", "id",
+            "--mode", "auto", "--allow-duplicates", "true",
+        ]
+    )
+    assert cli.mode == "auto"
+    assert cli.allow_duplicates is True
+    # comparison-level options must NOT leak into reader options
+    assert "mode" not in cli.reference.options
+    assert "allow-duplicates" not in cli.actual.options
+
+
+def test_mode_defaults_to_none():
+    from hermes_spark.cli.parser import parse_cli_parameters
+
+    cli = parse_cli_parameters(
+        ["--format", "parquet", "--ref-path", "/r", "--new-path", "/n",
+         "--out-path", "/o"]
+    )
+    assert cli.mode is None and cli.allow_duplicates is False
