@@ -865,6 +865,32 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy: per-doc mean unigram log-prob
+    (hermes_spark.operators.tfidf.unigram_logprob)."""
+    from hermes_spark.operators import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+def _sql_unigram_logprob() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tc AS (SELECT term, count(*)::BIGINT AS cnt FROM clean GROUP BY 1),
+n AS (SELECT count(*) AS total FROM clean)
+SELECT c.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(tc.cnt / n.total)), 4) AS avg_logprob
+FROM clean c JOIN tc ON c.term = tc.term CROSS JOIN n
+GROUP BY c.doc_id
+"""
+
+
 SKEW_TOP_N = 20
 
 
@@ -1685,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
         "tfidf_topk_terms": q_tfidf_topk_terms,
+        "unigram_logprob": q_unigram_logprob,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
@@ -1772,6 +1799,7 @@ FROM events GROUP BY 1
         "simhash_fingerprints": _sql_simhash(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
+        "unigram_logprob": _sql_unigram_logprob(),
         "events_user_skew": _sql_events_user_skew(),
         "events_profile": _sql_events_profile(),
         "text_stats": _sql_text_stats(),

@@ -22,7 +22,7 @@ from .multimodal import (
 from .profile import column_profile, skew_report
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
-from .tfidf import tfidf_topk_terms
+from .tfidf import tfidf_topk_terms, unigram_logprob
 from .similarity import (
     brute_force_cosine_topk,
     brute_force_cosine_topk_pandas,
@@ -47,6 +47,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "tfidf_topk_terms",
+    "unigram_logprob",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",
     "brute_force_cosine_topk_pandas",

@@ -1,4 +1,4 @@
-"""TF-IDF keyword extraction over a document corpus.
+"""Corpus-statistics text scoring: TF-IDF keywords, unigram log-prob.
 
 Extension beyond reference parity (the reference has no text analytics;
 SURVEY.md §7.1 step 6): per-document characteristic terms are a standard
@@ -82,5 +82,43 @@ def tfidf_topk_terms(
             F.col("tf").cast("long").alias("tf"),
             "score",
             F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the classic cheap LM quality proxy: docs
+    dominated by rare tokens (OCR noise, codes, lorem) score very
+    negative; docs of common words score near the corpus mode.
+
+    Returns ``(doc_id, n_tokens, avg_logprob)``; docs with no tokens
+    are omitted. ``avg_logprob = avg(ln(count(t)/total_tokens))``
+    rounded to 4 dp (cross-engine double-summation drift is ~1e-13,
+    far below the grid).
+
+    Same two-aggregation shape as :func:`tfidf_topk_terms`: token
+    explosion absorbed by map-side partial counts, corpus totals as a
+    1-row broadcast, term-count join keyed on term.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    term_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(term_counts, on="term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("avg_logprob"),
         )
     )

@@ -168,3 +168,23 @@ def test_tfidf_topk_terms(spark):
     top3 = sorted(by_doc[3], key=lambda r: r.rank)
     assert top3[0].term == "cherry"
     assert all(r.rank <= 2 for r in out)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from hermes_spark.operators import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "the zyzzyva"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert 3 not in got  # empty doc omitted
+    # corpus: the x4, zyzzyva x1, total 5
+    assert got[1].n_tokens == 3
+    assert abs(got[1].avg_logprob - round(math.log(4 / 5), 4)) < 1e-9
+    expected2 = (math.log(4 / 5) + math.log(1 / 5)) / 2
+    assert abs(got[2].avg_logprob - round(expected2, 4)) < 1e-4
+    # the rare-token doc scores lower (worse)
+    assert got[2].avg_logprob < got[1].avg_logprob
