@@ -64,3 +64,38 @@ def test_exact_dedup_is_two_shuffles_max(spark, sf_dir):
 
     out = exact_dedup(docs, "doc_id", text_col="text")
     assert count_exchanges(out) <= 3
+
+
+def test_tfidf_prunes_scan_and_broadcasts_total(spark, sf_dir):
+    """tfidf reads only (doc_id, text) and joins the corpus count as a
+    broadcast, not a shuffle."""
+    out = entry.q_tfidf_topk_terms(spark, sf_dir)
+    schemas = read_schemas(out)
+    assert all(s.count(",") <= 1 for s in schemas), schemas
+    assert has_broadcast_join(out)
+    # tf agg, term repartitions for dfreq + join, window, and the
+    # two-stage count_distinct — bounded exchange count
+    assert count_exchanges(out) <= 6
+
+
+def test_skew_report_single_agg_pass(spark, sf_dir):
+    from hermes_spark.operators import skew_report
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = skew_report(df, ["o_custkey"], top_n=10)
+    schemas = read_schemas(out)
+    # only the key column is read from the counted side
+    assert any(s.count(",") == 0 for s in schemas), schemas
+    assert has_broadcast_join(out)
+    # top-N via TakeOrderedAndProject, never a global sort
+    assert any("TakeOrderedAndProject" in op for op in plan_operators(out))
+
+
+def test_vectorized_topk_uses_arrow_eval(spark, sf_dir):
+    """The pandas variant runs mapInPandas (ArrowEvalPython / MapInPandas
+    node), and the corpus scan reads only (vec_id, embedding)."""
+    out = entry.q_ann_cosine_topk_vec(spark, sf_dir)
+    ops = plan_operators(out)
+    assert any("MapInPandas" in op or "ArrowEval" in op for op in ops), ops
+    schemas = read_schemas(out)
+    assert all(s.count(",") <= 2 for s in schemas), schemas
