@@ -4,7 +4,7 @@ Spark-first (DataFrame/Catalyst), plus large-scale training-data operators
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
-from .comparator import DatasetComparator, compare
+from .comparator import DatasetComparator, compare, compare_common_columns
 from .incremental import IncrementalResult, incremental_compare, partition_digests
 from .config import ComparisonConfig, DEFAULT_CONFIG
 from .exceptions import (
@@ -42,6 +42,7 @@ __all__ = [
     "ensure_spark_version",
     "DatasetComparator",
     "compare",
+    "compare_common_columns",
     "IncrementalResult",
     "incremental_compare",
     "partition_digests",

@@ -566,3 +566,39 @@ def compare(
         ref, actual, keys=keys, config=config, optional_schema=schema,
         safe_key_hash=safe_key_hash,
     ).compare()
+
+
+def compare_common_columns(
+    ref: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str] = (),
+    config: ComparisonConfig = DEFAULT_CONFIG,
+    safe_key_hash: bool = False,
+) -> ComparisonResult:
+    """Compare only the columns BOTH sides share (schema-evolution
+    tolerant variant of :func:`compare`).
+
+    The reference aborts on any schema drift; this computes the
+    intersection schema (``schema_utils.intersect_schemas``) and feeds
+    it through the cherry-pick path, so snapshots across an additive
+    migration (column added/retired) still certify on their common
+    columns. Raises :class:`SchemasDifferException` when the sides
+    share no columns.
+    """
+    from .schema_utils import intersect_schemas
+
+    schema = intersect_schemas(
+        strip_metadata(ref.schema), strip_metadata(actual.schema)
+    )
+    if not schema.fields:
+        raise SchemasDifferException(
+            "datasets share no columns with matching types"
+        )
+    return DatasetComparator(
+        ref,
+        actual,
+        keys=keys,
+        config=config,
+        optional_schema=schema,
+        safe_key_hash=safe_key_hash,
+    ).compare()

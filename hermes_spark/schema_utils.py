@@ -84,6 +84,34 @@ def is_subset(sub: StructType, schema: StructType) -> bool:
     return True
 
 
+def intersect_schemas(a: StructType, b: StructType) -> StructType:
+    """The largest schema that is a subset of BOTH inputs: fields present
+    in both with equivalent leaf types; struct fields intersect
+    recursively (a struct shared by name but with zero shared leaves is
+    dropped). Field order follows ``a``.
+
+    Extension beyond the reference (which aborts on any schema drift):
+    feeding this to the comparator as a cherry-pick schema compares two
+    snapshots across additive schema evolution — new/retired columns
+    are ignored instead of fatal.
+    """
+    by_name = {f.name: f for f in b.fields}
+    fields = []
+    for f in a.fields:
+        other = by_name.get(f.name)
+        if other is None:
+            continue
+        if isinstance(f.dataType, StructType) and isinstance(
+            other.dataType, StructType
+        ):
+            inner = intersect_schemas(f.dataType, other.dataType)
+            if inner.fields:
+                fields.append(StructField(f.name, inner, True))
+        elif _normalize_type(f.dataType) == _normalize_type(other.dataType):
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
 def diff_schema(a: StructType, b: StructType, prefix: str = "") -> list[str]:
     """Fields of ``a`` missing from (or typed differently in) ``b``.
 

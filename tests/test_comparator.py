@@ -388,3 +388,20 @@ def test_auto_mode_end_to_end(spark, base, mutated):
     fast = compare(base, mutated, keys=["id"], config=FAST_MODE)
     assert auto.diff_count == fast.diff_count == 3
     assert auto.passed_count == fast.passed_count == 2
+
+
+def test_compare_common_columns_tolerates_added_column(spark, base, mutated):
+    """Additive schema evolution: the actual side gained a column; the
+    shared columns still certify."""
+    from hermes_spark import compare_common_columns
+
+    evolved = mutated.withColumn("new_col", F.lit("x"))
+    with pytest.raises(SchemasDifferException):
+        compare(base, evolved, keys=["id"])
+    res = compare_common_columns(base, evolved, keys=["id"])
+    assert res.diff_count == 3  # same differences as the aligned compare
+    assert "new_col" not in "".join(res.result_df.columns)
+
+    disjoint = spark.createDataFrame([(1,)], "zzz int")
+    with pytest.raises(SchemasDifferException):
+        compare_common_columns(base, disjoint)

@@ -119,3 +119,45 @@ def test_map_columns_normalized_and_comparable(spark):
         assert ok.passed, mode  # insertion order must not matter
         bad = compare(ref, changed, keys=["id"], config=cfg)
         assert bad.diff_count == 1, mode
+
+
+def test_intersect_schemas_nested():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hermes_spark.schema_utils import intersect_schemas
+
+    a = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("only_a", StringType()),
+            StructField(
+                "info",
+                StructType(
+                    [
+                        StructField("x", IntegerType()),
+                        StructField("gone", StringType()),
+                    ]
+                ),
+            ),
+            StructField("retyped", StringType()),
+        ]
+    )
+    b = StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "info", StructType([StructField("x", IntegerType())])
+            ),
+            StructField("retyped", LongType()),
+            StructField("only_b", StringType()),
+        ]
+    )
+    got = intersect_schemas(a, b)
+    assert [f.name for f in got.fields] == ["id", "info"]
+    assert [f.name for f in got["info"].dataType.fields] == ["x"]
