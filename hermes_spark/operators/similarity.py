@@ -163,11 +163,14 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    top_n: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF partitioning step).
+    """Assign each vector to its nearest centroid(s) (IVF partitioning).
 
     ``centroids`` is broadcast. Returns ``(vec_id, centroid_id, cosine)``
-    where ``centroid_id`` maximizes cosine similarity (ties -> smaller id).
+    with the ``top_n`` highest-cosine centroids per vector (ties ->
+    smaller id); ``top_n=1`` is the storage-side assignment, ``>1`` is
+    the query-side multi-probe routing.
     """
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__centroid")
@@ -184,7 +187,7 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= top_n)
         .select("vec_id", F.col("__cid").alias(centroid_id_col), "cosine")
     )
 
@@ -255,16 +258,19 @@ def ivf_topk(
     query_id_col: Optional[str] = None,
     centroid_id_col: str = "centroid_id",
     k: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Complete IVF search: route each query to its nearest centroid and
-    rank only that centroid's bucket (nprobe=1).
+    """Complete IVF search: route each query to its ``nprobe`` nearest
+    centroids and rank only those cells' buckets.
 
     The two :func:`ivf_assign` passes are cheap broadcast cross-joins
     against the (small) centroid table; the candidate join then matches
-    each query against ~|corpus|/|centroids| vectors instead of the whole
-    corpus — the classic inverted-file trade of recall for a
-    centroids-fold reduction in scored pairs. Exact and deterministic
-    given the centroid set, hence oracle-checkable.
+    each query against ~nprobe * |corpus|/|centroids| vectors instead of
+    the whole corpus — the classic inverted-file trade of recall for a
+    centroids-fold reduction in scored pairs. ``nprobe`` is the recall
+    dial: neighbors just across a cell boundary are recovered by probing
+    the runner-up cells, at a linear cost multiplier. Exact and
+    deterministic given the centroid set, hence oracle-checkable.
     """
     qid = query_id_col or id_col
     corpus_assigned = ivf_assign(
@@ -276,7 +282,7 @@ def ivf_topk(
 
     # ivf_assign always names its id output "vec_id"
     query_cells = (
-        ivf_assign(queries, centroids, qid, vec_col, centroid_id_col)
+        ivf_assign(queries, centroids, qid, vec_col, centroid_id_col, top_n=nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col(centroid_id_col).alias("__cell"),

@@ -132,3 +132,33 @@ def test_kmeans_centroids_recovers_clusters(spark):
     # every ground-truth cluster maps to exactly one centroid, all distinct
     assert all(len(s) == 1 for s in groups.values())
     assert len(set.union(*groups.values())) == 3
+
+
+def test_ivf_nprobe_improves_recall(spark, embeddings):
+    from hermes_spark.operators import ivf_topk
+
+    centroids = embeddings.filter("vec_id < 8").withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = embeddings.filter("vec_id < 10")
+    exact = set(
+        (r.query_id, r.vec_id)
+        for r in brute_force_cosine_topk(embeddings, queries, k=5).collect()
+    )
+
+    def recall(nprobe):
+        got = set(
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                embeddings, centroids, queries, k=5, nprobe=nprobe
+            ).collect()
+        )
+        return len(got & exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 > 0
+    # every query still returns exactly k candidates (corpus >> k)
+    out2 = ivf_topk(embeddings, centroids, queries, k=5, nprobe=2)
+    counts = out2.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
