@@ -14,7 +14,7 @@ import sys
 def main(argv: list[str]) -> int:
     if not argv:
         print(
-            "usage: python -m hermes_spark.cli {compare|info-compare|e2e} ...",
+            "usage: python -m hermes_spark.cli {compare|info-compare|e2e|profile} ...",
             file=sys.stderr,
         )
         return 2
@@ -31,6 +31,10 @@ def main(argv: list[str]) -> int:
         from hermes_spark.cli.e2e_job import main as e2e_main
 
         return e2e_main(rest)
+    if command == "profile":
+        from hermes_spark.cli.profile_job import main as profile_main
+
+        return profile_main(rest)
     print(f"unknown command: {command}", file=sys.stderr)
     return 2
 

@@ -182,3 +182,26 @@ def test_xml_round_trip_compare(spark, orders, tmp_path):
         f"--out-path {tmp_path}/out --keys k".split()
     )
     assert run(spark, cli).passed
+
+
+def test_profile_cli_job(spark, sf_dir, capsys):
+    from hermes_spark.cli.profile_job import run
+
+    records = run(
+        spark,
+        [
+            "--format", "parquet", "--path", f"{sf_dir}/orders.parquet",
+            "--cols", "o_custkey,o_orderstatus",
+            "--skew-cols", "o_orderstatus", "--top-n", "2",
+        ],
+    )
+    by_report = {}
+    for r in records:
+        by_report.setdefault(r["report"], []).append(r)
+    assert {r["column"] for r in by_report["column_profile"]} == {
+        "o_custkey", "o_orderstatus",
+    }
+    assert all(r["n_null"] == 0 for r in by_report["column_profile"])
+    skew = by_report["skew"]
+    assert len(skew) == 2 and skew[0]["rank"] == 1
+    assert skew[0]["cnt"] >= skew[1]["cnt"]
