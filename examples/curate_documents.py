@@ -3,9 +3,9 @@
 Runs the full curation flow over the synthetic documents corpus:
 
   read -> boilerplate line removal -> language ID ->
-  quality/token/repetition gate -> PII scrub -> exact dedup ->
-  minhash near-dup dedup (cluster, keep one) ->
-  stratified rebalance -> corpus stats
+  quality/token/repetition gate -> corpus-LM (unigram) outlier gate ->
+  PII scrub -> exact dedup -> minhash near-dup dedup (cluster,
+  keep one) -> stratified rebalance -> corpus stats + TF-IDF keywords
 
 Usage (from the repo root):
 
@@ -35,6 +35,8 @@ from hermes_spark.operators import (
     minhash_lsh_pairs,
     stratified_sample,
     strip_boilerplate_lines,
+    tfidf_topk_terms,
+    unigram_logprob,
 )
 
 
@@ -64,6 +66,15 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         & (F.col("rep_bigram") <= 0.3)
         & (F.col("n_pii") <= 5)
     )
+
+    # 2b. corpus-LM outlier gate: drop docs far below the corpus's
+    # typical unigram log-prob (OCR noise, junk encodings)
+    lm = unigram_logprob(gated, "doc_id", "text")
+    floor = lm.agg(
+        (F.avg("avg_logprob") - 3 * F.stddev("avg_logprob")).alias("f")
+    ).collect()[0]["f"]
+    keep = lm.filter(F.col("avg_logprob") >= floor).select("doc_id")
+    gated = gated.join(keep, on="doc_id", how="left_semi")
 
     # 3. scrub remaining PII spans
     scrubbed = gated.withColumn("text", scrub_pii(F.col("text")))
@@ -97,6 +108,12 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
     print(f"\ncurated {n0} -> {final.count()} docs; per-language mix:")
     stats.show(truncate=False)
+
+    # 7. characteristic terms of the final corpus (searchable summary)
+    print("sample TF-IDF keywords:")
+    tfidf_topk_terms(final, "doc_id", "text", k=3).filter(
+        F.col("doc_id") < 5
+    ).orderBy("doc_id", "rank").show(truncate=False)
 
 
 def main() -> None:
