@@ -426,6 +426,72 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of one month's revenue from ECONOMY parts.
+    lineitem-part equi-join (part broadcasts), decimal-exact ratio."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))"
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.expr(f"CASE WHEN p_type = 'ECONOMY' THEN {rev} ELSE CAST(0 AS DECIMAL(12,2)) END")
+                ).cast("double")
+                / F.sum(F.expr(rev)).cast("double")
+            ).alias("raw")
+        )
+        .select(F.round(F.col("raw"), 4).alias("promo_share"))
+    )
+
+
+_SQL_Q14 = """
+SELECT round(
+  100.0
+  * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))) AS DOUBLE),
+  4) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over time — the canonical
+    unbounded-preceding window; one exchange on o_custkey."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+
+
+_SQL_RUNNING_TOTALS = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+  AS running_total
+FROM orders WHERE o_custkey < 50
+"""
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; read nanos as long and convert (truncate) to a
@@ -1790,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_items": q_q10_returned_items,
         "q18_large_orders": q_q18_large_orders,
+        "q14_promo_share": q_q14_promo_share,
+        "customer_running_totals": q_customer_running_totals,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_json_extract": q_events_json_extract,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1873,6 +1941,8 @@ FROM orders
         "q5_nation_revenue": _sql_q5(),
         "q10_returned_items": _SQL_Q10,
         "q18_large_orders": _SQL_Q18,
+        "q14_promo_share": _SQL_Q14,
+        "customer_running_totals": _SQL_RUNNING_TOTALS,
         "events_hourly_rollup": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
