@@ -1091,6 +1091,57 @@ def _sql_events_profile() -> str:
     return " UNION ALL ".join(per_col) + ' ORDER BY "column"'
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized value stats (operators/profile.py)."""
+    from hermes_spark.operators import winsorize
+
+    events = _read_events(spark, sf_dir)
+    w = winsorize(events, "value", ["event_type"], lower=0.05, upper=0.95)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value_w"), 4).alias("avg_w"),
+            F.round(F.min("value_w"), 4).alias("min_w"),
+            F.round(F.max("value_w"), 4).alias("max_w"),
+        )
+    )
+
+
+_SQL_EVENTS_WINSORIZED = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS avg_w,
+       round(min(least(greatest(e.value, b.lo), b.hi)), 4) AS min_w,
+       round(max(least(greatest(e.value, b.lo), b.hi)), 4) AS max_w
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of event values over [0, 100]."""
+    from hermes_spark.operators import histogram
+
+    events = _read_events(spark, sf_dir)
+    return histogram(events, "value", bins=10, lo=0.0, hi=100.0)
+
+
+_SQL_EVENTS_HISTOGRAM = """
+WITH b AS (
+  SELECT least(greatest(floor((value - 0.0) / 10.0), 0), 9)::BIGINT AS bucket
+  FROM events
+)
+SELECT bucket, round(0.0 + bucket * 10.0, 6) AS lo,
+       round(0.0 + (bucket + 1) * 10.0, 6) AS hi, count(*)::BIGINT AS cnt
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-contained IVF: fit centroids with DataFrame k-means, then
     search. Iterative fit -> rows-only check (no SQL oracle)."""
@@ -1898,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "events_user_skew": q_events_user_skew,
         "events_profile": q_events_profile,
+        "events_winsorized": q_events_winsorized,
+        "events_value_histogram": q_events_value_histogram,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -1962,6 +2015,8 @@ FROM events GROUP BY 1
         "unigram_logprob": _sql_unigram_logprob(),
         "events_user_skew": _sql_events_user_skew(),
         "events_profile": _sql_events_profile(),
+        "events_winsorized": _SQL_EVENTS_WINSORIZED,
+        "events_value_histogram": _SQL_EVENTS_HISTOGRAM,
         "text_stats": _sql_text_stats(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_cosine_topk_vec": _sql_ann_topk(),

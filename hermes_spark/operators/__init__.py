@@ -19,7 +19,7 @@ from .multimodal import (
     frame_sample,
     with_media_metadata,
 )
-from .profile import column_profile, skew_report
+from .profile import column_profile, histogram, skew_report, winsorize
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
 from .tfidf import tfidf_topk_terms, unigram_logprob
@@ -58,6 +58,8 @@ __all__ = [
     "lsh_cosine_topk",
     "column_profile",
     "skew_report",
+    "histogram",
+    "winsorize",
     "sessionize",
     "deterministic_sample",
     "mix_corpora",

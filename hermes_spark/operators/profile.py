@@ -74,3 +74,76 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .select("p.*")
         .orderBy("column")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its [lower, upper] quantiles, optionally per
+    group — the robust-statistics guard before averaging noisy metrics
+    (a handful of corrupt readings otherwise dominate a 100 TB mean).
+
+    Exact interpolated percentiles (``percentile``, one aggregation per
+    group, map-side partial) joined back broadcast — groups are few;
+    the data itself is never shuffled. Appends ``out_col`` (default
+    ``<value_col>_w``).
+    """
+    out = out_col or f"{value_col}_w"
+    v = F.col(value_col).cast("double")
+    if group_cols:
+        bounds = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+            F.percentile(v, F.lit(lower)).alias("__lo"),
+            F.percentile(v, F.lit(upper)).alias("__hi"),
+        )
+        joined = df.join(F.broadcast(bounds), on=list(group_cols))
+    else:
+        bounds = df.agg(
+            F.percentile(v, F.lit(lower)).alias("__lo"),
+            F.percentile(v, F.lit(upper)).alias("__hi"),
+        )
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.withColumn(
+        out, F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    ).drop("__lo", "__hi")
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float = None,
+    hi: float = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col``:
+    ``(bucket, lo, hi, cnt)`` with ``bins`` buckets over [lo, hi]
+    (data min/max when not given — one extra cheap aggregation).
+    Out-of-range values clamp into the edge buckets; one groupBy on the
+    computed bucket id (map-side partial counts).
+    """
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("long")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

@@ -26,3 +26,30 @@ def test_column_profile_counts(spark):
     assert got["a"].n_distinct == 3
     assert got["b"].n_null == 1 and got["b"].n_distinct == 2
     assert abs(got["b"].null_pct - 0.25) < 1e-9
+
+
+def test_winsorize_clips_outliers(spark):
+    from hermes_spark.operators import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 100)] + [("a", 1e9), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], lower=0.1, upper=0.9)
+    got = out.filter("g = 'a'").agg(F.max("v_w"), F.min("v_w")).collect()[0]
+    assert got[0] < 1e6  # the 1e9 outlier is clipped to ~p90
+    assert got[1] >= 10.0  # low tail clipped to ~p10
+    # group b untouched shape: single value clips to itself
+    assert out.filter("g = 'b'").collect()[0]["v_w"] == 5.0
+
+
+def test_histogram_buckets(spark):
+    from hermes_spark.operators import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = histogram(df, "v", bins=4, lo=0.0, hi=100.0).collect()
+    assert [r.bucket for r in out] == [0, 1, 2, 3]
+    assert [r.cnt for r in out] == [25, 25, 25, 25]
+    assert out[0].lo == 0.0 and out[-1].hi == 100.0
+    # out-of-range clamps to edge buckets
+    df2 = spark.createDataFrame([(-5.0,), (500.0,)], "v double")
+    got = {r.bucket: r.cnt for r in histogram(df2, "v", bins=4, lo=0.0, hi=100.0).collect()}
+    assert got == {0: 1, 3: 1}
