@@ -133,10 +133,15 @@ class DatasetComparator:
         elif mode == "auto":
             mode = self.choose_mode()
         if mode == "fast":
-            return self._compare_fast()
-        if mode == "hash":
-            return self._compare_hash()
-        return self._compare_reference()
+            result = self._compare_fast()
+        elif mode == "hash":
+            result = self._compare_hash()
+        else:
+            result = self._compare_reference()
+        # surface the executed mode in the _METRICS document (matters
+        # when "auto" resolved it)
+        result.additional_info.setdefault("mode", mode)
+        return result
 
     def choose_mode(self) -> str:
         """Resolve ``mode="auto"``: pick ``"hash"`` for wide rows, where

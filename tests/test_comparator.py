@@ -405,3 +405,14 @@ def test_compare_common_columns_tolerates_added_column(spark, base, mutated):
     disjoint = spark.createDataFrame([(1,)], "zzz int")
     with pytest.raises(SchemasDifferException):
         compare_common_columns(base, disjoint)
+
+
+def test_result_records_executed_mode(spark, base, mutated):
+    assert (
+        compare(base, mutated, keys=["id"]).additional_info["mode"] == "fast"
+    )
+    wide = base
+    for i in range(10):
+        wide = wide.withColumn(f"pad{i}", F.col("name"))
+    res = compare(wide, wide, keys=["id"], config=ComparisonConfig(mode="auto"))
+    assert res.additional_info["mode"] == "hash"
