@@ -13,6 +13,7 @@ here is a scale extension built on the same kernels:
 
 from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
+from hermes_spark.streaming.metrics import ProgressRecorder
 from hermes_spark.streaming.rollup import windowed_rollup
 from hermes_spark.streaming.sessionize import sessionize_stream
 
@@ -21,5 +22,6 @@ __all__ = [
     "sessionize_stream",
     "stream_exact_dedup",
     "stream_minhash_dedup",
+    "ProgressRecorder",
     "windowed_rollup",
 ]

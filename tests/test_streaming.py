@@ -321,3 +321,36 @@ def test_stream_minhash_dedup_across_batches(spark, tmp_path):
 
     ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 3, 5], ids
+
+
+def test_progress_recorder_collects_batch_metrics(spark, tmp_path):
+    import time
+
+    from hermes_spark.streaming import ProgressRecorder
+
+    src = str(tmp_path / "psrc")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    rec = ProgressRecorder().attach(spark)
+    try:
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "pckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and rec.total_input_rows() < 50:
+            time.sleep(0.5)
+    finally:
+        rec.detach(spark)
+
+    assert rec.total_input_rows() == 50
+    assert rec.records[0]["batch_id"] == 0
+    assert rec.records[0]["batch_duration_ms"] is not None
