@@ -1043,6 +1043,67 @@ GROUP BY c.doc_id
 """
 
 
+VOCAB_TOP_N = 50
+BLOCK_PREFIX = 12
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report (operators/tfidf.vocab_stats)."""
+    from hermes_spark.operators import vocab_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_stats(docs, "doc_id", "text", top_n=VOCAB_TOP_N)
+
+
+def _sql_vocab_top_terms() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+counts AS (
+  SELECT term, count(*)::BIGINT AS cnt,
+         count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM toks WHERE term <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT term, cnt, doc_freq,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM counts
+)
+SELECT term, cnt, doc_freq, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {VOCAB_TOP_N}
+"""
+
+
+def q_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic prefix-blocking candidate pairs
+    (operators/dedup.blocking_key_pairs)."""
+    from hermes_spark.operators import blocking_key_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return blocking_key_pairs(docs, "doc_id", "text", prefix_len=BLOCK_PREFIX)
+
+
+def _sql_blocking_pairs() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, {BLOCK_PREFIX}) AS k
+  FROM documents
+),
+nonempty AS (SELECT * FROM keyed WHERE k <> ''),
+sized AS (
+  SELECT k FROM nonempty GROUP BY k
+  HAVING count(*) BETWEEN 2 AND 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS block_key
+FROM nonempty a JOIN nonempty b ON a.k = b.k AND a.doc_id < b.doc_id
+JOIN sized s ON s.k = a.k
+"""
+
+
 SKEW_TOP_N = 20
 
 
@@ -1919,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "unigram_logprob": q_unigram_logprob,
+        "vocab_top_terms": q_vocab_top_terms,
+        "blocking_pairs": q_blocking_pairs,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
@@ -2013,6 +2076,8 @@ FROM events GROUP BY 1
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),
+        "vocab_top_terms": _sql_vocab_top_terms(),
+        "blocking_pairs": _sql_blocking_pairs(),
         "events_user_skew": _sql_events_user_skew(),
         "events_profile": _sql_events_profile(),
         "events_winsorized": _SQL_EVENTS_WINSORIZED,

@@ -1,4 +1,5 @@
 from .dedup import (
+    blocking_key_pairs,
     connected_components,
     connected_components_star,
     duplicate_clusters,
@@ -22,7 +23,7 @@ from .multimodal import (
 from .profile import column_profile, histogram, skew_report, winsorize
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
-from .tfidf import tfidf_topk_terms, unigram_logprob
+from .tfidf import tfidf_topk_terms, unigram_logprob, vocab_stats
 from .similarity import (
     brute_force_cosine_topk,
     brute_force_cosine_topk_pandas,
@@ -48,6 +49,8 @@ __all__ = [
     "simhash_fingerprints",
     "tfidf_topk_terms",
     "unigram_logprob",
+    "vocab_stats",
+    "blocking_key_pairs",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",
     "brute_force_cosine_topk_pandas",

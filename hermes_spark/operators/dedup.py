@@ -548,3 +548,59 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def blocking_key_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key: Optional[Column] = None,
+    prefix_len: int = 12,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Candidate duplicate pairs by deterministic blocking (the classic
+    record-linkage move, Hernández & Stolfo's merge/purge family):
+    documents sharing a blocking key — default: the first
+    ``prefix_len`` characters of lowercased whitespace-collapsed text —
+    pair up; everything else never meets.
+
+    Complements MinHash LSH: zero hashing cost and exact recall for
+    corpora whose duplicates share prefixes (crawl re-fetches,
+    templated records), no probabilistic guarantee otherwise. Pass
+    ``key`` to block on any expression (sort key, url domain, title).
+
+    Same single-shuffle gather-and-pair shape as
+    :func:`minhash_lsh_pairs`: one groupBy on the key, in-task pair
+    generation, ``max_block_size`` caps pathological blocks. Returns
+    ``(id_a, id_b, block_key)`` with ``id_a < id_b``.
+    """
+    block = key if key is not None else F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        prefix_len,
+    )
+    keyed = df.select(F.col(id_col).alias("__id"), block.alias("__key")).filter(
+        F.col("__key") != ""
+    )
+    grouped = (
+        keyed.groupBy("__key")
+        .agg(F.collect_list("__id").alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_block_size))
+    )
+    ids = F.array_sort(F.col("__ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(
+            F.explode(pair_structs).alias("__p"), F.col("__key").alias("block_key")
+        )
+        .select("__p.id_a", "__p.id_b", "block_key")
+        .distinct()
+    )

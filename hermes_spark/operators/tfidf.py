@@ -122,3 +122,33 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary report: the ``top_n`` most frequent terms as
+    ``(term, cnt, doc_freq, rank)`` — the first look at any new corpus
+    (tokenizer sanity, boilerplate spotting, stop-word selection).
+
+    One explode + one groupBy computing both counts (map-side partial);
+    the global order runs on the aggregated vocabulary, not the data.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "term", "cnt", "doc_freq", "rank"
+    )

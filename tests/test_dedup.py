@@ -218,3 +218,22 @@ def test_star_components_converges_fast_on_chain(spark):
         for r in connected_components_star(pairs, max_iter=8).collect()
     }
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_blocking_key_pairs(spark):
+    from hermes_spark.operators import blocking_key_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "The  quick brown fox ran far away"),
+            (2, "the quick brown fox ran far away!!"),
+            (3, "completely different text here"),
+            (4, "the quick brown dog"),  # shares the 12-char prefix too
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = blocking_key_pairs(df, "doc_id", "text", prefix_len=12).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    assert all(r.block_key == "the quick br" for r in rows)

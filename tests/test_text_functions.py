@@ -188,3 +188,16 @@ def test_unigram_logprob(spark):
     assert abs(got[2].avg_logprob - round(expected2, 4)) < 1e-4
     # the rare-token doc scores lower (worse)
     assert got[2].avg_logprob < got[1].avg_logprob
+
+
+def test_vocab_stats(spark):
+    from hermes_spark.operators import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "b")], "doc_id long, text string"
+    )
+    rows = vocab_stats(docs, top_n=2).collect()
+    assert [(r.term, r.cnt, r.doc_freq, r.rank) for r in rows] == [
+        ("a", 3, 2, 1),
+        ("b", 2, 2, 2),
+    ]
