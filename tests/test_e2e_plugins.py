@@ -84,3 +84,27 @@ def test_info_comparison_plugin(data, tmp_path):
     }))
     results = run_tests(defs)
     assert results[0].passed
+
+
+def test_profile_plugin_gates(spark, sf_dir):
+    from hermes_spark.e2e.definitions import TestDefinition
+    from hermes_spark.e2e.plugin import get_plugin
+
+    def run(args):
+        td = TestDefinition(
+            name="profile gate", order=1, plugin_name="Profile", args=tuple(args)
+        )
+        return get_plugin("Profile").perform_action(td, 1)
+
+    base = [
+        "--format", "parquet", "--path", f"{sf_dir}/orders.parquet",
+        "--cols", "o_custkey", "--skew-cols", "o_orderstatus",
+    ]
+    # loose thresholds: passes
+    ok = run(base + ["--max-null-pct", "0.0", "--max-top-key-pct", "0.9"])
+    assert ok.passed and ok.records
+
+    # o_orderstatus top group holds ~1/3 of rows -> 5% skew gate fails
+    bad = run(base + ["--max-top-key-pct", "0.05"])
+    assert not bad.passed
+    assert any("top key" in v for v in bad.violations)
