@@ -1203,6 +1203,28 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes stand in for media
+    binaries (no codec libs in this environment), metadata attach +
+    Arrow-batched mapInPandas feature extraction with the deterministic
+    stub decoder (operators/multimodal.py). Rows-only check — the
+    byte-level stub is not SQL-expressible."""
+    from hermes_spark.operators import extract_image_features, with_media_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    media = with_media_metadata(media, "media", "image", "fake")
+    feats = extract_image_features(media, "doc_id", "media")
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-contained IVF: fit centroids with DataFrame k-means, then
     search. Iterative fit -> rows-only check (no SQL oracle)."""
@@ -2017,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
+        "multimodal_image_features": q_multimodal_image_features,
         "simhash_near_dups": q_simhash_near_dups,
     }
 
