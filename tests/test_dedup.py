@@ -237,3 +237,62 @@ def test_blocking_key_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in rows}
     assert pairs == {(1, 2), (1, 4), (2, 4)}
     assert all(r.block_key == "the quick br" for r in rows)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _union_find_components(edges):
+    """Driver-side ground truth: min-id component per node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_cc_algorithms_match_union_find(spark, edges):
+    from hermes_spark.operators import (
+        connected_components,
+        connected_components_star,
+    )
+
+    oracle = _union_find_components(edges)
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int") if edges else None
+    if pairs is None:
+        return
+    lp = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert lp == set(oracle.items())
+    # star drops nodes only ever seen in self-loops
+    non_self = {x for a, b in edges if a != b for x in (a, b)}
+    star_expected = {(n, c) for n, c in oracle.items() if n in non_self}
+    star = {
+        (r.id, r.component)
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == star_expected
