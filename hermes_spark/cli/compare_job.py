@@ -63,6 +63,13 @@ def run(
     ref_df = load_dataframe(spark, cli.reference)
     actual_df = load_dataframe(spark, cli.actual)
 
+    if cli.common_columns and schema is None:
+        from hermes_spark.schema_utils import intersect_schemas, strip_metadata
+
+        schema = intersect_schemas(
+            strip_metadata(ref_df.schema), strip_metadata(actual_df.schema)
+        )
+
     comparator = DatasetComparator(
         ref_df, actual_df, keys=cli.keys, config=config, optional_schema=schema
     )

@@ -37,6 +37,7 @@ HELP_TEXT = """Dataset comparison options (all as "--key value" pairs):
   --schema PATH          cherry-pick Spark JSON schema restricting the comparison
   --mode MODE            comparison mode: fast (default) / hash / auto / reference
   --allow-duplicates BOOL   allow duplicate keys on both sides (default false)
+  --common-columns BOOL  compare only columns both sides share (schema-evolution tolerant)
   any other --option value is passed to the Spark DataFrameReader/Writer
 """
 
@@ -61,7 +62,7 @@ def _route(options: dict[str, str]) -> tuple[dict, dict, dict, dict]:
         k: v
         for k, v in options.items()
         if not k.startswith((_REF_PREFIX, _NEW_PREFIX, _OUT_PREFIX))
-        and k not in ("keys", "schema", "mode", "allow-duplicates")
+        and k not in ("keys", "schema", "mode", "allow-duplicates", "common-columns")
     }
     return ref, new, out, generic
 
@@ -109,6 +110,9 @@ def parse_cli_parameters(
     allow_duplicates = options.get("allow-duplicates", "false").lower() in (
         "true", "1", "yes",
     )
+    common_columns = options.get("common-columns", "false").lower() in (
+        "true", "1", "yes",
+    )
 
     ref_map, new_map, out_map, generic = _route(options)
     ref_merged = {**generic, **ref_map}
@@ -129,4 +133,5 @@ def parse_cli_parameters(
         schema_path=schema,
         mode=mode,
         allow_duplicates=allow_duplicates,
+        common_columns=common_columns,
     )

@@ -70,6 +70,8 @@ class CliParameters:
     keys: tuple[str, ...] = ()
     raw_options: str = ""
     schema_path: Optional[str] = None
-    #: extensions beyond the reference CLI: execution mode + duplicate gate
+    #: extensions beyond the reference CLI: execution mode + duplicate
+    #: gate + schema-evolution tolerant column intersection
     mode: Optional[str] = None
     allow_duplicates: bool = False
+    common_columns: bool = False

@@ -99,3 +99,14 @@ def test_mode_defaults_to_none():
          "--out-path", "/o"]
     )
     assert cli.mode is None and cli.allow_duplicates is False
+
+
+def test_common_columns_option():
+    from hermes_spark.cli.parser import parse_cli_parameters
+
+    cli = parse_cli_parameters(
+        ["--format", "parquet", "--ref-path", "/r", "--new-path", "/n",
+         "--out-path", "/o", "--common-columns", "true"]
+    )
+    assert cli.common_columns is True
+    assert "common-columns" not in cli.reference.options
