@@ -20,7 +20,14 @@ from .multimodal import (
     frame_sample,
     with_media_metadata,
 )
-from .profile import column_profile, histogram, skew_report, winsorize
+from .profile import (
+    approx_column_profile,
+    column_profile,
+    histogram,
+    skew_report,
+    winsorize,
+    zorder_key,
+)
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
 from .tfidf import tfidf_topk_terms, unigram_logprob, vocab_stats
@@ -62,6 +69,8 @@ __all__ = [
     "column_profile",
     "skew_report",
     "histogram",
+    "approx_column_profile",
+    "zorder_key",
     "winsorize",
     "sessionize",
     "deterministic_sample",

@@ -147,3 +147,65 @@ def histogram(
         )
         .orderBy("bucket")
     )
+
+
+def approx_column_profile(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-based variant of :func:`column_profile` for petabyte quick
+    looks: same shape, but ``n_distinct`` comes from HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — no per-column
+    distinct shuffle, the whole report is ONE aggregation pass over the
+    data. Not oracle-stable (sketch estimates), hence the exact variant
+    stays the default.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"__dist_{c}")
+        )
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__null_{c}").cast("long").alias("n_null"),
+            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_pct"),
+            F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) key: interleaves the low ``bits`` bits of the
+    given non-negative integer columns into one long.
+
+    Sort/repartitionByRange by this key before writing parquet and rows
+    close in EVERY dimension land in the same files — min/max row-group
+    stats then prune multi-dimensional range filters, the classic
+    layout move for "filter by (user, day)"-shaped scans. Pure bit
+    arithmetic, JVM-side, no UDF.
+    """
+    n = len(cols)
+    parts = []
+    for j, c in enumerate(cols):
+        x = F.col(c).cast("long")
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out

@@ -53,3 +53,47 @@ def test_histogram_buckets(spark):
     df2 = spark.createDataFrame([(-5.0,), (500.0,)], "v double")
     got = {r.bucket: r.cnt for r in histogram(df2, "v", bins=4, lo=0.0, hi=100.0).collect()}
     assert got == {0: 1, 3: 1}
+
+
+def test_approx_profile_close_to_exact(spark, sf_dir):
+    from hermes_spark.operators import approx_column_profile, column_profile
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {r.column: r for r in column_profile(df, ["o_custkey"]).collect()}
+    approx = {
+        r.column: r
+        for r in approx_column_profile(df, ["o_custkey"], rsd=0.05).collect()
+    }
+    e, a = exact["o_custkey"], approx["o_custkey"]
+    assert a.n_rows == e.n_rows and a.n_null == e.n_null
+    assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from hermes_spark.operators import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3)], "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    }
+    # x occupies even bit positions, y odd: z(1,0)=1, z(0,1)=2, z(3,3)=15
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (3, 3): 15}
+
+
+def test_zorder_sort_clusters_both_dims(spark):
+    """Rows adjacent in z-order are close in both dimensions: the key's
+    upper bits partition the plane into quadrant blocks."""
+    from hermes_spark.operators import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    rows = (
+        df.select("x", "y", zorder_key(["x", "y"], bits=3).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # first quarter of the sort order is exactly the low-low quadrant
+    first16 = rows[:16]
+    assert all(r.x < 4 and r.y < 4 for r in first16)
