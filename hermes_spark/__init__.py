@@ -5,7 +5,12 @@ Spark-first (DataFrame/Catalyst), plus large-scale training-data operators
 """
 
 from .comparator import DatasetComparator, compare, compare_common_columns
-from .incremental import IncrementalResult, incremental_compare, partition_digests
+from .incremental import (
+    IncrementalResult,
+    incremental_compare,
+    partition_digests,
+    probe_compare,
+)
 from .config import ComparisonConfig, DEFAULT_CONFIG
 from .exceptions import (
     BadProvidedSchema,
@@ -46,6 +51,7 @@ __all__ = [
     "IncrementalResult",
     "incremental_compare",
     "partition_digests",
+    "probe_compare",
     "ComparisonConfig",
     "DEFAULT_CONFIG",
     "ComparisonResult",

@@ -145,3 +145,51 @@ def incremental_compare(
         ref_changed, actual_changed, keys=keys, config=config
     )
     return IncrementalResult(partition_col, digests, comparator.compare())
+
+
+def probe_compare(
+    ref: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str],
+    fraction: float = 0.01,
+    config: ComparisonConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Sampled pre-check before a full certification run: compare a
+    deterministic ~``fraction`` key slice of both sides and extrapolate
+    the drift rate.
+
+    The slice is hash-based (``xxhash64(keys) % 10^6``), so BOTH sides
+    keep exactly the same keys — unlike ``DataFrame.sample`` this never
+    produces one-sided rows, and the probe's diff rate is an unbiased
+    estimate of the keyed diff rate. Costs one scan of each side plus a
+    compare over ~fraction of the data; at 100 TB a 1% probe answers
+    "is this rerun even close?" ~100x cheaper than certifying.
+
+    Returns ``{sampled_ref_rows, sampled_actual_rows, sampled_diff,
+    est_diff_rate, result}`` where ``result`` is the probe's
+    :class:`ComparisonResult`.
+    """
+    if not keys:
+        raise ValueError("probe_compare requires explicit keys")
+    threshold = int(fraction * 1_000_000)
+
+    def slice_side(df: DataFrame) -> DataFrame:
+        h = F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in keys]),
+            F.lit(1_000_000),
+        )
+        return df.filter(h < threshold)
+
+    ref_s, act_s = slice_side(ref), slice_side(actual)
+    comparator = DatasetComparator(ref_s, act_s, keys=keys, config=config)
+    result = comparator.compare()
+    sampled = max(result.ref_row_count, 1)
+    out = {
+        "sampled_ref_rows": result.ref_row_count,
+        "sampled_actual_rows": result.new_row_count,
+        "sampled_diff": result.diff_count,
+        "est_diff_rate": result.diff_count / sampled,
+        "result": result,
+    }
+    comparator.release()
+    return out

