@@ -8,6 +8,8 @@ the 100 TB posture fails CI instead of a production run.
 """
 
 from hermes_spark.plans.inspect import (
+    input_size_bytes,
+    suggest_shuffle_partitions,
     count_exchanges,
     explain_formatted,
     has_broadcast_join,
@@ -17,6 +19,8 @@ from hermes_spark.plans.inspect import (
 )
 
 __all__ = [
+    "input_size_bytes",
+    "suggest_shuffle_partitions",
     "count_exchanges",
     "explain_formatted",
     "has_broadcast_join",

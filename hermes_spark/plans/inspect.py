@@ -74,3 +74,44 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges (broadcast exchanges excluded)."""
     return sum(1 for op in plan_operators(df) if op == "Exchange")
+
+
+def input_size_bytes(df: DataFrame) -> int:
+    """Total on-disk size of the DataFrame's input files (Hadoop FS
+    metadata only — no data read). One driver-side FS call per file;
+    for tables with very many files prefer catalog statistics."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(hconf)
+        total += fs.getFileStatus(path).getLen()
+    return total
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    inflation: float = 3.0,
+    min_partitions: int = 8,
+) -> dict:
+    """Size ``spark.sql.shuffle.partitions`` from the input's on-disk
+    footprint: compressed parquet typically inflates ~3x when
+    deserialized/shuffled, and each post-shuffle partition should land
+    near ``target_partition_bytes`` so tasks neither spill nor starve.
+
+    Returns ``{input_bytes, estimated_shuffle_bytes,
+    suggested_shuffle_partitions}`` — a starting point to refine with
+    AQE coalescing (which fixes over-partitioning but not
+    under-partitioned spills).
+    """
+    size = input_size_bytes(df)
+    est = int(size * inflation)
+    parts = max(min_partitions, -(-est // target_partition_bytes))
+    return {
+        "input_bytes": size,
+        "estimated_shuffle_bytes": est,
+        "suggested_shuffle_partitions": parts,
+    }

@@ -99,3 +99,15 @@ def test_vectorized_topk_uses_arrow_eval(spark, sf_dir):
     assert any("MapInPandas" in op or "ArrowEval" in op for op in ops), ops
     schemas = read_schemas(out)
     assert all(s.count(",") <= 2 for s in schemas), schemas
+
+
+def test_suggest_shuffle_partitions(spark, sf_dir):
+    from hermes_spark.plans import input_size_bytes, suggest_shuffle_partitions
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    size = input_size_bytes(df)
+    assert size > 10_000  # real bytes on disk
+    advice = suggest_shuffle_partitions(df, target_partition_bytes=1024 * 1024)
+    assert advice["input_bytes"] == size
+    assert advice["estimated_shuffle_bytes"] == int(size * 3.0)
+    assert advice["suggested_shuffle_partitions"] >= 8
