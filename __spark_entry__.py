@@ -1043,6 +1043,44 @@ GROUP BY c.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram corpus-LM scoring (operators/tfidf.bigram_logprob)."""
+    from hermes_spark.operators import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
+
+
+def _sql_bigram_logprob() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lst
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+toks AS (
+  -- parallel unnests zip positionally in DuckDB; range() here is the
+  -- list-valued scalar, giving each term its 1-based position
+  SELECT doc_id, unnest(lst) AS term, unnest(range(1, len(lst) + 1)) AS pos
+  FROM base
+),
+clean AS (SELECT doc_id, term, pos FROM toks WHERE term <> ''),
+bigrams AS (
+  SELECT doc_id,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         term AS cur
+  FROM clean
+),
+bg AS (SELECT doc_id, prev, cur FROM bigrams WHERE prev IS NOT NULL),
+bc AS (SELECT prev, cur, count(*) AS big_cnt FROM bg GROUP BY 1, 2),
+cc AS (SELECT prev, count(*) AS ctx_cnt FROM bg GROUP BY 1)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(bc.big_cnt / cc.ctx_cnt)), 4) AS avg_logprob
+FROM bg JOIN bc ON bg.prev = bc.prev AND bg.cur = bc.cur
+JOIN cc ON bg.prev = cc.prev
+GROUP BY bg.doc_id
+"""
+
+
 VOCAB_TOP_N = 50
 BLOCK_PREFIX = 12
 
@@ -2003,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_terms": q_tfidf_topk_terms,
         "unigram_logprob": q_unigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
+        "bigram_logprob": q_bigram_logprob,
         "blocking_pairs": q_blocking_pairs,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2100,6 +2139,7 @@ FROM events GROUP BY 1
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),
         "vocab_top_terms": _sql_vocab_top_terms(),
+        "bigram_logprob": _sql_bigram_logprob(),
         "blocking_pairs": _sql_blocking_pairs(),
         "events_user_skew": _sql_events_user_skew(),
         "events_profile": _sql_events_profile(),

@@ -152,3 +152,50 @@ def vocab_stats(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "term", "cnt", "doc_freq", "rank"
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability
+    ``avg(ln(C(prev,cur) / C(prev)))`` under the corpus's own bigram
+    counts — one step up from :func:`unigram_logprob`: word-salad text
+    (right words, wrong order) scores near the unigram floor while
+    natural word order scores higher. Docs need >= 2 tokens to appear.
+
+    Shape: ``posexplode`` keeps token order; the per-doc ``lag`` window
+    builds bigrams with ONE shuffle on doc_id; bigram and unigram
+    context counts are two aggregations joined back on their keys.
+    Rounded to 4 dp (summation-order drift ~1e-13).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", F.col("term").alias("cur"))
+    )
+    big_counts = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("big_cnt")
+    )
+    # context count = occurrences of `prev` with a successor (so that
+    # sum over cur of P(cur|prev) == 1 within the corpus)
+    ctx_counts = bigrams.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("ctx_cnt")
+    )
+    return (
+        bigrams.join(big_counts, on=["prev", "cur"])
+        .join(ctx_counts, on="prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("big_cnt") / F.col("ctx_cnt"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

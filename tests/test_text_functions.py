@@ -201,3 +201,23 @@ def test_vocab_stats(spark):
         ("a", 3, 2, 1),
         ("b", 2, 2, 2),
     ]
+
+
+def test_bigram_logprob_rewards_natural_order(spark):
+    from hermes_spark.operators import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),  # same words, scrambled
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert 4 not in got  # < 2 tokens
+    assert got[1].n_bigrams == 5
+    # natural order repeated twice -> its bigrams are frequent;
+    # the scrambled doc's bigrams are singletons -> lower logprob
+    assert got[1].avg_logprob > got[3].avg_logprob
