@@ -1081,6 +1081,46 @@ GROUP BY bg.doc_id
 """
 
 
+HASH_DIM = 64
+
+
+def q_text_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer check: per-doc token-bucket counts (the
+    scalar form of operators/tfidf.hashing_vectorize's dense vectors)."""
+    from hermes_spark.functions.hashing import base_hash31
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.select(
+            "doc_id",
+            (base_hash31(F.col("term")) % HASH_DIM).cast("long").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_text_hash_buckets() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+)
+SELECT doc_id,
+       ((('0x' || substring(md5(term), 1, 8))::BIGINT % {MERSENNE31}) % {HASH_DIM})::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM toks WHERE term <> ''
+GROUP BY 1, 2
+"""
+
+
 VOCAB_TOP_N = 50
 BLOCK_PREFIX = 12
 
@@ -2042,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
         "bigram_logprob": q_bigram_logprob,
+        "text_hash_buckets": q_text_hash_buckets,
         "blocking_pairs": q_blocking_pairs,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2140,6 +2181,7 @@ FROM events GROUP BY 1
         "unigram_logprob": _sql_unigram_logprob(),
         "vocab_top_terms": _sql_vocab_top_terms(),
         "bigram_logprob": _sql_bigram_logprob(),
+        "text_hash_buckets": _sql_text_hash_buckets(),
         "blocking_pairs": _sql_blocking_pairs(),
         "events_user_skew": _sql_events_user_skew(),
         "events_profile": _sql_events_profile(),

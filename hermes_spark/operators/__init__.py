@@ -30,7 +30,13 @@ from .profile import (
 )
 from .sampling import deterministic_sample, mix_corpora, stratified_sample
 from .sessionize import sessionize
-from .tfidf import bigram_logprob, tfidf_topk_terms, unigram_logprob, vocab_stats
+from .tfidf import (
+    bigram_logprob,
+    hashing_vectorize,
+    tfidf_topk_terms,
+    unigram_logprob,
+    vocab_stats,
+)
 from .similarity import (
     brute_force_cosine_topk,
     brute_force_cosine_topk_pandas,
@@ -58,6 +64,7 @@ __all__ = [
     "unigram_logprob",
     "vocab_stats",
     "bigram_logprob",
+    "hashing_vectorize",
     "blocking_key_pairs",
     "simhash_near_dup_pairs",
     "brute_force_cosine_topk",

@@ -199,3 +199,50 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    portable: bool = True,
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurizer: each token maps to bucket
+    ``base_hash31(term) % dim``; output is a dense ``array<double>``
+    count vector per document — text becomes an embedding column
+    WITHOUT any model, ready for the cosine ANN / near-dup operators
+    (cheap content-similarity joins over raw text).
+
+    Pure expressions end-to-end: explode -> two-level groupBy (map-side
+    partial counts) -> map lookup against a ``sequence`` — no UDF, no
+    vocabulary broadcast (the hash IS the vocabulary). ``portable=True``
+    uses the md5-based hash (cross-engine reproducible), ``False`` the
+    faster xxhash64.
+
+    Returns ``(doc_id, features)``; docs with no tokens are omitted.
+    """
+    from ..functions.hashing import base_hash31
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = toks.select(
+        "doc_id", (base_hash31(F.col("term"), portable=portable) % dim).cast("int").alias("bucket")
+    )
+    counts = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    as_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    return as_map.select("doc_id", vec.alias("features"))

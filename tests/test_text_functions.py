@@ -221,3 +221,30 @@ def test_bigram_logprob_rewards_natural_order(spark):
     # natural order repeated twice -> its bigrams are frequent;
     # the scrambled doc's bigrams are singletons -> lower logprob
     assert got[1].avg_logprob > got[3].avg_logprob
+
+
+def test_hashing_vectorize_feeds_ann(spark):
+    from hermes_spark.operators import (
+        brute_force_cosine_topk,
+        hashing_vectorize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join spark"),
+            (2, "spark shuffle join"),        # near-dup of 1
+            (3, "completely unrelated words entirely"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = hashing_vectorize(docs, dim=32)
+    got = {r.doc_id: r.features for r in vecs.collect()}
+    assert 4 not in got
+    assert sum(got[1]) == 4.0 and sum(got[2]) == 3.0  # token counts
+    # cosine over hashed features finds the near-dup first
+    out = brute_force_cosine_topk(
+        vecs, vecs.filter("doc_id = 1"), id_col="doc_id", vec_col="features", k=2
+    ).collect()
+    ranked = [r.vec_id for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]
