@@ -1185,6 +1185,43 @@ JOIN sized s ON s.k = a.k
 SKEW_TOP_N = 20
 
 
+def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (10-minute windows sliding every 5): each
+    event lands in length/slide windows via Spark's built-in
+    ``F.window`` — the batch twin of the streaming sliding aggregation."""
+    events = _read_events(spark, sf_dir)
+    w = F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type, value, floor(epoch(ts))::BIGINT AS ep FROM events
+),
+wins AS (
+  SELECT event_type, value,
+         unnest(range(((ep - 600) // 300 + 1) * 300, (ep // 300) * 300 + 1, 300))
+           AS start_ep
+  FROM e
+)
+SELECT make_timestamp(start_ep * 1000000) AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM wins GROUP BY 1, 2
+"""
+
+
 def q_events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew report over the events stream table — the pre-flight
     check for any user_id-keyed join/agg (operators/profile.py)."""
@@ -2095,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_metrics_nokeys": q_compare_metrics_nokeys,
         "compare_cherry_pick": q_compare_cherry_pick,
         "windowed_rollup": q_windowed_rollup,
+        "events_sliding_rollup": q_events_sliding_rollup,
         "near_dup_components": q_near_dup_components,
         "near_dup_components_star": q_near_dup_components_star,
         "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -2202,6 +2240,7 @@ FROM events GROUP BY 1
             mutated=_MUTATED_ORDERS_SQL
         ),
         "windowed_rollup": _SQL_WINDOWED_ROLLUP,
+        "events_sliding_rollup": _SQL_EVENTS_SLIDING,
         "near_dup_components": _sql_near_dup_components(),
         "near_dup_components_star": _sql_near_dup_components(),
         "events_pivot": _sql_events_pivot(),
