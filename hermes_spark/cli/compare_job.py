@@ -70,11 +70,53 @@ def run(
             strip_metadata(ref_df.schema), strip_metadata(actual_df.schema)
         )
 
-    comparator = DatasetComparator(
-        ref_df, actual_df, keys=cli.keys, config=config, optional_schema=schema
-    )
-    result = comparator.compare()
-    result.passed_options = cli.raw_options
+    if cli.incremental_partition_col:
+        from hermes_spark.incremental import UNCHANGED, partition_digests
+
+        pcol = cli.incremental_partition_col
+        digests = partition_digests(ref_df, actual_df, pcol).collect()
+        changed = [r[pcol] for r in digests if r["status"] != UNCHANGED]
+        if not changed:
+            # every partition digest matched: synthesize the passing
+            # result from the digest counts — no full compare needed
+            result = ComparisonResult(
+                ref_row_count=sum(r["ref_rows"] for r in digests),
+                new_row_count=sum(r["actual_rows"] for r in digests),
+                ref_duplicate_count=0,
+                new_duplicate_count=0,
+                passed_count=sum(r["ref_rows"] for r in digests),
+                used_schema_selector=[],
+                result_df=None,
+                diff_count=0,
+                additional_info={
+                    "incremental": pcol,
+                    "changed_partitions": "0",
+                },
+            )
+            result.passed_options = cli.raw_options
+            comparator = None
+        else:
+            from pyspark.sql import functions as sf
+
+            changed_df = sf.broadcast(
+                spark.createDataFrame([(v,) for v in changed], [pcol])
+            )
+            ref_df = ref_df.join(changed_df, on=pcol, how="left_semi")
+            actual_df = actual_df.join(changed_df, on=pcol, how="left_semi")
+            comparator = DatasetComparator(
+                ref_df, actual_df, keys=cli.keys, config=config,
+                optional_schema=schema,
+            )
+            result = comparator.compare()
+            result.additional_info["incremental"] = pcol
+            result.additional_info["changed_partitions"] = str(len(changed))
+            result.passed_options = cli.raw_options
+    else:
+        comparator = DatasetComparator(
+            ref_df, actual_df, keys=cli.keys, config=config, optional_schema=schema
+        )
+        result = comparator.compare()
+        result.passed_options = cli.raw_options
 
     out_path = ""
     if cli.output is not None:
@@ -89,7 +131,8 @@ def run(
                 ),
             )
         write_metrics_file(spark, out_path, result.get_pretty_json())
-    comparator.release()
+    if comparator is not None:
+        comparator.release()
 
     if not result.passed:
         raise DatasetsDifferException(

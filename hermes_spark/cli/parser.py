@@ -38,6 +38,7 @@ HELP_TEXT = """Dataset comparison options (all as "--key value" pairs):
   --mode MODE            comparison mode: fast (default) / hash / auto / reference
   --allow-duplicates BOOL   allow duplicate keys on both sides (default false)
   --common-columns BOOL  compare only columns both sides share (schema-evolution tolerant)
+  --incremental-partition-col COL  digest partitions first; diff only changed ones
   any other --option value is passed to the Spark DataFrameReader/Writer
 """
 
@@ -62,7 +63,7 @@ def _route(options: dict[str, str]) -> tuple[dict, dict, dict, dict]:
         k: v
         for k, v in options.items()
         if not k.startswith((_REF_PREFIX, _NEW_PREFIX, _OUT_PREFIX))
-        and k not in ("keys", "schema", "mode", "allow-duplicates", "common-columns")
+        and k not in ("keys", "schema", "mode", "allow-duplicates", "common-columns", "incremental-partition-col")
     }
     return ref, new, out, generic
 
@@ -113,6 +114,7 @@ def parse_cli_parameters(
     common_columns = options.get("common-columns", "false").lower() in (
         "true", "1", "yes",
     )
+    incremental_partition_col = options.get("incremental-partition-col")
 
     ref_map, new_map, out_map, generic = _route(options)
     ref_merged = {**generic, **ref_map}
@@ -134,4 +136,5 @@ def parse_cli_parameters(
         mode=mode,
         allow_duplicates=allow_duplicates,
         common_columns=common_columns,
+        incremental_partition_col=incremental_partition_col,
     )

@@ -75,3 +75,4 @@ class CliParameters:
     mode: Optional[str] = None
     allow_duplicates: bool = False
     common_columns: bool = False
+    incremental_partition_col: Optional[str] = None

@@ -205,3 +205,42 @@ def test_profile_cli_job(spark, sf_dir, capsys):
     skew = by_report["skew"]
     assert len(skew) == 2 and skew[0]["rank"] == 1
     assert skew[0]["cnt"] >= skew[1]["cnt"]
+
+
+def test_compare_job_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.cli.compare_job import run
+    from hermes_spark.cli.parser import parse_cli_parameters
+    from hermes_spark.exceptions import DatasetsDifferException
+
+    base = spark.range(90).select(
+        F.concat(F.lit("d"), (F.col("id") % 3)).alias("day"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    ref_p, act_p, same_p = (
+        str(tmp_path / n) for n in ("iref", "iact", "isame")
+    )
+    base.write.partitionBy("day").parquet(ref_p)
+    base.withColumn(
+        "v",
+        F.when((F.col("day") == "d1") & (F.col("k") < 10), -1).otherwise(F.col("v")),
+    ).write.partitionBy("day").parquet(act_p)
+    base.write.partitionBy("day").parquet(same_p)
+
+    def cli_for(new_path, out):
+        return parse_cli_parameters(
+            ["--format", "parquet", "--ref-path", ref_p, "--new-path", new_path,
+             "--out-path", str(tmp_path / out), "--keys", "k",
+             "--incremental-partition-col", "day"]
+        )
+
+    # identical snapshots: digest-only pass, no compare, passes
+    res = run(spark, cli_for(same_p, "out_same"))
+    assert res.passed and res.additional_info["changed_partitions"] == "0"
+    assert res.ref_row_count == 90
+
+    # one mutated partition: diff restricted to it
+    with pytest.raises(DatasetsDifferException):
+        run(spark, cli_for(act_p, "out_diff"))
