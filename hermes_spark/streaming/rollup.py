@@ -1,4 +1,4 @@
-"""Watermarked tumbling-window rollup over an event stream.
+"""Watermarked tumbling/hopping window rollup over an event stream.
 
 Streaming analogue of the batch ``events_hourly_rollup`` query: group by
 ``window(ts, size)`` plus dimension columns, aggregate, tolerate late
@@ -23,8 +23,12 @@ def windowed_rollup(
     watermark: str = "2 hours",
     group_cols: Sequence[str] = (),
     aggs: Sequence[Column] = (),
+    slide_duration: str = None,
 ) -> DataFrame:
-    """Tumbling-window aggregation with late-data handling.
+    """Tumbling (default) or hopping window aggregation with late-data
+    handling — pass ``slide_duration`` shorter than the window for
+    overlapping windows (each event then contributes to
+    window/slide windows; state grows by the same factor).
 
     Returns a streaming DataFrame with ``window_start``/``window_end``,
     the group columns, and the aggregates (default: ``n_events`` count).
@@ -36,8 +40,13 @@ def windowed_rollup(
     windowed = stream
     if stream.isStreaming:
         windowed = stream.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     aggregated = windowed.groupBy(
-        F.window(F.col(ts_col), window_duration).alias("__w"),
+        win.alias("__w"),
         *[F.col(c) for c in group_cols],
     ).agg(*agg_list)
     value_cols = [c for c in aggregated.columns if c not in {"__w", *group_cols}]

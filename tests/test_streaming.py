@@ -354,3 +354,20 @@ def test_progress_recorder_collects_batch_metrics(spark, tmp_path):
     assert rec.total_input_rows() == 50
     assert rec.records[0]["batch_id"] == 0
     assert rec.records[0]["batch_duration_ms"] is not None
+
+
+def test_windowed_rollup_sliding_batch_semantics(spark):
+    """slide_duration produces hopping windows: each event lands in
+    window/slide windows (batch-mode check, same code path)."""
+    from hermes_spark.streaming import windowed_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:07:00", "a", 1.0)], ["ts_s", "event_type", "value"]
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    out = windowed_rollup(
+        df, "ts", "10 minutes", group_cols=("event_type",),
+        slide_duration="5 minutes",
+    ).collect()
+    starts = sorted(str(r.window_start) for r in out)
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+    assert all(r.n_events == 1 for r in out)
