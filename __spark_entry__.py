@@ -55,6 +55,7 @@ from hermes_spark.operators import (
     simhash_near_dup_pairs,
     tfidf_topk_terms,
 )
+from hermes_spark.queries import TPCH_EXTRA_QUERIES, TPCH_EXTRA_SQL
 from hermes_spark.schema_utils import sorted_selector
 
 # ---------------------------------------------------------------------------
@@ -2154,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "events_winsorized": q_events_winsorized,
         "events_value_histogram": q_events_value_histogram,
+        **TPCH_EXTRA_QUERIES,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -2258,4 +2260,5 @@ FROM events GROUP BY 1
         "topk_orders_per_customer": _SQL_TOPK_PER_CUSTOMER,
         "events_cube": _SQL_EVENTS_CUBE,
         "docs_quality_filter": _sql_docs_quality_filter(),
+        **TPCH_EXTRA_SQL,
     }
