@@ -2083,6 +2083,78 @@ WHERE {cos} >= {NEAR_DUP_MIN_COSINE}
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (operators/winnow.py)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) fingerprint rows for a 200-doc slice —
+    the selected (position, hash) pairs per document."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from hermes_spark.operators import winnow_fingerprints
+
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, portable=True
+    )
+
+
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via shared winnowing fingerprints on the
+    duplicate-injected corpus."""
+    docs = _docs_with_dups(spark, sf_dir)
+    from hermes_spark.operators import winnow_near_dup_pairs
+
+    # min_common=32: the template-generated corpus shares short k-grams
+    # broadly (34k pairs at >=2 common) while true near-dups share >=32
+    return winnow_near_dup_pairs(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, min_common=32, portable=True
+    )
+
+
+def _sql_winnow_fps(source_sql: str, doc_filter: str) -> str:
+    """The winnowing pipeline in DuckDB SQL: same normalize, same 40-bit
+    md5 hash, same (hash, pos) packing, same window min."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM ({source_sql}) {doc_filter}
+), grams AS (
+  SELECT doc_id, length(t) - {WINNOW_K - 1} AS n, unnest(range(1, length(t) - {WINNOW_K - 1} + 1)) AS pos, t
+  FROM norm WHERE length(t) - {WINNOW_K - 1} >= {WINNOW_W}
+), hashed AS (
+  SELECT doc_id, n, pos,
+    ('0x' || substring(md5(substring(t, pos, {WINNOW_K})), 1, 10))::BIGINT * 1048576
+      + (1048575 - pos) AS packed
+  FROM grams
+), win AS (
+  SELECT doc_id, n, pos,
+    min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel
+  FROM hashed
+)
+SELECT DISTINCT doc_id, (1048575 - (sel % 1048576))::INTEGER AS fp_pos,
+       (sel // 1048576)::BIGINT AS fp_hash
+FROM win WHERE pos <= n - {WINNOW_W - 1}
+"""
+
+
+def _sql_winnow_near_dups() -> str:
+    fps = _sql_winnow_fps(_DOCS_WITH_DUPS_SQL, "")
+    return f"""
+WITH fps AS ({fps}), uniq AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+rare AS (SELECT fp_hash FROM uniq GROUP BY fp_hash HAVING count(*) <= 1000),
+kept AS (SELECT uniq.doc_id, uniq.fp_hash FROM uniq JOIN rare USING (fp_hash))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS common_fps
+FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING count(*) >= 32
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2156,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized": q_events_winsorized,
         "events_value_histogram": q_events_value_histogram,
         **TPCH_EXTRA_QUERIES,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -2261,4 +2335,8 @@ FROM events GROUP BY 1
         "events_cube": _SQL_EVENTS_CUBE,
         "docs_quality_filter": _sql_docs_quality_filter(),
         **TPCH_EXTRA_SQL,
+        "winnow_fingerprints": _sql_winnow_fps(
+            "SELECT * FROM documents", "WHERE doc_id < 200"
+        ),
+        "winnow_near_dups": _sql_winnow_near_dups(),
     }

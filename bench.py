@@ -80,6 +80,17 @@ BENCH_QUERIES = {
     "minhash_fast_hash": lambda s, d: _materialize(_minhash_fast(s, d)),
     "ann_cosine_topk_vec": lambda s, d: _materialize(entry.q_ann_cosine_topk_vec(s, d)),
     "tfidf_topk_terms": lambda s, d: _materialize(entry.q_tfidf_topk_terms(s, d)),
+    # heaviest of the adapted TPC-H suite: multi-join rollup, outer-join
+    # double agg, and the lineitem self-join semi/anti pair
+    "q9_product_profit": lambda s, d: _materialize(
+        entry.TPCH_EXTRA_QUERIES["q9_product_profit"](s, d)
+    ),
+    "q13_order_distribution": lambda s, d: _materialize(
+        entry.TPCH_EXTRA_QUERIES["q13_order_distribution"](s, d)
+    ),
+    "q21_sole_return_blame": lambda s, d: _materialize(
+        entry.TPCH_EXTRA_QUERIES["q21_sole_return_blame"](s, d)
+    ),
 }
 
 

@@ -37,6 +37,7 @@ from .tfidf import (
     unigram_logprob,
     vocab_stats,
 )
+from .winnow import winnow_fingerprints, winnow_near_dup_pairs
 from .similarity import (
     brute_force_cosine_topk,
     brute_force_cosine_topk_pandas,
@@ -92,4 +93,6 @@ __all__ = [
     "extract_image_features",
     "frame_sample",
     "with_media_metadata",
+    "winnow_fingerprints",
+    "winnow_near_dup_pairs",
 ]
