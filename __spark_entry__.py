@@ -42,7 +42,9 @@ from hermes_spark.functions.text import (
 from hermes_spark.operators import (
     brute_force_cosine_topk,
     connected_components,
+    decontaminate,
     duplicate_clusters,
+    duplicate_passage_stats,
     embedding_near_dup_pairs,
     exact_dedup,
     ivf_assign,
@@ -94,6 +96,10 @@ ANN_K = 10
 IVF_CENTROIDS = 8
 EMBED_DIM = 64
 JACCARD_MIN = 0.2
+
+PASSAGE_WINDOW = 16  # words per non-overlapping passage chunk
+DECONTAM_N = 8  # decontamination word-n-gram size (docs are 10-99 words)
+DECONTAM_BENCH_MOD = 97  # benchmark slice: doc_id % 97 == 0
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -575,6 +581,21 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_BITS).select(
         F.col("id").alias("doc_id"), "simhash"
     )
+
+
+def q_passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (16-word chunk) corpus-wide duplication profile over
+    the duplicated-docs corpus — RefinedWeb-style span dedup signal."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return duplicate_passage_stats(docs, "doc_id", "text", window=PASSAGE_WINDOW)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-gram with the
+    deterministic benchmark slice (doc_id % 97 == 0)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return decontaminate(docs, bench, "doc_id", "text", n=DECONTAM_N)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,6 +2162,57 @@ FROM win WHERE pos <= n - {WINNOW_W - 1}
 """
 
 
+def _sql_passage_dup_stats() -> str:
+    w = PASSAGE_WINDOW
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM docs2 WHERE trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id, md5(array_to_string(t[(i*{w}+1):((i+1)*{w})], ' ')) AS h
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/{w}.0) AS BIGINT))) AS u(i)
+),
+counted AS (
+  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS occ FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_passages,
+       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_passages,
+       round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_fraction
+FROM counted GROUP BY doc_id
+"""
+
+
+def _sql_decontaminate() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - {n} + 1, 0) + 1),
+                  i -> array_to_string(t[i:(i + {n} - 1)], ' '))) AS gs
+  FROM toks WHERE trim(text) <> ''
+),
+hg AS (
+  SELECT doc_id, {_dhash('x.gram')} AS gh
+  FROM grams, UNNEST(gs) AS x(gram)
+),
+bench AS (SELECT DISTINCT gh FROM hg WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT hg.doc_id, count(*)::BIGINT AS n
+  FROM hg JOIN bench USING (gh) GROUP BY hg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n, 0)::BIGINT AS n_contaminated_grams,
+       coalesce(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 def _sql_winnow_near_dups() -> str:
     fps = _sql_winnow_fps(_DOCS_WITH_DUPS_SQL, "")
     return f"""
@@ -2230,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TPCH_EXTRA_QUERIES,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dups": q_winnow_near_dups,
+        "passage_dup_stats": q_passage_dup_stats,
+        "decontaminate": q_decontaminate,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -2339,4 +2413,6 @@ FROM events GROUP BY 1
             "SELECT * FROM documents", "WHERE doc_id < 200"
         ),
         "winnow_near_dups": _sql_winnow_near_dups(),
+        "passage_dup_stats": _sql_passage_dup_stats(),
+        "decontaminate": _sql_decontaminate(),
     }

@@ -137,15 +137,14 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 6)
 
 
-def repetition_ratio(col: Column, n: int = 2) -> Column:
-    """Fraction of repeated word n-grams: ``1 - distinct/total`` in
-    [0, 1] (0 = no repetition). The classic boilerplate/spam signal from
-    Gopher-style quality filtering — pages that loop the same phrases
-    score high. Pure expressions over the token array; ``n=1`` measures
-    repeated words, ``n=2``/``n=3`` repeated phrases."""
-    toks = tokens(F.lower(col))
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams of a token array, space-joined, as
+    ``array<string>``. Arrays shorter than ``n`` yield an empty array.
+    Pure expressions — ``sequence`` + ``transform`` over the token array;
+    SQL-portable (DuckDB: ``list_transform(range(1, len(t)-n+2),
+    i -> array_to_string(t[i:i+n-1], ' '))``)."""
     n_tokens = F.size(toks)
-    grams = F.when(n_tokens < n, F.array().cast("array<string>")).otherwise(
+    return F.when(n_tokens < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
             lambda i: F.concat_ws(
@@ -153,6 +152,15 @@ def repetition_ratio(col: Column, n: int = 2) -> Column:
             ),
         )
     )
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams: ``1 - distinct/total`` in
+    [0, 1] (0 = no repetition). The classic boilerplate/spam signal from
+    Gopher-style quality filtering — pages that loop the same phrases
+    score high. Pure expressions over the token array; ``n=1`` measures
+    repeated words, ``n=2``/``n=3`` repeated phrases."""
+    grams = word_ngrams(tokens(F.lower(col)), n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.round(

@@ -37,6 +37,12 @@ from .tfidf import (
     unigram_logprob,
     vocab_stats,
 )
+from .passages import (
+    decontaminate,
+    duplicate_passage_stats,
+    passage_chunks,
+    passage_hashes,
+)
 from .winnow import winnow_fingerprints, winnow_near_dup_pairs
 from .similarity import (
     brute_force_cosine_topk,
@@ -95,4 +101,8 @@ __all__ = [
     "with_media_metadata",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
+    "passage_chunks",
+    "passage_hashes",
+    "duplicate_passage_stats",
+    "decontaminate",
 ]
