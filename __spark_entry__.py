@@ -45,6 +45,8 @@ from hermes_spark.operators import (
     decontaminate,
     duplicate_clusters,
     duplicate_passage_stats,
+    pack_sequences,
+    token_chunks,
     embedding_near_dup_pairs,
     exact_dedup,
     ivf_assign,
@@ -96,6 +98,11 @@ ANN_K = 10
 IVF_CENTROIDS = 8
 EMBED_DIM = 64
 JACCARD_MIN = 0.2
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 8  # parallel packing shards
+CHUNK_SIZE = 32  # context-window chunk size (tokens)
+CHUNK_STRIDE = 16  # overlap stride
 
 PASSAGE_WINDOW = 16  # words per non-overlapping passage chunk
 DECONTAM_N = 8  # decontamination word-n-gram size (docs are 10-99 words)
@@ -596,6 +603,27 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
     return decontaminate(docs, bench, "doc_id", "text", n=DECONTAM_N)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy prefix-sum packing of documents into 256-token training
+    sequences across 8 deterministic hash shards."""
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        "doc_id",
+        text_col="text",
+        budget=PACK_BUDGET,
+        num_shards=PACK_SHARDS,
+    )
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token context windows (stride 16) per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return token_chunks(
+        docs, "doc_id", "text", size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,6 +2190,40 @@ FROM win WHERE pos <= n - {WINNOW_W - 1}
 """
 
 
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END)::BIGINT
+      AS n_tokens,
+    (({_dhash("'pack:' || doc_id::VARCHAR")}) % {PACK_SHARDS})::INTEGER AS shard
+  FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_in_shard
+FROM base
+"""
+
+
+def _sql_token_chunks() -> str:
+    s, st = CHUNK_SIZE, CHUNK_STRIDE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_idx,
+         array_to_string(t[(k*{st}+1):(k*{st}+{s})], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0,
+    1 + CAST(ceil(greatest(len(t) - {s}, 0) / {st}.0) AS BIGINT))) AS u(k)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' '))::BIGINT AS n_tokens
+FROM chunks
+"""
+
+
 def _sql_passage_dup_stats() -> str:
     w = PASSAGE_WINDOW
     return f"""
@@ -2304,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dups": q_winnow_near_dups,
         "passage_dup_stats": q_passage_dup_stats,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "token_chunks": q_token_chunks,
         # approximate / not SQL-expressible -> rows-only check
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -2415,4 +2479,6 @@ FROM events GROUP BY 1
         "winnow_near_dups": _sql_winnow_near_dups(),
         "passage_dup_stats": _sql_passage_dup_stats(),
         "decontaminate": _sql_decontaminate(),
+        "pack_sequences": _sql_pack_sequences(),
+        "token_chunks": _sql_token_chunks(),
     }

@@ -37,6 +37,7 @@ from .tfidf import (
     unigram_logprob,
     vocab_stats,
 )
+from .packing import pack_sequences, packed_sequence_stats, token_chunks
 from .passages import (
     decontaminate,
     duplicate_passage_stats,
@@ -105,4 +106,7 @@ __all__ = [
     "passage_hashes",
     "duplicate_passage_stats",
     "decontaminate",
+    "token_chunks",
+    "pack_sequences",
+    "packed_sequence_stats",
 ]

@@ -1,0 +1,151 @@
+"""Sequence packing and context-window chunking for LLM training data.
+
+The last mile of a pretraining pipeline: documents become fixed-token
+training examples. Two operators:
+
+* ``token_chunks`` — split each document into ``size``-token windows with
+  ``stride`` (overlapping context windows when ``stride < size``).
+  Purely map-side: one projection, no shuffle, no UDF.
+* ``pack_sequences`` — assign whole documents to fixed-token-budget
+  training sequences (greedy contiguous fill in deterministic document
+  order). The scalable formulation is prefix-sum binning:
+  ``seq = floor((cumsum(tokens) - tokens) / budget)`` — one window
+  aggregate, no iteration; a sequence may overrun the budget by at most
+  one document's tail, which trainers handle by truncation.
+
+Scale design (100 TB): a single global ordered window is a one-partition
+sort — the classic scale cliff. ``pack_sequences`` therefore shards by a
+deterministic hash of the document id first and packs *within* shards:
+every shard is an independent (partition-local) window, so the sort
+parallelizes across the cluster and sequence ids are stable
+``(shard, seq_in_shard)`` pairs regardless of cluster layout. The same
+sharding is reproducible in SQL, so the operator stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.text import token_count, tokens
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: Optional[int] = None,
+) -> DataFrame:
+    """Fixed-size token windows per document:
+    ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    ``stride`` defaults to ``size`` (non-overlapping); ``stride < size``
+    yields overlapping context windows. Every document emits at least one
+    chunk (short docs emit themselves); chunk ``k`` covers tokens
+    ``[k*stride, k*stride + size)``. Empty documents emit nothing.
+    """
+    stride = size if stride is None else stride
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    # 1 + ceil(max(n - size, 0) / stride) chunks; last chunk may be short
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, size)),
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            token_count(F.col("chunk_text")).alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: Optional[str] = None,
+    token_count_col: Optional[str] = None,
+    budget: int = 2048,
+    num_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    Returns ``(id, n_tokens, shard, seq_in_shard)``: documents are
+    deterministically sharded by hashed id, ordered by id within a shard,
+    and greedily packed — document ``d`` goes to sequence
+    ``floor(tokens_before_d / budget)`` of its shard. The pair
+    ``(shard, seq_in_shard)`` is the stable global sequence id.
+
+    Token counts come from ``token_count_col`` when given, else are
+    computed from ``text_col`` (whitespace tokens).
+    """
+    if (text_col is None) == (token_count_col is None):
+        raise ValueError("give exactly one of text_col / token_count_col")
+    if token_count_col is not None:
+        n_tok = F.col(token_count_col).cast("long")
+    else:
+        n_tok = token_count(F.col(text_col))
+
+    shard = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(num_shards),
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor(cum_before / F.lit(float(budget))).cast("long").alias(
+            "seq_in_shard"
+        ),
+    )
+
+
+def packed_sequence_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: Optional[str] = None,
+    token_count_col: Optional[str] = None,
+    budget: int = 2048,
+    num_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Fill profile per packed sequence: ``(shard, seq_in_shard, n_docs,
+    total_tokens, fill_ratio)`` — how close each training sequence comes
+    to its token budget (the packing-efficiency metric)."""
+    packed = pack_sequences(
+        df,
+        id_col,
+        text_col=text_col,
+        token_count_col=token_count_col,
+        budget=budget,
+        num_shards=num_shards,
+        salt=salt,
+    )
+    return packed.groupBy("shard", "seq_in_shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )
