@@ -91,6 +91,10 @@ BENCH_QUERIES = {
     "q21_sole_return_blame": lambda s, d: _materialize(
         entry.TPCH_EXTRA_QUERIES["q21_sole_return_blame"](s, d)
     ),
+    # training-data curation tail: span dedup, decontamination, packing
+    "passage_dup_stats": lambda s, d: _materialize(entry.q_passage_dup_stats(s, d)),
+    "decontaminate": lambda s, d: _materialize(entry.q_decontaminate(s, d)),
+    "pack_sequences": lambda s, d: _materialize(entry.q_pack_sequences(s, d)),
 }
 
 

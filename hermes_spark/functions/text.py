@@ -144,12 +144,14 @@ def word_ngrams(toks: Column, n: int) -> Column:
     SQL-portable (DuckDB: ``list_transform(range(1, len(t)-n+2),
     i -> array_to_string(t[i:i+n-1], ' '))``)."""
     n_tokens = F.size(toks)
+    # slice-based, not n separate element gets: lambda bodies re-evaluate
+    # their free variables per element, so each reference to ``toks``
+    # inlines the whole upstream expression (e.g. a regex split) — one
+    # slice keeps that to a single evaluation per gram
     return F.when(n_tokens < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + j) for j in range(n)]
-            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
 

@@ -131,21 +131,28 @@ def decontaminate(
     """
     bench_text = bench_text_col or text_col
 
-    def gram_hashes(col: Column) -> Column:
-        return F.transform(
-            F.array_distinct(word_ngrams(tokens(F.lower(col)), n)),
-            lambda g: portable_hash64(g),
+    def gram_rows(df: DataFrame, text: str, *keep: str) -> DataFrame:
+        # materialize the token array in its own projection first: the
+        # n-gram transform references it per element, and a lambda body
+        # re-evaluates free variables — against a real column that is an
+        # attribute read, against an inline expression it would re-run
+        # the regex split per gram
+        toked = df.select(
+            *[F.col(c) for c in keep],
+            tokens(F.lower(F.col(text))).alias("__toks"),
+        )
+        return toked.select(
+            *keep,
+            F.explode(
+                F.transform(
+                    F.array_distinct(word_ngrams(F.col("__toks"), n)),
+                    lambda g: portable_hash64(g),
+                )
+            ).alias("__gram_h"),
         )
 
-    bench_set = (
-        benchmark.select(
-            F.explode(gram_hashes(F.col(bench_text))).alias("__gram_h")
-        )
-        .distinct()
-    )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("__gram_h")
-    )
+    bench_set = gram_rows(benchmark, bench_text).distinct()
+    corpus_grams = gram_rows(corpus, text_col, id_col)
     hits = (
         corpus_grams.join(F.broadcast(bench_set), "__gram_h")
         .groupBy(id_col)

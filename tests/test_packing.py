@@ -87,6 +87,19 @@ def test_packed_sequence_stats(spark):
     assert by_seq[1].n_docs == 2 and by_seq[1].total_tokens == 80
 
 
+def test_pack_sequences_plan_is_sharded_sort(spark):
+    """The packing window must partition by shard — a global ordered
+    window would sort the whole corpus on one partition. The plan has to
+    show a hash-partitioned exchange, not a SinglePartition one."""
+    from hermes_spark.plans.inspect import explain_formatted
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], ["doc_id", "n_tokens"])
+    out = pack_sequences(df, "doc_id", token_count_col="n_tokens", budget=50, num_shards=8)
+    text = explain_formatted(out)
+    assert "hashpartitioning(shard" in text
+    assert "SinglePartition" not in text
+
+
 def test_pack_sequences_from_text(docs):
     out = {
         r.doc_id: r

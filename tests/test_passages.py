@@ -92,6 +92,17 @@ def test_decontaminate(spark):
     assert not out[3].contaminated
 
 
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
+    """The benchmark gram set must reach the corpus side as a broadcast
+    hash join — a shuffled join here would repartition every corpus
+    n-gram and not survive a 100x scale-up."""
+    from hermes_spark.plans import plan_operators
+
+    out = decontaminate(docs, docs.limit(2), "doc_id", "text", n=4)
+    ops = plan_operators(out)
+    assert any(op.startswith("BroadcastHashJoin") for op in ops)
+
+
 def test_decontaminate_case_insensitive(spark):
     corpus = spark.createDataFrame(
         [(0, "One Two Three Four Five Six extra words")], ["doc_id", "text"]
