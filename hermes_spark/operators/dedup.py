@@ -64,13 +64,19 @@ def exact_dedup(
     else:
         key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]))
 
-    keyed = df.withColumn("__fp", key)
-    keepers = keyed.groupBy("__fp").agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
-    )
+    # Single hash-partitioned window over the fingerprint: one shuffle,
+    # no re-join of the (potentially wide) payload columns.  At 100 TB the
+    # old groupBy+rejoin plan shipped every surviving row's text through
+    # the shuffle twice; this ships it once.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fp")
     return (
-        keyed.join(keepers, on=["__fp", id_col], how="inner")
-        .drop("__fp")
+        df.withColumn("__fp", key)
+        .withColumn("__min_id", F.min(id_col).over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__fp", "__min_id")
     )
 
 
