@@ -1774,6 +1774,53 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_lsh_cosine_topk(num_planes: int = 6) -> str:
+    # Mirrors operators/similarity.py:_hyperplane_sign — component j of
+    # plane p is +1/-1 from the top-60-bit md5 of "plane{p}:{j}", so the
+    # whole LSH (signature, multi-probe, rank) is engine-portable.
+    def dot(p: int, vec: str) -> str:
+        w = (
+            f"CASE WHEN ('0x' || substring(md5('plane{p}:' || (j-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * {w}))"
+        )
+
+    def bucket(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {dot(p, vec)} >= 0 THEN {1 << (num_planes - 1 - p)} ELSE 0 END"
+            for p in range(num_planes)
+        )
+
+    cos = _cosine_sql("p.qvec", "c.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({bucket('embedding')}) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS sig
+  FROM sigs WHERE vec_id < {ANN_QUERIES}
+),
+probes AS (
+  SELECT query_id, qvec,
+         unnest([sig] || list_transform(range(0, {num_planes}), x -> xor(sig, 1 << x))) AS bucket
+  FROM q
+),
+scored AS (
+  SELECT p.query_id, c.vec_id, {cos} AS cosine
+  FROM probes p JOIN sigs c USING (bucket)
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_ivf_assign() -> str:
     cos = _cosine_sql("v.vec_emb", "c.cent_emb")
     return f"""
@@ -2364,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         # newly oracle-paired (previously rows-only)
         "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
         # flagship queries kept inside the window
         "compare_metrics": q_compare_metrics,
         "compare_diff": q_compare_diff,
@@ -2407,7 +2455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_filter": q_docs_quality_filter,
         "curation_pipeline": q_curation_pipeline,
         # approximate / not SQL-expressible -> rows-only check
-        "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -2466,6 +2513,7 @@ FROM events GROUP BY 1
         "ngram_jaccard_pairs": _sql_ngram_jaccard(),
         "simhash_fingerprints": _sql_simhash(),
         "simhash_near_dups": _sql_simhash_near_dups(),
+        "lsh_cosine_topk": _sql_lsh_cosine_topk(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from hermes_spark.exceptions import MissingArgumentException
+from hermes_spark.sources.s3location import validate_path
 
 
 @dataclass(frozen=True)
@@ -47,7 +48,8 @@ class Parameters:
                     'Path is mandatory option for all format types except '
                     'jdbc. Use "--path"'
                 )
-            path = options["path"]
+            # fail fast on malformed S3 URIs (reference S3Location.scala:28-43)
+            path = validate_path(options["path"])
         other = {k: v for k, v in options.items() if k not in ("format", "path")}
         return cls(format=fmt, options=other, path=path)
 
