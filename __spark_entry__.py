@@ -633,6 +633,41 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment keyed to doc_id
+    (hash-boundary, layout-independent, holdout-stable)."""
+    from hermes_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix over documents plus a synthetic
+    'crawl_copy' source replaying doc_id < 50 (fingerprint-level overlap
+    counts per source pair)."""
+    from hermes_spark.operators.dedup import source_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    copies = (
+        docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", (F.col("doc_id") + 100000).cast("long"))
+        .withColumn("source", F.lit("crawl_copy"))
+    )
+    return source_overlap(docs.unionByName(copies), "doc_id", "text", "source")
+
+
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric token-length curriculum bins with per-bin accounting."""
+    from hermes_spark.operators.packing import length_curriculum
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_curriculum(docs, "doc_id", "text")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1774,6 +1809,43 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 
 """
 
 
+def _sql_split_assign() -> str:
+    bucket = _dhash("'split:' || doc_id::VARCHAR") + " % 10000"
+    return f"""
+SELECT doc_id,
+  CASE WHEN ({bucket}) < 9000 THEN 'train'
+       WHEN ({bucket}) < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _sql_source_overlap() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'crawl_copy' FROM documents WHERE doc_id < 50
+),
+fp AS (SELECT DISTINCT {_NORM_FP_SQL} AS fp, source FROM corpus)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS overlap_count
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+_SQL_LENGTH_CURRICULUM = f"""
+WITH base AS (SELECT doc_id, trim(text) AS t, {_TOKENS_SQL} AS toks FROM documents),
+nt AS (SELECT doc_id, (CASE WHEN t = '' THEN 0 ELSE len(toks) END)::BIGINT AS n FROM base),
+binned AS (SELECT n, length(bin(greatest(n, 1))) - 1 AS length_bin FROM nt)
+SELECT length_bin::BIGINT AS length_bin, count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens, min(n)::BIGINT AS min_tokens,
+       max(n)::BIGINT AS max_tokens
+FROM binned GROUP BY 1
+"""
+
+
 def _sql_lsh_cosine_topk(num_planes: int = 6) -> str:
     # Mirrors operators/similarity.py:_hyperplane_sign — component j of
     # plane p is +1/-1 from the top-60-bit md5 of "plane{p}:{j}", so the
@@ -2412,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newly oracle-paired (previously rows-only)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        # new this round
+        "split_assign": q_split_assign,
+        "source_overlap": q_source_overlap,
+        "length_curriculum": q_length_curriculum,
         # flagship queries kept inside the window
         "compare_metrics": q_compare_metrics,
         "compare_diff": q_compare_diff,
@@ -2514,6 +2590,9 @@ FROM events GROUP BY 1
         "simhash_fingerprints": _sql_simhash(),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "lsh_cosine_topk": _sql_lsh_cosine_topk(),
+        "split_assign": _sql_split_assign(),
+        "source_overlap": _sql_source_overlap(),
+        "length_curriculum": _SQL_LENGTH_CURRICULUM,
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

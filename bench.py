@@ -95,6 +95,10 @@ BENCH_QUERIES = {
     "passage_dup_stats": lambda s, d: _materialize(entry.q_passage_dup_stats(s, d)),
     "decontaminate": lambda s, d: _materialize(entry.q_decontaminate(s, d)),
     "pack_sequences": lambda s, d: _materialize(entry.q_pack_sequences(s, d)),
+    # round 3: split assignment, contamination matrix, curriculum bins
+    "split_assign": lambda s, d: _materialize(entry.q_split_assign(s, d)),
+    "source_overlap": lambda s, d: _materialize(entry.q_source_overlap(s, d)),
+    "length_curriculum": lambda s, d: _materialize(entry.q_length_curriculum(s, d)),
 }
 
 

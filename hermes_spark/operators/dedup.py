@@ -610,3 +610,50 @@ def blocking_key_pairs(
         .select("__p.id_a", "__p.id_b", "block_key")
         .distinct()
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered pair of
+    sources ``(a, b)`` with ``a < b``, how many distinct normalized-text
+    fingerprints occur in BOTH — the standard "is my eval split leaking
+    from the crawl" accounting before training.
+
+    Plan: fingerprint map-side, collapse to distinct (fingerprint,
+    source) pairs (first shuffle, ~40 B/row), gather each fingerprint's
+    source set (second shuffle on the already-collapsed frame), pair
+    in-task.  No self-join of the corpus, nothing wide ever shuffles.
+    Returns ``(source_a, source_b, overlap_count)``.
+    """
+    fp_sources = (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("__fp"),
+            F.col(source_col).cast("string").alias("__src"),
+        )
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.array_sort(F.collect_set("__src")).alias("__srcs"))
+        .filter(F.size("__srcs") >= 2)
+    )
+    srcs = F.col("__srcs")
+    pairs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        fp_sources.select(F.explode(pairs).alias("__p"))
+        .groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap_count"))
+    )

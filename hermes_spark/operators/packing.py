@@ -149,3 +149,36 @@ def packed_sequence_stats(
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
     )
+
+
+def length_curriculum(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum bins by token count: per-document geometric length bin
+    (``bin = floor(log2(tokens))``, so bins are [1,2), [2,4), [4,8)…)
+    with per-bin corpus accounting — the sampler's input for
+    length-bucketed batch scheduling.
+
+    The bin id is computed as ``length(bin(tokens)) - 1`` — pure integer
+    logic, so it is exact at power-of-2 boundaries where a float
+    ``floor(log(x)/log(2))`` can straddle engines.  Log-width bins keep
+    every bucket shuffle-light at 100 TB: the bin id is a pure expression
+    on the scan, and the aggregate is a ~dozens-row groupBy.  Returns
+    ``(length_bin, n_docs, total_tokens, min_tokens, max_tokens)``.
+    """
+    toks = token_count(F.col(text_col))
+    binned = df.select(
+        F.col(id_col),
+        toks.alias("__nt"),
+        (F.length(F.bin(F.greatest(toks, F.lit(1)))) - 1)
+        .cast("long")
+        .alias("length_bin"),
+    )
+    return binned.groupBy("length_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.min("__nt").alias("min_tokens"),
+        F.max("__nt").alias("max_tokens"),
+    )

@@ -91,3 +91,39 @@ def stratified_sample(
             F.lit(int(fraction * SAMPLE_DENOMINATOR)),
         ).otherwise(threshold)
     return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one named split, with probability proportional to its weight.
+
+    The decision is the row's hash bucket against the cumulative weight
+    boundaries, so (a) assignment is reproducible across runs, engines
+    and repartitions, (b) the full input is exactly partitioned (no row
+    lost or doubled), and (c) growing one split's weight only MOVES the
+    boundary — rows never shuffle between the surviving splits (stable
+    holdout sets as the corpus evolves). Pure expression, no shuffle.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    bucket = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, weight in items[:-1]:
+        acc += weight / total
+        boundary = int(round(acc * SAMPLE_DENOMINATOR))
+        cond = bucket < F.lit(boundary)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)

@@ -58,12 +58,15 @@ def test_minhash_single_scan_of_documents(spark, sf_dir):
     assert 1 <= len(scans) <= 3, scans
 
 
-def test_exact_dedup_is_two_shuffles_max(spark, sf_dir):
+def test_exact_dedup_is_one_shuffle(spark, sf_dir):
+    # single window over the fingerprint: exactly one Exchange, and the
+    # (wide) text payload never re-joins through a second shuffle
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from hermes_spark.operators import exact_dedup
 
     out = exact_dedup(docs, "doc_id", text_col="text")
-    assert count_exchanges(out) <= 3
+    assert count_exchanges(out) == 1
+    assert not any("Join" in op for op in plan_operators(out))
 
 
 def test_tfidf_prunes_scan_and_broadcasts_total(spark, sf_dir):

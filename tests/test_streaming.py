@@ -15,11 +15,11 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     """Events re-written as micros-timestamp parquet (streaming-readable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = str(tmp_path_factory.mktemp("stream") / "events")
-    (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .write.parquet(out)
-    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not dict(events.dtypes).get("ts", "").startswith("timestamp"):
+        # nanos-as-long path: truncate to micros
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(out)
     return out
 
 
