@@ -16,6 +16,7 @@ from .gapfill import gapfill_rollup
 from .joins import range_join, read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
+    extract_audio_features,
     extract_image_features,
     frame_sample,
     with_media_metadata,
@@ -97,6 +98,7 @@ __all__ = [
     "write_bucketed",
     "read_bucketed",
     "decode_image_stub",
+    "extract_audio_features",
     "extract_image_features",
     "frame_sample",
     "with_media_metadata",

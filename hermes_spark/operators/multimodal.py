@@ -207,3 +207,76 @@ def frame_sample(
             )
 
     return df.select(id_col, binary_col).mapInPandas(process, out_schema)
+
+
+def decode_audio_stub(data: bytes) -> dict:
+    """STUB audio decode: deterministic fake duration / sample-rate / RMS.
+
+    A real deployment passes ``decoder=`` backed by soundfile/torchaudio::
+
+        def sf_decoder(data: bytes) -> dict:
+            wav, sr = soundfile.read(io.BytesIO(data))
+            ...
+
+    The stub derives stable pseudo-properties from the byte content so
+    tests are deterministic without any codec library.
+    """
+    if data is None:
+        raise ValueError("cannot decode null media bytes")
+    n = len(data)
+    checksum = sum(data[:64]) if n else 0
+    sample_rate = (8000, 16000, 22050, 44100)[checksum % 4]
+    # pretend 16-bit mono PCM
+    duration_ms = int(n * 1000 / (sample_rate * 2)) if n else 0
+    rms = (sum(b * b for b in data[:256]) / max(min(n, 256), 1)) ** 0.5 if n else 0.0
+    return {
+        "sample_rate": sample_rate,
+        "duration_ms": duration_ms,
+        "rms_energy": rms,
+    }
+
+
+AUDIO_FEATURE_SCHEMA_SUFFIX = [
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("rms_energy", DoubleType()),
+    StructField("decode_error", StringType()),
+]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decoder: Callable[[bytes], dict] = decode_audio_stub,
+) -> DataFrame:
+    """Decode audio binaries and emit per-clip features via
+    ``mapInPandas`` — same contract as ``extract_image_features``: output
+    ``(id, sample_rate, duration_ms, rms_energy, decode_error)`` with
+    per-item failure isolation (corrupt bytes land in ``decode_error``).
+    """
+    out_schema = StructType([df.schema[id_col]] + AUDIO_FEATURE_SCHEMA_SUFFIX)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {id_col: row[id_col], "sample_rate": None,
+                       "duration_ms": None, "rms_energy": None,
+                       "decode_error": None}
+                try:
+                    feats = decoder(row[binary_col])
+                    rec.update(
+                        sample_rate=feats.get("sample_rate"),
+                        duration_ms=feats.get("duration_ms"),
+                        rms_energy=feats.get("rms_energy"),
+                    )
+                except Exception as exc:  # noqa: BLE001 - per-item isolation
+                    rec["decode_error"] = str(exc)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "duration_ms",
+                               "rms_energy", "decode_error"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, out_schema)

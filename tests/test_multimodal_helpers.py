@@ -11,6 +11,7 @@ from hermes_spark.functions.helpers import (
 )
 from hermes_spark.operators import (
     embedding_near_dup_pairs,
+    extract_audio_features,
     extract_image_features,
     frame_sample,
     with_media_metadata,
@@ -102,3 +103,17 @@ def test_rich_format_and_calculate_time():
     assert rich_format("{a}-{b}", {"a": "x", "b": "y"}) == "x-y"
     ms, value = calculate_time(lambda: sum(range(1000)))
     assert value == 499500 and ms >= 0
+
+
+def test_extract_audio_features_stub(media_df):
+    out = extract_audio_features(media_df, "media_id", "data").collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id) == 4
+    ok = by_id[0]
+    assert ok.decode_error is None
+    assert ok.sample_rate in (8000, 16000, 22050, 44100)
+    assert ok.duration_ms > 0 and ok.rms_energy > 0
+    # empty bytes decode to zero-duration, not an error
+    assert by_id[2].decode_error is None and by_id[2].duration_ms == 0
+    # null bytes produce a decode_error row, never a job failure
+    assert by_id[3].decode_error is not None and by_id[3].sample_rate is None
