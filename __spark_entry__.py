@@ -1528,6 +1528,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-one per embedding-cosine component (exact pair
+    graph on the near-dup slice for oracle determinism; the production
+    path sets exact=False for LSH bucketing)."""
+    from hermes_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_ID
+    )
+    return semantic_dedup(
+        emb, min_cosine=NEAR_DUP_MIN_COSINE, exact=True
+    ).select("vec_id")
+
+
 # -- non-SQL-expressible (rows-only check): approximate variants ------------
 
 
@@ -1843,6 +1857,38 @@ SELECT length_bin::BIGINT AS length_bin, count(*)::BIGINT AS n_docs,
        sum(n)::BIGINT AS total_tokens, min(n)::BIGINT AS min_tokens,
        max(n)::BIGINT AS max_tokens
 FROM binned GROUP BY 1
+"""
+
+
+def _sql_semantic_dedup() -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {NEAR_DUP_MIN_COSINE}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT n.src AS id, least(n.src, min(r.dst)) AS component
+  FROM (SELECT DISTINCT src FROM edges) n
+  LEFT JOIN reach r ON r.src = n.src
+  GROUP BY n.src
+)
+SELECT vec_id FROM sub
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != component)
 """
 
 
@@ -2488,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "source_overlap": q_source_overlap,
         "length_curriculum": q_length_curriculum,
+        "semantic_dedup": q_semantic_dedup,
         # flagship queries kept inside the window
         "compare_metrics": q_compare_metrics,
         "compare_diff": q_compare_diff,
@@ -2593,6 +2640,7 @@ FROM events GROUP BY 1
         "split_assign": _sql_split_assign(),
         "source_overlap": _sql_source_overlap(),
         "length_curriculum": _SQL_LENGTH_CURRICULUM,
+        "semantic_dedup": _sql_semantic_dedup(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

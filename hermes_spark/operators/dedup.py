@@ -623,18 +623,18 @@ def source_overlap(
     fingerprints occur in BOTH — the standard "is my eval split leaking
     from the crawl" accounting before training.
 
-    Plan: fingerprint map-side, collapse to distinct (fingerprint,
-    source) pairs (first shuffle, ~40 B/row), gather each fingerprint's
-    source set (second shuffle on the already-collapsed frame), pair
-    in-task.  No self-join of the corpus, nothing wide ever shuffles.
-    Returns ``(source_a, source_b, overlap_count)``.
+    Plan: fingerprint map-side, then ONE shuffle — ``groupBy(fp)`` with
+    ``collect_set(source)`` dedupes sources inside the partial (map-side)
+    aggregation, so only ~(fp, distinct-source-set) pairs cross the wire;
+    pairs generate in-task from each set.  No self-join of the corpus,
+    nothing wide ever shuffles.  Returns
+    ``(source_a, source_b, overlap_count)``.
     """
     fp_sources = (
         df.select(
             doc_fingerprint(F.col(text_col)).alias("__fp"),
             F.col(source_col).cast("string").alias("__src"),
         )
-        .distinct()
         .groupBy("__fp")
         .agg(F.array_sort(F.collect_set("__src")).alias("__srcs"))
         .filter(F.size("__srcs") >= 2)

@@ -468,3 +468,38 @@ def lsh_cosine_topk(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. '23): drop
+    every embedding whose cosine-similarity component already has a
+    lower-id representative; keep one row per semantic cluster.
+
+    Composition of scale-proven pieces: hyperplane-LSH near-dup pairs
+    (bucketed — no all-pairs join at scale; ``exact=True`` for the
+    quadratic verification variant), min-label connected components
+    (pointer jumping, O(log d) rounds), anti-join of the losers.  The
+    corpus-wide data moves through one LSH bucket shuffle plus the
+    narrow (id, id) component iterations — embeddings themselves never
+    re-shuffle after bucketing.
+    """
+    from .dedup import fuzzy_dedup_keep_one
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        min_cosine=min_cosine,
+        num_planes=num_planes,
+        dim=dim,
+        exact=exact,
+    )
+    return fuzzy_dedup_keep_one(df, id_col, pairs)

@@ -162,3 +162,30 @@ def test_ivf_nprobe_improves_recall(spark, embeddings):
     out2 = ivf_topk(embeddings, centroids, queries, k=5, nprobe=2)
     counts = out2.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    from hermes_spark.operators.similarity import semantic_dedup
+
+    # two tight clusters + one singleton in 4-d space
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 1 and 2
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.999, 0.01, 0.0]),  # near-dup of 10
+        (20, [0.0, 0.0, 0.0, 1.0]),     # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, min_cosine=0.99, dim=4, exact=True).collect()
+    )
+    assert kept == [1, 10, 20]
+    # LSH production path keeps a superset (it can only miss pairs, i.e.
+    # split a component) and always retains the exact path's survivors
+    kept_lsh = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, min_cosine=0.99, dim=4, num_planes=4).collect()
+    )
+    assert set(kept) <= set(kept_lsh)
