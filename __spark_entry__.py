@@ -1414,8 +1414,9 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text bytes stand in for media
     binaries (no codec libs in this environment), metadata attach +
     Arrow-batched mapInPandas feature extraction with the deterministic
-    stub decoder (operators/multimodal.py). Rows-only check — the
-    byte-level stub is not SQL-expressible."""
+    stub decoder (operators/multimodal.py). Oracle-paired: the stub's
+    byte arithmetic is reproduced in DuckDB via hex(blob) byte
+    extraction (see ``_sql_multimodal_image_features``)."""
     from hermes_spark.operators import extract_image_features, with_media_metadata
 
     docs = _read(spark, sf_dir, "documents")
@@ -1857,6 +1858,26 @@ SELECT length_bin::BIGINT AS length_bin, count(*)::BIGINT AS n_docs,
        sum(n)::BIGINT AS total_tokens, min(n)::BIGINT AS min_tokens,
        max(n)::BIGINT AS max_tokens
 FROM binned GROUP BY 1
+"""
+
+
+def _sql_multimodal_image_features() -> str:
+    # byte i (1-based) of the UTF-8 blob, via its hex dump
+    byte_i = "('0x' || substring(hx, 2*i-1, 2))::BIGINT"
+    return f"""
+WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+h AS (SELECT doc_id, hex(blob) AS hx, octet_length(blob) AS n FROM b),
+sums AS (
+  SELECT doc_id, n,
+    coalesce(list_sum(list_transform(range(1, least(n, 64) + 1), i -> {byte_i})), 0) AS c64,
+    coalesce(list_sum(list_transform(range(1, least(n, 256) + 1), i -> {byte_i})), 0) AS c256
+  FROM h
+)
+SELECT doc_id,
+  (16 + c64 % 64)::BIGINT AS width,
+  (16 + (c64 // 64) % 64)::BIGINT AS height,
+  round(c256 / greatest(least(n, 256), 1), 4) AS mean_intensity
+FROM sums
 """
 
 
@@ -2535,11 +2556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "length_curriculum": q_length_curriculum,
         "semantic_dedup": q_semantic_dedup,
-        # flagship queries kept inside the window
-        "compare_metrics": q_compare_metrics,
+        # newly oracle-paired via hex(blob) byte arithmetic
+        "multimodal_image_features": q_multimodal_image_features,
+        # flagship query kept inside the window
         "compare_diff": q_compare_diff,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # ---- below the fold: hash-verified green in rounds 1-2 ----
+        "compare_metrics": q_compare_metrics,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_duplicate_keys": q_dedup_duplicate_keys,
         "except_distinct": q_except_distinct,
         "key_hash_md5": q_key_hash_md5,
@@ -2579,7 +2602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         # approximate / not SQL-expressible -> rows-only check
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
-        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -2641,6 +2663,7 @@ FROM events GROUP BY 1
         "source_overlap": _sql_source_overlap(),
         "length_curriculum": _SQL_LENGTH_CURRICULUM,
         "semantic_dedup": _sql_semantic_dedup(),
+        "multimodal_image_features": _sql_multimodal_image_features(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

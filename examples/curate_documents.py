@@ -5,7 +5,9 @@ Runs the full curation flow over the synthetic documents corpus:
   read -> boilerplate line removal -> language ID ->
   quality/token/repetition gate -> corpus-LM (unigram) outlier gate ->
   PII scrub -> exact dedup -> minhash near-dup dedup (cluster,
-  keep one) -> stratified rebalance -> corpus stats + TF-IDF keywords
+  keep one) -> stratified rebalance -> benchmark decontamination ->
+  train/val/test split -> sequence packing -> corpus stats + TF-IDF
+  keywords
 
 Usage (from the repo root):
 
@@ -38,6 +40,9 @@ from hermes_spark.operators import (
     tfidf_topk_terms,
     unigram_logprob,
 )
+from hermes_spark.operators.packing import pack_sequences
+from hermes_spark.operators.passages import decontaminate
+from hermes_spark.operators.sampling import split_assign
 
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -95,6 +100,22 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         default_fraction=0.5,   # halve 'und' and everything else
     )
 
+    # 7. benchmark decontamination: drop anything sharing an 8-gram
+    # with the (synthetic) held-out eval slice
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    flags = decontaminate(final, bench, "doc_id", "text", n=8)
+    clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
+    final = final.join(clean_ids, on="doc_id", how="left_semi")
+
+    # 8. deterministic 90/5/5 split, then pack the train split into
+    # fixed-budget training sequences
+    final = split_assign(final, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = final.filter(F.col("split") == "train")
+    packed = pack_sequences(train, "doc_id", token_count_col="n_tokens", budget=2048)
+    n_seqs = packed.select("shard", "seq_in_shard").distinct().count()
+
     final.write.mode("overwrite").parquet(out_dir)
 
     stats = (
@@ -106,7 +127,8 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         )
         .orderBy("lang")
     )
-    print(f"\ncurated {n0} -> {final.count()} docs; per-language mix:")
+    print(f"\ncurated {n0} -> {final.count()} docs; "
+          f"train packed into {n_seqs} sequences; per-language mix:")
     stats.show(truncate=False)
 
     # 7. characteristic terms of the final corpus (searchable summary)
