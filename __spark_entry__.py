@@ -668,6 +668,16 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_curriculum(docs, "doc_id", "text")
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source sample of the documents corpus."""
+    from hermes_spark.operators.sampling import sample_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_per_group(docs, "doc_id", "source", k=3).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1861,6 +1871,19 @@ FROM binned GROUP BY 1
 """
 
 
+def _sql_sample_per_group() -> str:
+    bucket = _dhash("'pergroup:' || doc_id::VARCHAR") + " % 10000"
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ({bucket}), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank::BIGINT AS sample_rank
+FROM ranked WHERE sample_rank <= 3
+"""
+
+
 def _sql_multimodal_image_features() -> str:
     # byte i (1-based) of the UTF-8 blob, via its hex dump
     byte_i = "('0x' || substring(hx, 2*i-1, 2))::BIGINT"
@@ -2560,7 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         # flagship query kept inside the window
         "compare_diff": q_compare_diff,
-        # ---- below the fold: hash-verified green in rounds 1-2 ----
+        # ---- below the fold (rotate into the window next round) ----
+        "sample_per_group": q_sample_per_group,
         "compare_metrics": q_compare_metrics,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_duplicate_keys": q_dedup_duplicate_keys,
@@ -2664,6 +2688,7 @@ FROM events GROUP BY 1
         "length_curriculum": _SQL_LENGTH_CURRICULUM,
         "semantic_dedup": _sql_semantic_dedup(),
         "multimodal_image_features": _sql_multimodal_image_features(),
+        "sample_per_group": _sql_sample_per_group(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -78,6 +78,7 @@ BENCH_QUERIES = {
     "range_join_windows": lambda s, d: _materialize(entry.q_range_join_windows(s, d)),
     "gapfill_rollup": lambda s, d: _materialize(entry.q_gapfill_rollup(s, d)),
     "minhash_fast_hash": lambda s, d: _materialize(_minhash_fast(s, d)),
+    "simhash_fast_hash": lambda s, d: _materialize(_simhash_fast(s, d)),
     "ann_cosine_topk_vec": lambda s, d: _materialize(entry.q_ann_cosine_topk_vec(s, d)),
     "tfidf_topk_terms": lambda s, d: _materialize(entry.q_tfidf_topk_terms(s, d)),
     # heaviest of the adapted TPC-H suite: multi-join rollup, outer-join
@@ -100,6 +101,14 @@ BENCH_QUERIES = {
     "source_overlap": lambda s, d: _materialize(entry.q_source_overlap(s, d)),
     "length_curriculum": lambda s, d: _materialize(entry.q_length_curriculum(s, d)),
 }
+
+
+def _simhash_fast(spark, sf_dir):
+    """Production-hash simhash near-dups (xxhash64 token hashes)."""
+    from hermes_spark.operators import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", portable=False)
 
 
 def _minhash_fast(spark, sf_dir):

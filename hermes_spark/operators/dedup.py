@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     band_keys,
     base_hash31,
+    fast_hash64,
     minhash_signature_from_hashes,
     portable_hash64,
     shingles,
@@ -458,19 +459,23 @@ def fuzzy_dedup_keep_one(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document SimHash (Charikar '02): token hashes vote per bit.
 
     Returns ``(id, simhash)`` with ``simhash`` a ``bits``-wide integer.
     Pure expressions: one hash per token, then ``bits`` sign-sums.
+    ``portable=False`` swaps the oracle-reproducible md5 token hash for
+    xxhash64 — the production path (~2x less hash CPU).
     """
-    # materialize token hashes in their own projection: one md5 per token
-    # total, instead of one per token per bit (32× less hashing)
+    # materialize token hashes in their own projection: one hash per
+    # token total, instead of one per token per bit (32x less hashing)
+    token_hash = portable_hash64 if portable else fast_hash64
     toks = tokens(F.lower(F.col(text_col)))
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: portable_hash64(t)).alias("__hs"),
+        F.transform(toks, lambda t: token_hash(t)).alias("__hs"),
     )
 
     def bit_vote(b: int) -> Column:
@@ -495,6 +500,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     block_bits: int = 8,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -503,7 +509,7 @@ def simhash_near_dup_pairs(
     ``block_bits``-wide blocks instead of cross-joining. Returns
     ``(id_a, id_b, hamming)``.
     """
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits)
+    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, portable=portable)
     n_blocks = max(max_hamming + 1, bits // block_bits)
     width = bits // n_blocks
 

@@ -127,3 +127,31 @@ def split_assign(
     last = F.lit(items[-1][0])
     assigned = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, assigned)
+
+
+def sample_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "pergroup",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank each group's rows by a
+    portable hash of the key and keep the ``k`` smallest — a reproducible
+    "show me N examples per source / language / length-bin" that needs
+    no global sort and no RNG state.
+
+    One shuffle (the per-group window); the hash ordering makes the
+    pick independent of input layout, and the key tiebreak makes it
+    total.  Adds ``sample_rank`` (1-based) to the kept rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    order = _bucket(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -84,3 +84,20 @@ def test_length_curriculum_bins(spark):
         for r in length_curriculum(docs(spark, rows), "doc_id").collect()
     }
     assert out == {0: (2, 1, 0, 1), 1: (1, 3, 3, 3), 2: (1, 4, 4, 4), 3: (1, 8, 8, 8)}
+
+
+def test_sample_per_group_deterministic(spark):
+    from hermes_spark.operators.sampling import sample_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    out = sample_per_group(df, "doc_id", "grp", k=5)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {g: 5 for g in range(7)}
+    # re-run (and re-partitioned input) picks the identical rows
+    again = sample_per_group(df.repartition(13), "doc_id", "grp", k=5)
+    assert out.subtract(again).count() == 0 and again.subtract(out).count() == 0
+    # k=1 picks are a subset of the k=5 picks (nested prefix property)
+    one = sample_per_group(df, "doc_id", "grp", k=1).select("doc_id")
+    assert one.join(out.select("doc_id"), on="doc_id", how="left_anti").count() == 0

@@ -296,3 +296,13 @@ def test_cc_algorithms_match_union_find(spark, edges):
         for r in connected_components_star(pairs).collect()
     }
     assert star == star_expected
+
+
+def test_simhash_fast_hash_variant(spark, documents):
+    from hermes_spark.operators import simhash_near_dup_pairs
+
+    sub = documents.limit(300)
+    fast = simhash_near_dup_pairs(sub, "doc_id", "text", portable=False)
+    # xxhash64 path produces a valid pair set with the same contract
+    rows = fast.collect()
+    assert all(r.id_a < r.id_b and r.hamming <= 3 for r in rows)
