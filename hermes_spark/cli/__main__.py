@@ -14,7 +14,8 @@ import sys
 def main(argv: list[str]) -> int:
     if not argv:
         print(
-            "usage: python -m hermes_spark.cli {compare|info-compare|e2e|profile} ...",
+            "usage: python -m hermes_spark.cli "
+            "{compare|info-compare|e2e|profile|dedup|split} ...",
             file=sys.stderr,
         )
         return 2
@@ -35,6 +36,14 @@ def main(argv: list[str]) -> int:
         from hermes_spark.cli.profile_job import main as profile_main
 
         return profile_main(rest)
+    if command == "dedup":
+        from hermes_spark.cli.curate_job import dedup_main
+
+        return dedup_main(rest)
+    if command == "split":
+        from hermes_spark.cli.curate_job import split_main
+
+        return split_main(rest)
     print(f"unknown command: {command}", file=sys.stderr)
     return 2
 

@@ -101,3 +101,31 @@ def test_sample_per_group_deterministic(spark):
     # k=1 picks are a subset of the k=5 picks (nested prefix property)
     one = sample_per_group(df, "doc_id", "grp", k=1).select("doc_id")
     assert one.join(out.select("doc_id"), on="doc_id", how="left_anti").count() == 0
+
+
+def test_cli_dedup_and_split_jobs(spark, tmp_path):
+    from hermes_spark.cli.curate_job import run_dedup, run_split
+
+    src = str(tmp_path / "docs")
+    rows = [(i, "text %d" % (i % 50), "s%d" % (i % 3)) for i in range(200)]
+    docs(spark, rows).write.parquet(src)
+
+    out, summary = run_dedup(
+        spark, ["--format", "parquet", "--path", src]
+    )
+    assert summary["rows_in"] == 200 and summary["rows_out"] == 50
+    assert out.count() == 50
+
+    out2, summary2 = run_split(
+        spark,
+        ["--format", "parquet", "--path", src,
+         "--weights", "train=0.8,holdout=0.2"],
+    )
+    assert sum(summary2["counts"].values()) == 200
+    assert set(summary2["counts"]) == {"train", "holdout"}
+
+    # fuzzy mode composes exact + minhash keep-one
+    _, summary3 = run_dedup(
+        spark, ["--format", "parquet", "--path", src, "--mode", "fuzzy"]
+    )
+    assert summary3["rows_out"] <= 50
