@@ -114,3 +114,43 @@ def test_suggest_shuffle_partitions(spark, sf_dir):
     assert advice["input_bytes"] == size
     assert advice["estimated_shuffle_bytes"] == int(size * 3.0)
     assert advice["suggested_shuffle_partitions"] >= 8
+
+
+def test_split_assign_zero_shuffle(spark, sf_dir):
+    from hermes_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_assign(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    # pure expression on the scan: no Exchange anywhere in the plan
+    assert count_exchanges(out) == 0
+
+
+def test_sample_per_group_single_shuffle(spark, sf_dir):
+    from hermes_spark.operators.sampling import sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_per_group(docs, "doc_id", "source", k=3)
+    assert count_exchanges(out) == 1  # just the per-group window
+
+
+def test_source_overlap_one_wide_shuffle(spark, sf_dir):
+    from hermes_spark.operators.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_overlap(docs, "doc_id", "text")
+    # one wide shuffle (fingerprint groupBy with map-side collect_set
+    # partials) + one tiny source-pair aggregation; never a third, and
+    # never a corpus self-join
+    assert count_exchanges(out) <= 2
+    assert not any("Join" in op for op in plan_operators(out))
+
+
+def test_length_curriculum_single_agg(spark, sf_dir):
+    from hermes_spark.operators.packing import length_curriculum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = length_curriculum(docs, "doc_id")
+    assert count_exchanges(out) == 1
+    # bin id must be computed scan-side, not from a shuffled intermediate
+    schemas = read_schemas(out)
+    assert len(schemas) == 1 and "text" in schemas[0]
