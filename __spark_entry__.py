@@ -678,6 +678,25 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel over the events table."""
+    from hermes_spark.operators.funnel import funnel_counts
+
+    events = _read_events(spark, sf_dir)
+    return funnel_counts(events, FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the events table."""
+    from hermes_spark.operators.funnel import cohort_retention
+
+    events = _read_events(spark, sf_dir)
+    return cohort_retention(events, granularity="week")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1871,6 +1890,37 @@ FROM binned GROUP BY 1
 """
 
 
+def _sql_funnel_counts() -> str:
+    s0, s1, s2 = FUNNEL_STEPS
+    return f"""
+WITH e AS (SELECT user_id AS u, ts, event_type AS et FROM events),
+r0 AS (SELECT u, min(CASE WHEN et = '{s0}' THEN ts END) AS t0 FROM e GROUP BY u),
+r1 AS (SELECT e.u, t0,
+         min(CASE WHEN et = '{s1}' AND t0 IS NOT NULL AND ts > t0 THEN ts END) AS t1
+       FROM e JOIN r0 USING (u) GROUP BY e.u, t0),
+r2 AS (SELECT e.u,
+         min(CASE WHEN et = '{s2}' AND t1 IS NOT NULL AND ts > t1 THEN ts END) AS t2
+       FROM e JOIN r1 USING (u) GROUP BY e.u, t1)
+SELECT 0::BIGINT AS step_index, '{s0}' AS step,
+       (SELECT count(*) FROM r0 WHERE t0 IS NOT NULL)::BIGINT AS n_users
+UNION ALL
+SELECT 1, '{s1}', (SELECT count(*) FROM r1 WHERE t1 IS NOT NULL)
+UNION ALL
+SELECT 2, '{s2}', (SELECT count(*) FROM r2 WHERE t2 IS NOT NULL)
+"""
+
+
+_SQL_COHORT_RETENTION = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, (epoch(ts)::BIGINT // 604800) AS p FROM events
+),
+c AS (SELECT u, min(p) AS cp FROM a GROUP BY u)
+SELECT cp::BIGINT AS cohort, (p - cp)::BIGINT AS period_offset,
+       count(*)::BIGINT AS n_users
+FROM a JOIN c USING (u) GROUP BY 1, 2
+"""
+
+
 def _sql_sample_per_group() -> str:
     bucket = _dhash("'pergroup:' || doc_id::VARCHAR") + " % 10000"
     return f"""
@@ -2585,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_diff": q_compare_diff,
         # ---- below the fold (rotate into the window next round) ----
         "sample_per_group": q_sample_per_group,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
         "compare_metrics": q_compare_metrics,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_duplicate_keys": q_dedup_duplicate_keys,
@@ -2689,6 +2741,8 @@ FROM events GROUP BY 1
         "semantic_dedup": _sql_semantic_dedup(),
         "multimodal_image_features": _sql_multimodal_image_features(),
         "sample_per_group": _sql_sample_per_group(),
+        "funnel_counts": _sql_funnel_counts(),
+        "cohort_retention": _SQL_COHORT_RETENTION,
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),
