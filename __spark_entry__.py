@@ -697,6 +697,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(events, granularity="week")
 
 
+BM25_QUERY = ["merge", "join", "vector"]
+BM25_K = 20
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query."""
+    from hermes_spark.operators.tfidf import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_QUERY, k=BM25_K)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1890,6 +1902,35 @@ FROM binned GROUP BY 1
 """
 
 
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b = 1.2, 0.75
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE trim(text) != ''
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term != ''),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE term IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+per_term AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+      * tf * {k1 + 1.0} / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN consts
+),
+scored AS (SELECT doc_id, round(sum(s), 6) AS score FROM per_term GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 def _sql_funnel_counts() -> str:
     s0, s1, s2 = FUNNEL_STEPS
     return f"""
@@ -2637,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
+        "bm25_scores": q_bm25_scores,
         "compare_metrics": q_compare_metrics,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_duplicate_keys": q_dedup_duplicate_keys,
@@ -2743,6 +2785,7 @@ FROM events GROUP BY 1
         "sample_per_group": _sql_sample_per_group(),
         "funnel_counts": _sql_funnel_counts(),
         "cohort_retention": _SQL_COHORT_RETENTION,
+        "bm25_scores": _sql_bm25(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

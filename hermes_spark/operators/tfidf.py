@@ -246,3 +246,72 @@ def hashing_vectorize(
         ).cast("double"),
     )
     return as_map.select("doc_id", vec.alias("features"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms
+    (Robertson-Sparck Jones; the standard retrieval baseline).
+
+    Returns the top ``k`` ``(doc_id, score, rank)`` rows with
+    ``score = sum over query terms of idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*len/avglen))`` and
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape: term frequencies aggregate once (partial-agg groupBy on
+    (doc, term)), document stats ride the same pass, the query-term
+    filter prunes the tf frame BEFORE any join, and the corpus constants
+    (N, avglen, per-term df) are broadcast.  Ties break by doc id.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("__t"))).alias("term")
+    ).filter(F.col("term") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    consts = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(doclen, on="doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / norm).alias("__s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(F.round(F.sum("__s"), 6).alias("score"))
+    # global top-k via TakeOrderedAndProject (distributed per-partition
+    # top-k + driver merge), NOT an empty-partition window — an unkeyed
+    # row_number() would drag every scored doc through one partition
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.partitionBy().orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rank"
+    )

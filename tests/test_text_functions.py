@@ -248,3 +248,33 @@ def test_hashing_vectorize_feeds_ann(spark):
     ).collect()
     ranked = [r.vec_id for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [1, 2]
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from hermes_spark.operators.tfidf import bm25_scores
+
+    rows = [
+        (1, "spark join optimizer join join"),     # heavy on 'join'
+        (2, "spark shuffle partition"),            # no query terms
+        (3, "join once in a very long document " + "filler " * 50),
+        (4, "merge join"),                         # two query terms, short doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_scores(df, ["merge", "join"], k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert 2 not in ranked                 # no query terms -> no score
+    assert ranked[0] == 4                  # both terms + short doc wins
+    assert set(ranked) == {1, 3, 4}
+    # length normalization: doc 3's lone 'join' in a long doc scores
+    # below doc 1's three 'join's in a short doc
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[3]
+
+
+def test_bm25_requires_terms(spark):
+    from hermes_spark.operators.tfidf import bm25_scores
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
