@@ -100,6 +100,9 @@ BENCH_QUERIES = {
     "split_assign": lambda s, d: _materialize(entry.q_split_assign(s, d)),
     "source_overlap": lambda s, d: _materialize(entry.q_source_overlap(s, d)),
     "length_curriculum": lambda s, d: _materialize(entry.q_length_curriculum(s, d)),
+    "funnel_counts": lambda s, d: _materialize(entry.q_funnel_counts(s, d)),
+    "cohort_retention": lambda s, d: _materialize(entry.q_cohort_retention(s, d)),
+    "bm25_scores": lambda s, d: _materialize(entry.q_bm25_scores(s, d)),
 }
 
 

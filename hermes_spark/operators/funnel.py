@@ -81,11 +81,14 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    # only the funnel's own event types matter — the IN filter pushes to
+    # the scan, so a 3-step funnel over a 100-type events table reads a
+    # fraction of the rows into every later aggregation
     events = df.select(
         F.col(user_col).alias("user"),
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("etype"),
-    )
+    ).filter(F.col("etype").isin(list(steps)))
     reach_cols = []
     for i, step in enumerate(steps):
         if i == 0:
