@@ -701,6 +701,28 @@ BM25_QUERY = ["merge", "join", "vector"]
 BM25_K = 20
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score anomalies on gap-filled hourly event counts
+    per event type."""
+    from hermes_spark.operators.gapfill import gapfill_rollup, rolling_anomalies
+
+    events = _read_events(spark, sf_dir)
+    hourly = gapfill_rollup(
+        events, "ts", "value", group_cols=["event_type"], unit="hour"
+    ).select("event_type", "bucket", F.col("n_events").cast("long").alias("n_events"))
+    out = rolling_anomalies(
+        hourly, "bucket", "n_events", group_cols=["event_type"], lookback=24
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "n_events",
+        "expected",
+        "zscore",
+        "is_anomaly",
+    )
+
+
 def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed 3-term query."""
     from hermes_spark.operators.tfidf import bm25_scores
@@ -2317,6 +2339,37 @@ SELECT d.bucket, d.event_type,
 FROM dense d LEFT JOIN b ON b.bucket = d.bucket AND b.event_type = d.event_type
 """
 
+_SQL_EVENTS_ANOMALIES = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+grp AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT d.event_type, d.bucket, coalesce(b.n_events, 0)::BIGINT AS n_events
+  FROM (SELECT s.bucket, g.event_type FROM spine s CROSS JOIN grp g) d
+  LEFT JOIN b ON b.bucket = d.bucket AND b.event_type = d.event_type
+),
+roll AS (
+  SELECT event_type, bucket, n_events,
+    avg(n_events) OVER w AS mean, stddev_samp(n_events) OVER w AS std,
+    count(n_events) OVER w AS n_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, n_events,
+  CASE WHEN n_prev >= 24 THEN round(mean, 4) END AS expected,
+  CASE WHEN n_prev >= 24 THEN round((n_events - mean) / nullif(std, 0), 4) END AS zscore,
+  coalesce(CASE WHEN n_prev >= 24
+           THEN abs(round((n_events - mean) / nullif(std, 0), 4)) >= 3.0 END,
+           false) AS is_anomaly
+FROM roll
+"""
+
 _SQL_EVENTS_QUANTILES = """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2679,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      have local hash-match via tools/check_oracles.py but no
         #      driver CORRECTNESS row yet) ----
         "sample_per_group": q_sample_per_group,
+        "events_anomalies": q_events_anomalies,
         "events_winsorized": q_events_winsorized,
         "events_value_histogram": q_events_value_histogram,
         "compare_diff": q_compare_diff,
@@ -2789,6 +2843,7 @@ FROM events GROUP BY 1
         "funnel_counts": _sql_funnel_counts(),
         "cohort_retention": _SQL_COHORT_RETENTION,
         "bm25_scores": _sql_bm25(),
+        "events_anomalies": _SQL_EVENTS_ANOMALIES,
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

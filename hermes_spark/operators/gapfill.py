@@ -89,3 +89,47 @@ def gapfill_rollup(
         n_filled.alias("n_events"),
         value_filled.alias("sum_value"),
     )
+
+
+def rolling_anomalies(
+    counts: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection over a (dense) bucketed
+    series: flag buckets whose value deviates >= ``z_threshold`` sample
+    standard deviations from the mean of the previous ``lookback``
+    buckets (the bucket itself excluded, so a spike can't mask itself).
+
+    Input should be a gap-filled rollup (see :func:`gapfill_rollup`) so
+    the ROWS frame counts real time steps.  Returns the input columns
+    plus ``expected``, ``zscore`` (both rounded, null for the warm-up
+    prefix or zero-variance windows) and ``is_anomaly``.  One window
+    over the series partitioning — at 100 TB the series frame is
+    already aggregated, so this is a cheap second pass.
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    std = F.stddev_samp(F.col(value_col)).over(w)
+    n_prev = F.count(F.col(value_col)).over(w)
+    z = (F.col(value_col) - mean) / F.nullif(std, F.lit(0.0))
+    full_window = n_prev >= F.lit(lookback)
+    return (
+        counts.withColumn("expected", F.when(full_window, F.round(mean, 4)))
+        .withColumn("zscore", F.when(full_window, F.round(z, 4)))
+        .withColumn(
+            "is_anomaly",
+            # zero-variance windows have a null zscore -> not anomalous
+            F.coalesce(
+                F.when(full_window, F.abs(F.col("zscore")) >= z_threshold),
+                F.lit(False),
+            ),
+        )
+    )

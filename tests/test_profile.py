@@ -97,3 +97,30 @@ def test_zorder_sort_clusters_both_dims(spark):
     # first quarter of the sort order is exactly the low-low quadrant
     first16 = rows[:16]
     assert all(r.x < 4 and r.y < 4 for r in first16)
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    from hermes_spark.operators.gapfill import rolling_anomalies
+    from pyspark.sql import functions as F
+
+    # 30 steady buckets of ~10 then one 100-spike, per one group
+    rows = [("a", i, 10 + (i % 3)) for i in range(30)] + [("a", 30, 100)]
+    df = spark.createDataFrame(rows, "g string, bucket int, n long")
+    out = rolling_anomalies(df, "bucket", "n", group_cols=["g"], lookback=24)
+    flagged = [r["bucket"] for r in out.filter(F.col("is_anomaly")).collect()]
+    assert flagged == [30]
+    # warm-up prefix (first 24 buckets) carries no expectation
+    warm = out.filter(F.col("bucket") < 24).filter(F.col("expected").isNotNull())
+    assert warm.count() == 0
+    spike = out.filter(F.col("bucket") == 30).first()
+    assert spike["zscore"] > 3 and abs(spike["expected"] - 11.0) < 1.5
+
+
+def test_rolling_anomalies_zero_variance_not_anomalous(spark):
+    from hermes_spark.operators.gapfill import rolling_anomalies
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, 5) for i in range(40)]  # perfectly flat series
+    df = spark.createDataFrame(rows, "g string, bucket int, n long")
+    out = rolling_anomalies(df, "bucket", "n", group_cols=["g"], lookback=24)
+    assert out.filter(F.col("is_anomaly")).count() == 0
