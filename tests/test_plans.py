@@ -154,3 +154,22 @@ def test_length_curriculum_single_agg(spark, sf_dir):
     # bin id must be computed scan-side, not from a shuffled intermediate
     schemas = read_schemas(out)
     assert len(schemas) == 1 and "text" in schemas[0]
+
+
+def test_split_output_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing partitionBy('split') and filtering on it must prune
+    partitions at the source (no full-table scan for one split)."""
+    from hermes_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out_dir = str(tmp_path / "by_split")
+    split_assign(docs, "doc_id", {"train": 0.8, "val": 0.2}).write.partitionBy(
+        "split"
+    ).parquet(out_dir)
+
+    train = spark.read.parquet(out_dir).filter(F.col("split") == "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:80]
+    # pruned read returns exactly the train rows
+    all_rows = spark.read.parquet(out_dir).count()
+    assert 0 < train.count() < all_rows
