@@ -94,6 +94,43 @@ def main() -> int:
             vdocs, "doc_id", "text", portable=False, min_jaccard=0.5
         ).count(),
     )
+
+    # ---- analytics at ~5M events -----------------------------------------
+    from hermes_spark.operators.funnel import cohort_retention, funnel_counts
+    from hermes_spark.operators.gapfill import gapfill_rollup, rolling_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts", "").startswith("timestamp"):
+        ts = F.col("ts")
+    else:
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    factor_e = factor * 5
+    bige = (
+        ev.select(
+            ts.cast("timestamp").alias("ts"), "user_id", "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(factor_e - 1))).alias("__c"),
+        )
+        .withColumn("user_id", F.col("user_id") * factor_e + F.col("__c"))
+        .drop("__c")
+    )
+    ne = bige.count()
+    print(json.dumps({"probe": "rows_events_input", "rows": ne, "wall": 0.0}), flush=True)
+    probe(
+        f"funnel_{ne}events",
+        lambda: funnel_counts(bige, ["view", "click", "purchase"]).count(),
+    )
+    probe(f"cohort_{ne}events", lambda: cohort_retention(bige).count())
+
+    def _anom():
+        hourly = gapfill_rollup(
+            bige.withColumn("value", F.lit(1.0)), "ts", "value",
+            group_cols=["event_type"], unit="hour",
+        )
+        return rolling_anomalies(
+            hourly, "bucket", "n_events", group_cols=["event_type"]
+        ).count()
+
+    probe(f"anomalies_{ne}events", _anom)
     spark.stop()
     return 0
 
