@@ -700,6 +700,48 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_QUERY = ["merge", "join", "vector"]
 BM25_K = 20
 
+CDC_DELETE_MOD = 211
+
+
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as a pseudo change log: key=o_custkey, ts=o_orderdate,
+    deterministic delete markers on o_orderkey % 211 == 0."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: current row per customer from the orders change
+    log (newest-wins incl. deletes)."""
+    from hermes_spark.operators.cdc import latest_by_key
+
+    return latest_by_key(
+        _orders_changelog(spark, sf_dir),
+        ["o_custkey"],
+        "ts",
+        op_col="op",
+        tiebreak=["o_orderkey"],
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over the orders change log (a 200-key
+    slice keeps the result bounded)."""
+    from hermes_spark.operators.cdc import scd2_history
+
+    changes = _orders_changelog(spark, sf_dir).filter(
+        F.col("o_custkey") < 200
+    ).drop("op")
+    return scd2_history(changes, ["o_custkey"], "ts")
+
 
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h z-score anomalies on gap-filled hourly event counts
@@ -1924,6 +1966,41 @@ FROM binned GROUP BY 1
 """
 
 
+_SQL_CDC_LOG = """
+SELECT o_custkey, o_orderdate::TIMESTAMP AS ts, o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 211 = 0 THEN 'D' ELSE 'U' END AS op
+FROM orders
+"""
+
+_SQL_CDC_LATEST = f"""
+WITH log AS ({_SQL_CDC_LOG}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY ts DESC, o_orderkey DESC) AS rn
+      FROM log)
+SELECT o_custkey, ts, o_orderkey, o_totalprice, op
+FROM r WHERE rn = 1 AND op != 'D'
+"""
+
+_SQL_SCD2 = """
+WITH log AS (
+  SELECT o_custkey, o_orderdate::TIMESTAMP AS ts, o_orderkey, o_totalprice
+  FROM orders WHERE o_custkey < 200
+),
+c AS (
+  SELECT o_custkey, ts, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, ts
+      ORDER BY ts DESC, o_orderkey DESC, o_totalprice DESC) AS rn
+    FROM log) WHERE rn = 1
+)
+SELECT o_custkey, ts, o_orderkey, o_totalprice, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM c
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
+"""
+
+
 def _sql_bm25() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     k1, b = 1.2, 0.75
@@ -2733,6 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      driver CORRECTNESS row yet) ----
         "sample_per_group": q_sample_per_group,
         "events_anomalies": q_events_anomalies,
+        "cdc_latest": q_cdc_latest,
+        "scd2_history": q_scd2_history,
         "events_winsorized": q_events_winsorized,
         "events_value_histogram": q_events_value_histogram,
         "compare_diff": q_compare_diff,
@@ -2844,6 +2923,8 @@ FROM events GROUP BY 1
         "cohort_retention": _SQL_COHORT_RETENTION,
         "bm25_scores": _sql_bm25(),
         "events_anomalies": _SQL_EVENTS_ANOMALIES,
+        "cdc_latest": _SQL_CDC_LATEST,
+        "scd2_history": _SQL_SCD2,
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -1,0 +1,85 @@
+"""Change-data-capture / warehouse maintenance operators.
+
+Extension surface (the reference compares snapshots; these produce the
+snapshots): compacting a change stream to current state, and building
+SCD2 (slowly-changing-dimension type 2) validity intervals from a
+change log.  Both are one window over the key — the canonical
+scale-safe shape for keyed history (no self-joins, no collects).
+
+Scale notes (100 TB):
+
+* ``latest_by_key`` — one hash-partitioned window; with billions of
+  keys the shuffle is the unavoidable key re-partition and nothing
+  else.  Deletes are dropped AFTER picking the latest row so a delete
+  followed by re-insert resolves correctly.
+* ``scd2_history`` — same single window; ``valid_to`` is the next
+  change's timestamp (``lead``), open rows carry null.  Append-only
+  friendly: re-running over a grown log only extends intervals.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    op_col: Optional[str] = None,
+    delete_value: str = "D",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Compact a change log to current state: one row per key — the one
+    with the greatest ``order_col`` (ties broken by ``tiebreak`` columns,
+    then arbitrarily-but-deterministically by the remaining row).
+
+    When ``op_col`` is given, rows whose final operation equals
+    ``delete_value`` are dropped AFTER selection, so the newest change
+    wins even when it is a delete (CDC upsert semantics).
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != delete_value)
+    return out
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Build SCD2 validity intervals from a change log: every change row
+    becomes a version with ``valid_from`` (its own timestamp),
+    ``valid_to`` (the key's next change, null while open) and a current
+    flag.
+
+    Equal-timestamp changes for one key are collapsed to the last one
+    (deterministic: greatest remaining column order) so intervals never
+    have zero width.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ts_col).asc())
+    # collapse same-timestamp duplicates first (keep one per (key, ts))
+    dedup_w = Window.partitionBy(
+        *[F.col(k) for k in keys], F.col(ts_col)
+    ).orderBy(*[F.col(c).desc() for c in df.columns if c not in keys])
+    collapsed = (
+        df.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        collapsed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn(current_flag, F.col("valid_to").isNull())
+    )
