@@ -718,6 +718,32 @@ def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage weights over nation-blocked customer
+    pairs, scoring market-segment and account-balance-bucket agreement."""
+    from hermes_spark.operators.dedup import linkage_scores
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    left = cust.select(F.col("c_nationkey").alias("__n"), F.col("c_custkey").alias("id_a"))
+    right = cust.select(F.col("c_nationkey").alias("__n"), F.col("c_custkey").alias("id_b"))
+    pairs = (
+        left.join(right, on="__n")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return linkage_scores(
+        cust,
+        pairs,
+        "c_custkey",
+        {"c_mktsegment": (0.9, 0.2), "bal_bucket": (0.7, 0.15)},
+    )
+
+
 def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC compaction: current row per customer from the orders change
     log (newest-wins incl. deletes)."""
@@ -1966,6 +1992,34 @@ FROM binned GROUP BY 1
 """
 
 
+def _sql_linkage_scores() -> str:
+    import math
+
+    w_seg, l_seg = math.log(0.9 / 0.2), math.log(0.1 / 0.8)
+    w_bal, l_bal = math.log(0.7 / 0.15), math.log(0.3 / 0.85)
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000)::BIGINT AS bal_bucket
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT p.id_a, p.id_b,
+  round(
+    (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+          THEN {w_seg!r} ELSE {l_seg!r} END)
+    + (CASE WHEN a.bal_bucket IS NOT DISTINCT FROM b.bal_bucket
+            THEN {w_bal!r} ELSE {l_bal!r} END), 6) AS match_score
+FROM pairs p
+JOIN cust a ON a.c_custkey = p.id_a
+JOIN cust b ON b.c_custkey = p.id_b
+"""
+
+
 _SQL_CDC_LOG = """
 SELECT o_custkey, o_orderdate::TIMESTAMP AS ts, o_orderkey, o_totalprice,
        CASE WHEN o_orderkey % 211 = 0 THEN 'D' ELSE 'U' END AS op
@@ -2812,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": q_events_anomalies,
         "cdc_latest": q_cdc_latest,
         "scd2_history": q_scd2_history,
+        "linkage_scores": q_linkage_scores,
         "events_winsorized": q_events_winsorized,
         "events_value_histogram": q_events_value_histogram,
         "compare_diff": q_compare_diff,
@@ -2925,6 +2980,7 @@ FROM events GROUP BY 1
         "events_anomalies": _SQL_EVENTS_ANOMALIES,
         "cdc_latest": _SQL_CDC_LATEST,
         "scd2_history": _SQL_SCD2,
+        "linkage_scores": _sql_linkage_scores(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -663,3 +663,47 @@ def source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("overlap_count"))
     )
+
+
+def linkage_scores(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fields: "dict[str, tuple[float, float]]",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring of candidate pairs.
+
+    ``fields`` maps a column to its ``(m, u)`` probabilities (chance of
+    agreement among true matches / among non-matches); each field
+    contributes ``ln(m/u)`` on agreement and ``ln((1-m)/(1-u))`` on
+    disagreement (null-safe equality), and ``match_score`` is the sum —
+    the classic log-likelihood-ratio linkage weight.
+
+    Scale shape: candidate ``pairs`` come from blocking (never all
+    pairs); the two attribute joins are key-partitioned on the record
+    id, and only the scored fields are carried.  Returns ``pairs`` plus
+    ``match_score`` (rounded, 6 dp).
+    """
+    import math
+
+    for f, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"field {f!r}: need 0 < u < m < 1, got m={m} u={u}")
+
+    cols = list(fields)
+    left = df.select(
+        F.col(id_col).alias(id_a), *[F.col(c).alias(f"__a_{c}") for c in cols]
+    )
+    right = df.select(
+        F.col(id_col).alias(id_b), *[F.col(c).alias(f"__b_{c}") for c in cols]
+    )
+    scored = pairs.join(left, on=id_a).join(right, on=id_b)
+    score = F.lit(0.0)
+    for c, (m, u) in fields.items():
+        agree = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        score = score + F.when(
+            agree, F.lit(math.log(m / u))
+        ).otherwise(F.lit(math.log((1 - m) / (1 - u))))
+    return scored.select(*pairs.columns, F.round(score, 6).alias("match_score"))

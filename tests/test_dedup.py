@@ -306,3 +306,42 @@ def test_simhash_fast_hash_variant(spark, documents):
     # xxhash64 path produces a valid pair set with the same contract
     rows = fast.collect()
     assert all(r.id_a < r.id_b and r.hamming <= 3 for r in rows)
+
+
+def test_linkage_scores_fellegi_sunter(spark):
+    import math
+    from hermes_spark.operators.dedup import linkage_scores
+
+    people = spark.createDataFrame(
+        [
+            (1, "smith", "london"),
+            (2, "smith", "london"),    # agrees with 1 on both
+            (3, "smith", "paris"),     # agrees on name only
+            (4, "jones", "berlin"),
+        ],
+        "pid long, name string, city string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    fields = {"name": (0.9, 0.1), "city": (0.8, 0.05)}
+    out = {
+        (r["id_a"], r["id_b"]): r["match_score"]
+        for r in linkage_scores(people, pairs, "pid", fields).collect()
+    }
+    w_name, w_city = math.log(9.0), math.log(16.0)
+    l_name, l_city = math.log(0.1 / 0.9), math.log(0.2 / 0.95)
+    assert abs(out[(1, 2)] - round(w_name + w_city, 6)) < 1e-6
+    assert abs(out[(1, 3)] - round(w_name + l_city, 6)) < 1e-6
+    assert abs(out[(1, 4)] - round(l_name + l_city, 6)) < 1e-6
+    assert out[(1, 2)] > out[(1, 3)] > out[(1, 4)]
+
+
+def test_linkage_scores_validates_probs(spark):
+    import pytest as _pytest
+    from hermes_spark.operators.dedup import linkage_scores
+
+    df = spark.createDataFrame([(1, "x")], "pid long, name string")
+    pairs = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        linkage_scores(df, pairs, "pid", {"name": (0.2, 0.9)})
