@@ -1,3 +1,4 @@
+from .cdc import latest_by_key, scd2_history
 from .dedup import (
     blocking_key_pairs,
     connected_components,
@@ -5,14 +6,17 @@ from .dedup import (
     duplicate_clusters,
     exact_dedup,
     fuzzy_dedup_keep_one,
+    linkage_scores,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_dup_pairs,
+    source_overlap,
 )
+from .funnel import cohort_retention, funnel_counts
 from .asof import asof_join
 from .boilerplate import boilerplate_lines, strip_boilerplate_lines
-from .gapfill import gapfill_rollup
+from .gapfill import gapfill_rollup, rolling_anomalies
 from .joins import range_join, read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
@@ -29,7 +33,13 @@ from .profile import (
     winsorize,
     zorder_key,
 )
-from .sampling import deterministic_sample, mix_corpora, stratified_sample
+from .sampling import (
+    deterministic_sample,
+    mix_corpora,
+    sample_per_group,
+    split_assign,
+    stratified_sample,
+)
 from .sessionize import sessionize
 from .tfidf import (
     bigram_logprob,
@@ -38,7 +48,7 @@ from .tfidf import (
     unigram_logprob,
     vocab_stats,
 )
-from .packing import pack_sequences, packed_sequence_stats, token_chunks
+from .packing import length_curriculum, pack_sequences, packed_sequence_stats, token_chunks
 from .passages import (
     decontaminate,
     duplicate_passage_stats,
@@ -54,10 +64,24 @@ from .similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_cosine_topk,
+    semantic_dedup,
 )
+from .tfidf import bm25_scores
 
 __all__ = [
     "asof_join",
+    "bm25_scores",
+    "cohort_retention",
+    "funnel_counts",
+    "latest_by_key",
+    "length_curriculum",
+    "linkage_scores",
+    "rolling_anomalies",
+    "sample_per_group",
+    "scd2_history",
+    "semantic_dedup",
+    "source_overlap",
+    "split_assign",
     "boilerplate_lines",
     "strip_boilerplate_lines",
     "connected_components",
