@@ -1,0 +1,73 @@
+"""Oracle-window rotation advisor.
+
+The driver's correctness harness checks only the FIRST 50 entries of
+``queries()``.  This tool reads every ``CORRECTNESS_r*.json`` in the
+repo root, computes each query's verification history, and prints the
+recommended top-50 for the next round:
+
+1. queries with NO green driver row ever (newest registrations first —
+   they are the least exercised);
+2. queries whose last green row is oldest (stalest re-verification);
+3. everything else, freshest-verified last.
+
+Usage: python tools/rotate_window.py   (from the repo root)
+
+The output is advisory — apply it by reordering ``queries()`` in
+``__spark_entry__.py`` (keep the NOTE comment there in sync).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    registered = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+
+    last_green: dict[str, int] = {}
+    checked_ever: set[str] = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, rec in rows.items():
+            checked_ever.add(name)
+            if rec.get("hash_match") or (
+                rec.get("rows_match") and name not in oracles
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    def sort_key(name: str) -> tuple:
+        # never-green first (newest registration = highest index first),
+        # then stalest green
+        green = last_green.get(name, -1)
+        idx = registered.index(name)
+        return (green, -idx if green < 0 else idx)
+
+    ranked = sorted(registered, key=sort_key)
+    never = [q for q in registered if q not in last_green]
+    print(f"{len(registered)} registered; {len(never)} without a green driver row:")
+    for q in never:
+        status = "never checked" if q not in checked_ever else "checked, not green"
+        print(f"  {q}  ({status})")
+    print("\nrecommended top-50 for next round:")
+    for i, q in enumerate(ranked[:50], 1):
+        tag = "" if q in last_green else "  <- needs first green row"
+        print(f"  {i:2d}. {q}{tag}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
