@@ -707,3 +707,78 @@ def linkage_scores(
             agree, F.lit(math.log(m / u))
         ).otherwise(F.lit(math.log((1 - m) / (1 - u))))
     return scored.select(*pairs.columns, F.round(score, 6).alias("match_score"))
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_jaccard: float = 0.8,
+    portable: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental batch dedup: drop new documents that near-duplicate
+    the ALREADY-ACCEPTED corpus (represented by its banded MinHash
+    signature ``store``) or an earlier in-batch doc; never re-fingerprint
+    history.
+
+    ``store`` rows are ``(__band string, __id long, __sig array<bigint>)``
+    — the exact layout ``streaming/dedup.py::stream_minhash_dedup``
+    appends, so batch and streaming ingestion share one store.  Returns
+    ``(survivors, new_store_rows)``; append ``new_store_rows`` to the
+    store after writing the survivors (idempotent on replay when the
+    store is deduped on read by ``(__band, __id)``).
+
+    Scale shape: only the NEW batch is shingled/hashed; the history join
+    touches O(batch bands) store rows via the band-key equi-join, never
+    the full history row set.
+    """
+    rows_per_band = num_hashes // num_bands
+    hashed = new_docs.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            shingles(F.col(text_col)),
+            lambda s: base_hash31(s, portable=portable),
+        ).alias("__hs"),
+    )
+    banded = hashed.select(
+        "__id",
+        minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+    ).select(
+        "__id",
+        "__sig",
+        F.explode(band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
+    )
+
+    def est(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(num_hashes)
+
+    hist_hits = (
+        banded.alias("b")
+        .join(store.alias("s"), on="__band")
+        .filter(est(F.col("b.__sig"), F.col("s.__sig")) >= F.lit(min_jaccard))
+        .select(F.col("b.__id").alias("__id"))
+        .distinct()
+    )
+    batch_losers = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="__band")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter(est(F.col("l.__sig"), F.col("r.__sig")) >= F.lit(min_jaccard))
+        .select(F.col("r.__id").alias("__id"))
+        .distinct()
+    )
+    dropped = hist_hits.unionByName(batch_losers).distinct()
+    survivors = new_docs.join(
+        dropped.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+    )
+    new_store_rows = banded.join(
+        survivors.select(F.col(id_col).alias("__id")), on="__id", how="left_semi"
+    ).select("__band", "__id", "__sig")
+    return survivors, new_store_rows

@@ -345,3 +345,33 @@ def test_linkage_scores_validates_probs(spark):
     pairs = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
     with _pytest.raises(ValueError):
         linkage_scores(df, pairs, "pid", {"name": (0.2, 0.9)})
+
+
+def test_dedup_against_history_and_batch(spark):
+    from hermes_spark.operators.dedup import dedup_against
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    long_b = "completely different content about spark shuffle partitions"
+    # round 1: empty store
+    empty_store = spark.createDataFrame(
+        [], "__band string, __id long, __sig array<bigint>"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, long_a), (2, long_a + " extra"), (3, long_b)],
+        "doc_id long, text string",
+    )
+    surv1, store1 = dedup_against(batch1, empty_store, "doc_id", "text")
+    ids1 = sorted(r["doc_id"] for r in surv1.collect())
+    assert 1 in ids1 and 3 in ids1 and 2 not in ids1  # in-batch near-dup dropped
+    assert store1.select("__id").distinct().count() == len(ids1)
+
+    # round 2: a replay of doc 1's text and a fresh doc
+    batch2 = spark.createDataFrame(
+        [(10, long_a), (11, "yet another unique document body entirely")],
+        "doc_id long, text string",
+    )
+    surv2, store2 = dedup_against(batch2, store1, "doc_id", "text")
+    ids2 = sorted(r["doc_id"] for r in surv2.collect())
+    assert ids2 == [11]  # 10 matched history via the store, never re-hashed corpus
+    # store layout is streaming-compatible
+    assert store2.columns == ["__band", "__id", "__sig"]
