@@ -501,6 +501,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     block_bits: int = 8,
     portable: bool = True,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -508,6 +509,14 @@ def simhash_near_dup_pairs(
     least one of k+1 disjoint bit blocks (pigeonhole); we join on
     ``block_bits``-wide blocks instead of cross-joining. Returns
     ``(id_a, id_b, hamming)``.
+
+    ``max_bucket_size`` (off by default — the oracle-checked result is
+    uncapped) skips blocks whose bucket exceeds the cap: at 100 TB a
+    degenerate block (e.g. near-constant simhash over templated short
+    docs) would pair quadratically; a true pair within ``max_hamming``
+    agrees on ≥1 of the other blocks, so recall loss is small.
+    Measured at sf0.1 (tools/diag_simhash.py): max bucket 785 (md5) /
+    1122 (xxhash64), so the default cap-off is safe at test scale.
     """
     fps = simhash_fingerprints(df, id_col, text_col, bits=bits, portable=portable)
     n_blocks = max(max_hamming + 1, bits // block_bits)
@@ -538,6 +547,8 @@ def simhash_near_dup_pairs(
         .agg(F.collect_list(F.struct("id", "simhash")).alias("__members"))
         .filter(F.size("__members") >= 2)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__members") <= max_bucket_size)
     members = F.col("__members")
     pair_structs = F.flatten(
         F.transform(
@@ -709,6 +720,65 @@ def linkage_scores(
     return scored.select(*pairs.columns, F.round(score, 6).alias("match_score"))
 
 
+def banded_match_pairs(
+    banded: DataFrame,
+    min_jaccard: float,
+    num_hashes: int,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Within-frame near-dup pairs from a banded signature frame
+    ``(__id, __sig, __band)`` via the gather-and-pair shape: one
+    groupBy on the band key, in-task pair generation from the gathered
+    member array.  A band self-join would re-execute the whole
+    shingle/hash pipeline once per join side AND go quadratic on a hot
+    band; here buckets larger than ``max_bucket_size`` are skipped —
+    a true near-dup pair agrees on several bands (pigeonhole at
+    ``min_jaccard`` ≥ band threshold), so one skipped hot band rarely
+    loses it.  Returns ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Shared by :func:`dedup_against` and
+    ``streaming.dedup.stream_minhash_dedup`` so batch and streaming
+    agree on candidate generation.
+    """
+    grouped = (
+        banded.groupBy("__band")
+        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
+        .filter(
+            (F.size("__members") >= 2) & (F.size("__members") <= max_bucket_size)
+        )
+    )
+    members = F.col("__members")
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda m1, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda m2: F.struct(
+                    F.least(m1["__id"], m2["__id"]).alias("id_a"),
+                    F.greatest(m1["__id"], m2["__id"]).alias("id_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(
+                                    m1["__sig"], m2["__sig"], lambda x, y: x == y
+                                ),
+                                lambda eq: eq,
+                            )
+                        )
+                        / F.lit(float(num_hashes))
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .filter(F.col("__p.est_jaccard") >= F.lit(min_jaccard))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+
+
 def dedup_against(
     new_docs: DataFrame,
     store: DataFrame,
@@ -718,6 +788,8 @@ def dedup_against(
     num_bands: int = 4,
     min_jaccard: float = 0.8,
     portable: bool = True,
+    max_bucket_size: int = 1000,
+    keep_policy: str = "component",
 ) -> "tuple[DataFrame, DataFrame]":
     """Incremental batch dedup: drop new documents that near-duplicate
     the ALREADY-ACCEPTED corpus (represented by its banded MinHash
@@ -731,10 +803,27 @@ def dedup_against(
     store after writing the survivors (idempotent on replay when the
     store is deduped on read by ``(__band, __id)``).
 
+    ``keep_policy`` decides who survives an in-batch near-dup cluster:
+
+    * ``"component"`` (default): connected components over the in-batch
+      match pairs; each component keeps its minimum-id member **that did
+      not match history** — a cluster loses all members only when every
+      member matches history.
+    * ``"greedy"``: drop the larger id of every pair (what
+      ``stream_minhash_dedup`` does per micro-batch).  Cheaper (no
+      iteration) but if the cluster minimum itself matched history the
+      whole cluster can vanish with no surviving representative.
+
     Scale shape: only the NEW batch is shingled/hashed; the history join
-    touches O(batch bands) store rows via the band-key equi-join, never
-    the full history row set.
+    touches O(batch bands) store rows via the band-key equi-join (the
+    store side is first semi-joined to the batch's band set), never the
+    full history row set.  Both the in-batch pairing and the history
+    join skip band buckets larger than ``max_bucket_size`` — a
+    boilerplate-heavy batch would otherwise go quadratic in its hottest
+    band; true near-dups still collide on the other bands.
     """
+    if keep_policy not in ("component", "greedy"):
+        raise ValueError(f"keep_policy must be 'component' or 'greedy', got {keep_policy!r}")
     rows_per_band = num_hashes // num_bands
     hashed = new_docs.select(
         F.col(id_col).alias("__id"),
@@ -759,21 +848,42 @@ def dedup_against(
             lambda acc, v: acc + v,
         ) / F.lit(num_hashes)
 
+    # history side: only bands the batch actually emits (small, broadcast
+    # semi-join), then drop hot store bands — bounds the equi-join at
+    # O(batch band rows × max_bucket_size) instead of × |hottest band|
+    batch_bands = F.broadcast(banded.select("__band").distinct())
+    store_rel = store.join(batch_bands, on="__band", how="left_semi")
+    hot_bands = (
+        store_rel.groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("__band")
+    )
+    store_ok = store_rel.join(F.broadcast(hot_bands), on="__band", how="left_anti")
+
     hist_hits = (
         banded.alias("b")
-        .join(store.alias("s"), on="__band")
+        .join(store_ok.alias("s"), on="__band")
         .filter(est(F.col("b.__sig"), F.col("s.__sig")) >= F.lit(min_jaccard))
         .select(F.col("b.__id").alias("__id"))
         .distinct()
     )
-    batch_losers = (
-        banded.alias("l")
-        .join(banded.alias("r"), on="__band")
-        .filter(F.col("l.__id") < F.col("r.__id"))
-        .filter(est(F.col("l.__sig"), F.col("r.__sig")) >= F.lit(min_jaccard))
-        .select(F.col("r.__id").alias("__id"))
-        .distinct()
+    batch_pairs = banded_match_pairs(
+        banded, min_jaccard, num_hashes, max_bucket_size=max_bucket_size
     )
+    if keep_policy == "greedy":
+        batch_losers = batch_pairs.select(F.col("id_b").alias("__id")).distinct()
+    else:
+        comp = connected_components(batch_pairs)
+        alive = comp.join(
+            hist_hits.withColumnRenamed("__id", "id"), on="id", how="left_anti"
+        )
+        keep = alive.groupBy("component").agg(F.min("id").alias("__keep"))
+        batch_losers = (
+            alive.join(keep, on="component")
+            .filter(F.col("id") != F.col("__keep"))
+            .select(F.col("id").alias("__id"))
+        )
     dropped = hist_hits.unionByName(batch_losers).distinct()
     survivors = new_docs.join(
         dropped.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"

@@ -60,6 +60,7 @@ def stream_minhash_dedup(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_jaccard: float = 0.7,
+    max_bucket_size: int = 1000,
     on_batch: Optional[Callable[[DataFrame, int], None]] = None,
     **start_kwargs,
 ) -> StreamingQuery:
@@ -137,10 +138,24 @@ def stream_minhash_dedup(
             except Exception:  # first batch: no store yet
                 state = spark.createDataFrame([], state_schema)
 
-            # vs accepted history: band-key equi-join, then exact check
+            # vs accepted history: band-key equi-join restricted to the
+            # batch's bands, minus hot store bands (same max_bucket_size
+            # cap as the batch operator — a hot band would make the join
+            # quadratic; true near-dups still collide on other bands)
+            batch_bands = F.broadcast(banded.select("__band").distinct())
+            state_rel = state.join(batch_bands, on="__band", how="left_semi")
+            hot_bands = (
+                state_rel.groupBy("__band")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_bucket_size)
+                .select("__band")
+            )
+            state_ok = state_rel.join(
+                F.broadcast(hot_bands), on="__band", how="left_anti"
+            )
             hist_hits = (
                 banded.alias("b")
-                .join(state.alias("s"), on="__band")
+                .join(state_ok.alias("s"), on="__band")
                 .filter(
                     est_jaccard(F.col("b.__sig"), F.col("s.__sig"))
                     >= F.lit(min_jaccard)
@@ -149,19 +164,12 @@ def stream_minhash_dedup(
                 .distinct()
             )
 
-            # within-batch: min-label over in-batch match pairs
-            batch_pairs = (
-                banded.alias("l")
-                .join(banded.alias("r"), on="__band")
-                .filter(F.col("l.__id") < F.col("r.__id"))
-                .filter(
-                    est_jaccard(F.col("l.__sig"), F.col("r.__sig"))
-                    >= F.lit(min_jaccard)
-                )
-                .select(
-                    F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
-                )
-                .distinct()
+            # within-batch: min-label over in-batch match pairs, via the
+            # same capped gather-and-pair the batch operator uses
+            from ..operators.dedup import banded_match_pairs
+
+            batch_pairs = banded_match_pairs(
+                banded, min_jaccard, num_hashes, max_bucket_size=max_bucket_size
             )
             in_batch_losers = batch_pairs.select(
                 F.col("id_b").alias("__id")

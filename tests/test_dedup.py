@@ -375,3 +375,103 @@ def test_dedup_against_history_and_batch(spark):
     assert ids2 == [11]  # 10 matched history via the store, never re-hashed corpus
     # store layout is streaming-compatible
     assert store2.columns == ["__band", "__id", "__sig"]
+
+
+def test_dedup_against_component_keeps_representative(spark):
+    """A near-dup cluster whose minimum-id member matches history must
+    still keep one surviving representative (keep_policy='component');
+    greedy min-id semantics may drop the whole cluster."""
+    from hermes_spark.operators.dedup import dedup_against
+
+    # transitive chain (est_jaccard, 16 hashes): hist≈10 at 0.875,
+    # 10≈11/12 at 0.8125, but hist vs 11/12 only 0.6875 — so history
+    # drops 10 while 11/12 survive it and form an in-batch cluster
+    hist = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    d10 = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november quebec romeo"
+    )
+    d11 = (
+        "alpha bravo charlie delta echo foxtrot golf hotel sierra tango "
+        "kilo lima mike november quebec romeo"
+    )
+    empty_store = spark.createDataFrame(
+        [], "__band string, __id long, __sig array<bigint>"
+    )
+    _, store1 = dedup_against(
+        spark.createDataFrame([(1, hist)], "doc_id long, text string"),
+        empty_store,
+        "doc_id",
+        "text",
+    )
+    batch = spark.createDataFrame(
+        [(10, d10), (11, d11), (12, d11 + " x")],
+        "doc_id long, text string",
+    )
+    surv, _ = dedup_against(batch, store1, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    # 10 dropped against history; the cluster keeps exactly one of 11/12
+    assert ids == [11]
+
+    surv_greedy, _ = dedup_against(
+        batch, store1, "doc_id", "text", keep_policy="greedy"
+    )
+    greedy_ids = sorted(r["doc_id"] for r in surv_greedy.collect())
+    assert greedy_ids == []  # documented greedy behavior: cluster vanishes
+
+
+def test_dedup_against_hot_band_bounded(spark):
+    """One boilerplate-heavy batch (hot band) must complete with the
+    in-bucket pairing capped, not go quadratic."""
+    from hermes_spark.operators.dedup import banded_match_pairs, dedup_against
+
+    body = "identical boilerplate body shared by every single document here"
+    n = 500
+    batch = spark.createDataFrame(
+        [(i, body) for i in range(n)], "doc_id long, text string"
+    )
+    empty_store = spark.createDataFrame(
+        [], "__band string, __id long, __sig array<bigint>"
+    )
+    # cap of 50 skips the hot bucket entirely: identical docs share every
+    # band, so nothing pairs and all survive (the documented recall trade)
+    surv, store_rows = dedup_against(
+        batch, empty_store, "doc_id", "text", max_bucket_size=50
+    )
+    assert surv.count() == n
+    # with the cap above the bucket size, the cluster collapses to one
+    surv2, _ = dedup_against(
+        batch, empty_store, "doc_id", "text", max_bucket_size=5000
+    )
+    assert surv2.count() == 1
+
+    # pair count from the capped helper is bounded by cap^2 * bands
+    from pyspark.sql import functions as F
+    from hermes_spark.functions.hashing import (
+        band_keys,
+        base_hash31,
+        minhash_signature_from_hashes,
+        shingles,
+    )
+
+    banded = (
+        batch.select(
+            F.col("doc_id").alias("__id"),
+            F.transform(
+                shingles(F.col("text")), lambda s: base_hash31(s)
+            ).alias("__hs"),
+        )
+        .select(
+            "__id",
+            minhash_signature_from_hashes(F.col("__hs"), 16).alias("__sig"),
+        )
+        .select(
+            "__id",
+            "__sig",
+            F.explode(band_keys(F.col("__sig"), 4, 4)).alias("__band"),
+        )
+    )
+    assert banded_match_pairs(banded, 0.8, 16, max_bucket_size=50).count() == 0
