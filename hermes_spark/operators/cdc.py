@@ -41,7 +41,16 @@ def latest_by_key(
     ``delete_value`` are dropped AFTER selection, so the newest change
     wins even when it is a delete (CDC upsert semantics).
     """
-    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    # remaining non-key columns close the order so the kept row is
+    # deterministic even when (order_col, tiebreak) leaves ties — without
+    # this the winner depends on partitioning/run order
+    claimed = set(keys) | {order_col} | set(tiebreak)
+    rest = [c for c in df.columns if c not in claimed]
+    order = (
+        [F.col(order_col).desc()]
+        + [F.col(c).desc() for c in tiebreak]
+        + [F.col(c).desc() for c in rest]
+    )
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     out = (
         df.withColumn("__rn", F.row_number().over(w))
@@ -70,9 +79,16 @@ def scd2_history(
     """
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ts_col).asc())
     # collapse same-timestamp duplicates first (keep one per (key, ts))
+    # when keys + ts are the only columns the tied rows are fully
+    # identical, so any pick is the same content — but orderBy() needs at
+    # least one expression
+    rest = [c for c in df.columns if c not in keys and c != ts_col]
+    dedup_order = (
+        [F.col(c).desc() for c in rest] if rest else [F.lit(1)]
+    )
     dedup_w = Window.partitionBy(
         *[F.col(k) for k in keys], F.col(ts_col)
-    ).orderBy(*[F.col(c).desc() for c in df.columns if c not in keys])
+    ).orderBy(*dedup_order)
     collapsed = (
         df.withColumn("__rn", F.row_number().over(dedup_w))
         .filter(F.col("__rn") == 1)

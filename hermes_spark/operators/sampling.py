@@ -109,6 +109,13 @@ def split_assign(
     lost or doubled), and (c) growing one split's weight only MOVES the
     boundary — rows never shuffle between the surviving splits (stable
     holdout sets as the corpus evolves). Pure expression, no shuffle.
+
+    Boundary resolution is 1/SAMPLE_DENOMINATOR (1e-4): weights closer
+    than that collapse to the same boundary.  Each boundary is computed
+    independently from the exact prefix sum (never a float running
+    accumulator), so an oracle computing ``round(sum(w[:i])/total *
+    SAMPLE_DENOMINATOR)`` lands on identical buckets regardless of the
+    number of splits.
     """
     if not splits:
         raise ValueError("splits must be non-empty")
@@ -117,11 +124,12 @@ def split_assign(
         raise ValueError("split weights must sum to > 0")
     bucket = _bucket(F.col(key_col), salt)
     expr = None
-    acc = 0.0
     items = list(splits.items())
-    for name, weight in items[:-1]:
-        acc += weight / total
-        boundary = int(round(acc * SAMPLE_DENOMINATOR))
+    weights = [w for _, w in items]
+    for i, (name, _) in enumerate(items[:-1]):
+        # exact prefix sum per boundary: float accumulation (acc += w/total)
+        # drifts for thirds-like weights or many splits
+        boundary = int(round(sum(weights[: i + 1]) / total * SAMPLE_DENOMINATOR))
         cond = bucket < F.lit(boundary)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(items[-1][0])

@@ -173,3 +173,30 @@ def test_split_output_partition_pruning(spark, sf_dir, tmp_path):
     # pruned read returns exactly the train rows
     all_rows = spark.read.parquet(out_dir).count()
     assert 0 < train.count() < all_rows
+
+
+def test_funnel_counts_single_user_shuffle(spark, sf_dir):
+    """k-step funnel is ONE user-keyed Exchange (sorted-array fold), not
+    k-1 re-joins of the events frame; the step-type IN filter pushes to
+    the scan."""
+    from hermes_spark.operators import funnel_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_counts(events, ["view", "click", "purchase"])
+    ops = plan_operators(out)
+    assert not any("Join" in op for op in ops), ops
+    # one Exchange for groupBy(user); the final global agg + explode adds
+    # a single-partition exchange over k rows, which is free
+    scans = [op for op in ops if op.startswith("Scan parquet")]
+    assert len(scans) == 1, scans
+    exchanges = count_exchanges(out)
+    assert exchanges <= 2, exchanges
+
+
+def test_cohort_retention_no_join(spark, sf_dir):
+    from hermes_spark.operators import cohort_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(events)
+    ops = plan_operators(out)
+    assert not any("Join" in op for op in ops), ops
