@@ -2810,65 +2810,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
-    # FIRST 50 entries of this dict.  Queries that have not yet produced a
-    # green CORRECTNESS row (or whose implementation changed this round)
-    # are listed first so they rotate into the checked window; queries
-    # already hash-verified in rounds 1-2 sit below the fold.
+    # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
+    # the 8 queries with no driver CORRECTNESS row yet lead, then the 3
+    # whose implementation changed this round (funnel fold rewrite, cohort
+    # window+floor, split boundary arithmetic), then stale-but-stable
+    # entries in rotation order.  Everything below the fold has a green
+    # driver row from r1-r3 and unchanged code.
     return {
-        # events-based queries (blocked in r1/r2 by the _read_events bug)
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "events_json_extract": q_events_json_extract,
-        "sessionize_events": q_sessionize_events,
-        "windowed_rollup": q_windowed_rollup,
-        "events_sliding_rollup": q_events_sliding_rollup,
-        "events_cube": q_events_cube,
-        "events_pivot": q_events_pivot,
-        "user_session_stats": q_user_session_stats,
-        "asof_join_rates": q_asof_join_rates,
-        # extension queries never previously inside the oracle window
-        "events_quantiles": q_events_quantiles,
-        "gapfill_rollup": q_gapfill_rollup,
-        "range_join_windows": q_range_join_windows,
-        "stratified_sample": q_stratified_sample,
-        "scrub_pii": q_scrub_pii,
-        "repetition_ratio": q_repetition_ratio,
-        "strip_boilerplate": q_strip_boilerplate,
-        "events_user_skew": q_events_user_skew,
-        "events_profile": q_events_profile,
-        **TPCH_EXTRA_QUERIES,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_near_dups": q_winnow_near_dups,
-        "passage_dup_stats": q_passage_dup_stats,
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "token_chunks": q_token_chunks,
-        # plan rewritten this round (single-window dedup) -> re-verify
-        "dedup_exact_docs": q_dedup_exact_docs,
-        # newly oracle-paired (previously rows-only)
-        "simhash_near_dups": q_simhash_near_dups,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        # new this round
-        "split_assign": q_split_assign,
-        "source_overlap": q_source_overlap,
-        "length_curriculum": q_length_curriculum,
-        "semantic_dedup": q_semantic_dedup,
-        # newly oracle-paired via hex(blob) byte arithmetic
-        "multimodal_image_features": q_multimodal_image_features,
-        # round-3 analytics operators
+        # -- never driver-verified (local hash-match via
+        #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
+        "kmeans_ivf_topk": q_kmeans_ivf_topk,
+        "events_value_histogram": q_events_value_histogram,
+        "events_winsorized": q_events_winsorized,
+        "linkage_scores": q_linkage_scores,
+        "scd2_history": q_scd2_history,
+        "cdc_latest": q_cdc_latest,
+        "events_anomalies": q_events_anomalies,
+        "sample_per_group": q_sample_per_group,
+        # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
-        "bm25_scores": q_bm25_scores,
-        # ---- below the fold (rotate into the window next round:
-        #      sample_per_group, events_winsorized, events_value_histogram
-        #      have local hash-match via tools/check_oracles.py but no
-        #      driver CORRECTNESS row yet) ----
-        "sample_per_group": q_sample_per_group,
-        "events_anomalies": q_events_anomalies,
-        "cdc_latest": q_cdc_latest,
-        "scd2_history": q_scd2_history,
-        "linkage_scores": q_linkage_scores,
-        "events_winsorized": q_events_winsorized,
-        "events_value_histogram": q_events_value_histogram,
+        "split_assign": q_split_assign,
+        # -- stale-but-stable rotation (green r1, re-proving)
         "compare_diff": q_compare_diff,
         "compare_metrics": q_compare_metrics,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2907,10 +2870,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_star": q_near_dup_components_star,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "topk_orders_per_customer": q_topk_orders_per_customer,
+        # fingerprint fold rewritten this round (bit-identical, re-verify)
+        "simhash_near_dups": q_simhash_near_dups,
+        # ---- below the fold: green driver row r1-r3, code unchanged ----
         "docs_quality_filter": q_docs_quality_filter,
         "curation_pipeline": q_curation_pipeline,
-        # approximate / not SQL-expressible -> rows-only check
-        "kmeans_ivf_topk": q_kmeans_ivf_topk,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_json_extract": q_events_json_extract,
+        "sessionize_events": q_sessionize_events,
+        "windowed_rollup": q_windowed_rollup,
+        "events_sliding_rollup": q_events_sliding_rollup,
+        "events_cube": q_events_cube,
+        "events_pivot": q_events_pivot,
+        "user_session_stats": q_user_session_stats,
+        "asof_join_rates": q_asof_join_rates,
+        "events_quantiles": q_events_quantiles,
+        "gapfill_rollup": q_gapfill_rollup,
+        "range_join_windows": q_range_join_windows,
+        "stratified_sample": q_stratified_sample,
+        "scrub_pii": q_scrub_pii,
+        "repetition_ratio": q_repetition_ratio,
+        "strip_boilerplate": q_strip_boilerplate,
+        "events_user_skew": q_events_user_skew,
+        "events_profile": q_events_profile,
+        **TPCH_EXTRA_QUERIES,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dups": q_winnow_near_dups,
+        "passage_dup_stats": q_passage_dup_stats,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "token_chunks": q_token_chunks,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "source_overlap": q_source_overlap,
+        "length_curriculum": q_length_curriculum,
+        "semantic_dedup": q_semantic_dedup,
+        "multimodal_image_features": q_multimodal_image_features,
+        "bm25_scores": q_bm25_scores,
     }
 
 
