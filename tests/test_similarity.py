@@ -189,3 +189,70 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
         for r in semantic_dedup(df, min_cosine=0.99, dim=4, num_planes=4).collect()
     )
     assert set(kept) <= set(kept_lsh)
+
+
+def test_kmeans_fixed_point_vs_numpy(spark, embeddings):
+    """Property oracle for the iterative (non-SQL-expressible) k-means:
+    (a) the returned centroids are a Lloyd's fixed point — re-assigning
+    every vector to its nearest returned centroid and recomputing the
+    means reproduces the centroids; (b) the within-cluster SSE matches
+    an independent NumPy Lloyd's run from the identical deterministic
+    init (k smallest ids, rounded-cosine assignment, smaller-id ties)."""
+    import numpy as np
+
+    from hermes_spark.operators import kmeans_centroids
+
+    k, iters = 8, 25
+    cents = kmeans_centroids(embeddings, k=k, max_iter=iters)
+    got = {
+        r["centroid_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in cents.collect()
+    }
+
+    rows = sorted(
+        embeddings.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+
+    def assign(C_ids, C):
+        # rounded cosine, ties -> smaller centroid id (= first argmax on
+        # the id-ascending centroid matrix) — mirrors ivf_assign
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        return np.argmax(np.round(sims, 6), axis=1)
+
+    def lloyd_step(C_ids, C):
+        a = assign(C_ids, C)
+        new_ids, new_C = [], []
+        for j, cid in enumerate(C_ids):
+            members = X[a == j]
+            if len(members):  # empty clusters drop, same as the operator
+                new_ids.append(cid)
+                new_C.append(members.mean(axis=0))
+        return new_ids, np.array(new_C)
+
+    # independent NumPy Lloyd's from the same init
+    C_ids, C = ids[:k], X[:k].copy()
+    for _ in range(iters):
+        C_ids, C = lloyd_step(C_ids, C)
+
+    def sse(C, a):
+        return float(((X - C[a]) ** 2).sum())
+
+    np_sse = sse(C, assign(C_ids, C))
+
+    got_ids = sorted(got)
+    G = np.array([got[c] for c in got_ids])
+    spark_sse = sse(G, assign(got_ids, G))
+    # same init + same deterministic updates -> same quality (loose
+    # tolerance absorbs float32-column and summation-order noise)
+    assert abs(spark_sse - np_sse) <= 0.01 * max(np_sse, 1.0), (spark_sse, np_sse)
+
+    # fixed point: one more Lloyd step from the returned centroids moves
+    # nothing (assignments stable, means reproduce the centroids)
+    step_ids, step_C = lloyd_step(got_ids, G)
+    assert step_ids == got_ids
+    assert np.allclose(step_C, G, atol=1e-9)

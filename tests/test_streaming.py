@@ -371,3 +371,64 @@ def test_windowed_rollup_sliding_batch_semantics(spark):
     starts = sorted(str(r.window_start) for r in out)
     assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:05:00"]
     assert all(r.n_events == 1 for r in out)
+
+
+def test_stream_minhash_dedup_replay_idempotent(spark, tmp_path):
+    """Checkpoint-loss replay is idempotent: reprocessing an already-
+    accepted batch appends no new output rows and no new unique store
+    entries, because each replayed doc matches its own signature in the
+    store (the docstring's at-least-once claim).  A fresh batch after
+    the replay still processes normally."""
+    import shutil
+
+    from hermes_spark.streaming import stream_minhash_dedup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content about spark shuffle partitions"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_minhash_dedup(
+            stream,
+            state_path=state,
+            output_path=out,
+            min_jaccard=0.5,
+            checkpointLocation=str(tmp_path / ckpt),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run_once("ckpt1")
+    ids_before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids_before == [1, 2]
+    store_unique_before = (
+        spark.read.parquet(state).dropDuplicates(["__band", "__id"]).count()
+    )
+
+    # lose the checkpoint -> the whole source replays (at-least-once)
+    run_once("ckpt2")
+    ids_after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids_after == ids_before  # no duplicate survivors
+    store_unique_after = (
+        spark.read.parquet(state).dropDuplicates(["__band", "__id"]).count()
+    )
+    assert store_unique_after == store_unique_before
+
+    # engine still accepts genuinely new docs after the replay
+    spark.createDataFrame(
+        [(3, "yet another unique document body entirely")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_once("ckpt2")
+    ids_final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids_final == [1, 2, 3]

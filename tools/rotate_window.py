@@ -10,10 +10,16 @@ recommended top-50 for the next round:
 2. queries whose last green row is oldest (stalest re-verification);
 3. everything else, freshest-verified last.
 
-Usage: python tools/rotate_window.py   (from the repo root)
+Usage: python tools/rotate_window.py [--gate]   (from the repo root)
 
 The output is advisory — apply it by reordering ``queries()`` in
 ``__spark_entry__.py`` (keep the NOTE comment there in sync).
+
+``--gate`` (used by tools/run_gates.sh) exits non-zero when a
+registered query is sitting BELOW the 50-entry checked window while
+either (a) it has never had a green driver row, or (b) its last green
+row is 2+ rounds old — i.e. a round is about to end with a query that
+can silently stay unverified.
 """
 
 from __future__ import annotations
@@ -66,6 +72,33 @@ def main() -> int:
     for i, q in enumerate(ranked[:50], 1):
         tag = "" if q in last_green else "  <- needs first green row"
         print(f"  {i:2d}. {q}{tag}")
+
+    if "--gate" in sys.argv:
+        latest = max(
+            (
+                int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+                for p in glob.glob("CORRECTNESS_r*.json")
+                if re.search(r"r(\d+)", os.path.basename(p))
+            ),
+            default=0,
+        )
+        below_fold = registered[50:]
+        stale = [
+            q
+            for q in below_fold
+            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
+        ]
+        if stale:
+            print(
+                f"\nGATE FAIL: {len(stale)} below-fold queries are unverified "
+                f"or stale (last green <= r{latest - 2}):"
+            )
+            for q in stale:
+                when = last_green.get(q, -1)
+                print(f"  {q}  (last green: {'never' if when < 0 else f'r{when}'})")
+            print("rotate them into the top-50 window before the round ends.")
+            return 1
+        print("\ngate: window OK — every below-fold query green within 2 rounds")
     return 0
 
 

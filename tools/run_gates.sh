@@ -2,6 +2,8 @@
 # Full local gate: unit tests + DuckDB oracle equivalence + benchmark.
 # Usage: sh tools/run_gates.sh   (from the repo root)
 set -e
+echo "== oracle-window rotation =="
+python tools/rotate_window.py --gate
 echo "== pytest =="
 python -m pytest tests/ -q
 echo "== oracle equivalence (sf0.01) =="
