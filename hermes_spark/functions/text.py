@@ -204,3 +204,43 @@ def doc_fingerprint(col: Column) -> Column:
     """md5 of lowercased, whitespace-collapsed text — exact-dup key."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+#: URL matcher shared with link_stats — deliberately simple (scheme +
+#: non-whitespace) so the identical pattern runs under Java regex and
+#: DuckDB's RE2 with the same matches
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(col: Column) -> Column:
+    """All ``http(s)://`` URLs in the text, as ``array<string>`` (in
+    document order, duplicates kept). Pure ``regexp_extract_all``."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), 0)
+
+
+def url_domains(col: Column) -> Column:
+    """Distinct registered hosts of the text's URLs (lowercased), as
+    ``array<string>`` sorted ascending — the spam/link-farm signal is
+    usually 'how many DISTINCT domains', not raw link count."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.regexp_extract_all(col, F.lit(_DOMAIN_PATTERN), 1),
+                F.lower,
+            )
+        )
+    )
+
+
+def link_density(col: Column) -> Column:
+    """URLs per whitespace token (0.0 for empty docs) — documents that
+    are mostly links are navigation/boilerplate, not prose."""
+    n_toks = F.size(tokens(col))
+    return F.when(n_toks <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.regexp_extract_all(col, F.lit(URL_PATTERN), 0))
+            / n_toks.cast("double"),
+            6,
+        )
+    )

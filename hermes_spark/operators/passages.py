@@ -116,6 +116,7 @@ def decontaminate(
     text_col: str,
     n: int = 8,
     bench_text_col: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with the
     benchmark set.
@@ -128,6 +129,15 @@ def decontaminate(
     Grams are compared by :func:`portable_hash64` (8-byte keys — both the
     broadcast set and the join run on longs, not strings; the same hash
     is computable in the DuckDB oracle).
+
+    ``broadcast=True`` (default) ships the distinct benchmark-gram hash
+    set to every executor — right for eval suites (10^3–10^6 grams).
+    ``broadcast=False`` switches the probe to a hash-partitioned shuffle
+    join for DECONTAMINATE-AGAINST-CORPUS jobs where the "benchmark"
+    side is itself web-scale (e.g. held-out shard vs training shard):
+    both sides exchange only 8-byte gram keys, never text, and Spark's
+    AQE still downgrades to broadcast when the aggregated set turns out
+    small. Results are identical either way.
     """
     bench_text = bench_text_col or text_col
 
@@ -152,9 +162,11 @@ def decontaminate(
         )
 
     bench_set = gram_rows(benchmark, bench_text).distinct()
+    if broadcast:
+        bench_set = F.broadcast(bench_set)
     corpus_grams = gram_rows(corpus, text_col, id_col)
     hits = (
-        corpus_grams.join(F.broadcast(bench_set), "__gram_h")
+        corpus_grams.join(bench_set, "__gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )

@@ -163,3 +163,67 @@ def sample_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    targets: Mapping[str, float],
+    salt: str = "rebalance",
+) -> DataFrame:
+    """Downsample to the LARGEST corpus matching a target stratum mix.
+
+    ``targets`` maps stratum values (language, source domain, ...) to
+    desired proportions (normalized internally). The achievable total is
+    limited by the scarcest stratum: ``min_ratio = min(count_s /
+    share_s)``; each stratum then keeps ``share_s * min_ratio / count_s``
+    of its rows via the same deterministic hash threshold as
+    :func:`deterministic_sample` (reproducible across runs, engines and
+    layouts). Strata not in ``targets`` are dropped.
+
+    Unlike :func:`stratified_sample` (caller-fixed fractions), the rates
+    here are DERIVED from the data, so the output mix tracks the target
+    even as the corpus grows unevenly.
+
+    Scale: stratum counts are one tiny hash aggregate (map-side
+    combined); thresholds are a few rows broadcast back onto the scan —
+    the corpus itself is read once and never shuffled.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total_share = sum(targets.values())
+    if total_share <= 0:
+        raise ValueError("target shares must sum to > 0")
+
+    share = None
+    for value, weight in sorted(targets.items()):
+        lit = F.lit(weight / total_share)
+        share = (
+            F.when(F.col(strata_col) == value, lit)
+            if share is None
+            else share.when(F.col(strata_col) == value, lit)
+        )
+    share = share.otherwise(F.lit(None))
+
+    counts = (
+        df.filter(F.col(strata_col).isin(*targets.keys()))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .withColumn("__share", share)
+    )
+    min_ratio = counts.agg(F.min(F.col("__n") / F.col("__share")).alias("__min_ratio"))
+    thresholds = counts.crossJoin(F.broadcast(min_ratio)).select(
+        strata_col,
+        F.floor(
+            F.lit(float(SAMPLE_DENOMINATOR))
+            * F.col("__share")
+            * F.col("__min_ratio")
+            / F.col("__n")
+        ).alias("__threshold"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col, "inner")
+        .filter(_bucket(F.col(key_col), salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )
