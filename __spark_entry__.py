@@ -2799,6 +2799,233 @@ HAVING count(*) >= 32
 
 
 # ---------------------------------------------------------------------------
+# round-4 extension queries: entropy, link stats, mix rebalancing, int8
+# scalar quantization (operators/entropy.py, functions/text.py,
+# operators/sampling.py, operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+REBALANCE_TARGETS = {"en": 0.5, "de": 0.25, "fr": 0.25}
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (quality filter:
+    encoding damage / binary junk scores high)."""
+    from hermes_spark.operators import unit_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return unit_entropy(docs, "doc_id", "text", unit="char")
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-level Shannon entropy (template spam scores
+    low)."""
+    from hermes_spark.operators import unit_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return unit_entropy(docs, "doc_id", "text", unit="token")
+
+
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/link-density spam signals. The corpus has no URLs, so a
+    deterministic set is injected first (same rule in the oracle):
+    every doc gets one synthetic link, every third doc a second."""
+    from hermes_spark.functions.text import extract_urls, link_density, url_domains
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" http://hub.example.org")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.size(extract_urls(F.col("text"))).cast("long").alias("n_urls"),
+        F.size(url_domains(F.col("text"))).cast("long").alias("n_domains"),
+        link_density(F.col("text")).alias("link_density"),
+    )
+
+
+def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing: largest subcorpus hitting a 50/25/25
+    en/de/fr target, rates derived from the observed counts."""
+    from hermes_spark.operators import rebalance_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    out = rebalance_mix(docs, "doc_id", "lang", REBALANCE_TARGETS)
+    return out.select("doc_id", "lang")
+
+
+def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus; codes digested
+    to (sum, md5) so the oracle compares scalars, not arrays."""
+    from hermes_spark.operators import sq8_quantize
+
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = sq8_quantize(emb, dim=EMBED_DIM)
+    return codes.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+        ).alias("code_sum"),
+        F.md5(
+            F.array_join(F.transform(F.col("codes"), lambda c: c.cast("string")), ",")
+        ).alias("code_md5"),
+    )
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the int8-quantized corpus (float
+    queries, dequantized corpus) — the 4x-less-I/O production search."""
+    from hermes_spark.operators import sq8_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = sq8_topk(emb, queries, k=ANN_K, dim=EMBED_DIM)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_unit_entropy(unit: str) -> str:
+    if unit == "char":
+        unit_src = "unnest(string_split(text, ''))"
+    else:
+        unit_src = f"unnest({_TOKENS_SQL})"
+    return f"""
+WITH u AS (
+  SELECT doc_id, {unit_src} AS c FROM documents
+),
+f AS (
+  SELECT doc_id, c, count(*)::BIGINT AS cnt FROM u WHERE c <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_units,
+         count(*)::BIGINT AS distinct_units,
+         sum(cnt::DOUBLE * log2(cnt::DOUBLE)) AS plogp
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id, n_units, distinct_units,
+       round(log2(n_units::DOUBLE) - plogp / n_units::DOUBLE, 6) AS entropy_bits
+FROM agg
+"""
+
+
+_SQL_LINK_STATS = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' https://site' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+              || doc_id::VARCHAR
+              || CASE WHEN doc_id % 3 = 0 THEN ' http://hub.example.org' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+       len(list_distinct(list_transform(
+           regexp_extract_all(text, 'https?://([^/\\s]+)', 1), x -> lower(x)
+       )))::BIGINT AS n_domains,
+       round(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+             / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE, 6)
+         AS link_density
+FROM injected
+"""
+
+
+def _sql_rebalance_mix() -> str:
+    total = sum(REBALANCE_TARGETS.values())
+    share_case = " ".join(
+        f"WHEN '{k}' THEN {w / total!r}" for k, w in sorted(REBALANCE_TARGETS.items())
+    )
+    in_list = ", ".join(f"'{k}'" for k in sorted(REBALANCE_TARGETS))
+    bucket = _dhash("'rebalance:' || doc_id::VARCHAR") + " % 10000"
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*)::DOUBLE AS n, CASE lang {share_case} END AS share
+  FROM documents WHERE lang IN ({in_list}) GROUP BY lang
+),
+mr AS (SELECT min(n / share) AS min_ratio FROM counts),
+thresholds AS (
+  SELECT lang, floor(10000.0 * share * min_ratio / n) AS threshold
+  FROM counts CROSS JOIN mr
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thresholds t ON d.lang = t.lang
+WHERE ({bucket}) < t.threshold
+"""
+
+
+def _sql_sq8_codes_cte() -> str:
+    mins = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMBED_DIM)
+    )
+    maxs = ", ".join(
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(EMBED_DIM)
+    )
+    return f"""
+stats AS (
+  SELECT [{mins}] AS mins, [{maxs}] AS maxs FROM embeddings
+),
+codes AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, {EMBED_DIM + 1}), i ->
+           CASE WHEN maxs[i] = mins[i] THEN 0
+                ELSE least(255, floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                      / (maxs[i] - mins[i]) * 256.0)::INT)
+           END) AS codes,
+         mins, maxs
+  FROM embeddings CROSS JOIN stats
+)"""
+
+
+def _sql_sq8_quantize() -> str:
+    return f"""
+WITH {_sql_sq8_codes_cte()}
+SELECT vec_id,
+       list_sum(list_transform(codes, c -> c::BIGINT))::BIGINT AS code_sum,
+       md5(array_to_string(codes, ',')) AS code_md5
+FROM codes
+"""
+
+
+def _sql_sq8_topk() -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+        f"CAST(q.embedding[i] AS DOUBLE) * "
+        f"(c.mins[i] + (c.codes[i]::DOUBLE + 0.5) * (c.maxs[i] - c.mins[i]) / 256.0)))"
+    )
+    qnorm = (
+        "sqrt(list_sum(list_transform(q.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    dnorm = (
+        f"sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+        f"(c.mins[i] + (c.codes[i]::DOUBLE + 0.5) * (c.maxs[i] - c.mins[i]) / 256.0) * "
+        f"(c.mins[i] + (c.codes[i]::DOUBLE + 0.5) * (c.maxs[i] - c.mins[i]) / 256.0))))"
+    )
+    return f"""
+WITH {_sql_sq8_codes_cte()},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({dot} / ({qnorm} * {dnorm}), 6) AS score
+  FROM q CROSS JOIN codes c
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2811,11 +3038,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 8 queries with no driver CORRECTNESS row yet lead, then the 3
-    # whose implementation changed this round (funnel fold rewrite, cohort
-    # window+floor, split boundary arithmetic), then stale-but-stable
-    # entries in rotation order.  Everything below the fold has a green
-    # driver row from r1-r3 and unchanged code.
+    # the 8 queries with no driver CORRECTNESS row yet lead, then the 6
+    # NEW round-4 queries (entropy/link/rebalance/sq8 — never verified by
+    # definition), then the 3 whose implementation changed this round
+    # (funnel fold rewrite, cohort window+floor, split boundary
+    # arithmetic), then stale-but-stable entries in rotation order.
+    # Everything below the fold has a green driver row from r1-r3 and
+    # unchanged code (the six entries displaced to make room for the new
+    # queries — except_all, compare_metrics_nokeys, compare_cherry_pick,
+    # near_dup_components_star, q6, topk_orders_per_customer — are green
+    # in BOTH r1 and r2).
     return {
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
@@ -2827,6 +3059,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest": q_cdc_latest,
         "events_anomalies": q_events_anomalies,
         "sample_per_group": q_sample_per_group,
+        # -- new this round (round-4 extension operators)
+        "char_entropy": q_char_entropy,
+        "token_entropy": q_token_entropy,
+        "link_stats": q_link_stats,
+        "rebalance_mix": q_rebalance_mix,
+        "sq8_quantize": q_sq8_quantize,
+        "sq8_topk": q_sq8_topk,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2863,16 +3102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
-        "except_all": q_except_all,
-        "compare_metrics_nokeys": q_compare_metrics_nokeys,
-        "compare_cherry_pick": q_compare_cherry_pick,
         "near_dup_components": q_near_dup_components,
-        "near_dup_components_star": q_near_dup_components_star,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "topk_orders_per_customer": q_topk_orders_per_customer,
         # fingerprint fold rewritten this round (bit-identical, re-verify)
         "simhash_near_dups": q_simhash_near_dups,
         # ---- below the fold: green driver row r1-r3, code unchanged ----
+        "except_all": q_except_all,
+        "compare_metrics_nokeys": q_compare_metrics_nokeys,
+        "compare_cherry_pick": q_compare_cherry_pick,
+        "near_dup_components_star": q_near_dup_components_star,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
         "docs_quality_filter": q_docs_quality_filter,
         "curation_pipeline": q_curation_pipeline,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -2977,6 +3216,12 @@ FROM events GROUP BY 1
         "cdc_latest": _SQL_CDC_LATEST,
         "scd2_history": _SQL_SCD2,
         "linkage_scores": _sql_linkage_scores(),
+        "char_entropy": _sql_unit_entropy("char"),
+        "token_entropy": _sql_unit_entropy("token"),
+        "link_stats": _SQL_LINK_STATS,
+        "rebalance_mix": _sql_rebalance_mix(),
+        "sq8_quantize": _sql_sq8_quantize(),
+        "sq8_topk": _sql_sq8_topk(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -103,6 +103,12 @@ BENCH_QUERIES = {
     "funnel_counts": lambda s, d: _materialize(entry.q_funnel_counts(s, d)),
     "cohort_retention": lambda s, d: _materialize(entry.q_cohort_retention(s, d)),
     "bm25_scores": lambda s, d: _materialize(entry.q_bm25_scores(s, d)),
+    # round 4: entropy quality signals, int8 quantized search, rebalance
+    "char_entropy": lambda s, d: _materialize(entry.q_char_entropy(s, d)),
+    "token_entropy": lambda s, d: _materialize(entry.q_token_entropy(s, d)),
+    "sq8_quantize": lambda s, d: _materialize(entry.q_sq8_quantize(s, d)),
+    "sq8_topk": lambda s, d: _materialize(entry.q_sq8_topk(s, d)),
+    "rebalance_mix": lambda s, d: _materialize(entry.q_rebalance_mix(s, d)),
 }
 
 
