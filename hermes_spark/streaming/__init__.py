@@ -9,8 +9,11 @@ here is a scale extension built on the same kernels:
   (the streaming analogue of the ``events_hourly_rollup`` query).
 - :func:`sessionize_stream` — custom stateful sessionization via
   ``applyInPandasWithState``.
+- :func:`anomaly_stream` — stateful trailing z-score anomaly detection
+  (streaming twin of ``operators/gapfill.py::rolling_anomalies``).
 """
 
+from hermes_spark.streaming.anomaly import anomaly_stream
 from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
 from hermes_spark.streaming.metrics import ProgressRecorder
@@ -18,6 +21,7 @@ from hermes_spark.streaming.rollup import windowed_rollup
 from hermes_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
+    "anomaly_stream",
     "compare_stream",
     "sessionize_stream",
     "stream_exact_dedup",

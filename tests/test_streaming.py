@@ -432,3 +432,114 @@ def test_stream_minhash_dedup_replay_idempotent(spark, tmp_path):
     run_once("ckpt2")
     ids_final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert ids_final == [1, 2, 3]
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming trailing z-score equals rolling_anomalies over the
+    gap-filled batch rollup, for every bucket the stream has closed."""
+    from hermes_spark.operators.gapfill import gapfill_rollup, rolling_anomalies
+    from hermes_spark.streaming import anomaly_stream
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = []
+    for i in range(48):
+        for key, extra in (("a", 0), ("b", 1)):
+            n = 1 + (i % 3) + extra
+            if key == "a" and i == 40:
+                n = 60  # spike
+            if key == "a" and i == 20:
+                n = 0  # quiet bucket -> zero-filled by both paths
+            for j in range(n):
+                rows.append((key, base + i * 3600 + 60 * j))
+    src = str(tmp_path / "anom_events")
+    (
+        spark.createDataFrame(rows, "event_type string, epoch long")
+        .select("event_type", F.timestamp_seconds("epoch").alias("ts"))
+        .write.parquet(src)
+    )
+    batch = spark.read.parquet(src)
+
+    LOOKBACK = 6
+    dense = gapfill_rollup(batch, "ts", "ts", unit="hour", group_cols=("event_type",))
+    expected_rows = rolling_anomalies(
+        dense, "bucket", "n_events", group_cols=("event_type",), lookback=LOOKBACK
+    ).collect()
+    expected = {
+        (r.event_type, r.bucket): (r.n_events, r.expected, r.zscore, r.is_anomaly)
+        for r in expected_rows
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = anomaly_stream(
+        stream, "event_type", "ts", bucket_seconds=3600, lookback=LOOKBACK
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(query)
+    got = spark.sql("SELECT * FROM anom_out").collect()
+
+    # every bucket except each key's last (still open) must have closed
+    assert len(got) >= 2 * 46
+    spike_seen = False
+    for r in got:
+        exp = expected[(r.key, r.bucket)]
+        assert r.n_events == exp[0], (r.key, r.bucket)
+        for got_v, exp_v in ((r.expected, exp[1]), (r.zscore, exp[2])):
+            if exp_v is None:
+                assert got_v is None, (r.key, r.bucket)
+            else:
+                assert got_v is not None and abs(got_v - exp_v) <= 1e-3
+        assert r.is_anomaly == exp[3], (r.key, r.bucket)
+        if r.key == "a" and r.n_events == 60:
+            spike_seen = True
+            assert r.is_anomaly
+    assert spike_seen
+
+
+def test_anomaly_stream_state_across_batches(spark, tmp_path):
+    """State (trailing window + open frontier) carries across
+    micro-batches: a second file closes the first file's open bucket."""
+    from hermes_spark.streaming import anomaly_stream
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    src = str(tmp_path / "anom_two")
+    first = [("k", base + i * 3600 + 60 * j) for i in range(10) for j in range(1 + i % 2)]
+    second = [("k", base + i * 3600 + 60 * j) for i in range(10, 16) for j in range(2)]
+    schema = "event_type string, epoch long"
+    (
+        spark.createDataFrame(first, schema)
+        .select("event_type", F.timestamp_seconds("epoch").alias("ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    (
+        spark.createDataFrame(second, schema)
+        .select("event_type", F.timestamp_seconds("epoch").alias("ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = anomaly_stream(stream, "event_type", "ts", bucket_seconds=3600, lookback=4)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("anom_two_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(query)
+    got = {r.bucket.timestamp(): r.n_events for r in spark.sql(
+        "SELECT * FROM anom_two_out WHERE key = 'k'").collect()}
+    # buckets 0..14 closed (15 still open); no duplicates
+    assert len(got) == 15
+    for i in range(15):
+        want = (1 + i % 2) if i < 10 else 2
+        assert got[base + i * 3600] == want, i
