@@ -2892,6 +2892,36 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (m=4 subspaces, 8 centroids each;
+    codebooks trained in-query). Iterative k-means inside -> rows-only
+    driver check; recall is pinned vs exact search in
+    tests/test_quantize_entropy.py."""
+    from hermes_spark.operators import pq_encode, pq_topk, pq_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias(
+            "embedding"
+        ),
+    )
+    books = pq_train(unit, m=4, k=8, dim=EMBED_DIM, max_iter=3)
+    codes = pq_encode(unit, books, m=4, dim=EMBED_DIM)
+    queries = unit.filter(F.col("vec_id") < ANN_QUERIES)
+    out = pq_topk(codes, books, queries, k=ANN_K, m=4, dim=EMBED_DIM)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _sql_unit_entropy(unit: str) -> str:
     if unit == "char":
         unit_src = "unnest(string_split(text, ''))"
@@ -3066,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mix": q_rebalance_mix,
         "sq8_quantize": q_sq8_quantize,
         "sq8_topk": q_sq8_topk,
+        "pq_topk": q_pq_topk,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -3102,10 +3133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
-        "near_dup_components": q_near_dup_components,
         # fingerprint fold rewritten this round (bit-identical, re-verify)
         "simhash_near_dups": q_simhash_near_dups,
         # ---- below the fold: green driver row r1-r3, code unchanged ----
+        "near_dup_components": q_near_dup_components,
         "except_all": q_except_all,
         "compare_metrics_nokeys": q_compare_metrics_nokeys,
         "compare_cherry_pick": q_compare_cherry_pick,

@@ -185,3 +185,179 @@ def sq8_topk(
     return ranked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the billion-vector production layout
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Train ``m`` per-subspace codebooks of ``k`` centroids each
+    (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011): the vector is split into ``m`` contiguous
+    ``dim/m``-dim subvectors and each subspace gets its own k-means.
+
+    Returns ``(subspace, code, centroid array<double>)`` with dense
+    codes 0..k-1 — ``m * k`` rows total, always broadcastable. Each
+    subspace fit reuses :func:`~hermes_spark.operators.similarity.
+    kmeans_centroids` (deterministic init, single-shuffle iterations);
+    at 100 TB you fit on a deterministic sample, not the full corpus —
+    pass the sampled frame.
+    """
+    from .similarity import kmeans_centroids
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("__sub"),
+        )
+        cents = kmeans_centroids(
+            sub, k=k, id_col=id_col, vec_col="__sub", dim=d_sub, max_iter=max_iter
+        )
+        # remap the arbitrary init-row centroid ids to dense 0..k-1 in
+        # centroid-id order (deterministic)
+        w = Window.orderBy("centroid_id")
+        books.append(
+            cents.select(
+                F.lit(s).alias("subspace"),
+                (F.row_number().over(w) - 1).alias("code"),
+                F.col("__sub").alias("centroid"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _sub_dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes: ``(id, codes array<int>)``.
+
+    One explode to ``(id, subspace, subvector)`` (``m`` narrow rows per
+    vector), one broadcast join against the ``m*k``-row codebook, one
+    min-distance pick, one regroup — the corpus is scanned once and the
+    shuffled rows carry ``8+4+4`` bytes, never the float vector. A
+    64-dim float32 vector (256 B) becomes ``m`` bytes (32x with m=8,
+    k<=256).
+    """
+    d_sub = dim // m
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+            )
+        ).alias("subspace", "__sub"),
+    )
+    scored = exploded.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        _sub_dist2(F.col("__sub"), F.col("centroid")).alias("__d2"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("__d2").asc(), F.col("code").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("code")))
+                ),
+                lambda sc: sc["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, the inner
+    product is approximated as the sum over subspaces of
+    ``<query_sub, centroid[code_s]>`` — a per-query lookup table (m*k
+    entries) joined against the exploded codes.
+
+    Pass L2-normalized vectors for cosine semantics. Scale shape: the
+    LUT (queries x m x k rows) is broadcast; the corpus side streams
+    ``(id, subspace, code)`` triples — 16 bytes/row, no floats — into a
+    broadcast-hash join plus one (query, id) aggregation.
+    Returns ``(query_id, vec_id, score, rank)``.
+    """
+    d_sub = dim // m
+    qid = query_id_col or id_col
+    q_subs = queries.select(
+        F.col(qid).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+            )
+        ).alias("subspace", "__qsub"),
+    )
+    lut = q_subs.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.col("__qsub"), F.col("centroid"), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__partial"),
+    )
+    triples = corpus_codes.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    )
+    scored = (
+        triples.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("__partial"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

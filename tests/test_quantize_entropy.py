@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 from hermes_spark.functions.text import extract_urls, link_density, url_domains
 from hermes_spark.operators import (
     entropy_profile,
+    pq_encode,
+    pq_topk,
+    pq_train,
     rebalance_mix,
     sq8_quantize,
     sq8_stats,
@@ -213,3 +216,80 @@ def test_decontaminate_shuffle_path_matches_broadcast(spark, documents):
     a = decontaminate(documents, bench, "doc_id", "text", broadcast=True)
     b = decontaminate(documents, bench, "doc_id", "text", broadcast=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def normalized_embeddings(spark, embeddings):
+    """L2-normalized vectors so inner product == cosine for PQ tests."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    return embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias(
+            "embedding"
+        ),
+    ).cache()
+
+
+def test_pq_train_shape(spark, normalized_embeddings):
+    books = pq_train(normalized_embeddings, m=8, k=8, dim=DIM, max_iter=3)
+    rows = books.collect()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], []).append(r)
+        assert len(r["centroid"]) == DIM // 8
+    assert set(by_sub) == set(range(8))
+    for s, cents in by_sub.items():
+        codes = sorted(r["code"] for r in cents)
+        assert codes == list(range(len(codes)))  # dense 0..k'-1
+        assert len(codes) <= 8
+
+
+def test_pq_encode_roundtrip_and_topk_recall(spark, normalized_embeddings):
+    emb = normalized_embeddings
+    books = pq_train(emb, m=8, k=16, dim=DIM, max_iter=3)
+    codes = pq_encode(emb, books, m=8, dim=DIM).cache()
+    got = codes.collect()
+    assert len(got) == emb.count()
+    for r in got[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(emb, queries, k=10).collect()
+    approx = pq_topk(codes, books, queries, k=10, m=8, dim=DIM).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # 8x16 PQ on 64-dim random vectors is lossy; demand the self-match
+    # plus a meaningful fraction of true neighbors
+    assert sum(recalls) / len(recalls) >= 0.3
+    for q in exact_sets:
+        assert q in approx_sets[q]  # self-match always survives
+
+
+def test_pq_topk_plan_is_broadcast_only(spark, normalized_embeddings):
+    emb = normalized_embeddings
+    books = pq_train(emb.limit(100), m=4, k=4, dim=DIM, max_iter=1)
+    codes = pq_encode(emb, books, m=4, dim=DIM)
+    queries = emb.filter(F.col("vec_id") < 2)
+    plan = (
+        pq_topk(codes, books, queries, k=5, m=4, dim=DIM)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
