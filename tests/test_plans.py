@@ -200,3 +200,45 @@ def test_cohort_retention_no_join(spark, sf_dir):
     out = cohort_retention(events)
     ops = plan_operators(out)
     assert not any("Join" in op for op in ops), ops
+
+
+def test_char_entropy_partial_aggregates(spark, sf_dir):
+    """Entropy is two hash aggregates with map-side partial combine —
+    the (id, unit) repeats collapse BEFORE each exchange, and the text
+    column itself never shuffles."""
+    from hermes_spark.operators import unit_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unit_entropy(docs, "doc_id", "text", unit="char")
+    ops = plan_operators(out)
+    aggs = [op for op in ops if "HashAggregate" in op]
+    # partial + final per stage = 4 HashAggregate nodes, 2 exchanges
+    assert len(aggs) == 4, aggs
+    assert count_exchanges(out) == 2
+    assert not any("Join" in op for op in plan_operators(out))
+
+
+def test_rebalance_mix_broadcasts_thresholds(spark, sf_dir):
+    """The corpus joins the tiny per-stratum threshold table via
+    broadcast — never a SortMergeJoin of the full corpus."""
+    from hermes_spark.operators import rebalance_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = rebalance_mix(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    assert has_broadcast_join(out)
+    assert not any("SortMergeJoin" in op for op in plan_operators(out))
+
+
+def test_sq8_quantize_is_scan_side(spark, sf_dir):
+    """Quantization = stats aggregate (tiny) broadcast onto one corpus
+    projection: no shuffle of the vectors, no sort, no non-broadcast
+    join."""
+    from hermes_spark.operators import sq8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sq8_quantize(emb, dim=64)
+    ops = plan_operators(out)
+    assert not any("SortMergeJoin" in op for op in ops)
+    assert not any("Sort " == op or op.startswith("Sort") for op in ops), ops
+    # the only exchanges belong to the 1-row stats aggregate + broadcast
+    assert count_exchanges(out) <= 2
