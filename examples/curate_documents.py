@@ -3,11 +3,11 @@
 Runs the full curation flow over the synthetic documents corpus:
 
   read -> boilerplate line removal -> language ID ->
-  quality/token/repetition gate -> corpus-LM (unigram) outlier gate ->
-  PII scrub -> exact dedup -> minhash near-dup dedup (cluster,
-  keep one) -> stratified rebalance -> benchmark decontamination ->
-  train/val/test split -> sequence packing -> corpus stats + TF-IDF
-  keywords
+  quality/token/repetition/entropy/link-density gate -> corpus-LM
+  (unigram) outlier gate -> PII scrub -> exact dedup -> minhash
+  near-dup dedup (cluster, keep one) -> target-mix rebalance ->
+  benchmark decontamination -> train/val/test split -> sequence
+  packing -> corpus stats + TF-IDF keywords
 
 Usage (from the repo root):
 
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hermes_spark.functions.text import (
     lang_id,
+    link_density,
     pii_match_count,
     quality_score,
     repetition_ratio,
@@ -32,10 +33,11 @@ from hermes_spark.functions.text import (
     token_count,
 )
 from hermes_spark.operators import (
+    entropy_profile,
     exact_dedup,
     fuzzy_dedup_keep_one,
     minhash_lsh_pairs,
-    stratified_sample,
+    rebalance_mix,
     strip_boilerplate_lines,
     tfidf_topk_terms,
     unigram_logprob,
@@ -62,15 +64,25 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         quality_score(F.col("text")).alias("quality"),
         repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
         pii_match_count(F.col("text")).alias("n_pii"),
+        link_density(F.col("text")).alias("link_dens"),
     )
 
-    # 2. gate: quality floor, minimum length, low repetition, low PII
+    # 1b. entropy profile: binary junk scores high char entropy,
+    # template spam low token entropy
+    ent = entropy_profile(docs, "doc_id", "text")
+    annotated = annotated.join(ent, "doc_id", "left")
+
+    # 2. gate: quality floor, minimum length, low repetition, low PII,
+    # sane entropy band, not link-dominated
     gated = annotated.filter(
         (F.col("quality") >= 0.5)
         & (F.col("n_tokens") >= 10)
         & (F.col("rep_bigram") <= 0.3)
         & (F.col("n_pii") <= 5)
-    )
+        & (F.col("char_entropy").between(2.0, 6.5))
+        & (F.col("token_entropy") >= 1.0)
+        & (F.col("link_dens") <= 0.5)
+    ).drop("chars_per_token")
 
     # 2b. corpus-LM outlier gate: drop docs far below the corpus's
     # typical unigram log-prob (OCR noise, junk encodings)
@@ -93,11 +105,12 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     ).filter(F.col("est_jaccard") >= 0.8)
     deduped = fuzzy_dedup_keep_one(exact, "doc_id", pairs)
 
-    # 6. rebalance the language mix, reproducibly
-    final = stratified_sample(
+    # 6. rebalance to a target language mix, reproducibly — rates are
+    # derived from the observed counts (scarcest stratum waterfill),
+    # so the output mix tracks the target as the corpus evolves
+    final = rebalance_mix(
         deduped, "doc_id", "lang",
-        {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0},
-        default_fraction=0.5,   # halve 'und' and everything else
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
     )
 
     # 7. benchmark decontamination: drop anything sharing an 8-gram
@@ -146,6 +159,7 @@ def main() -> None:
         .appName("curate-documents")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

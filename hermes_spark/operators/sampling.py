@@ -186,6 +186,10 @@ def rebalance_mix(
     here are DERIVED from the data, so the output mix tracks the target
     even as the corpus grows unevenly.
 
+    Target strata with ZERO observed rows are ignored when computing
+    ``min_ratio`` (a literal reading would force an empty result); the
+    output mix then holds the target ratios among the strata that exist.
+
     Scale: stratum counts are one tiny hash aggregate (map-side
     combined); thresholds are a few rows broadcast back onto the scan —
     the corpus itself is read once and never shuffled.
