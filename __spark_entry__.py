@@ -2922,6 +2922,72 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF + int8 production search: route to the nearest
+    centroid's cell, score candidates from dequantized codes. Exact
+    floor/double arithmetic end-to-end -> fully oracle-checkable."""
+    from hermes_spark.operators import ivf_sq8_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    out = ivf_sq8_topk(emb, centroids, queries, k=ANN_K, dim=EMBED_DIM)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ivf_sq8_topk() -> str:
+    assign_cos = _cosine_sql("v.vec_emb", "c.cent_emb")
+    dvec = (
+        "(c2.mins[i] + (c2.codes[i]::DOUBLE + 0.5) * (c2.maxs[i] - c2.mins[i]) / 256.0)"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+        f"CAST(q.qvec[i] AS DOUBLE) * {dvec}))"
+    )
+    qnorm = (
+        "sqrt(list_sum(list_transform(q.qvec, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    dnorm = (
+        f"sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+        f"{dvec} * {dvec})))"
+    )
+    return f"""
+WITH {_sql_sq8_codes_cte()},
+cent AS (SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {assign_cos} DESC, c.centroid_id) AS rn
+  FROM (SELECT vec_id, embedding AS vec_emb FROM embeddings) v
+  CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, centroid_id AS cell FROM assigned WHERE rn = 1),
+qcells AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, cl.cell
+  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+  WHERE e.vec_id < {ANN_QUERIES}
+),
+candidates AS (
+  SELECT q.query_id, c2.vec_id,
+         round({dot} / ({qnorm} * {dnorm}), 6) AS score
+  FROM qcells q
+  JOIN (SELECT codes.vec_id, codes.codes, codes.mins, codes.maxs, cl.cell
+        FROM codes JOIN cells cl ON cl.vec_id = codes.vec_id) c2
+    ON c2.cell = q.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM candidates
+)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_unit_entropy(unit: str) -> str:
     if unit == "char":
         unit_src = "unnest(string_split(text, ''))"
@@ -3097,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_quantize": q_sq8_quantize,
         "sq8_topk": q_sq8_topk,
         "pq_topk": q_pq_topk,
+        "ivf_sq8_topk": q_ivf_sq8_topk,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -3109,7 +3176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_distinct": q_except_distinct,
         "key_hash_md5": q_key_hash_md5,
         "sort_aligned_projection": q_sort_aligned_projection,
-        "flatten_nested": q_flatten_nested,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_nation_revenue": q_q5_nation_revenue,
@@ -3136,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint fold rewritten this round (bit-identical, re-verify)
         "simhash_near_dups": q_simhash_near_dups,
         # ---- below the fold: green driver row r1-r3, code unchanged ----
+        "flatten_nested": q_flatten_nested,
         "near_dup_components": q_near_dup_components,
         "except_all": q_except_all,
         "compare_metrics_nokeys": q_compare_metrics_nokeys,
@@ -3253,6 +3320,7 @@ FROM events GROUP BY 1
         "rebalance_mix": _sql_rebalance_mix(),
         "sq8_quantize": _sql_sq8_quantize(),
         "sq8_topk": _sql_sq8_topk(),
+        "ivf_sq8_topk": _sql_ivf_sq8_topk(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

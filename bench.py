@@ -109,6 +109,7 @@ BENCH_QUERIES = {
     "sq8_quantize": lambda s, d: _materialize(entry.q_sq8_quantize(s, d)),
     "sq8_topk": lambda s, d: _materialize(entry.q_sq8_topk(s, d)),
     "rebalance_mix": lambda s, d: _materialize(entry.q_rebalance_mix(s, d)),
+    "ivf_sq8_topk": lambda s, d: _materialize(entry.q_ivf_sq8_topk(s, d)),
 }
 
 

@@ -361,3 +361,101 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    centroid_id_col: str = "centroid_id",
+    k: int = 10,
+    nprobe: int = 1,
+    dim: Optional[int] = None,
+    stats: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF routing + int8 asymmetric scoring — the combined production
+    search layout: each query probes only its ``nprobe`` nearest cells
+    (a centroids-fold cut in candidates) AND the candidates are scored
+    from 4x-smaller int8 codes instead of float vectors.
+
+    The corpus-side frame that reaches the candidate join carries
+    ``(vec_id, cell, codes)`` — at a billion vectors that is the index
+    you persist once and serve from. Exact floor/double arithmetic
+    end-to-end, so the full pipeline (assignment, quantization,
+    dequantized cosine) is oracle-checkable. Returns ``(query_id,
+    vec_id, score, rank)``.
+    """
+    from .similarity import ivf_assign
+
+    if stats is None:
+        if dim is None:
+            raise ValueError("either stats or dim must be given")
+        stats = sq8_stats(corpus, vec_col, dim)
+    qid = query_id_col or id_col
+
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col).select(
+        "vec_id", F.col(centroid_id_col).alias("__cell")
+    )
+    codes = sq8_quantize(corpus, id_col, vec_col, stats=stats).select(
+        F.col(id_col).alias("vec_id"), "codes"
+    )
+    indexed = codes.join(cells, on="vec_id")
+
+    query_cells = (
+        ivf_assign(queries, centroids, qid, vec_col, centroid_id_col, top_n=nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(centroid_id_col).alias("__cell"),
+        )
+        .join(
+            queries.select(
+                F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+            ),
+            on="query_id",
+        )
+    )
+
+    scored = (
+        F.broadcast(query_cells)
+        .join(indexed, on="__cell")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("__qvec"),
+            dequantize_expr(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
+                "__dvec"
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("__dvec"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__qvec"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    dnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__dvec"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    ranked = scored.select(
+        "query_id", "vec_id", F.round(dot / (qnorm * dnorm), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return ranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

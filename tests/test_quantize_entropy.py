@@ -293,3 +293,30 @@ def test_pq_topk_plan_is_broadcast_only(spark, normalized_embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_sq8_topk_agrees_with_ivf_cells(spark, embeddings):
+    """The combined IVF+SQ8 search returns the same cells' candidates as
+    float IVF, with quantization-level score error only."""
+    from hermes_spark.operators import ivf_sq8_topk
+    from hermes_spark.operators.similarity import ivf_topk
+
+    centroids = embeddings.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    fl = ivf_topk(embeddings, centroids, queries, k=10).collect()
+    qz = ivf_sq8_topk(embeddings, centroids, queries, k=10, dim=DIM).collect()
+    fl_sets, qz_sets = {}, {}
+    for r in fl:
+        fl_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in qz:
+        qz_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(fl_sets[q] & qz_sets[q]) / len(fl_sets[q]) for q in fl_sets]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # scores approximate the float cosine within int8 quantization error
+    fl_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in fl}
+    for r in qz:
+        key = (r["query_id"], r["vec_id"])
+        if key in fl_scores:
+            assert abs(r["score"] - fl_scores[key]) < 0.05
