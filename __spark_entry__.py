@@ -2988,6 +2988,212 @@ SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4b extension queries: corpus n-gram mining, quality classifier,
+# JL random projection, DSIR importance weighting, MMR diversified top-k
+# (operators/ngrams.py, classify.py, projection.py, importance.py, mmr.py)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 2
+NGRAM_TOPK = 50
+RP_OUT_DIM = 16
+RP_SEED = 42
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 0.5
+MMR_QUERIES = 10
+MMR_POOL = 50
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+#: DuckDB bigram list from a token array (word_ngrams n=2 semantics:
+#: arrays shorter than n yield an empty gram list)
+_BIGRAMS_SQL = (
+    "CASE WHEN len(t) < 2 THEN []::VARCHAR[] "
+    "ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] END"
+)
+
+
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent word bigrams (boilerplate discovery);
+    two narrow hash aggregates + TakeOrderedAndProject."""
+    from hermes_spark.operators import topk_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return topk_ngrams(docs, "doc_id", "text", n=NGRAM_N, k=NGRAM_TOPK)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: fraction of a doc's distinct bigrams
+    first introduced (min doc_id) by that doc."""
+    from hermes_spark.operators import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=NGRAM_N)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality score over four cheap text features
+    — pure scan-fused column expressions, zero shuffle."""
+    from hermes_spark.operators import linear_quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = linear_quality_score(docs, "doc_id", "text")
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64 -> 16 dims, exploded to
+    (vec_id, dim, value) rows for scalar comparison."""
+    from hermes_spark.operators import random_project
+
+    emb = _read(spark, sf_dir, "embeddings")
+    proj = random_project(
+        emb, "vec_id", "embedding", in_dim=EMBED_DIM, out_dim=RP_OUT_DIM, seed=RP_SEED
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of the full corpus against the English
+    subset as target (hashed-unigram LM log-likelihood ratio)."""
+    from hermes_spark.operators import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(
+        docs, target, "doc_id", "text", buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k per query via greedy MMR over an exact top-50
+    candidate pool (iterative-greedy -> rows-only driver check; the
+    NumPy reference lives in tests/test_mmr.py)."""
+    from hermes_spark.operators import mmr_select
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < MMR_QUERIES)
+    return mmr_select(
+        emb, queries, k=MMR_K, pool_size=MMR_POOL, lam=MMR_LAMBDA
+    ).orderBy("query_id", "mmr_rank")
+
+
+def _sql_topk_ngrams() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM tok),
+counted AS (
+  SELECT gram, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS total_count
+  FROM grams GROUP BY gram
+),
+ranked AS (
+  SELECT gram, doc_freq, total_count,
+         row_number() OVER (ORDER BY total_count DESC, gram) AS rank
+  FROM counted
+)
+SELECT gram, doc_freq, total_count, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {NGRAM_TOPK}
+"""
+
+
+def _sql_ngram_novelty() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+grams AS (SELECT DISTINCT doc_id, gram
+          FROM (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM tok)),
+firsts AS (
+  SELECT doc_id, gram, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM grams
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS novel_grams,
+       round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM firsts GROUP BY doc_id
+"""
+
+
+def _sql_quality_classifier() -> str:
+    from hermes_spark.operators.classify import QUALITY_WEIGHTS, STOPWORDS
+
+    w = QUALITY_WEIGHTS
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t,
+         length(regexp_replace(text, '\\s', '', 'g')) AS ns
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         round(ns::DOUBLE / greatest(len(t), 1), 6) AS mean_tok_len,
+         round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6) AS distinct_ratio,
+         round(len(list_filter(t, x -> list_contains([{stop_list}], x)))::DOUBLE
+               / greatest(len(t), 1), 6) AS stopword_ratio
+  FROM tok
+),
+scored AS (
+  SELECT *,
+         round(1.0 / (1.0 + exp(-({w['bias']}
+               + {w['log_n_tokens']} * ln(n_tokens + 1.0)
+               + {w['mean_tok_len']} * mean_tok_len
+               + {w['distinct_ratio']} * distinct_ratio
+               + {w['stopword_ratio']} * stopword_ratio))), 6) AS quality
+  FROM feats
+)
+SELECT doc_id, n_tokens, mean_tok_len, distinct_ratio, stopword_ratio, quality,
+       (CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM scored
+"""
+
+
+def _sql_random_projection() -> str:
+    from hermes_spark.operators.projection import sign_matrix
+
+    signs = sign_matrix(EMBED_DIM, RP_OUT_DIM, RP_SEED)
+    scale = 1.0 / RP_OUT_DIM**0.5
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(s) for s in row)}])" for j, row in enumerate(signs)
+    )
+    return f"""
+WITH signs(dim, s) AS (VALUES {rows})
+SELECT e.vec_id, signs.dim::BIGINT AS dim,
+       round(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * signs.s[i])) * {scale!r}, 6) AS value
+FROM embeddings e CROSS JOIN signs
+"""
+
+
+def _sql_dsir_weights() -> str:
+    b = DSIR_BUCKETS
+    a = DSIR_ALPHA
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
+occ AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(t, x ->
+           ('0x' || substring(md5('dsir:' || x), 1, 15))::BIGINT % {b})) AS bucket
+  FROM tok
+),
+t_dist AS (SELECT bucket, count(*)::DOUBLE AS tc FROM occ WHERE lang = 'en' GROUP BY bucket),
+r_dist AS (SELECT bucket, count(*)::DOUBLE AS rc FROM occ GROUP BY bucket),
+tot AS (SELECT (SELECT sum(tc) FROM t_dist) AS tt, (SELECT sum(rc) FROM r_dist) AS rt),
+lam AS (
+  SELECT r.bucket,
+         ln((coalesce(t.tc, 0) + {a}) / (tot.tt + {a} * {b}))
+         - ln((r.rc + {a}) / (tot.rt + {a} * {b})) AS lam
+  FROM r_dist r LEFT JOIN t_dist t USING (bucket) CROSS JOIN tot
+),
+doc AS (SELECT doc_id, bucket, count(*)::BIGINT AS occ2 FROM occ GROUP BY doc_id, bucket)
+SELECT doc_id, sum(occ2)::BIGINT AS n_tokens,
+       round(sum(occ2 * lam.lam), 6) AS log_weight
+FROM doc JOIN lam USING (bucket) GROUP BY doc_id
+"""
+
+
 def _sql_unit_entropy(unit: str) -> str:
     if unit == "char":
         unit_src = "unnest(string_split(text, ''))"
@@ -3134,16 +3340,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 8 queries with no driver CORRECTNESS row yet lead, then the 6
-    # NEW round-4 queries (entropy/link/rebalance/sq8 — never verified by
-    # definition), then the 3 whose implementation changed this round
-    # (funnel fold rewrite, cohort window+floor, split boundary
-    # arithmetic), then stale-but-stable entries in rotation order.
-    # Everything below the fold has a green driver row from r1-r3 and
-    # unchanged code (the six entries displaced to make room for the new
-    # queries — except_all, compare_metrics_nokeys, compare_cherry_pick,
-    # near_dup_components_star, q6, topk_orders_per_customer — are green
-    # in BOTH r1 and r2).
+    # the 8 queries with no driver CORRECTNESS row yet lead, then the 8
+    # NEW round-4 queries (entropy/link/rebalance/sq8), then the 6 NEW
+    # round-4b queries (ngram mining / quality classifier / random
+    # projection / DSIR / MMR — never verified by definition), then the 3
+    # whose implementation changed this round (funnel fold rewrite,
+    # cohort window+floor, split boundary arithmetic), then
+    # stale-but-stable entries in rotation order.  Everything below the
+    # fold has a green driver row from r1-r3 and unchanged code (the
+    # twelve entries displaced to make room — except_all,
+    # compare_metrics_nokeys, compare_cherry_pick,
+    # near_dup_components_star, q6, topk_orders_per_customer, text_stats,
+    # ann_cosine_topk, ann_cosine_topk_vec, ivf_assign,
+    # embedding_near_dup, ivf_topk — are green in r1, most in r2 too).
     return {
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
@@ -3164,6 +3373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": q_sq8_topk,
         "pq_topk": q_pq_topk,
         "ivf_sq8_topk": q_ivf_sq8_topk,
+        # -- new this round, second batch (ngram mining / classifier /
+        #    projection / DSIR / MMR; mmr_select is rows-only by nature)
+        "topk_ngrams": q_topk_ngrams,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_classifier": q_quality_classifier,
+        "random_projection": q_random_projection,
+        "dsir_weights": q_dsir_weights,
+        "mmr_select": q_mmr_select,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -3193,15 +3410,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "text_hash_buckets": q_text_hash_buckets,
         "blocking_pairs": q_blocking_pairs,
+        # fingerprint fold rewritten this round (bit-identical, re-verify)
+        "simhash_near_dups": q_simhash_near_dups,
+        # ---- below the fold: green driver row r1-r3, code unchanged ----
+        # (text_stats + the five ANN/IVF entries displaced by the 6 new
+        #  round-4b queries are all green r1 with unchanged code)
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
         "ivf_assign": q_ivf_assign,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
-        # fingerprint fold rewritten this round (bit-identical, re-verify)
-        "simhash_near_dups": q_simhash_near_dups,
-        # ---- below the fold: green driver row r1-r3, code unchanged ----
         "flatten_nested": q_flatten_nested,
         "near_dup_components": q_near_dup_components,
         "except_all": q_except_all,
@@ -3321,6 +3540,13 @@ FROM events GROUP BY 1
         "sq8_quantize": _sql_sq8_quantize(),
         "sq8_topk": _sql_sq8_topk(),
         "ivf_sq8_topk": _sql_ivf_sq8_topk(),
+        "topk_ngrams": _sql_topk_ngrams(),
+        "ngram_novelty": _sql_ngram_novelty(),
+        "quality_classifier": _sql_quality_classifier(),
+        "random_projection": _sql_random_projection(),
+        "dsir_weights": _sql_dsir_weights(),
+        # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
+        # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -44,6 +44,11 @@ from .sampling import (
     stratified_sample,
 )
 from .entropy import entropy_profile, unit_entropy
+from .ngrams import ngram_novelty, topk_ngrams
+from .classify import linear_quality_score, quality_features
+from .projection import random_project, sign_matrix
+from .importance import bucket_distribution, dsir_weights, token_buckets
+from .mmr import mmr_rerank_pandas, mmr_select
 from .quantize import (
     ivf_sq8_topk,
     pq_encode,
@@ -160,4 +165,15 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_sq8_topk",
+    "topk_ngrams",
+    "ngram_novelty",
+    "linear_quality_score",
+    "quality_features",
+    "random_project",
+    "sign_matrix",
+    "dsir_weights",
+    "bucket_distribution",
+    "token_buckets",
+    "mmr_select",
+    "mmr_rerank_pandas",
 ]

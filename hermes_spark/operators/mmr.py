@@ -1,0 +1,153 @@
+"""Maximal Marginal Relevance (MMR) diversified top-k selection.
+
+Extension beyond reference parity (see ``SURVEY.md`` §2 extension
+table). MMR (Carbonell & Goldstein, SIGIR'98) re-ranks a candidate
+pool so results are relevant to the query *and* dissimilar to each
+other:
+
+    MMR = argmax_{d ∈ C\\S} [ λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s) ]
+
+Uses in a training-data pipeline: picking a *diverse* few-shot set per
+query, diversified retrieval for RAG eval sets, spreading semantic
+clusters in curated subsets.
+
+Scale design (100 TB corpus, many queries):
+
+* MMR is greedy-sequential in k, so it CANNOT be a corpus-wide
+  distributed loop — and doesn't need to be: the standard shape is
+  candidate-generation (distributed ANN; here exact or IVF top-N) down
+  to ``pool_size`` ≪ corpus per query, then the greedy selection runs
+  inside one Arrow batch per query via ``applyInPandas``. Each group
+  is (pool_size × dim) floats — a few hundred KB — and the selection
+  is O(k · pool) BLAS dot products.
+* Every query group is independent → embarrassingly parallel across
+  executors; the corpus itself is touched only by the candidate
+  generator, which is the already-plan-audited top-k operator.
+* Iterative-greedy output is not SQL-expressible; correctness is
+  guarded by a NumPy reference implementation in the test suite
+  (``tests/test_mmr.py``) and a rows-only driver check.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .similarity import brute_force_cosine_topk
+
+__all__ = ["mmr_select", "mmr_rerank_pandas"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("relevance", DoubleType()),
+        StructField("mmr_score", DoubleType()),
+        StructField("mmr_rank", LongType()),
+    ]
+)
+
+
+def _greedy_mmr(qids, vids, rel, vecs, k: int, lam: float):
+    """NumPy greedy MMR over one candidate pool. Returns row tuples."""
+    import numpy as np
+
+    n = len(vids)
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    rel = np.asarray(rel, dtype=np.float64)
+
+    selected: list[int] = []
+    # max over the empty selected set is 0 (canonical convention), so
+    # the first pick maximizes lam * relevance
+    max_sim = np.zeros(n)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        score = lam * rel - (1.0 - lam) * max_sim
+        score[selected] = -np.inf
+        # deterministic tiebreak: highest score, then smallest vec_id
+        best = min(
+            (i for i in range(n) if i not in selected),
+            key=lambda i: (-score[i], vids[i]),
+        )
+        out.append(
+            (
+                int(qids[best]),
+                int(vids[best]),
+                round(float(rel[best]), 6),
+                round(float(score[best]), 6),
+                rank,
+            )
+        )
+        selected.append(best)
+        sims = unit @ unit[best]
+        max_sim = np.maximum(max_sim, sims)
+    return out
+
+
+def mmr_rerank_pandas(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Greedy MMR inside each ``query_id`` group of a candidate frame.
+
+    ``candidates`` must carry ``(query_id, vec_id, relevance,
+    <vec_col>)``. Returns ``(query_id, vec_id, relevance, mmr_score,
+    mmr_rank)`` with ``mmr_rank`` 1..k per query.
+    """
+
+    def select_group(pdf):
+        import pandas as pd
+
+        rows = _greedy_mmr(
+            pdf["query_id"].to_numpy(),
+            pdf["vec_id"].to_numpy(),
+            pdf["relevance"].to_numpy(),
+            list(pdf[vec_col]),
+            k,
+            lam,
+        )
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "relevance", "mmr_score", "mmr_rank"]
+        )
+
+    return candidates.groupBy("query_id").applyInPandas(select_group, _OUT_SCHEMA)
+
+
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    pool_size: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Candidate-gen + greedy MMR: diversified top-``k`` per query.
+
+    Stage 1 is the exact broadcast top-``pool_size`` (swap in
+    ``ivf_topk`` for billion-row corpora — same candidate contract);
+    stage 2 re-joins the pool to its vectors and runs greedy MMR per
+    query group in one Arrow batch.
+    """
+    pool = brute_force_cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, k=pool_size,
+    ).select("query_id", "vec_id", F.col("cosine").alias("relevance"))
+    with_vecs = pool.join(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id"
+    )
+    return mmr_rerank_pandas(with_vecs, vec_col=vec_col, k=k, lam=lam)

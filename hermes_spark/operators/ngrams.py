@@ -1,0 +1,133 @@
+"""Corpus-level n-gram statistics: frequent-phrase mining and novelty.
+
+Extension beyond reference parity (the reference has no text analytics;
+see ``SURVEY.md`` §2 extension table). Two curation signals every large
+training-data pipeline wants:
+
+* ``topk_ngrams`` — the most frequent word n-grams corpus-wide.
+  Boilerplate discovery: the top of this list at web scale is cookie
+  banners, nav chrome, and license headers — exactly what
+  ``strip_boilerplate`` should be fed.
+* ``ngram_novelty`` — per document, the fraction of its distinct
+  n-grams whose FIRST corpus occurrence (min doc id) is this document.
+  Low novelty ⇒ the document is re-assembled from phrases the corpus
+  already contains (template spam, near-dup tails that survived
+  fingerprint dedup).
+
+Scale design (100 TB):
+
+* Both operators explode to ``(doc, gram)`` and aggregate per
+  ``(doc, gram)`` FIRST — a hash aggregate whose map-side partial
+  combine collapses within-document repeats before anything shuffles,
+  so the exchange carries ~(distinct grams per doc) narrow rows, never
+  one row per token occurrence.
+* ``topk_ngrams`` then re-aggregates by gram (second narrow exchange)
+  and finishes with ``orderBy().limit(k)`` — Spark plans that as
+  ``TakeOrderedAndProject``: each task keeps a k-row heap, the driver
+  merges ``numPartitions × k`` rows; no global sort materializes.
+* ``ngram_novelty`` resolves "first occurrence" with a single
+  ``min() OVER (PARTITION BY gram)`` window on the already-distinct
+  ``(doc, gram)`` frame — same shuffle a groupBy+rejoin would need, one
+  pass instead of two — then one groupBy(doc) to fold the ratio.
+* Everything is built-in hash aggregates / window + whole-stage
+  codegen; zero Python, exact counts, so a SQL oracle reproduces the
+  output bit-for-bit.
+
+Hot-gram skew: a gram appearing in hundreds of millions of documents
+makes one window partition huge in ``ngram_novelty``. The window
+computes only ``min(doc)`` — an AQE skew-split-friendly aggregation —
+and ``min_doc_freq``/``max_doc_freq`` knobs let callers drop the
+stop-gram head (novelty of "of the" carries no signal anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+__all__ = ["topk_ngrams", "ngram_novelty"]
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct ``(id, gram)`` pairs with per-doc occurrence counts.
+
+    One explode + one hash aggregate; the map-side partial combine
+    collapses repeats before the shuffle.
+    """
+    grams = word_ngrams(tokens(F.lower(F.col(text_col))), n)
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` word ``n``-grams corpus-wide.
+
+    Returns ``(gram, doc_freq, total_count, rank)`` ordered by
+    ``total_count`` desc with the gram string as deterministic
+    tiebreak. ``doc_freq`` is the number of distinct documents
+    containing the gram; ``total_count`` counts every occurrence.
+    """
+    per_doc = _doc_grams(df, id_col, text_col, n)
+    totals = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__occ").alias("total_count"),
+    )
+    w = Window.orderBy(F.col("total_count").desc(), F.col("gram"))
+    # limit-first keeps the rank window on k rows, not the whole vocab;
+    # TakeOrderedAndProject does the heavy lifting distributed
+    return (
+        totals.orderBy(F.col("total_count").desc(), F.col("gram"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty against the corpus.
+
+    A gram is *novel to* a document when the document's id equals the
+    corpus-wide minimum id over all documents containing that gram —
+    i.e. reading the corpus in id order, this document introduced the
+    phrase. Returns ``(id, n_grams, novel_grams, novelty)`` where
+    ``novelty = novel_grams / n_grams`` rounded to 6 dp; documents with
+    no grams (fewer than ``n`` tokens) are absent.
+
+    ``min_doc_freq``/``max_doc_freq`` bound which grams participate
+    (both sides of the ratio): drop hapax noise with the former, the
+    stop-gram head with the latter.
+    """
+    per_doc = _doc_grams(df, id_col, text_col, n).select(id_col, "gram")
+    w = Window.partitionBy("gram")
+    flagged = per_doc.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("__first"),
+        F.count(F.lit(1)).over(w).alias("__df"),
+    )
+    if min_doc_freq > 1:
+        flagged = flagged.filter(F.col("__df") >= min_doc_freq)
+    if max_doc_freq is not None:
+        flagged = flagged.filter(F.col("__df") <= max_doc_freq)
+    novel = F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(novel).alias("novel_grams"),
+        F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )

@@ -1,0 +1,87 @@
+"""Johnson–Lindenstrauss random projection for embedding columns.
+
+Extension beyond reference parity (the reference has no vector ops; see
+``SURVEY.md`` §2 extension table). Sign (Achlioptas) random projection:
+``y = (1/sqrt(k)) · S·x`` with ``S ∈ {−1,+1}^{k×d}``. Standard uses in
+a 100 TB embedding pipeline: shrink vectors 4–8× before LSH/clustering
+(distances preserved within JL ε), cheap pre-filter before exact
+rerank, decorrelate dimensions ahead of scalar quantization.
+
+Scale design:
+
+* The sign matrix is derived **on the driver** from md5 of
+  ``"rp:<seed>:<row>:<col>"`` — a few KB — and folded into the plan as
+  literal arrays. No per-row hashing (the matrix is data-independent;
+  hashing per row would recompute the same constants a trillion times),
+  no join, no broadcast variable to manage.
+* Projection is a pure column expression: for each output dim one
+  ``aggregate`` over the input array against a literal sign row. The
+  whole operator fuses into the scan's codegen span — one pass, zero
+  shuffle, zero Python.
+* md5-derived signs make the matrix reproducible in ANSI SQL / any
+  engine (same recipe, same matrix), so the operator is
+  oracle-checkable bit-for-bit at 6 dp. At extreme ``k·d`` you'd swap
+  the expression for a Pandas-UDF matmul (BLAS); for k·d ≤ ~8192 the
+  codegen path wins by skipping Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sign_matrix", "random_project", "project_expr"]
+
+
+def sign_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 matrix, ``out_dim`` rows × ``in_dim`` cols.
+
+    Entry ``(j, i)`` is ``+1`` when the low hex digit of
+    ``md5("rp:<seed>:<j>:<i>")`` is even — reproducible from the same
+    recipe in any engine or test oracle.
+    """
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()[-1], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_expr(vec: Column, signs: list[list[int]]) -> Column:
+    """``array<double>`` expression: signed sums scaled by 1/sqrt(k),
+    each component rounded to 6 dp."""
+    out_dim = len(signs)
+    scale = 1.0 / out_dim**0.5
+    comps = []
+    for row in signs:
+        sign_lit = F.array(*[F.lit(s) for s in row])
+        acc = F.aggregate(
+            F.zip_with(vec, sign_lit, lambda v, s: v.cast("double") * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        comps.append(F.round(acc * F.lit(scale), 6))
+    return F.array(*comps)
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Project ``vec_col`` (``array<float|double>`` of length
+    ``in_dim``) down to ``out_dim`` dims. Returns ``(id, proj)``."""
+    signs = sign_matrix(in_dim, out_dim, seed)
+    return df.select(
+        F.col(id_col), project_expr(F.col(vec_col), signs).alias("proj")
+    )
