@@ -110,6 +110,13 @@ BENCH_QUERIES = {
     "sq8_topk": lambda s, d: _materialize(entry.q_sq8_topk(s, d)),
     "rebalance_mix": lambda s, d: _materialize(entry.q_rebalance_mix(s, d)),
     "ivf_sq8_topk": lambda s, d: _materialize(entry.q_ivf_sq8_topk(s, d)),
+    # round 4b: phrase mining, quality scoring, projection, DSIR, MMR
+    "topk_ngrams": lambda s, d: _materialize(entry.q_topk_ngrams(s, d)),
+    "ngram_novelty": lambda s, d: _materialize(entry.q_ngram_novelty(s, d)),
+    "quality_classifier": lambda s, d: _materialize(entry.q_quality_classifier(s, d)),
+    "random_projection": lambda s, d: _materialize(entry.q_random_projection(s, d)),
+    "dsir_weights": lambda s, d: _materialize(entry.q_dsir_weights(s, d)),
+    "mmr_select": lambda s, d: _materialize(entry.q_mmr_select(s, d)),
 }
 
 

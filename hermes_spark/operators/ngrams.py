@@ -25,19 +25,23 @@ Scale design (100 TB):
   and finishes with ``orderBy().limit(k)`` — Spark plans that as
   ``TakeOrderedAndProject``: each task keeps a k-row heap, the driver
   merges ``numPartitions × k`` rows; no global sort materializes.
-* ``ngram_novelty`` resolves "first occurrence" with a single
-  ``min() OVER (PARTITION BY gram)`` window on the already-distinct
-  ``(doc, gram)`` frame — same shuffle a groupBy+rejoin would need, one
-  pass instead of two — then one groupBy(doc) to fold the ratio.
-* Everything is built-in hash aggregates / window + whole-stage
-  codegen; zero Python, exact counts, so a SQL oracle reproduces the
-  output bit-for-bit.
-
-Hot-gram skew: a gram appearing in hundreds of millions of documents
-makes one window partition huge in ``ngram_novelty``. The window
-computes only ``min(doc)`` — an AQE skew-split-friendly aggregation —
-and ``min_doc_freq``/``max_doc_freq`` knobs let callers drop the
-stop-gram head (novelty of "of the" carries no signal anyway).
+* ``ngram_novelty`` deliberately avoids a ``PARTITION BY gram`` window:
+  token grams are Zipf-distributed, and a sort-window puts a hot gram's
+  every occurrence into ONE task — a guaranteed straggler at corpus
+  scale. Instead it composes only *algebraic aggregates* (``min``,
+  ``count``), which Spark partially aggregates map-side, so a
+  billion-document stop-gram collapses to one row per input partition
+  before it ever shuffles:
+  - unbounded path: gram stats ``(first_doc, df)`` via groupBy(gram),
+    then ``novel_grams = stats.groupBy(first_doc).count()`` — the
+    argmin count needs NO join back to the exploded frame at all;
+  - df-bounded path: the per-doc side must know each gram's ``df``, so
+    it joins ``(doc, gram)`` against the stats frame — an equi-join
+    AQE can skew-split, unlike a window sort.
+* Everything is built-in hash aggregates + whole-stage codegen; zero
+  Python, exact counts, so a SQL oracle reproduces the output
+  bit-for-bit. ``min_doc_freq``/``max_doc_freq`` drop the stop-gram
+  head (novelty of "of the" carries no signal anyway).
 """
 
 from __future__ import annotations
@@ -115,19 +119,36 @@ def ngram_novelty(
     stop-gram head with the latter.
     """
     per_doc = _doc_grams(df, id_col, text_col, n).select(id_col, "gram")
-    w = Window.partitionBy("gram")
-    flagged = per_doc.select(
-        F.col(id_col),
-        F.min(id_col).over(w).alias("__first"),
-        F.count(F.lit(1)).over(w).alias("__df"),
+    stats = per_doc.groupBy("gram").agg(
+        F.min(id_col).alias("__first"), F.count(F.lit(1)).alias("__df")
     )
-    if min_doc_freq > 1:
-        flagged = flagged.filter(F.col("__df") >= min_doc_freq)
-    if max_doc_freq is not None:
-        flagged = flagged.filter(F.col("__df") <= max_doc_freq)
-    novel = F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(novel).alias("novel_grams"),
-        F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    bounded = min_doc_freq > 1 or max_doc_freq is not None
+    if bounded:
+        if min_doc_freq > 1:
+            stats = stats.filter(F.col("__df") >= min_doc_freq)
+        if max_doc_freq is not None:
+            stats = stats.filter(F.col("__df") <= max_doc_freq)
+        # the per-doc side needs each gram's df -> equi-join (AQE can
+        # skew-split a hot gram here; a window sort could not)
+        flagged = per_doc.join(stats, "gram")
+        novel = F.when(F.col(id_col) == F.col("__first"), 1).otherwise(0)
+        return flagged.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("novel_grams"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    # unbounded: both sides reduce to per-doc aggregates — no join back
+    # to the exploded frame, every aggregate partial-combines map-side
+    totals = per_doc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    firsts = stats.groupBy(F.col("__first").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("__novel")
+    )
+    novel_col = F.coalesce(F.col("__novel"), F.lit(0)).cast("long")
+    return totals.join(firsts, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        novel_col.alias("novel_grams"),
+        F.round(novel_col.cast("double") / F.col("n_grams"), 6).alias("novelty"),
     )
