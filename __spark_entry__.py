@@ -3194,6 +3194,70 @@ FROM doc JOIN lam USING (bucket) GROUP BY doc_id
 """
 
 
+TEMP_MIX_T = 2.0
+DECON_REF_IDS = 40
+DECON_MIN_COS = 0.95
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (T=2): rare languages keep a
+    larger share than their natural frequency, via derived targets +
+    the zero-shuffle deterministic hash-threshold filter."""
+    from hermes_spark.operators import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "doc_id", "lang", temperature=TEMP_MIX_T)
+    return out.select("doc_id", "lang")
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: drop corpus vectors with cosine
+    >= 0.95 to any 'benchmark' vector (ids < 40). Exact variant for the
+    oracle; the LSH-bucketed path is the 100 TB route."""
+    from hermes_spark.operators import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") < DECON_REF_IDS)
+    out = semantic_decontaminate(
+        emb, ref, min_cosine=DECON_MIN_COS, dim=EMBED_DIM, exact=True
+    )
+    return out.select("vec_id", "label")
+
+
+def _sql_temperature_mix() -> str:
+    bucket = _dhash("'tempmix:' || doc_id::VARCHAR") + " % 10000"
+    return f"""
+WITH counts AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS total FROM counts),
+raw AS (SELECT lang, n, pow(n / tot.total, 1.0 / {TEMP_MIX_T!r}) AS qraw
+        FROM counts CROSS JOIN tot),
+z AS (SELECT sum(qraw) AS z FROM raw),
+shares AS (SELECT lang, n, round(qraw / z.z, 9) AS share FROM raw CROSS JOIN z),
+mr AS (SELECT min(n / share) AS min_ratio FROM shares),
+thresholds AS (
+  SELECT lang, floor(10000.0 * share * min_ratio / n) AS threshold
+  FROM shares CROSS JOIN mr
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thresholds t ON d.lang = t.lang
+WHERE ({bucket}) < t.threshold
+"""
+
+
+def _sql_semantic_decontaminate() -> str:
+    cos = _cosine_sql("c.embedding", "r.embedding")
+    return f"""
+WITH hits AS (
+  SELECT DISTINCT c.vec_id
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < {DECON_REF_IDS}) r ON TRUE
+  WHERE {cos} >= {DECON_MIN_COS}
+)
+SELECT e.vec_id, e.label
+FROM embeddings e ANTI JOIN hits h ON e.vec_id = h.vec_id
+"""
+
+
 def _sql_unit_entropy(unit: str) -> str:
     if unit == "char":
         unit_src = "unnest(string_split(text, ''))"
@@ -3341,17 +3405,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
     # the 8 queries with no driver CORRECTNESS row yet lead, then the 8
-    # NEW round-4 queries (entropy/link/rebalance/sq8), then the 6 NEW
+    # NEW round-4 queries (entropy/link/rebalance/sq8), then the 8 NEW
     # round-4b queries (ngram mining / quality classifier / random
-    # projection / DSIR / MMR — never verified by definition), then the 3
+    # projection / DSIR / MMR / temperature mix / semantic decontam —
+    # never verified by definition), then the 3
     # whose implementation changed this round (funnel fold rewrite,
     # cohort window+floor, split boundary arithmetic), then
     # stale-but-stable entries in rotation order.  Everything below the
     # fold has a green driver row from r1-r3 and unchanged code (the
-    # twelve entries displaced to make room — except_all,
+    # fourteen entries displaced to make room — except_all,
     # compare_metrics_nokeys, compare_cherry_pick,
     # near_dup_components_star, q6, topk_orders_per_customer, text_stats,
-    # ann_cosine_topk, ann_cosine_topk_vec, ivf_assign,
+    # text_hash_buckets, blocking_pairs, ann_cosine_topk, ann_cosine_topk_vec, ivf_assign,
     # embedding_near_dup, ivf_topk — are green in r1, most in r2 too).
     return {
         # -- never driver-verified (local hash-match via
@@ -3381,6 +3446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "dsir_weights": q_dsir_weights,
         "mmr_select": q_mmr_select,
+        "temperature_mix": q_temperature_mix,
+        "semantic_decontaminate": q_semantic_decontaminate,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -3408,13 +3475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
         "bigram_logprob": q_bigram_logprob,
-        "text_hash_buckets": q_text_hash_buckets,
-        "blocking_pairs": q_blocking_pairs,
         # fingerprint fold rewritten this round (bit-identical, re-verify)
         "simhash_near_dups": q_simhash_near_dups,
         # ---- below the fold: green driver row r1-r3, code unchanged ----
-        # (text_stats + the five ANN/IVF entries displaced by the 6 new
-        #  round-4b queries are all green r1 with unchanged code)
+        # (text_hash_buckets, blocking_pairs, text_stats + the five
+        #  ANN/IVF entries displaced by the 8 new round-4b queries are
+        #  all green r1 with unchanged code)
+        "text_hash_buckets": q_text_hash_buckets,
+        "blocking_pairs": q_blocking_pairs,
         "text_stats": q_text_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
@@ -3545,6 +3613,8 @@ FROM events GROUP BY 1
         "quality_classifier": _sql_quality_classifier(),
         "random_projection": _sql_random_projection(),
         "dsir_weights": _sql_dsir_weights(),
+        "temperature_mix": _sql_temperature_mix(),
+        "semantic_decontaminate": _sql_semantic_decontaminate(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

@@ -35,6 +35,7 @@ from .profile import (
     winsorize,
     zorder_key,
 )
+from .similarity import cross_near_dup_pairs, semantic_decontaminate
 from .sampling import (
     deterministic_sample,
     mix_corpora,
@@ -42,6 +43,7 @@ from .sampling import (
     sample_per_group,
     split_assign,
     stratified_sample,
+    temperature_mix,
 )
 from .entropy import entropy_profile, unit_entropy
 from .ngrams import ngram_novelty, topk_ngrams
@@ -176,4 +178,7 @@ __all__ = [
     "token_buckets",
     "mmr_select",
     "mmr_rerank_pandas",
+    "temperature_mix",
+    "cross_near_dup_pairs",
+    "semantic_decontaminate",
 ]

@@ -231,3 +231,64 @@ def rebalance_mix(
         .filter(_bucket(F.col(key_col), salt) < F.col("__threshold"))
         .drop("__threshold")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    temperature: float = 2.0,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-flattened stratum mix (multilingual-sampling style,
+    cf. the alpha-sampling of mBERT/T5/XLM-R): target share of stratum
+    ``s`` is ``p_s^(1/T) / Z`` where ``p_s`` is its observed share.
+    ``T=1`` keeps the natural mix; ``T→∞`` approaches uniform; the
+    output is the LARGEST corpus achieving the flattened mix by pure
+    downsampling (the scarcest-after-flattening stratum caps the total,
+    exactly as :func:`rebalance_mix`).
+
+    Unlike :func:`rebalance_mix` the targets are DERIVED from the
+    observed counts, so rare strata (languages, source domains) are
+    boosted relative to their natural share without anyone hand-writing
+    a target table.
+
+    Scale: one tiny stratum-count aggregate (map-side combined), share /
+    normalizer / threshold arithmetic over ≤|strata| rows via broadcast
+    cross joins, then the same zero-shuffle deterministic hash-threshold
+    filter riding the scan as every sampler in this module. Shares are
+    rounded to 9 dp before the threshold so the floor() boundary is
+    engine-stable (pow() may differ in the last ulp across engines).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    tot = counts.agg(F.sum("__n").alias("__total"))
+    raw = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__qraw", F.pow(F.col("__n") / F.col("__total"), 1.0 / temperature)
+    )
+    z = raw.agg(F.sum("__qraw").alias("__z"))
+    shares = raw.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        "__n",
+        F.round(F.col("__qraw") / F.col("__z"), 9).alias("__share"),
+    )
+    min_ratio = shares.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__min_ratio")
+    )
+    thresholds = shares.crossJoin(F.broadcast(min_ratio)).select(
+        strata_col,
+        F.floor(
+            F.lit(float(SAMPLE_DENOMINATOR))
+            * F.col("__share")
+            * F.col("__min_ratio")
+            / F.col("__n")
+        ).alias("__threshold"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col, "inner")
+        .filter(_bucket(F.col(key_col), salt) < F.col("__threshold"))
+        .drop("__threshold")
+    )

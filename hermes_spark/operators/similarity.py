@@ -503,3 +503,82 @@ def semantic_dedup(
         exact=exact,
     )
     return fuzzy_dedup_keep_one(df, id_col, pairs)
+
+
+def cross_near_dup_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Cross-corpus cosine near-duplicate pairs ``(corpus_id, ref_id,
+    cosine >= min_cosine)`` — the two-frame sibling of
+    :func:`embedding_near_dup_pairs`.
+
+    Scale path buckets BOTH frames with the SAME random hyperplanes and
+    joins on the bucket signature, so candidates are ~|corpus|·|ref| /
+    2^planes instead of the full cross product; ``exact=True`` is the
+    quadratic verification variant (oracle-checked; small refs only —
+    though "small" is exactly the decontamination case, where the
+    reference is a benchmark suite).
+    """
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__vc"))
+    r = reference.select(F.col(id_col).alias("ref_id"), F.col(vec_col).alias("__vr"))
+    if exact:
+        pairs = c.crossJoin(F.broadcast(r))
+    else:
+        def sig(vec):
+            bits = [_hyperplane_sign(vec, f"plane{p}", dim) for p in range(num_planes)]
+            s = bits[0]
+            for p in range(1, num_planes):
+                s = s * 2 + bits[p]
+            return s
+
+        c = c.withColumn("__bucket", sig(F.col("__vc")))
+        r = r.withColumn("__bucket", sig(F.col("__vr")))
+        pairs = c.join(r, on="__bucket").drop("__bucket")
+    return (
+        pairs.select(
+            "corpus_id",
+            "ref_id",
+            F.round(cosine_similarity(F.col("__vc"), F.col("__vr")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Drop corpus rows semantically too close to a benchmark/reference
+    set — the embedding-space sibling of the n-gram
+    :func:`~hermes_spark.operators.passages.decontaminate` (paraphrased
+    eval leakage survives n-gram checks; cosine similarity catches it).
+
+    Returns the surviving corpus rows (original schema). The reference
+    frame is typically tiny (an eval suite), so the LSH bucket join —
+    or broadcast cross join with ``exact=True`` — never shuffles the
+    corpus; contaminated ids distill to a small distinct set and the
+    final filter is a broadcast LEFT ANTI join riding the corpus scan.
+    """
+    hits = (
+        cross_near_dup_pairs(
+            corpus, reference, id_col, vec_col, min_cosine, num_planes, dim, exact
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

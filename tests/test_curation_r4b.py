@@ -281,3 +281,87 @@ def test_mmr_diversifies_vs_plain_topk(spark, embeddings):
         if [v for _, v in sorted(mmr_sets[q])] != [v for _, v in sorted(plain_sets[q])]
     )
     assert diffs >= 1
+
+
+# -------------------------------------------------------- temperature mix
+def test_temperature_mix_t1_keeps_everything(spark, documents):
+    from hermes_spark.operators import temperature_mix
+
+    out = temperature_mix(documents, "doc_id", "lang", temperature=1.0)
+    assert out.count() == documents.count()
+
+
+def test_temperature_mix_flattens_ratios(spark, documents):
+    from hermes_spark.operators import temperature_mix
+
+    nat = {r.lang: r.c for r in documents.groupBy("lang").count()
+           .withColumnRenamed("count", "c").collect()}
+    out = temperature_mix(documents, "doc_id", "lang", temperature=8.0)
+    mixed = {r.lang: r.c for r in out.groupBy("lang").count()
+             .withColumnRenamed("count", "c").collect()}
+    nat_ratio = max(nat.values()) / min(nat.values())
+    mix_ratio = max(mixed.values()) / max(1, min(mixed.values()))
+    assert mix_ratio < nat_ratio  # high T flattens the stratum imbalance
+    # downsample-only: every stratum keeps at most its natural count
+    assert all(mixed[k] <= nat[k] for k in mixed)
+
+
+def test_temperature_mix_deterministic_subset(spark, documents):
+    from hermes_spark.operators import temperature_mix
+
+    a = sorted(r.doc_id for r in
+               temperature_mix(documents, "doc_id", "lang", 3.0).collect())
+    b = sorted(r.doc_id for r in
+               temperature_mix(documents, "doc_id", "lang", 3.0)
+               .repartition(13).collect())
+    assert a == b  # layout-independent determinism
+
+
+def test_temperature_mix_rejects_bad_t(spark, documents):
+    from hermes_spark.operators import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix(documents, "doc_id", "lang", temperature=0.0)
+
+
+# ------------------------------------------------- semantic decontaminate
+def test_semantic_decontaminate_drops_ref_overlap(spark):
+    from hermes_spark.operators import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.999, 0.04, 0.0, 0.0]),  # ~ref dup
+            Row(vec_id=4, embedding=[0.0, 0.0, 0.7, 0.7]),
+        ]
+    )
+    ref = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 0.0])])
+    kept = sorted(
+        r.vec_id
+        for r in semantic_decontaminate(
+            corpus, ref, min_cosine=0.95, dim=4, exact=True
+        ).collect()
+    )
+    assert kept == [2, 4]  # 1 is identical, 3 is cosine ~0.9992
+
+
+def test_semantic_decontaminate_lsh_catches_exact_dups(spark, embeddings):
+    from hermes_spark.operators import semantic_decontaminate
+
+    ref = embeddings.filter(F.col("vec_id") < 10)
+    out = semantic_decontaminate(embeddings, ref, min_cosine=0.999, dim=64)
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    # identical vectors share every hyperplane sign -> always caught
+    assert kept.isdisjoint(set(range(10)))
+
+
+def test_cross_near_dup_pairs_exact_vs_lsh_on_identicals(spark, embeddings):
+    from hermes_spark.operators import cross_near_dup_pairs
+
+    ref = embeddings.filter(F.col("vec_id") < 5)
+    exact = cross_near_dup_pairs(embeddings, ref, min_cosine=1.0, dim=64, exact=True)
+    lsh = cross_near_dup_pairs(embeddings, ref, min_cosine=1.0, dim=64)
+    e = {(r.corpus_id, r.ref_id) for r in exact.collect()}
+    l = {(r.corpus_id, r.ref_id) for r in lsh.collect()}
+    assert e and l == e  # at cosine == 1.0 the LSH path has full recall
