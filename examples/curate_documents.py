@@ -3,11 +3,13 @@
 Runs the full curation flow over the synthetic documents corpus:
 
   read -> boilerplate line removal -> language ID ->
-  quality/token/repetition/entropy/link-density gate -> corpus-LM
-  (unigram) outlier gate -> PII scrub -> exact dedup -> minhash
-  near-dup dedup (cluster, keep one) -> target-mix rebalance ->
-  benchmark decontamination -> train/val/test split -> sequence
-  packing -> corpus stats + TF-IDF keywords
+  quality/token/repetition/entropy/link-density gate -> logistic
+  quality classifier -> corpus-LM (unigram) outlier gate -> DSIR
+  importance gate -> PII scrub -> exact dedup -> minhash near-dup
+  dedup (cluster, keep one) -> phrase-novelty gate -> target-mix
+  rebalance (or temperature_mix for derived targets) -> benchmark
+  decontamination -> train/val/test split -> sequence packing ->
+  corpus stats + TF-IDF keywords
 
 Usage (from the repo root):
 
@@ -33,10 +35,13 @@ from hermes_spark.functions.text import (
     token_count,
 )
 from hermes_spark.operators import (
+    dsir_weights,
     entropy_profile,
     exact_dedup,
     fuzzy_dedup_keep_one,
+    linear_quality_score,
     minhash_lsh_pairs,
+    ngram_novelty,
     rebalance_mix,
     strip_boilerplate_lines,
     tfidf_topk_terms,
@@ -55,11 +60,17 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     docs = strip_boilerplate_lines(docs, "doc_id", "text", min_docs=5)
 
     # 1. annotate: language, tokens, quality, repetition, PII density
+    # NOTE: the synthetic corpus's text is language-neutral word soup,
+    # so the n-gram lang_id heuristic (kept here as `lang_pred` to show
+    # the wiring) can't recover the table's `lang` labels; the mix
+    # steps below use the metadata column, as a real pipeline would
+    # when upstream labels exist.
     annotated = docs.select(
         "doc_id",
         "source",
         "text",
-        lang_id(F.col("text")).alias("lang"),
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
         repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
@@ -84,7 +95,18 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         & (F.col("link_dens") <= 0.5)
     ).drop("chars_per_token")
 
-    # 2b. corpus-LM outlier gate: drop docs far below the corpus's
+    # 2b. logistic quality classifier: fixed-weight model over scan-fused
+    # features (swap in offline-trained weights in production)
+    clf = linear_quality_score(gated, "doc_id", "text").select(
+        "doc_id", F.col("quality").alias("clf_quality"), "keep"
+    )
+    gated = (
+        gated.join(clf, "doc_id")
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+
+    # 2c. corpus-LM outlier gate: drop docs far below the corpus's
     # typical unigram log-prob (OCR noise, junk encodings)
     lm = unigram_logprob(gated, "doc_id", "text")
     floor = lm.agg(
@@ -92,6 +114,35 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     ).collect()[0]["f"]
     keep = lm.filter(F.col("avg_logprob") >= floor).select("doc_id")
     gated = gated.join(keep, on="doc_id", how="left_semi")
+
+    # 2d. DSIR importance gate: score every document's likeness to a
+    # quality target (here: the classifier-approved English slice) via
+    # hashed-unigram log-likelihood ratios. Cut only the extreme tail —
+    # per-token LLR below the 1st percentile — so the gate drops
+    # out-of-distribution junk without erasing the language mix (a mean
+    # − 3σ cut on the raw LLR would: non-target languages sit in a
+    # second mode whose whole mass can fall under a σ-based floor).
+    weights = dsir_weights(
+        gated, gated.filter(F.col("lang") == "en"), "doc_id", "text", buckets=1024
+    ).withColumn(
+        "llr_per_tok", F.col("log_weight") / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    wfloor = weights.approxQuantile("llr_per_tok", [0.01], 0.001)[0]
+    gated = gated.join(
+        weights.filter(F.col("llr_per_tok") >= wfloor).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+
+    # --- stage boundary -------------------------------------------------
+    # The annotate/gate phase above stacks a dozen joins and
+    # higher-order array expressions into ONE logical plan; letting the
+    # dedup/rebalance phase keep growing that tree makes Catalyst
+    # analysis itself the bottleneck (deep canonicalization recursion).
+    # A production pipeline would write the gated corpus to storage
+    # here; localCheckpoint is the in-process equivalent — it truncates
+    # lineage so each phase is planned against a flat scan.
+    gated = gated.localCheckpoint()
 
     # 3. scrub remaining PII spans
     scrubbed = gated.withColumn("text", scrub_pii(F.col("text")))
@@ -105,9 +156,24 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     ).filter(F.col("est_jaccard") >= 0.8)
     deduped = fuzzy_dedup_keep_one(exact, "doc_id", pairs)
 
+    # --- stage boundary (same rationale as above) -----------------------
+    deduped = deduped.localCheckpoint()
+
+    # 5b. phrase-novelty gate: drop documents re-assembled almost
+    # entirely from phrases the corpus already contains (template spam
+    # that survives fingerprint dedup); stop-gram head excluded
+    nov = ngram_novelty(deduped, "doc_id", "text", n=3)
+    deduped = deduped.join(
+        nov.filter(F.col("novelty") >= 0.05).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+
     # 6. rebalance to a target language mix, reproducibly — rates are
     # derived from the observed counts (scarcest stratum waterfill),
     # so the output mix tracks the target as the corpus evolves
+    # (temperature_mix(deduped, "doc_id", "lang", temperature=2.0)
+    #  derives the targets from the data instead — same filter shape)
     final = rebalance_mix(
         deduped, "doc_id", "lang",
         {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
