@@ -75,7 +75,7 @@ def main() -> int:
     # ---- dedup at ~factor x documents ----------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vdocs = (
-        docs.select("doc_id", "text", copies)
+        docs.select("doc_id", "text", "lang", copies)
         .withColumn("doc_id", F.col("doc_id") * factor + F.col("__copy"))
         .withColumn(
             "text",
@@ -92,6 +92,57 @@ def main() -> int:
         f"minhash_lsh_pairs_{nd}docs",
         lambda: minhash_lsh_pairs(
             vdocs, "doc_id", "text", portable=False, min_jaccard=0.5
+        ).count(),
+    )
+
+    # ---- round-4b curation ops on the exploded docs ----------------------
+    from hermes_spark.operators.classify import linear_quality_score
+    from hermes_spark.operators.importance import dsir_weights
+    from hermes_spark.operators.ngrams import ngram_novelty, topk_ngrams
+
+    probe(
+        f"topk_ngrams_{nd}docs",
+        lambda: topk_ngrams(vdocs, "doc_id", "text", n=2, k=100).count(),
+    )
+    probe(
+        f"ngram_novelty_{nd}docs",
+        lambda: ngram_novelty(vdocs, "doc_id", "text", n=2).count(),
+    )
+    probe(
+        f"quality_classifier_{nd}docs",
+        lambda: linear_quality_score(vdocs, "doc_id", "text").count(),
+    )
+    probe(
+        f"dsir_weights_{nd}docs",
+        lambda: dsir_weights(
+            vdocs, vdocs.filter(F.col("lang") == "en"), "doc_id", "text",
+            buckets=4096,
+        ).count(),
+    )
+
+    # ---- round-4b vector ops on the exploded embeddings ------------------
+    from hermes_spark.operators.mmr import mmr_select
+    from hermes_spark.operators.projection import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bigv = (
+        emb.select(
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__c"),
+        )
+        .withColumn("vec_id", F.col("vec_id") * factor + F.col("__c"))
+        .drop("__c")
+    )
+    nv = bigv.count()
+    print(json.dumps({"probe": "rows_vecs_input", "rows": nv, "wall": 0.0}), flush=True)
+    probe(
+        f"random_project_{nv}vecs",
+        lambda: random_project(bigv, "vec_id", "embedding", 64, 16).count(),
+    )
+    probe(
+        f"mmr_select_{nv}vecs",
+        lambda: mmr_select(
+            bigv, bigv.filter(F.col("vec_id") < 10), k=10, pool_size=50
         ).count(),
     )
 
