@@ -55,7 +55,10 @@ QUALITY_WEIGHTS: dict[str, float] = {
 
 def quality_features(text_col: Column) -> dict[str, Column]:
     """The four feature expressions, keyed by name. One tokenization,
-    shared; every feature is a pure column expression."""
+    shared; every feature is a pure column expression. NULL text is
+    treated as empty (``n_tokens = 0``, ratios 0) — without the
+    coalesce, ``size(null)`` is -1 and the whole score row goes null."""
+    text_col = F.coalesce(text_col, F.lit(""))
     toks = tokens(F.lower(text_col))
     n = F.size(toks)
     nd = F.greatest(n, F.lit(1)).cast("double")

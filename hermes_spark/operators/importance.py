@@ -17,13 +17,15 @@ Scale design (100 TB raw corpus, small-to-any-size target):
 * Token features hash into ``B`` buckets (default 4096) with the
   engine-portable md5 hash (``functions/hashing.py``), so the
   *model* is two B-row tables no matter how large either corpus is.
-* Each corpus aggregates ``(bucket, count)`` with map-side partial
-  combine — one narrow shuffle of ≤B rows per corpus. The two
-  distributions full-outer-join into a single λ(bucket) table of ≤B
-  rows; corpus totals attach via a 1-row cross join (both
-  auto-broadcast).
-* Scoring explodes raw docs to ``(id, bucket, occ)`` — per-(doc,
-  bucket) counts collapse map-side — then a **broadcast** join against
+* The raw corpus is tokenized + hashed ONCE: scoring explodes it to
+  per-``(id, bucket)`` counts (map-side combine), and the raw-corpus
+  model is derived from that same aggregate — persisted narrow
+  (lambda-bearing plans defeat exchange reuse), never re-scanned. The
+  target aggregates its own ≤B-row ``(bucket, count)`` table. The two
+  distributions
+  full-outer-join into a single λ(bucket) table of ≤B rows; corpus
+  totals attach via a 1-row cross join (all auto-broadcast).
+* Scoring is then a **broadcast** join of the per-doc counts against
   the λ table and one groupBy(id) sum. One real shuffle end to end on
   the big side.
 * Zero Python, exact integer counts + double log arithmetic →
@@ -74,6 +76,7 @@ def dsir_weights(
     buckets: int = 4096,
     alpha: float = 0.5,
     portable: bool = True,
+    cache_doc_buckets: bool = True,
 ) -> DataFrame:
     """Per-document log importance weight of ``raw`` against ``target``.
 
@@ -82,9 +85,41 @@ def dsir_weights(
     they tokenize to nothing (they are still returned). Smoothed
     probabilities use ``(cnt + alpha) / (total + alpha * buckets)`` so
     buckets unseen in either corpus stay finite.
+
+    ``cache_doc_buckets`` (default on) persists the per-``(doc,
+    bucket)`` count frame (MEMORY_AND_DISK) because it feeds BOTH the
+    raw-corpus model and the scoring join and Spark cannot
+    exchange-reuse lambda-bearing subtrees; pass ``False`` to trade one
+    extra tokenize+hash scan for zero cache footprint, and
+    ``spark.catalog.clearCache()`` to drop the block eagerly.
     """
     t_dist = bucket_distribution(target, text_col, buckets, portable)
-    r_dist = bucket_distribution(raw, text_col, buckets, portable)
+
+    doc_buckets = (
+        raw.select(
+            F.col(id_col),
+            F.explode_outer(token_buckets(F.col(text_col), buckets, portable)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    # Derive the raw-corpus model FROM the per-doc aggregate instead of
+    # re-tokenizing + re-hashing the whole corpus a second time. Plan
+    # reuse alone cannot dedupe the subtree (lambda-bearing expressions
+    # defeat Catalyst canonicalization, so ReuseExchange never fires) —
+    # persist the narrow (id, bucket, occ) frame, which is ~20 B/row
+    # versus re-scanning and re-hashing every token of the corpus.
+    if cache_doc_buckets:
+        from pyspark import StorageLevel
+
+        doc_buckets = doc_buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    r_dist = (
+        doc_buckets.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("__occ").alias("cnt"))
+    )
     t_tot = t_dist.agg(F.sum("cnt").alias("__t_total"))
     r_tot = r_dist.agg(F.sum("cnt").alias("__r_total"))
 
@@ -108,16 +143,6 @@ def dsir_weights(
         )
     )
 
-    doc_buckets = (
-        raw.select(
-            F.col(id_col),
-            F.explode_outer(token_buckets(F.col(text_col), buckets, portable)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-    )
     scored = doc_buckets.join(F.broadcast(lam), "bucket", "left").groupBy(id_col).agg(
         F.sum(F.when(F.col("bucket").isNull(), 0).otherwise(F.col("__occ"))).alias(
             "n_tokens"

@@ -7,6 +7,11 @@ other:
 
     MMR = argmax_{d ∈ C\\S} [ λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s) ]
 
+with ``max`` over the empty selected set taken as 0 (so the first pick
+maximizes λ·relevance); once anything is selected the penalty is the
+TRUE maximum similarity — which may be negative, in which case it acts
+as a bonus, exactly as the formula says.
+
 Uses in a training-data pipeline: picking a *diverse* few-shot set per
 query, diversified retrieval for RAG eval sets, spreading semantic
 clusters in curated subsets.
@@ -25,39 +30,26 @@ Scale design (100 TB corpus, many queries):
   generator, which is the already-plan-audited top-k operator.
 * Iterative-greedy output is not SQL-expressible; correctness is
   guarded by a NumPy reference implementation in the test suite
-  (``tests/test_mmr.py``) and a rows-only driver check.
+  (``tests/test_curation_r4b.py``) and a rows-only driver check.
 """
 
 from __future__ import annotations
 
-from typing import Iterable
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from .similarity import brute_force_cosine_topk
 
 __all__ = ["mmr_select", "mmr_rerank_pandas"]
 
-_OUT_SCHEMA = StructType(
-    [
-        StructField("query_id", LongType()),
-        StructField("vec_id", LongType()),
-        StructField("relevance", DoubleType()),
-        StructField("mmr_score", DoubleType()),
-        StructField("mmr_rank", LongType()),
-    ]
-)
-
 
 def _greedy_mmr(qids, vids, rel, vecs, k: int, lam: float):
-    """NumPy greedy MMR over one candidate pool. Returns row tuples."""
+    """NumPy greedy MMR over one candidate pool. Returns row tuples.
+
+    Ids pass through untouched (whatever type the caller's id columns
+    carry); only relevance/score are coerced to float.
+    """
     import numpy as np
 
     n = len(vids)
@@ -68,31 +60,50 @@ def _greedy_mmr(qids, vids, rel, vecs, k: int, lam: float):
     rel = np.asarray(rel, dtype=np.float64)
 
     selected: list[int] = []
-    # max over the empty selected set is 0 (canonical convention), so
-    # the first pick maximizes lam * relevance
+    # max over the EMPTY selected set is 0 (first pick = lam * rel);
+    # after the first selection max_sim holds the true maximum, which
+    # is allowed to be negative (the formula's penalty becomes a bonus)
     max_sim = np.zeros(n)
     out = []
     for rank in range(1, min(k, n) + 1):
         score = lam * rel - (1.0 - lam) * max_sim
-        score[selected] = -np.inf
-        # deterministic tiebreak: highest score, then smallest vec_id
+        # deterministic tiebreak: highest score, then smallest id
         best = min(
             (i for i in range(n) if i not in selected),
             key=lambda i: (-score[i], vids[i]),
         )
         out.append(
             (
-                int(qids[best]),
-                int(vids[best]),
+                qids[best],
+                vids[best],
                 round(float(rel[best]), 6),
                 round(float(score[best]), 6),
                 rank,
             )
         )
-        selected.append(best)
         sims = unit @ unit[best]
-        max_sim = np.maximum(max_sim, sims)
+        if selected:
+            max_sim = np.maximum(max_sim, sims)
+        else:
+            max_sim = sims  # replace the empty-set zeros, keep sign
+        selected.append(best)
     return out
+
+
+def _out_schema(candidates: DataFrame) -> StructType:
+    """Output schema with id types inherited from the candidate frame
+    (string/int/long ids all work — same posture as
+    ``brute_force_cosine_topk_pandas``)."""
+    by_name = {f.name: f.dataType for f in candidates.schema.fields}
+    return StructType(
+        [
+            StructField("query_id", by_name["query_id"]),
+            StructField("vec_id", by_name["vec_id"]),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("mmr_rank", LongType()),
+        ]
+    )
 
 
 def mmr_rerank_pandas(
@@ -105,8 +116,10 @@ def mmr_rerank_pandas(
 
     ``candidates`` must carry ``(query_id, vec_id, relevance,
     <vec_col>)``. Returns ``(query_id, vec_id, relevance, mmr_score,
-    mmr_rank)`` with ``mmr_rank`` 1..k per query.
+    mmr_rank)`` with ``mmr_rank`` 1..k per query; id column types are
+    inherited from the input.
     """
+    schema = _out_schema(candidates)
 
     def select_group(pdf):
         import pandas as pd
@@ -123,7 +136,7 @@ def mmr_rerank_pandas(
             rows, columns=["query_id", "vec_id", "relevance", "mmr_score", "mmr_rank"]
         )
 
-    return candidates.groupBy("query_id").applyInPandas(select_group, _OUT_SCHEMA)
+    return candidates.groupBy("query_id").applyInPandas(select_group, schema)
 
 
 def mmr_select(
@@ -140,14 +153,15 @@ def mmr_select(
 
     Stage 1 is the exact broadcast top-``pool_size`` (swap in
     ``ivf_topk`` for billion-row corpora — same candidate contract);
-    stage 2 re-joins the pool to its vectors and runs greedy MMR per
-    query group in one Arrow batch.
+    stage 2 re-joins the tiny pool (broadcast — the corpus must never
+    shuffle for it) to its vectors and runs greedy MMR per query group
+    in one Arrow batch.
     """
     pool = brute_force_cosine_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, k=pool_size,
     ).select("query_id", "vec_id", F.col("cosine").alias("relevance"))
-    with_vecs = pool.join(
+    with_vecs = F.broadcast(pool).join(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id"
     )
     return mmr_rerank_pandas(with_vecs, vec_col=vec_col, k=k, lam=lam)

@@ -56,8 +56,14 @@ def sign_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
 
 def project_expr(vec: Column, signs: list[list[int]]) -> Column:
     """``array<double>`` expression: signed sums scaled by 1/sqrt(k),
-    each component rounded to 6 dp."""
+    each component rounded to 6 dp.
+
+    Fails loudly (``raise_error``) on vectors whose length differs from
+    the sign matrix's input dim — ``zip_with`` would otherwise pad with
+    nulls and emit silent all-null projections downstream.
+    """
     out_dim = len(signs)
+    in_dim = len(signs[0]) if signs else 0
     scale = 1.0 / out_dim**0.5
     comps = []
     for row in signs:
@@ -68,7 +74,14 @@ def project_expr(vec: Column, signs: list[list[int]]) -> Column:
             lambda a, x: a + x,
         )
         comps.append(F.round(acc * F.lit(scale), 6))
-    return F.array(*comps)
+    return F.when(F.size(vec) == in_dim, F.array(*comps)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_project: expected {in_dim}-dim vector, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def random_project(

@@ -216,7 +216,9 @@ def test_dsir_lambda_join_is_broadcast(spark, documents):
 
 # ------------------------------------------------------------------- MMR
 def _mmr_reference(unit, rel, vids, k, lam):
-    """Independent greedy MMR (max over empty selected set = 0)."""
+    """Independent greedy MMR: max over the EMPTY selected set is 0
+    (first pick = lam*rel); afterwards the TRUE max similarity, sign
+    preserved (a negative max acts as a bonus, per the formula)."""
     n = len(vids)
     selected, max_sim, out = [], np.zeros(n), []
     for rank in range(1, min(k, n) + 1):
@@ -227,8 +229,9 @@ def _mmr_reference(unit, rel, vids, k, lam):
         )
         best = order[0]
         out.append((vids[best], rank))
+        sims = unit @ unit[best]
+        max_sim = np.maximum(max_sim, sims) if selected else sims
         selected.append(best)
-        max_sim = np.maximum(max_sim, unit @ unit[best])
     return out
 
 
