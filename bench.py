@@ -117,6 +117,10 @@ BENCH_QUERIES = {
     "random_projection": lambda s, d: _materialize(entry.q_random_projection(s, d)),
     "dsir_weights": lambda s, d: _materialize(entry.q_dsir_weights(s, d)),
     "mmr_select": lambda s, d: _materialize(entry.q_mmr_select(s, d)),
+    "temperature_mix": lambda s, d: _materialize(entry.q_temperature_mix(s, d)),
+    "semantic_decontaminate": lambda s, d: _materialize(
+        entry.q_semantic_decontaminate(s, d)
+    ),
 }
 
 
