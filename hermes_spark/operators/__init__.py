@@ -51,6 +51,7 @@ from .classify import linear_quality_score, quality_features
 from .projection import random_project, sign_matrix
 from .importance import bucket_distribution, dsir_weights, token_buckets
 from .mmr import mmr_rerank_pandas, mmr_select
+from .spans import duplicate_spans, gram_positions, span_dedup_stats
 from .quantize import (
     ivf_sq8_topk,
     pq_encode,
@@ -181,4 +182,7 @@ __all__ = [
     "temperature_mix",
     "cross_near_dup_pairs",
     "semantic_decontaminate",
+    "duplicate_spans",
+    "gram_positions",
+    "span_dedup_stats",
 ]
