@@ -59,10 +59,20 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
     One explode + one hash aggregate; the map-side partial combine
     collapses repeats before the shuffle.
+
+    The token array is materialized as a projection FIRST: inside
+    ``word_ngrams``'s per-gram lambda the token expression is a free
+    variable, and Spark inlines free variables — handing it the raw
+    ``split(...)`` would re-tokenize the document once per gram
+    (~150× per doc). A bound column reference makes it one split per
+    row.
     """
-    grams = word_ngrams(tokens(F.lower(F.col(text_col))), n)
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    grams = word_ngrams(F.col("__toks"), n)
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        toked.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("__occ"))
     )

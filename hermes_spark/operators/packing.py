@@ -51,17 +51,23 @@ def token_chunks(
     stride = size if stride is None else stride
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    # 1 + ceil(max(n - size, 0) / stride) chunks; last chunk may be short
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(float(stride)))
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, size)),
-    )
+    from ..functions.text import bind_once
+
+    def chunker(toks):
+        n = F.size(toks)
+        # 1 + ceil(max(n - size, 0) / stride) chunks; last may be short
+        n_chunks = (
+            F.lit(1)
+            + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(float(stride)))
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, size)),
+        )
+
+    # bind the token array once (a raw split here would re-tokenize per
+    # chunk through lambda free-variable inlining)
+    chunks = bind_once(tokens(F.lower(F.col(text_col))), chunker)
     return (
         df.filter(F.trim(F.col(text_col)) != "")
         .select(

@@ -45,16 +45,22 @@ def passage_chunks(col: Column, window: int = 16) -> Column:
     ``array<string>``; the final chunk may be shorter. Empty text yields
     an empty array. SQL-portable (DuckDB: slice ``t[i*w+1:(i+1)*w]`` over
     ``range(0, ceil(len(t)/w))``)."""
-    toks = tokens(F.lower(col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
-    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * window + 1, window)
-            ),
+    from ..functions.text import bind_once
+
+    def chunks(toks: Column) -> Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+        return F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+            )
         )
-    )
+
+    # bind the token array once — the slice in the lambda would
+    # otherwise inline and re-run the split per chunk
+    return bind_once(tokens(F.lower(col)), chunks)
 
 
 def passage_hashes(

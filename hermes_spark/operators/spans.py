@@ -62,7 +62,13 @@ def gram_positions(
     """``(id, pos, ghash)`` — hash of the ``n``-token window starting at
     0-based token position ``pos``. Documents shorter than ``n`` tokens
     yield no rows."""
-    toks = tokens(F.lower(F.col(text_col)))
+    # materialize the token array first: the slice inside the per-gram
+    # lambda references it as a free variable, and Spark inlines free
+    # variables — a raw split(...) there would re-tokenize per gram
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
@@ -74,7 +80,7 @@ def gram_positions(
         if portable
         else F.transform(grams, lambda g: fast_hash64(g))
     )
-    return df.select(
+    return toked.select(
         F.col(id_col), F.posexplode(hashed).alias("pos", "ghash")
     )
 

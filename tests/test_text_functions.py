@@ -278,3 +278,29 @@ def test_bm25_requires_terms(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_word_ngrams_binds_tokenizer_once(spark):
+    """Regression: passing a raw split expression into word_ngrams must
+    not re-tokenize per gram (lambda free-variable inlining). The bound
+    shape leaves exactly one split(...) in the analyzed plan."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.text import tokens, word_ngrams
+
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    out = df.select(word_ngrams(tokens(F.lower(F.col("text"))), 2).alias("g"))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("split(") == 1, plan
+
+
+def test_bind_once_evaluates_once_and_preserves_value(spark):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.text import bind_once
+
+    df = spark.createDataFrame([(4,)], ["x"])
+    out = df.select(
+        bind_once(F.col("x") * 10, lambda v: v + v).alias("y")
+    ).first()
+    assert out.y == 80
