@@ -34,6 +34,9 @@ Scale design (100 TB):
 * The only quadratic surface — in-gram pairing — is capped and
   happens map-side inside the gathered array (no self-join of the
   exploded frame; same shape the minhash/simhash operators use).
+  Boilerplate grams are dropped BEFORE gathering via a broadcast
+  anti-join against the (tiny) hot-gram set, so no aggregation buffer
+  ever holds an ultra-hot gram's member list.
 * The islands window partitions by ``(id_a, id_b, diag)`` — millions
   of tiny partitions, no Zipf key (a hot gram contributes pairs, not a
   hot window partition).
@@ -109,16 +112,25 @@ def duplicate_spans(
     guarantees are required (the reference-style rematerialize check).
     """
     grams = gram_positions(df, id_col, text_col, min_tokens, portable)
-    # gather (doc, pos) per gram map-side, cap, pair inside the array —
-    # no exploded self-join
-    gathered = grams.groupBy("ghash").agg(
+    # Drop boilerplate grams BEFORE gathering: filtering after
+    # collect_list would still build one aggregation buffer per hot
+    # gram (a gram in millions of documents = an OOM-sized buffer).
+    # The hot set itself is tiny — corpus-wide boilerplate phrases —
+    # so it broadcast-anti-joins onto the gram stream; doc_freq is an
+    # algebraic aggregate (map-side combined, skew-immune).
+    hot = (
+        grams.groupBy("ghash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_docs_per_gram)
+        .select("ghash")
+    )
+    kept = grams.join(F.broadcast(hot), "ghash", "left_anti")
+    # gather (doc, pos) per surviving gram map-side, pair inside the
+    # array — no exploded self-join
+    gathered = kept.groupBy("ghash").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"), "pos")).alias("__m")
     )
-    capped = gathered.filter(
-        (F.size("__m") >= 2)
-        & (F.size(F.array_distinct(F.transform("__m", lambda m: m["id"])))
-           <= max_docs_per_gram)
-    )
+    capped = gathered.filter(F.size("__m") >= 2)
     pairs = (
         capped.select(
             F.explode(
