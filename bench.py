@@ -121,6 +121,7 @@ BENCH_QUERIES = {
     "semantic_decontaminate": lambda s, d: _materialize(
         entry.q_semantic_decontaminate(s, d)
     ),
+    "duplicate_spans": lambda s, d: _materialize(entry.q_duplicate_spans(s, d)),
 }
 
 
