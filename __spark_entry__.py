@@ -3320,6 +3320,43 @@ FROM corpus c LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+HARDNEG_SKIP = 10
+HARDNEG_MAX_COS = 0.95
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k candidates AFTER skipping the 10 nearest and excluding
+    near-duplicates (unlabeled positives)."""
+    from hermes_spark.operators import hard_negatives
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return hard_negatives(
+        emb, queries, k=ANN_K, skip=HARDNEG_SKIP, max_cosine=HARDNEG_MAX_COS
+    )
+
+
+def _sql_hard_negatives() -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, {cos} AS cosine
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id AND {cos} < {HARDNEG_MAX_COS}
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, (rnk - {HARDNEG_SKIP})::BIGINT AS neg_rank
+FROM ranked
+WHERE rnk > {HARDNEG_SKIP} AND rnk <= {HARDNEG_SKIP + ANN_K}
+"""
+
+
 def _sql_temperature_mix() -> str:
     bucket = _dhash("'tempmix:' || doc_id::VARCHAR") + " % 10000"
     return f"""
@@ -3546,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "duplicate_spans": q_duplicate_spans,
         "span_dedup_stats": q_span_dedup_stats,
+        "hard_negatives": q_hard_negatives,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -3570,14 +3608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
         "tfidf_topk_terms": q_tfidf_topk_terms,
-        "unigram_logprob": q_unigram_logprob,
         # fingerprint fold rewritten this round (bit-identical, re-verify)
         "simhash_near_dups": q_simhash_near_dups,
         # ---- below the fold: green driver row r1-r3, code unchanged ----
-        # (vocab_top_terms, bigram_logprob, text_hash_buckets,
-        #  blocking_pairs, text_stats + the five ANN/IVF entries
-        #  displaced by the 10 new round-4b queries are all green r1
-        #  with unchanged code)
+        # (unigram_logprob, vocab_top_terms, bigram_logprob,
+        #  text_hash_buckets, blocking_pairs, text_stats + the five
+        #  ANN/IVF entries displaced by the 11 new round-4b queries are
+        #  all green r1 with unchanged code)
+        "unigram_logprob": q_unigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
         "bigram_logprob": q_bigram_logprob,
         "text_hash_buckets": q_text_hash_buckets,
@@ -3716,6 +3754,7 @@ FROM events GROUP BY 1
         "semantic_decontaminate": _sql_semantic_decontaminate(),
         "duplicate_spans": _sql_duplicate_spans(),
         "span_dedup_stats": _sql_span_dedup_stats(),
+        "hard_negatives": _sql_hard_negatives(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

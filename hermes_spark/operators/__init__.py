@@ -35,7 +35,7 @@ from .profile import (
     winsorize,
     zorder_key,
 )
-from .similarity import cross_near_dup_pairs, semantic_decontaminate
+from .similarity import cross_near_dup_pairs, hard_negatives, semantic_decontaminate
 from .sampling import (
     deterministic_sample,
     mix_corpora,
@@ -182,6 +182,7 @@ __all__ = [
     "temperature_mix",
     "cross_near_dup_pairs",
     "semantic_decontaminate",
+    "hard_negatives",
     "duplicate_spans",
     "gram_positions",
     "span_dedup_stats",

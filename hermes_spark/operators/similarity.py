@@ -582,3 +582,56 @@ def semantic_decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    k: int = 10,
+    skip: int = 10,
+    max_cosine: float = 0.95,
+) -> DataFrame:
+    """Hard-negative candidates for embedding-model training: per query,
+    the ``k`` nearest corpus rows AFTER skipping the top ``skip`` and
+    excluding the query itself and near-duplicates (``cosine >=
+    max_cosine`` — those are unlabeled positives, the classic false
+    negative in contrastive training).
+
+    Returns ``(query_id, vec_id, cosine, neg_rank)`` with ``neg_rank``
+    1..k counted from the first eligible candidate. The standard mining
+    recipe (DPR / SimCSE style): negatives similar enough to be
+    informative, not so similar they are secretly positives.
+
+    Scale shape is identical to :func:`brute_force_cosine_topk` (the
+    query side broadcasts, one window per query partition); swap the
+    scorer for :func:`ivf_topk` candidates at billion-row scale.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+        .filter((F.col("vec_id") != F.col("query_id")) & (F.col("cosine") < max_cosine))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("__rank", F.row_number().over(w))
+    return (
+        ranked.filter((F.col("__rank") > skip) & (F.col("__rank") <= skip + k))
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            (F.col("__rank") - skip).cast("long").alias("neg_rank"),
+        )
+    )

@@ -256,3 +256,29 @@ def test_kmeans_fixed_point_vs_numpy(spark, embeddings):
     step_ids, step_C = lloyd_step(got_ids, G)
     assert step_ids == got_ids
     assert np.allclose(step_C, G, atol=1e-9)
+
+
+def test_hard_negatives_skips_top_and_near_dups(spark, embeddings):
+    from hermes_spark.operators import brute_force_cosine_topk, hard_negatives
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    negs = hard_negatives(embeddings, queries, k=5, skip=10, max_cosine=0.95)
+    rows = negs.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert sorted(r.neg_rank for r in rs) == [1, 2, 3, 4, 5]
+        # the query itself is never a negative; nothing at dup level
+        assert all(r.vec_id != qid and r.cosine < 0.95 for r in rs)
+    # consistency with the plain top-k: the eligible ranking just shifts
+    plain = brute_force_cosine_topk(embeddings, queries, k=16).collect()
+    for qid in [0, 1, 2]:
+        eligible = [
+            r.vec_id for r in sorted(
+                (p for p in plain if p.query_id == qid), key=lambda p: p.rank
+            )
+            if r.vec_id != qid and r.cosine < 0.95
+        ][10:15]
+        assert [r.vec_id for r in sorted(by_q[qid], key=lambda r: r.neg_rank)] == eligible
