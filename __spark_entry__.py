@@ -3525,6 +3525,181 @@ SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {
 
 
 # ---------------------------------------------------------------------------
+# round-4c extension queries: link-graph analytics (PageRank, degrees)
+# and EWMA series smoothing (operators/graph.py, operators/gapfill.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic link graph over the documents table (the corpus
+# has no real links): each doc gets one out-edge per (a, b) multiplier
+# pair, dst = (doc_id*a + b) mod n; docs with doc_id % 97 == 0 lose all
+# out-edges (dangling nodes, exercising the redistribution path).
+PAGERANK_EDGE_PARAMS = [(7, 3), (13, 5), (29, 11)]
+PAGERANK_DANGLING_MOD = 97
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 12
+
+
+def _link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # scalar digest (mod base for the synthetic edges)
+    dsts = F.array(
+        *[
+            ((F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)).cast("long")
+            for (a, b) in PAGERANK_EDGE_PARAMS
+        ]
+    )
+    return (
+        docs.filter(F.col("doc_id") % PAGERANK_DANGLING_MOD != 0)
+        .select(F.col("doc_id").cast("long").alias("src"), F.explode(dsts).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic doc link graph (5 power iterations,
+    d=0.85, dangling mass redistributed) — the link-authority quality
+    prior a crawl-curation pipeline attaches to documents."""
+    from hermes_spark.operators import pagerank
+
+    edges = _link_graph_edges(spark, sf_dir)
+    ranks = pagerank(
+        edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("pr"))
+
+
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the same synthetic link graph (link-farm
+    spam heuristics read these)."""
+    from hermes_spark.operators import degree_stats
+
+    return degree_stats(_link_graph_edges(spark, sf_dir))
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-12h normalized EWMA of gap-filled hourly event counts per
+    event type (the smoothed 'expected' series a monitor plots next to
+    the anomaly flags)."""
+    from hermes_spark.operators.gapfill import ewma_smooth, gapfill_rollup
+
+    events = _read_events(spark, sf_dir)
+    hourly = gapfill_rollup(
+        events, "ts", "value", group_cols=["event_type"], unit="hour"
+    ).select("event_type", "bucket", F.col("n_events").cast("long").alias("n_events"))
+    out = ewma_smooth(
+        hourly,
+        "bucket",
+        "n_events",
+        group_cols=["event_type"],
+        alpha=EWMA_ALPHA,
+        lookback=EWMA_LOOKBACK,
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "n_events",
+        "ewma",
+    )
+
+
+_SQL_LINK_GRAPH_CTES = f"""nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id::BIGINT AS src, ((doc_id * a + b) % nn.n)::BIGINT AS dst
+  FROM documents CROSS JOIN nn
+  CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in PAGERANK_EDGE_PARAMS)}) m(a, b)
+  WHERE doc_id % {PAGERANK_DANGLING_MOD} <> 0
+    AND doc_id <> (doc_id * a + b) % nn.n
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+outd AS (SELECT src AS node, count(*)::BIGINT AS od FROM edges GROUP BY 1)"""
+
+
+def _sql_pagerank_links() -> str:
+    d = PAGERANK_DAMPING
+    parts = [
+        f"""WITH {_SQL_LINK_GRAPH_CTES},
+w AS (
+  SELECT e.src AS node, e.dst AS dst, 1.0::DOUBLE / o.od AS w
+  FROM edges e JOIN outd o ON o.node = e.src
+),
+r0 AS (SELECT node, (1.0::DOUBLE / nn.n) AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
+  FROM r{i - 1} r ANTI JOIN outd o ON o.node = r.node
+),
+c{i} AS (
+  SELECT w.dst AS node, sum(r.pr * w.w) AS contrib
+  FROM w JOIN r{i - 1} r ON r.node = w.node GROUP BY 1
+),
+r{i} AS (
+  SELECT nd.node,
+         ((1.0::DOUBLE - {d!r}::DOUBLE) / nn.n)
+         + {d!r}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + dg.dm / nn.n::DOUBLE) AS pr
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} dg
+  LEFT JOIN c{i} c ON c.node = nd.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(pr, 6) AS pr FROM r{PAGERANK_ITERS}
+"""
+    )
+    return "".join(parts)
+
+
+_SQL_LINK_DEGREES = f"""
+WITH {_SQL_LINK_GRAPH_CTES},
+ind AS (SELECT dst AS node, count(*)::BIGINT AS id_ FROM edges GROUP BY 1)
+SELECT n.node,
+       coalesce(o.od, 0)::BIGINT AS out_deg,
+       coalesce(i.id_, 0)::BIGINT AS in_deg
+FROM nodes n
+LEFT JOIN outd o ON o.node = n.node
+LEFT JOIN ind i ON i.node = n.node
+"""
+
+
+def _sql_events_ewma() -> str:
+    keep = 1.0 - EWMA_ALPHA
+    return f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+grp AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT d.event_type, d.bucket, coalesce(b.n_events, 0)::BIGINT AS n_events
+  FROM (SELECT s.bucket, g.event_type FROM spine s CROSS JOIN grp g) d
+  LEFT JOIN b ON b.bucket = d.bucket AND b.event_type = d.event_type
+),
+rn AS (
+  SELECT event_type, bucket, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM hourly
+)
+SELECT a.event_type, a.bucket, a.n_events,
+       round(sum(b.n_events::DOUBLE * pow({keep!r}::DOUBLE, a.rn - b.rn))
+             / sum(pow({keep!r}::DOUBLE, a.rn - b.rn)), 4) AS ewma
+FROM rn a JOIN rn b
+  ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - {EWMA_LOOKBACK - 1} AND a.rn
+GROUP BY a.event_type, a.bucket, a.n_events
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3537,7 +3712,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 8 queries with no driver CORRECTNESS row yet lead, then the 8
+    # the 3 round-4c queries (pagerank / degrees / EWMA — never verified
+    # by definition) lead, then
+    # the 8 queries with no driver CORRECTNESS row yet, then the 8
     # NEW round-4 queries (entropy/link/rebalance/sq8), then the 8 NEW
     # round-4b queries (ngram mining / quality classifier / random
     # projection / DSIR / MMR / temperature mix / semantic decontam —
@@ -3552,6 +3729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_hash_buckets, blocking_pairs, ann_cosine_topk, ann_cosine_topk_vec, ivf_assign,
     # embedding_near_dup, ivf_topk — are green in r1, most in r2 too).
     return {
+        # -- round-4c additions (never verified by definition)
+        "pagerank_links": q_pagerank_links,
+        "link_degrees": q_link_degrees,
+        "events_ewma": q_events_ewma,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -3755,6 +3936,9 @@ FROM events GROUP BY 1
         "duplicate_spans": _sql_duplicate_spans(),
         "span_dedup_stats": _sql_span_dedup_stats(),
         "hard_negatives": _sql_hard_negatives(),
+        "pagerank_links": _sql_pagerank_links(),
+        "link_degrees": _SQL_LINK_DEGREES,
+        "events_ewma": _sql_events_ewma(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

@@ -16,9 +16,10 @@ from .dedup import (
     source_overlap,
 )
 from .funnel import cohort_retention, funnel_counts
+from .graph import degree_stats, pagerank
 from .asof import asof_join
 from .boilerplate import boilerplate_lines, strip_boilerplate_lines
-from .gapfill import gapfill_rollup, rolling_anomalies
+from .gapfill import ewma_smooth, gapfill_rollup, rolling_anomalies
 from .joins import range_join, read_bucketed, salted_join, write_bucketed
 from .multimodal import (
     decode_image_stub,
@@ -95,7 +96,10 @@ __all__ = [
     "dedup_against",
     "bm25_scores",
     "cohort_retention",
+    "degree_stats",
+    "ewma_smooth",
     "funnel_counts",
+    "pagerank",
     "latest_by_key",
     "length_curriculum",
     "linkage_scores",

@@ -133,3 +133,59 @@ def rolling_anomalies(
             ),
         )
     )
+
+
+def ewma_smooth(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.3,
+    lookback: int = 16,
+    out_col: str = "ewma",
+    decimals: int = 4,
+) -> DataFrame:
+    """Trailing truncated-window EWMA over a (dense) bucketed series.
+
+    For each bucket t the smoothed value is the normalized exponential
+    mix of the last ``lookback`` observations::
+
+        ewma_t = sum_{i=0..K-1} (1-alpha)^i * v_{t-i}
+                 / sum_{i=0..K-1} (1-alpha)^i     (K = lookback)
+
+    Normalizing by the realized weight mass makes the warm-up prefix
+    unbiased (the first bucket is just its own value) instead of
+    decaying toward zero, and truncation keeps the computation a ROWS
+    window instead of an unbounded recursion.
+
+    Shape: one window ``collect_list`` of the trailing ``lookback``
+    values (frame order = bucket order, so the fold sees
+    oldest->newest) and one ``aggregate`` fold computing the recursive
+    form ``num' = num*(1-alpha) + v``, ``den' = den*(1-alpha) + 1`` —
+    algebraically identical to the sum above, all JVM-side expression
+    code. The array is at most ``lookback`` doubles per row; at 100 TB
+    the input is an already-aggregated series, so this pass is cheap.
+    Input should be gap-filled (:func:`gapfill_rollup`) so ROWS frames
+    count real time steps.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if lookback < 1:
+        raise ValueError("lookback must be >= 1")
+    keep = F.lit(1.0 - alpha)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    trail = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        trail,
+        F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+        lambda acc, x: F.struct(
+            (acc["num"] * keep + x).alias("num"),
+            (acc["den"] * keep + F.lit(1.0)).alias("den"),
+        ),
+        lambda acc: acc["num"] / acc["den"],
+    )
+    return series.withColumn(out_col, F.round(folded, decimals))
