@@ -122,6 +122,9 @@ BENCH_QUERIES = {
         entry.q_semantic_decontaminate(s, d)
     ),
     "duplicate_spans": lambda s, d: _materialize(entry.q_duplicate_spans(s, d)),
+    # round 4c: link-graph analytics and EWMA smoothing
+    "pagerank_links": lambda s, d: _materialize(entry.q_pagerank_links(s, d)),
+    "events_ewma": lambda s, d: _materialize(entry.q_events_ewma(s, d)),
 }
 
 

@@ -16,6 +16,7 @@ here is a scale extension built on the same kernels:
 from hermes_spark.streaming.anomaly import anomaly_stream
 from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
+from hermes_spark.streaming.enrich import enrich_stream, read_upsert_store, upsert_sink
 from hermes_spark.streaming.metrics import ProgressRecorder
 from hermes_spark.streaming.rollup import windowed_rollup
 from hermes_spark.streaming.sessionize import sessionize_stream
@@ -23,6 +24,9 @@ from hermes_spark.streaming.sessionize import sessionize_stream
 __all__ = [
     "anomaly_stream",
     "compare_stream",
+    "enrich_stream",
+    "read_upsert_store",
+    "upsert_sink",
     "sessionize_stream",
     "stream_exact_dedup",
     "stream_minhash_dedup",
