@@ -3669,6 +3669,154 @@ LEFT JOIN ind i ON i.node = n.node
 """
 
 
+PMI_TOPK = 100
+PMI_MIN_COUNT = 5
+SCD2_LOOKUP_OFFSET_DAYS = 40
+INCR_ROLLUP_CUTOFF = "2024-02-01"
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by normalized PMI over the document corpus
+    (multi-word-expression mining for tokenizer/vocab design)."""
+    from hermes_spark.operators import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(
+        docs, "doc_id", "text", k=PMI_TOPK, min_count=PMI_MIN_COUNT
+    )
+
+
+def q_scd2_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each order (shifted 40 days forward as
+    the fact timestamp) joined to the customer's SCD2 version valid at
+    that moment — the classic fact-to-slowly-changing-dimension join,
+    done as a single-shuffle as-of instead of an interval range join."""
+    from hermes_spark.operators.cdc import scd2_history, scd2_lookup
+
+    changes = _orders_changelog(spark, sf_dir).filter(
+        F.col("o_custkey") < 200
+    ).drop("op")
+    hist = scd2_history(changes, ["o_custkey"], "ts").select(
+        "o_custkey",
+        "valid_from",
+        F.col("o_orderkey").alias("dim_orderkey"),
+        F.col("o_totalprice").alias("dim_price"),
+    )
+    facts = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.col("o_orderdate").cast("timestamp_ntz")
+            + F.expr(f"INTERVAL {SCD2_LOOKUP_OFFSET_DAYS} DAYS")
+        ).alias("fts"),
+    )
+    return scd2_lookup(facts, hist, ["o_custkey"], "fts")
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per (event_type, day) rollup
+    computed as old-state + new-batch merged partial aggregates (split
+    at a ts cutoff) — must equal the direct full recompute the oracle
+    does."""
+    from hermes_spark.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    events = _read_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("bucket"),
+        F.col("value").cast("double").alias("value"),
+    )
+    cutoff = F.lit(INCR_ROLLUP_CUTOFF).cast("timestamp_ntz")
+    keys = ["event_type", "bucket"]
+    old_state = rollup_state(events.filter(F.col("bucket") < cutoff), keys, "value")
+    new_batch = rollup_state(events.filter(F.col("bucket") >= cutoff), keys, "value")
+    return finalize_rollup(merge_rollup_states([old_state, new_batch], keys))
+
+
+def _sql_pmi_collocations() -> str:
+    return f"""
+WITH tok AS (SELECT {_TOKENS_SQL} AS t FROM documents),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+),
+bi AS (
+  SELECT gram, count(*)::BIGINT AS pair_count
+  FROM (SELECT unnest({_BIGRAMS_SQL}) AS gram FROM tok) GROUP BY gram
+),
+n1 AS (SELECT sum(c)::BIGINT AS n1 FROM uni),
+n2 AS (SELECT sum(pair_count)::BIGINT AS n2 FROM bi),
+cand AS (
+  SELECT gram, pair_count,
+         split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+  FROM bi WHERE pair_count >= {PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT cand.gram, cand.pair_count,
+         ln((cand.pair_count::DOUBLE / n2.n2::DOUBLE)
+            / ((u1.c::DOUBLE / n1.n1::DOUBLE) * (u2.c::DOUBLE / n1.n1::DOUBLE))) AS pmi_raw,
+         ln(cand.pair_count::DOUBLE / n2.n2::DOUBLE) AS lp_ab
+  FROM cand
+  JOIN uni u1 ON u1.w = cand.w1
+  JOIN uni u2 ON u2.w = cand.w2
+  CROSS JOIN n1 CROSS JOIN n2
+),
+r AS (
+  SELECT gram, pair_count, round(pmi_raw, 6) AS pmi,
+         round(pmi_raw / -lp_ab, 6) AS npmi
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY npmi DESC, gram) AS rank FROM r
+)
+SELECT gram, pair_count, pmi, npmi, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PMI_TOPK}
+"""
+
+
+_SQL_SCD2_LOOKUP = f"""
+WITH log AS (
+  SELECT o_custkey, o_orderdate::TIMESTAMP AS ts, o_orderkey, o_totalprice
+  FROM orders WHERE o_custkey < 200
+),
+c AS (
+  SELECT o_custkey, ts, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, ts
+      ORDER BY ts DESC, o_orderkey DESC, o_totalprice DESC) AS rn
+    FROM log) WHERE rn = 1
+),
+h AS (
+  SELECT o_custkey, ts AS valid_from, lead(ts) OVER w AS valid_to,
+         o_orderkey AS dim_orderkey, o_totalprice AS dim_price
+  FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
+),
+facts AS (
+  SELECT o_custkey, o_orderkey,
+         o_orderdate::TIMESTAMP + INTERVAL {SCD2_LOOKUP_OFFSET_DAYS} DAY AS fts
+  FROM orders WHERE o_custkey < 200
+)
+SELECT f.o_custkey, f.o_orderkey, f.fts, h.dim_orderkey, h.dim_price
+FROM facts f LEFT JOIN h
+  ON h.o_custkey = f.o_custkey
+ AND h.valid_from <= f.fts
+ AND (h.valid_to IS NULL OR f.fts < h.valid_to)
+"""
+
+
+_SQL_INCREMENTAL_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS bucket,
+       count(value)::BIGINT AS n,
+       min(value) AS min_v, max(value) AS max_v,
+       round(sum(value), 4) AS sum_v,
+       round(sum(value) / count(value), 4) AS avg_v
+FROM events GROUP BY 1, 2
+"""
+
+
 def _sql_events_ewma() -> str:
     keep = 1.0 - EWMA_ALPHA
     return f"""
@@ -3733,6 +3881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
         "events_ewma": q_events_ewma,
+        "pmi_collocations": q_pmi_collocations,
+        "scd2_lookup_orders": q_scd2_lookup_orders,
+        "incremental_rollup": q_incremental_rollup,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -3939,6 +4090,9 @@ FROM events GROUP BY 1
         "pagerank_links": _sql_pagerank_links(),
         "link_degrees": _SQL_LINK_DEGREES,
         "events_ewma": _sql_events_ewma(),
+        "pmi_collocations": _sql_pmi_collocations(),
+        "scd2_lookup_orders": _SQL_SCD2_LOOKUP,
+        "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

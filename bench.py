@@ -122,9 +122,13 @@ BENCH_QUERIES = {
         entry.q_semantic_decontaminate(s, d)
     ),
     "duplicate_spans": lambda s, d: _materialize(entry.q_duplicate_spans(s, d)),
-    # round 4c: link-graph analytics and EWMA smoothing
+    # round 4c: link-graph analytics, EWMA smoothing, collocations,
+    # temporal dimension lookup, incremental rollup maintenance
     "pagerank_links": lambda s, d: _materialize(entry.q_pagerank_links(s, d)),
     "events_ewma": lambda s, d: _materialize(entry.q_events_ewma(s, d)),
+    "pmi_collocations": lambda s, d: _materialize(entry.q_pmi_collocations(s, d)),
+    "scd2_lookup_orders": lambda s, d: _materialize(entry.q_scd2_lookup_orders(s, d)),
+    "incremental_rollup": lambda s, d: _materialize(entry.q_incremental_rollup(s, d)),
 }
 
 

@@ -193,3 +193,55 @@ def probe_compare(
     }
     comparator.release()
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable rollup state (incremental aggregate maintenance)
+# ---------------------------------------------------------------------------
+#
+# The comparison helpers above answer "did anything change"; these
+# maintain a keyed rollup WITHOUT rescanning history: keep a mergeable
+# state per key (count/sum/min/max are all associative+commutative),
+# aggregate only the new batch, and merge.  At 100 TB the saved state is
+# keys-sized while the history stays untouched — the same partial-
+# aggregate algebra Spark uses map-side, lifted to cross-run persistence.
+
+
+def rollup_state(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state ``(keys, n, sum_v, min_v,
+    max_v)`` of ``value_col`` (``n`` counts non-null values, matching
+    SQL ``avg`` semantics at finalize time)."""
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.sum(F.col(value_col)).alias("sum_v"),
+        F.min(F.col(value_col)).alias("min_v"),
+        F.max(F.col(value_col)).alias("max_v"),
+    )
+
+
+def merge_rollup_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge any number of :func:`rollup_state` frames into one: counts
+    and sums add, mins/maxs fold — associativity is what makes the
+    incremental path exact, not approximate."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    combined = states[0]
+    for s in states[1:]:
+        combined = combined.unionByName(s)
+    return combined.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_rollup(state: DataFrame, decimals: int = 4) -> DataFrame:
+    """Derive the non-mergeable outputs (avg, rounded sum) from a rollup
+    state; keeps the mergeable columns so the frame can keep serving as
+    state."""
+    return state.select(
+        *[c for c in state.columns if c not in ("sum_v",)],
+        F.round(F.col("sum_v"), decimals).alias("sum_v"),
+        F.round(F.col("sum_v") / F.col("n"), decimals).alias("avg_v"),
+    )

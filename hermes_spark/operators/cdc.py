@@ -99,3 +99,30 @@ def scd2_history(
         .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
         .withColumn(current_flag, F.col("valid_to").isNull())
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    drop_cols: Sequence[str] = ("valid_to", "is_current"),
+) -> DataFrame:
+    """Temporal dimension lookup: attach to every fact row the dimension
+    version (from an SCD2 ``history``, see :func:`scd2_history`) whose
+    validity interval contains the fact's timestamp; facts before the
+    key's first version get nulls.
+
+    Because SCD2 intervals partition each key's timeline, "the interval
+    containing ts" is exactly "the greatest ``valid_from`` <= ts" — so
+    this delegates to the single-shuffle union+window as-of join instead
+    of an interval range join: rows ∝ |facts| + |history|, no
+    interval replication, no BETWEEN filter pass. ``drop_cols`` removes
+    history bookkeeping columns from the attached payload (set it to ()
+    to keep them).
+    """
+    from .asof import asof_join
+
+    dim = history.drop(*drop_cols)
+    return asof_join(facts, dim, ts_col=fact_ts, by=list(keys), right_ts_col=valid_from)

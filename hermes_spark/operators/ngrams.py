@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_ngrams
 
-__all__ = ["topk_ngrams", "ngram_novelty"]
+__all__ = ["topk_ngrams", "ngram_novelty", "pmi_collocations"]
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -161,4 +161,81 @@ def ngram_novelty(
         F.col("n_grams"),
         novel_col.alias("novel_grams"),
         F.round(novel_col.cast("double") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations (statistically associated word pairs) by
+    normalized pointwise mutual information.
+
+    For adjacent word pair (a, b)::
+
+        pmi  = ln( p(a,b) / (p(a) * p(b)) )
+        npmi = pmi / -ln(p(a,b))            in (-1, 1], 1 = always together
+
+    where p(a,b) is the bigram's share of all bigram occurrences and
+    p(a), p(b) are unigram shares. High-NPMI pairs are multi-word
+    expressions ("new york", "machine learning") — input for tokenizer
+    vocabulary design and phrase-aware dedup; ``min_count`` suppresses
+    the hapax noise NPMI is infamous for.
+
+    Returns ``(gram, pair_count, pmi, npmi, rank)`` ordered by rounded
+    NPMI desc (gram string as deterministic tiebreak — ordering on the
+    ROUNDED value keeps the top-k cut reproducible across engines).
+
+    Scale: two corpus passes (unigram counts, bigram counts), each a
+    single explode + map-side-combined hash aggregate; both count
+    frames are vocabulary-sized and ``localCheckpoint``-ed so the
+    totals aggregate and the two count joins don't re-scan the corpus.
+    The final top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject,
+    no global sort.
+    """
+    toked = df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
+    uni = (
+        toked.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    bi = (
+        toked.select(F.explode(word_ngrams(F.col("__toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
+    n1 = uni.agg(F.sum("__c").alias("__n1"))
+    n2 = bi.agg(F.sum("pair_count").alias("__n2"))
+    cand = (
+        bi.filter(F.col("pair_count") >= min_count)
+        .withColumn("__w1", F.element_at(F.split("gram", " "), 1))
+        .withColumn("__w2", F.element_at(F.split("gram", " "), 2))
+    )
+    scored = (
+        cand.join(uni.select(F.col("w").alias("__w1"), F.col("__c").alias("__c1")), "__w1")
+        .join(uni.select(F.col("w").alias("__w2"), F.col("__c").alias("__c2")), "__w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    p_ab = F.col("pair_count").cast("double") / F.col("__n2").cast("double")
+    p_a = F.col("__c1").cast("double") / F.col("__n1").cast("double")
+    p_b = F.col("__c2").cast("double") / F.col("__n1").cast("double")
+    pmi = F.log(p_ab / (p_a * p_b))
+    npmi = pmi / -F.log(p_ab)
+    out = scored.select(
+        "gram",
+        "pair_count",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )
+    w = Window.orderBy(F.col("npmi").desc(), F.col("gram"))
+    return (
+        out.orderBy(F.col("npmi").desc(), F.col("gram"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
     )
