@@ -242,3 +242,42 @@ def test_sq8_quantize_is_scan_side(spark, sf_dir):
     assert not any("Sort " == op or op.startswith("Sort") for op in ops), ops
     # the only exchanges belong to the 1-row stats aggregate + broadcast
     assert count_exchanges(out) <= 2
+
+
+def test_scd2_lookup_two_window_shuffles_only(spark, sf_dir):
+    """Temporal dimension lookup stays an as-of union+window: exactly
+    the same-ts dedup exchange and the per-key as-of exchange — no
+    interval replication join."""
+    df = entry.q_scd2_lookup_orders(spark, sf_dir)
+    assert count_exchanges(df) == 2, plan_operators(df)
+    assert not any(
+        "NestedLoop" in op or "CartesianProduct" in op for op in plan_operators(df)
+    )
+
+
+def test_incremental_rollup_merge_reuses_partitioning(spark, sf_dir):
+    """Each branch shuffles once on the rollup keys; the merge aggregate
+    rides the same hash partitioning (no third exchange)."""
+    df = entry.q_incremental_rollup(spark, sf_dir)
+    assert count_exchanges(df) == 2, plan_operators(df)
+
+
+def test_pmi_broadcasts_counts_and_takes_topk(spark, sf_dir):
+    """Unigram-count joins broadcast (vocabulary-sized side) and the
+    final cut is TakeOrderedAndProject, not a global sort."""
+    df = entry.q_pmi_collocations(spark, sf_dir)
+    ops = plan_operators(df)
+    assert has_broadcast_join(df)
+    assert any("TakeOrderedAndProject" in op for op in ops)
+
+
+def test_pagerank_iteration_has_no_quadratic_join(spark, sf_dir):
+    """Each power iteration is keyed equi-joins + one aggregation; the
+    dangling-mass fold is a broadcast one-row aggregate, never a
+    nested-loop over ranks."""
+    df = entry.q_pagerank_links(spark, sf_dir)
+    ops = plan_operators(df)
+    assert not any("CartesianProduct" in op for op in ops)
+    # the one-row dangling aggregate arrives via broadcast
+    assert any("BroadcastNestedLoopJoin" in op or "BroadcastExchange" in op
+               for op in ops)
