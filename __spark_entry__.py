@@ -3736,6 +3736,67 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_rollup(merge_rollup_states([old_state, new_batch], keys))
 
 
+DQ_PRICE_HI = 300000.0
+DQ_PRICE_MAX_RATE = 0.1
+
+
+def q_data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders: not-null and
+    uniqueness on the keys, a price-range rule (deliberately tight so
+    the rate is non-zero), and referential integrity against customer —
+    all aggregate rules in one scan, the FK check as a broadcast
+    anti-join."""
+    from hermes_spark.operators import Rule, check_expectations
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return check_expectations(
+        orders,
+        [
+            Rule.not_null("custkey_not_null", "o_custkey"),
+            Rule.unique("orderkey_unique", "o_orderkey"),
+            Rule.in_range(
+                "price_range", "o_totalprice", 0.0, DQ_PRICE_HI,
+                max_rate=DQ_PRICE_MAX_RATE,
+            ),
+            Rule.ref_integrity("custkey_ref", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+_SQL_DATA_QUALITY = f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM orders),
+m AS (
+  SELECT 'custkey_not_null' AS rule, 'not_null' AS kind, 'o_custkey' AS col,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v,
+         0.0 AS mr
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT, 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'price_range', 'in_range', 'o_totalprice',
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0.0 OR o_totalprice > {DQ_PRICE_HI!r})
+             THEN 1 ELSE 0 END)::BIGINT, {DQ_PRICE_MAX_RATE!r}
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_ref', 'ref_integrity', 'o_custkey',
+         (SELECT count(*)::BIGINT FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)), 0.0
+)
+SELECT rule, kind, col, n.n AS n_rows, m.v AS n_violations,
+       round(CASE WHEN n.n > 0 THEN v::DOUBLE / n.n ELSE 0.0 END, 6)
+         AS violation_rate,
+       (round(CASE WHEN n.n > 0 THEN v::DOUBLE / n.n ELSE 0.0 END, 6)
+         <= mr) AS passed
+FROM m CROSS JOIN n
+"""
+
+
 def _sql_pmi_collocations() -> str:
     return f"""
 WITH tok AS (SELECT {_TOKENS_SQL} AS t FROM documents),
@@ -3884,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "scd2_lookup_orders": q_scd2_lookup_orders,
         "incremental_rollup": q_incremental_rollup,
+        "data_quality_orders": q_data_quality_orders,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4093,6 +4155,7 @@ FROM events GROUP BY 1
         "pmi_collocations": _sql_pmi_collocations(),
         "scd2_lookup_orders": _SQL_SCD2_LOOKUP,
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
+        "data_quality_orders": _SQL_DATA_QUALITY,
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

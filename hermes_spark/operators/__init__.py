@@ -47,6 +47,7 @@ from .sampling import (
     temperature_mix,
 )
 from .entropy import entropy_profile, unit_entropy
+from .expectations import Rule, check_expectations
 from .ngrams import ngram_novelty, pmi_collocations, topk_ngrams
 from .classify import linear_quality_score, quality_features
 from .projection import random_project, sign_matrix
@@ -176,6 +177,8 @@ __all__ = [
     "ngram_novelty",
     "pmi_collocations",
     "scd2_lookup",
+    "Rule",
+    "check_expectations",
     "linear_quality_score",
     "quality_features",
     "random_project",
