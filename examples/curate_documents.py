@@ -56,6 +56,25 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # -1. fail fast on broken input: one-scan data-quality gate before
+    # spending any compute on curation
+    from hermes_spark.operators import Rule, check_expectations
+
+    dq = check_expectations(
+        docs,
+        [
+            Rule.not_null("doc_id_not_null", "doc_id"),
+            Rule.unique("doc_id_unique", "doc_id"),
+            Rule.not_null("text_not_null", "text", max_rate=0.01),
+            Rule.isin(
+                "lang_known", "lang", ["en", "de", "fr", "es", "zh"], max_rate=0.05
+            ),
+        ],
+    )
+    failed = [r["rule"] for r in dq.collect() if not r["passed"]]
+    if failed:
+        raise RuntimeError(f"input data-quality gate failed: {failed}")
+
     # 0. strip corpus-level boilerplate lines (navbars/footers)
     docs = strip_boilerplate_lines(docs, "doc_id", "text", min_docs=5)
 
