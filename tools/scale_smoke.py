@@ -182,6 +182,79 @@ def main() -> int:
         ).count()
 
     probe(f"anomalies_{ne}events", _anom)
+
+    # ---- round-4c: PageRank on a ~1.5M-edge graph, EWMA, upsert sink -----
+    from hermes_spark.operators.gapfill import ewma_smooth
+    from hermes_spark.operators.graph import pagerank
+    from hermes_spark.streaming.enrich import upsert_sink
+
+    n_nodes = 500_000
+    nodes = spark.range(n_nodes).select(F.col("id").alias("src"))
+    edges = nodes.select(
+        "src",
+        F.explode(
+            F.array(
+                (F.col("src") * 7 + 3) % n_nodes,
+                (F.col("src") * 13 + 5) % n_nodes,
+                (F.col("src") * 29 + 11) % n_nodes,
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    probe(
+        f"pagerank_{n_nodes}nodes_5iter",
+        lambda: pagerank(edges, iterations=5).count(),
+    )
+
+    def _ewma():
+        hourly = gapfill_rollup(
+            bige.withColumn("value", F.lit(1.0)), "ts", "value",
+            group_cols=["event_type"], unit="hour",
+        )
+        return ewma_smooth(
+            hourly, "bucket", "n_events", group_cols=["event_type"]
+        ).count()
+
+    probe(f"ewma_{ne}events", _ewma)
+
+    def _upsert():
+        # 1M keyed updates (~3 versions/key) through the partition-
+        # overwrite sink in one availableNow batch, then a second batch
+        # touching 10% of keys — batch 2's cost should reflect touched
+        # buckets, not store size.
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="smoke_upsert_")
+        src, store, ckpt = f"{tmp}/src", f"{tmp}/store", f"{tmp}/ckpt"
+        updates = spark.range(1_000_000).select(
+            (F.col("id") % 333_333).alias("k"),
+            F.col("id").alias("ts"),
+            F.xxhash64("id").cast("string").alias("val"),
+        )
+        updates.write.parquet(src)
+        stream = spark.readStream.schema("k long, ts long, val string").parquet(src)
+        q = (
+            upsert_sink(stream, store, keys=["k"], order_col="ts", num_buckets=64)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        spark.range(100_000).select(
+            (F.col("id") * 10 % 333_333).alias("k"),
+            (F.col("id") + 2_000_000).alias("ts"),
+            F.lit("v2").alias("val"),
+        ).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema("k long, ts long, val string").parquet(src)
+        q2 = (
+            upsert_sink(stream2, store, keys=["k"], order_col="ts", num_buckets=64)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(300)
+        return spark.read.parquet(store).count()
+
+    probe("upsert_sink_1M_updates_plus_100k_batch", _upsert)
     spark.stop()
     return 0
 
