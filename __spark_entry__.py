@@ -2939,7 +2939,7 @@ def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_sq8_topk() -> str:
+def _sql_ivf_sq8_topk(k: "int | None" = None) -> str:
     assign_cos = _cosine_sql("v.vec_emb", "c.cent_emb")
     dvec = (
         "(c2.mins[i] + (c2.codes[i]::DOUBLE + 0.5) * (c2.maxs[i] - c2.mins[i]) / 256.0)"
@@ -2984,7 +2984,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
   FROM candidates
 )
-SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
+SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM ranked WHERE rank <= {k or ANN_K}
 """
 
 
@@ -3673,6 +3673,46 @@ PMI_TOPK = 100
 PMI_MIN_COUNT = 5
 SCD2_LOOKUP_OFFSET_DAYS = 40
 INCR_ROLLUP_CUTOFF = "2024-02-01"
+RESCORE_SHORTLIST = 50
+
+
+def q_ivf_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production ANN: IVF + int8 shortlist, exact float
+    rescore of only the shortlist — the standard accuracy-recovery
+    pattern for quantized indexes, fully oracle-checkable end-to-end."""
+    from hermes_spark.operators import ivf_sq8_rescore_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return ivf_sq8_rescore_topk(
+        emb, centroids, queries, k=ANN_K, shortlist=RESCORE_SHORTLIST, dim=EMBED_DIM
+    )
+
+
+def _sql_ivf_rescore_topk() -> str:
+    cos = _cosine_sql("q2.qvec", "e.embedding")
+    return f"""
+WITH approx AS ({_sql_ivf_sq8_topk(RESCORE_SHORTLIST)}),
+q2 AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+rescored AS (
+  SELECT a.query_id, a.vec_id, {cos} AS score
+  FROM approx a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q2 ON q2.query_id = a.query_id
+),
+rr AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)
+           AS rank
+  FROM rescored
+)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank FROM rr
+WHERE rank <= {ANN_K}
+"""
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3946,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup_orders": q_scd2_lookup_orders,
         "incremental_rollup": q_incremental_rollup,
         "data_quality_orders": q_data_quality_orders,
+        "ivf_rescore_topk": q_ivf_rescore_topk,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4156,6 +4197,7 @@ FROM events GROUP BY 1
         "scd2_lookup_orders": _SQL_SCD2_LOOKUP,
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
         "data_quality_orders": _SQL_DATA_QUALITY,
+        "ivf_rescore_topk": _sql_ivf_rescore_topk(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

@@ -129,6 +129,7 @@ BENCH_QUERIES = {
     "pmi_collocations": lambda s, d: _materialize(entry.q_pmi_collocations(s, d)),
     "scd2_lookup_orders": lambda s, d: _materialize(entry.q_scd2_lookup_orders(s, d)),
     "incremental_rollup": lambda s, d: _materialize(entry.q_incremental_rollup(s, d)),
+    "data_quality_orders": lambda s, d: _materialize(entry.q_data_quality_orders(s, d)),
 }
 
 

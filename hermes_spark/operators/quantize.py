@@ -459,3 +459,69 @@ def ivf_sq8_topk(
     return ranked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_sq8_rescore_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    centroid_id_col: str = "centroid_id",
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 1,
+    dim: Optional[int] = None,
+    stats: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Two-stage production ANN: IVF + int8 approximate search produces a
+    per-query ``shortlist``, then ONLY those candidates are re-scored
+    against the original float vectors and the exact top-``k`` returned.
+
+    This is the standard accuracy-recovery pattern for quantized
+    indexes: the scan stage still reads 4x-smaller codes and prunes by
+    cell, while the rescore touches |queries| x shortlist float vectors
+    — driver-independent, broadcast-joined, negligible next to the scan.
+    Returns ``(query_id, vec_id, score, rank)`` where score is the
+    exact cosine.
+    """
+    from .similarity import cosine_similarity
+
+    approx = ivf_sq8_topk(
+        corpus,
+        centroids,
+        queries,
+        id_col,
+        vec_col,
+        query_id_col,
+        centroid_id_col,
+        k=shortlist,
+        nprobe=nprobe,
+        dim=dim,
+        stats=stats,
+    )
+    qid = query_id_col or id_col
+    cand = approx.select("query_id", "vec_id")
+    qvecs = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    rescored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+        .join(F.broadcast(cand), on="vec_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -320,3 +320,42 @@ def test_ivf_sq8_topk_agrees_with_ivf_cells(spark, embeddings):
         key = (r["query_id"], r["vec_id"])
         if key in fl_scores:
             assert abs(r["score"] - fl_scores[key]) < 0.05
+
+
+def test_ivf_rescore_recovers_exact_ordering(spark, embeddings):
+    """Two-stage search: the rescore stage must (a) return exact cosine
+    scores for everything it keeps, and (b) beat-or-match the pure
+    quantized path's recall against brute force."""
+    from hermes_spark.operators import ivf_sq8_rescore_topk, ivf_sq8_topk
+
+    centroids = embeddings.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(embeddings, queries, k=10).collect()
+    quant = ivf_sq8_topk(embeddings, centroids, queries, k=10, dim=DIM).collect()
+    resc = ivf_sq8_rescore_topk(
+        embeddings, centroids, queries, k=10, shortlist=50, dim=DIM
+    ).collect()
+
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in resc:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:  # rescored score IS the exact cosine
+            assert r["score"] == pytest.approx(exact_scores[key], abs=1e-6)
+
+    def sets(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return d
+
+    es, qs, rs = sets(exact), sets(quant), sets(resc)
+    q_recall = sum(len(es[q] & qs[q]) / len(es[q]) for q in es) / len(es)
+    r_recall = sum(len(es[q] & rs[q]) / len(es[q]) for q in es) / len(es)
+    assert r_recall >= q_recall - 1e-9
+    # every query keeps exactly k results, ranked 1..k
+    per_q = {}
+    for r in resc:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())

@@ -90,7 +90,7 @@ def test_pagerank_mass_and_floor(spark, n, mults, damping):
 )
 @_settings
 def test_expectations_consistency(spark, rows, lo, max_rate):
-    df = spark.createDataFrame(rows, ["k", "v"])
+    df = spark.createDataFrame(rows, "k int, v double")
     report = check_expectations(
         df,
         [
