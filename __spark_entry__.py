@@ -3692,6 +3692,101 @@ def q_ivf_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition mining: per-user ordered event-type
+    bigrams (the first-order Markov transition counts a journey model
+    trains on). One window over the user partitioning, one narrow
+    aggregate — no self-joins."""
+    events = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup: exact per-(type, day), per-type, and grand
+    totals in one pass — the subset of the cube a dashboard actually
+    reads, without paying for the full lattice."""
+    events = _read_events(spark, sf_dir)
+    events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        "value",
+    ).createOrReplaceTempView("__events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, day, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM __events_gs
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """
+    ).select(
+        "event_type", "day", F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length deciles (ntile) — the binning a
+    length-balanced sampler draws from. Ties broken by doc_id so the
+    decile assignment is engine-reproducible."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang", F.col("decile").cast("long").alias("decile"),
+            "n_docs", "min_chars", "max_chars",
+        )
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+_SQL_EVENTS_GROUPING_SETS = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
+"""
+
+_SQL_LENGTH_DECILES = """
+WITH d AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang, decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM d GROUP BY lang, decile
+"""
+
+
 def _sql_ivf_rescore_topk() -> str:
     cos = _cosine_sql("q2.qvec", "e.embedding")
     return f"""
@@ -3961,8 +4056,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 3 round-4c queries (pagerank / degrees / EWMA — never verified
-    # by definition) lead, then
+    # the 11 round-4c queries (pagerank / degrees / EWMA / PMI / SCD2
+    # lookup / incremental rollup / data quality / IVF rescore / event
+    # transitions / grouping sets / length deciles — never verified by
+    # definition) lead, then
     # the 8 queries with no driver CORRECTNESS row yet, then the 8
     # NEW round-4 queries (entropy/link/rebalance/sq8), then the 8 NEW
     # round-4b queries (ngram mining / quality classifier / random
@@ -3987,6 +4084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "data_quality_orders": q_data_quality_orders,
         "ivf_rescore_topk": q_ivf_rescore_topk,
+        "event_transitions": q_event_transitions,
+        "events_grouping_sets": q_events_grouping_sets,
+        "length_deciles": q_length_deciles,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4198,6 +4298,9 @@ FROM events GROUP BY 1
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
         "data_quality_orders": _SQL_DATA_QUALITY,
         "ivf_rescore_topk": _sql_ivf_rescore_topk(),
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
+        "length_deciles": _SQL_LENGTH_DECILES,
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

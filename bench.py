@@ -130,6 +130,8 @@ BENCH_QUERIES = {
     "scd2_lookup_orders": lambda s, d: _materialize(entry.q_scd2_lookup_orders(s, d)),
     "incremental_rollup": lambda s, d: _materialize(entry.q_incremental_rollup(s, d)),
     "data_quality_orders": lambda s, d: _materialize(entry.q_data_quality_orders(s, d)),
+    "ivf_rescore_topk": lambda s, d: _materialize(entry.q_ivf_rescore_topk(s, d)),
+    "event_transitions": lambda s, d: _materialize(entry.q_event_transitions(s, d)),
 }
 
 
