@@ -15,7 +15,7 @@ def main(argv: list[str]) -> int:
     if not argv:
         print(
             "usage: python -m hermes_spark.cli "
-            "{compare|info-compare|e2e|profile|dedup|split} ...",
+            "{compare|info-compare|e2e|profile|dedup|split|quality} ...",
             file=sys.stderr,
         )
         return 2
@@ -44,6 +44,10 @@ def main(argv: list[str]) -> int:
         from hermes_spark.cli.curate_job import split_main
 
         return split_main(rest)
+    if command == "quality":
+        from hermes_spark.cli.quality_job import main as quality_main
+
+        return quality_main(rest)
     print(f"unknown command: {command}", file=sys.stderr)
     return 2
 

@@ -78,3 +78,40 @@ def test_empty_rules_rejected(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError):
         check_expectations(df, [])
+
+
+def test_cli_quality_job(spark, sf_dir, tmp_path):
+    import json
+
+    from hermes_spark.cli.quality_job import run
+
+    rules = [
+        {"name": "ok_uq", "kind": "unique", "column": "o_orderkey"},
+        {"name": "ck_nn", "kind": "not_null", "column": "o_custkey"},
+        {
+            "name": "price_impossible",
+            "kind": "in_range",
+            "column": "o_totalprice",
+            "lo": 0,
+            "hi": 1,  # deliberately failing rule
+        },
+        {
+            "name": "ck_ref",
+            "kind": "ref_integrity",
+            "column": "o_custkey",
+            "ref_format": "parquet",
+            "ref_path": f"{sf_dir}/customer.parquet",
+            "ref_column": "c_custkey",
+        },
+    ]
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(json.dumps(rules))
+    records = run(
+        spark,
+        ["--format", "parquet", "--path", f"{sf_dir}/orders.parquet",
+         "--rules", str(rules_file)],
+    )
+    by = {r["rule"]: r for r in records}
+    assert by["ok_uq"]["passed"] and by["ck_nn"]["passed"] and by["ck_ref"]["passed"]
+    assert not by["price_impossible"]["passed"]
+    assert by["price_impossible"]["n_violations"] == by["price_impossible"]["n_rows"]
