@@ -3756,6 +3756,81 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (dead/exploding-dimension
+    screen; the ranges sq8 quantization keys off)."""
+    from hermes_spark.operators import embedding_dim_profile
+
+    return embedding_dim_profile(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus whitening (per-dim z-score); digested to per-vector
+    (n_dims, sum, min, max) so the oracle compares scalars, not float
+    arrays."""
+    from hermes_spark.operators import standardize_embeddings
+
+    z = standardize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return z.select(
+        "vec_id",
+        F.size("z").cast("long").alias("n_dims"),
+        F.round(
+            F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("z_sum"),
+        F.round(F.array_min("z"), 6).alias("z_min"),
+        F.round(F.array_max("z"), 6).alias("z_max"),
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs n-gram-marker
+    prediction — the standing eval for the lang_id heuristic."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SQL_EMBED_DIM_PROFILE = """
+WITH e AS (
+  SELECT unnest(embedding) AS xf, unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+),
+c AS (SELECT pos, CAST(xf AS DOUBLE) AS x FROM e)
+SELECT pos::BIGINT AS pos, count(*)::BIGINT AS n,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS std,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x
+FROM c GROUP BY pos
+"""
+
+_SQL_EMBED_STANDARDIZE = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS xf,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+),
+c AS (SELECT vec_id, pos, CAST(xf AS DOUBLE) AS x FROM e),
+st AS (SELECT pos, avg(x) AS mean, stddev_samp(x) AS std FROM c GROUP BY pos),
+z AS (SELECT c.vec_id, (c.x - st.mean) / st.std AS z FROM c JOIN st USING (pos))
+SELECT vec_id, count(*)::BIGINT AS n_dims, round(sum(z), 4) AS z_sum,
+       round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+FROM z GROUP BY vec_id
+"""
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH preds AS ({_sql_lang_id()})
+SELECT d.lang, p.lang_guess, count(*)::BIGINT AS n_docs
+FROM documents d JOIN preds p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.lang_guess
+"""
+
+
 _SQL_EVENT_TRANSITIONS = """
 WITH seq AS (
   SELECT user_id, event_type,
@@ -4056,10 +4131,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness oracle-checks the
     # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 11 round-4c queries (pagerank / degrees / EWMA / PMI / SCD2
+    # the 14 round-4c queries (pagerank / degrees / EWMA / PMI / SCD2
     # lookup / incremental rollup / data quality / IVF rescore / event
-    # transitions / grouping sets / length deciles — never verified by
-    # definition) lead, then
+    # transitions / grouping sets / length deciles / embedding profile +
+    # whitening / lang confusion — never verified by definition) lead,
+    # then
     # the 8 queries with no driver CORRECTNESS row yet, then the 8
     # NEW round-4 queries (entropy/link/rebalance/sq8), then the 8 NEW
     # round-4b queries (ngram mining / quality classifier / random
@@ -4087,6 +4163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "events_grouping_sets": q_events_grouping_sets,
         "length_deciles": q_length_deciles,
+        "embedding_dim_profile": q_embedding_dim_profile,
+        "embedding_standardize": q_embedding_standardize,
+        "lang_confusion": q_lang_confusion,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4301,6 +4380,9 @@ FROM events GROUP BY 1
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "events_grouping_sets": _SQL_EVENTS_GROUPING_SETS,
         "length_deciles": _SQL_LENGTH_DECILES,
+        "embedding_dim_profile": _SQL_EMBED_DIM_PROFILE,
+        "embedding_standardize": _SQL_EMBED_STANDARDIZE,
+        "lang_confusion": _sql_lang_confusion(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

@@ -132,6 +132,7 @@ BENCH_QUERIES = {
     "data_quality_orders": lambda s, d: _materialize(entry.q_data_quality_orders(s, d)),
     "ivf_rescore_topk": lambda s, d: _materialize(entry.q_ivf_rescore_topk(s, d)),
     "event_transitions": lambda s, d: _materialize(entry.q_event_transitions(s, d)),
+    "embedding_standardize": lambda s, d: _materialize(entry.q_embedding_standardize(s, d)),
 }
 
 

@@ -46,6 +46,7 @@ from .sampling import (
     stratified_sample,
     temperature_mix,
 )
+from .embedprep import embedding_dim_profile, standardize_embeddings
 from .entropy import entropy_profile, unit_entropy
 from .expectations import Rule, check_expectations
 from .ngrams import ngram_novelty, pmi_collocations, topk_ngrams
@@ -181,6 +182,8 @@ __all__ = [
     "scd2_lookup",
     "Rule",
     "check_expectations",
+    "embedding_dim_profile",
+    "standardize_embeddings",
     "linear_quality_score",
     "quality_features",
     "random_project",
