@@ -3793,6 +3793,52 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic markup wrapper for the strip_html oracle query (the
+# corpus has no HTML): tags, a script block, a style block, and entities.
+HTML_WRAP_PRE = '<html><body onload="x()"><p class="doc">'
+HTML_WRAP_POST = (
+    '</p><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p { color: red; }</style>"
+    '<a href="https://ex.com/p?id=1">&amp;more&nbsp;text</a></body></html>'
+)
+
+
+def q_strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text cleanup (crawled-corpus staple): every doc wrapped
+    in a deterministic HTML shell (same rule in the oracle), stripped,
+    digested to (length, md5) — byte-for-byte engine parity."""
+    from hermes_spark.functions.text import strip_html
+
+    docs = _read(spark, sf_dir, "documents")
+    cleaned = strip_html(
+        F.concat(F.lit(HTML_WRAP_PRE), F.col("text"), F.lit(HTML_WRAP_POST))
+    )
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def _sql_strip_html() -> str:
+    from hermes_spark.functions.text import _HTML_ENTITIES
+
+    expr = (
+        f"regexp_replace('{HTML_WRAP_PRE}' || text || '{HTML_WRAP_POST}', "
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    )
+    expr = f"regexp_replace({expr}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<[^>]+>', ' ', 'g')"
+    for entity, repl in _HTML_ENTITIES:
+        repl_sql = repl.replace("'", "''")
+        expr = f"replace({expr}, '{entity}', '{repl_sql}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id, length({expr})::BIGINT AS clean_len, md5({expr}) AS clean_md5
+FROM documents
+"""
+
+
 _SQL_EMBED_DIM_PROFILE = """
 WITH e AS (
   SELECT unnest(embedding) AS xf, unnest(range(0, len(embedding))) AS pos
@@ -4166,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_profile": q_embedding_dim_profile,
         "embedding_standardize": q_embedding_standardize,
         "lang_confusion": q_lang_confusion,
+        "strip_html_docs": q_strip_html_docs,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4383,6 +4430,7 @@ FROM events GROUP BY 1
         "embedding_dim_profile": _SQL_EMBED_DIM_PROFILE,
         "embedding_standardize": _SQL_EMBED_STANDARDIZE,
         "lang_confusion": _sql_lang_confusion(),
+        "strip_html_docs": _sql_strip_html(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

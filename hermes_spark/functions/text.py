@@ -260,3 +260,35 @@ def link_density(col: Column) -> Column:
             6,
         )
     )
+
+
+#: HTML entities decoded by strip_html (the handful that appear in
+#: text-bearing positions; full entity tables belong to a real parser)
+_HTML_ENTITIES = [
+    # &amp; decodes LAST: "&amp;lt;" must yield the literal "&lt;", not "<"
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Markup-to-text for crawled documents: drop ``<script>``/``<style>``
+    blocks wholesale, remove every remaining tag, decode the common
+    entities, and collapse whitespace.
+
+    A regex strip, not a DOM parse — the honest scan-side approximation
+    (boilerplate/link-density operators downstream handle what a parser
+    would have classified structurally). Patterns are RE2-compatible (no
+    backreferences), so a SQL oracle reproduces the output byte-for-byte
+    and the same expression runs in any engine Spark pushes it to.
+    """
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for entity, repl in _HTML_ENTITIES:
+        out = F.regexp_replace(out, entity, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -304,3 +304,23 @@ def test_bind_once_evaluates_once_and_preserves_value(spark):
         bind_once(F.col("x") * 10, lambda v: v + v).alias("y")
     ).first()
     assert out.y == 80
+
+
+def test_strip_html_tags_scripts_entities(spark):
+    from hermes_spark.functions.text import strip_html
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ('<script>var x = "<p>";</script>keep', "keep"),
+        ("<style>p {color: red}</style>text", "text"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a & b <tag> \"q\" 's'"),
+        # double-decode guard: &amp;lt; is the LITERAL string "&lt;"
+        ("x &amp;lt; y", "x &lt; y"),
+        ("  lots\n\nof\t whitespace  ", "lots of whitespace"),
+        ("<SCRIPT>upper();</SCRIPT>ok", "ok"),
+        ("<div\nclass='x'>multi\nline tag</div>", "multi line tag"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "s"])
+    got = {r["i"]: r["out"] for r in df.select("i", strip_html(F.col("s")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
