@@ -281,3 +281,23 @@ def test_pagerank_iteration_has_no_quadratic_join(spark, sf_dir):
     # the one-row dangling aggregate arrives via broadcast
     assert any("BroadcastNestedLoopJoin" in op or "BroadcastExchange" in op
                for op in ops)
+
+
+def test_embedding_profile_partial_aggregates(spark, sf_dir):
+    """The per-dim profile is explode + hash aggregate: exactly one
+    exchange, carrying dim-sized partials, never vectors."""
+    df = entry.q_embedding_dim_profile(spark, sf_dir)
+    assert count_exchanges(df) == 1, plan_operators(df)
+    # partial (map-side) aggregation precedes the exchange
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_avg" in plan and "partial_stddev" in plan, plan
+
+
+def test_standardize_broadcasts_stats_no_vector_shuffle(spark, sf_dir):
+    """Whitening folds the stats into a one-row broadcast; the vectors
+    themselves are transformed scan-side (no exchange keyed on them)."""
+    df = entry.q_embedding_standardize(spark, sf_dir)
+    ops = plan_operators(df)
+    assert any("BroadcastNestedLoopJoin" in op or "BroadcastExchange" in op for op in ops)
+    # the only exchange is the dim-stats aggregation, not the vectors
+    assert count_exchanges(df) <= 2, ops
