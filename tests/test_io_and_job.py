@@ -244,3 +244,31 @@ def test_compare_job_incremental(spark, tmp_path):
     # one mutated partition: diff restricted to it
     with pytest.raises(DatasetsDifferException):
         run(spark, cli_for(act_p, "out_diff"))
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path):
+    from hermes_spark.sources.io import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "shard", (F.col("doc_id") % 4).cast("long")
+    )
+    out = str(tmp_path / "shards")
+    info = write_training_shards(
+        docs, out, shard_col="shard", max_records_per_file=50
+    )
+    n = docs.count()
+    assert info["total_rows"] == n and info["n_shards"] == 4
+    # readable back, partition column intact, counts match the manifest
+    back = spark.read.parquet(out)
+    got = {str(r["shard"]): r["count"] for r in back.groupBy("shard").count().collect()}
+    assert got == info["rows_per_shard"]
+    # maxRecordsPerFile respected: every parquet file holds <= 50 rows
+    import glob
+    files = glob.glob(f"{out}/shard=*/*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 50 for f in files)
+    # manifest is valid JSON on disk
+    import json as _json
+    with open(f"{out}/_MANIFEST") as fh:
+        assert _json.load(fh)["total_rows"] == n

@@ -112,3 +112,46 @@ def test_expectations_consistency(spark, rows, lo, max_rate):
     nonnull = [k for k, _ in rows if k is not None]
     assert by["uq"] == len(nonnull) - len(set(nonnull))
     assert by["rng"] == sum(1 for _, v in rows if v < lo or v > 5.0)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 60)), min_size=1, max_size=25
+    ),
+)
+@_settings
+def test_scd2_lookup_equals_interval_join(spark, changes, facts):
+    """As-of formulation == direct [valid_from, valid_to) interval join
+    for ANY changelog/fact set (the algebraic identity scd2_lookup
+    relies on)."""
+    from hermes_spark.operators import scd2_history, scd2_lookup
+
+    cdf = spark.createDataFrame(changes, "k int, ts int, payload int")
+    fdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(facts)], "k int, fts int, fid int"
+    )
+    hist = scd2_history(cdf, ["k"], "ts")
+    got = {
+        (r["fid"]): r["payload"]
+        for r in scd2_lookup(
+            fdf, hist.select("k", "payload", "valid_from", "valid_to", "is_current"),
+            ["k"], "fts",
+        ).collect()
+    }
+    # direct interval join (the naive-but-obviously-correct formulation)
+    h = hist.select(
+        F.col("k").alias("hk"), F.col("payload").alias("p"),
+        "valid_from", "valid_to",
+    )
+    cond = (
+        (fdf["k"] == h["hk"])
+        & (h["valid_from"] <= fdf["fts"])
+        & (h["valid_to"].isNull() | (fdf["fts"] < h["valid_to"]))
+    )
+    want = {r["fid"]: r["p"] for r in fdf.join(h, on=cond, how="left").collect()}
+    assert got == want
