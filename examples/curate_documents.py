@@ -214,7 +214,16 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     packed = pack_sequences(train, "doc_id", token_count_col="n_tokens", budget=2048)
     n_seqs = packed.select("shard", "seq_in_shard").distinct().count()
 
-    final.write.mode("overwrite").parquet(out_dir)
+    # shard-partitioned output with bounded file sizes + row-count
+    # manifest (what a training loader actually consumes)
+    from hermes_spark.sources.io import write_training_shards
+
+    write_training_shards(
+        final.withColumn("shard", (F.col("doc_id") % 8).cast("long")),
+        out_dir,
+        shard_col="shard",
+        max_records_per_file=100_000,
+    )
 
     stats = (
         final.groupBy("lang")
