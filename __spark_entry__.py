@@ -3793,6 +3793,73 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_N = 100
+MAD_K = 3.0
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-RES): 100 docs drawn with probability proportional to length,
+    deterministic and layout-independent."""
+    from hermes_spark.operators import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", n=WSAMPLE_N)
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier summary per event type — the
+    contamination-proof sibling of the z-score profile."""
+    from hermes_spark.operators import mad_outlier_summary
+
+    events = _read_events(spark, sf_dir).select("event_type", "value")
+    return mad_outlier_summary(events, "value", group_cols=["event_type"], k=MAD_K)
+
+
+def _sql_weighted_sample() -> str:
+    u = (
+        f"((({_dhash(chr(39) + 'wsample:' + chr(39) + ' || doc_id::VARCHAR')})"
+        " % 1000000)::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         round(pow({u}, 1.0::DOUBLE / n_chars::DOUBLE), 9) AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rn FROM w
+)
+SELECT doc_id, n_chars, sample_key FROM r WHERE rn <= {WSAMPLE_N}
+"""
+
+
+def _sql_events_mad_outliers() -> str:
+    thresh = MAD_K * 1.4826  # same Python-evaluated double the operator embeds
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+a AS (
+  SELECT e.event_type, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM a GROUP BY 1
+)
+SELECT a.event_type, round(med.med, 6) AS med, round(mad.mad, 6) AS mad,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN a.absdev > {thresh!r} * mad.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       round(sum(CASE WHEN a.absdev > {thresh!r} * mad.mad THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS outlier_rate
+FROM a
+JOIN mad USING (event_type)
+JOIN med USING (event_type)
+GROUP BY a.event_type, med.med, mad.mad
+"""
+
+
 # Deterministic markup wrapper for the strip_html oracle query (the
 # corpus has no HTML): tags, a script block, a style block, and entities.
 HTML_WRAP_PRE = '<html><body onload="x()"><p class="doc">'
@@ -4213,6 +4280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "lang_confusion": q_lang_confusion,
         "strip_html_docs": q_strip_html_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "events_mad_outliers": q_events_mad_outliers,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4431,6 +4500,8 @@ FROM events GROUP BY 1
         "embedding_standardize": _SQL_EMBED_STANDARDIZE,
         "lang_confusion": _sql_lang_confusion(),
         "strip_html_docs": _sql_strip_html(),
+        "weighted_sample_docs": _sql_weighted_sample(),
+        "events_mad_outliers": _sql_events_mad_outliers(),
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),

@@ -209,3 +209,51 @@ def zorder_key(cols: Sequence[str], bits: int = 16) -> "F.Column":
     for p in parts[1:]:
         out = out.bitwiseOR(p)
     return out
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier summary per group: ``(groups, med,
+    mad, n, n_outliers, outlier_rate)`` flagging values beyond
+    ``k * 1.4826 * MAD`` of the median — the z-score's
+    contamination-proof sibling (one bot's spike inflates a stddev but
+    not a median).
+
+    Two exact-percentile aggregations (median, then median absolute
+    deviation) with the tiny per-group stats broadcast back between
+    them — three scans of the (scan-pruned) value column, no window
+    over raw rows, no sort of the full data.
+    """
+    groups = [F.col(c) for c in group_cols]
+    med = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    joined = df.join(F.broadcast(med), on=list(group_cols)) if group_cols else (
+        df.crossJoin(F.broadcast(med))
+    )
+    absdev = joined.withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = absdev.groupBy(*groups).agg(
+        F.first("__med").alias("__med2"),
+        F.expr("percentile(__absdev, 0.5)").alias("__mad"),
+    )
+    j2 = absdev.drop("__med").join(F.broadcast(mad), on=list(group_cols)) if group_cols else (
+        absdev.drop("__med").crossJoin(F.broadcast(mad))
+    )
+    is_out = F.col("__absdev") > F.lit(k * 1.4826) * F.col("__mad")
+    return j2.groupBy(*groups).agg(
+        F.round(F.first("__med2"), 6).alias("med"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_rate"),
+    )

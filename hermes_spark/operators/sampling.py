@@ -292,3 +292,45 @@ def temperature_mix(
         .filter(_bucket(F.col(key_col), salt) < F.col("__threshold"))
         .drop("__threshold")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-RES): each row gets key ``u^(1/w)`` with ``u`` a deterministic
+    uniform derived from the portable hash of its id; the global top-n
+    keys ARE a weighted sample without replacement.
+
+    Deterministic and layout-independent like every sampler here (same
+    id + salt => same key on any cluster), so it is reproducible AND
+    oracle-checkable. Rows with non-positive weight are excluded.
+    Spark plans the cut as TakeOrderedAndProject (per-task heaps, no
+    global sort); ordering ties break on the rounded key then the id,
+    keeping the boundary engine-stable.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # u in (0, 1): 1e6-resolution uniform from the portable hash (finer
+    # than the 1e-4 _bucket grid — sampling keys need low collision odds)
+    u = (
+        F.pmod(
+            portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            F.lit(1_000_000),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(n)
+    )

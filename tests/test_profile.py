@@ -1,5 +1,6 @@
 """Profiling report tests (operators/profile.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -124,3 +125,43 @@ def test_rolling_anomalies_zero_variance_not_anomalous(spark):
     df = spark.createDataFrame(rows, "g string, bucket int, n long")
     out = rolling_anomalies(df, "bucket", "n", group_cols=["g"], lookback=24)
     assert out.filter(F.col("is_anomaly")).count() == 0
+
+
+def test_mad_outlier_summary_matches_numpy(spark):
+    import numpy as np
+
+    from hermes_spark.operators import mad_outlier_summary
+
+    rng = [float(v) for v in range(100)] + [1e6, -1e6]  # two gross outliers
+    df = spark.createDataFrame([("a", v) for v in rng], ["g", "value"])
+    row = mad_outlier_summary(df, "value", group_cols=["g"], k=3.0).collect()[0]
+    arr = np.array(rng)
+    med = np.median(arr)
+    mad = np.median(np.abs(arr - med))
+    assert row["med"] == pytest.approx(med, abs=1e-6)
+    assert row["mad"] == pytest.approx(mad, abs=1e-6)
+    assert row["n"] == len(rng)
+    want_out = int((np.abs(arr - med) > 3.0 * 1.4826 * mad).sum())
+    assert row["n_outliers"] == want_out == 2
+    # med/mad themselves are uncontaminated by the outliers: they match
+    # the clean subset's median/MAD
+    clean = np.array(rng[:100])
+    assert row["med"] == pytest.approx(np.median(clean), abs=1.0)
+    assert row["mad"] == pytest.approx(
+        np.median(np.abs(clean - np.median(clean))), abs=1.5
+    )
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from hermes_spark.operators import weighted_sample
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9), (998, 0.0), (997, -1.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = {r["id"] for r in weighted_sample(df, "id", "w", n=20).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "id", "w", n=20).collect()}
+    assert s1 == s2 and len(s1) == 20  # deterministic, exact size
+    assert 999 in s1  # astronomically-weighted row always drawn
+    assert 998 not in s1 and 997 not in s1  # non-positive weights excluded
+    # a different salt draws a different (but still deterministic) sample
+    s3 = {r["id"] for r in weighted_sample(df, "id", "w", n=20, salt="other").collect()}
+    assert 999 in s3 and s3 != s1
