@@ -3797,6 +3797,27 @@ WSAMPLE_N = 100
 MAD_K = 3.0
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type (Spark plans multiple
+    COUNT(DISTINCT) via Expand + two-phase aggregation — the classic
+    high-cardinality distinct shape; approx_count_distinct is the
+    sketch alternative when exactness can be traded for one pass)."""
+    events = _read_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_active_days"),
+    )
+
+
+_SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(DISTINCT date_trunc('day', ts))::BIGINT AS n_active_days
+FROM events GROUP BY event_type
+"""
+
+
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-RES): 100 docs drawn with probability proportional to length,
@@ -4282,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html_docs": q_strip_html_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_distinct_users": q_events_distinct_users,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4502,6 +4524,7 @@ FROM events GROUP BY 1
         "strip_html_docs": _sql_strip_html(),
         "weighted_sample_docs": _sql_weighted_sample(),
         "events_mad_outliers": _sql_events_mad_outliers(),
+        "events_distinct_users": _SQL_EVENTS_DISTINCT_USERS,
         # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
         # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),
