@@ -204,6 +204,11 @@ def main() -> None:
         name: (median(vals) if vals else -1.0) for name, vals in raw.items()
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Per-pass raw triples go to stderr for humans; stdout carries exactly ONE
+    # compact JSON line (no `raw` key) so a tail capture of stdout always
+    # retains the total and every per-query median (the r4 driver artifact
+    # lost both because `raw` was the last — and largest — key in the line).
+    print(json.dumps({"raw": raw}), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -213,7 +218,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
-                "raw": raw,
             }
         )
     )

@@ -237,11 +237,14 @@ def merge_rollup_states(states: Sequence[DataFrame], keys: Sequence[str]) -> Dat
 
 
 def finalize_rollup(state: DataFrame, decimals: int = 4) -> DataFrame:
-    """Derive the non-mergeable outputs (avg, rounded sum) from a rollup
-    state; keeps the mergeable columns so the frame can keep serving as
-    state."""
+    """Derive the non-mergeable outputs from a rollup state: the rounded
+    sum as ``sum_v_rounded`` and the rounded mean as ``avg_v``. The raw
+    ``sum_v`` is kept UNROUNDED so the frame can keep serving as state —
+    feeding a finalized frame back into :func:`merge_rollup_states` must
+    not accumulate rounding drift (rounding in place would break the
+    exactness guarantee this module advertises)."""
     return state.select(
-        *[c for c in state.columns if c not in ("sum_v",)],
-        F.round(F.col("sum_v"), decimals).alias("sum_v"),
+        *state.columns,
+        F.round(F.col("sum_v"), decimals).alias("sum_v_rounded"),
         F.round(F.col("sum_v") / F.col("n"), decimals).alias("avg_v"),
     )

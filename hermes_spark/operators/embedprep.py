@@ -68,6 +68,14 @@ def standardize_embeddings(
     """Z-score every dimension against the corpus: ``z_i = (x_i -
     mean_i) / (std_i + eps)``.
 
+    Degenerate dimensions are handled explicitly rather than leaking
+    nulls/inf: when ``std_i + eps`` is not positive (a constant
+    dimension with ``eps=0``, or a single-row corpus where
+    ``stddev_samp`` is null), ``z_i`` is 0.0 — the limit value, since
+    ``x_i == mean_i`` in exactly those cases. Dead dimensions therefore
+    surface as all-zero z columns (visible in
+    :func:`embedding_dim_profile`), never as silent nulls.
+
     Pass a persisted ``stats`` frame (``_dim_stats`` layout: pos, mean,
     std) to reuse a training-corpus profile when transforming held-out
     data — the train/serve consistency requirement. Returns the input
@@ -84,11 +92,12 @@ def standardize_embeddings(
             lambda t: t["std"],
         ).alias("__stds"),
     )
-    z = F.transform(
-        F.col(vec_col),
-        lambda x, i: (x.cast("double") - F.element_at(F.col("__means"), i + 1))
-        / (F.element_at(F.col("__stds"), i + 1) + F.lit(eps)),
-    )
+    def _z(x, i):
+        d = F.coalesce(F.element_at(F.col("__stds"), i + 1), F.lit(0.0)) + F.lit(eps)
+        num = x.cast("double") - F.element_at(F.col("__means"), i + 1)
+        return F.when(d > 0, num / d).otherwise(F.lit(0.0))
+
+    z = F.transform(F.col(vec_col), _z)
     return (
         df.crossJoin(F.broadcast(row))
         .withColumn(out_col, z)

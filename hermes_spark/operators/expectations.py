@@ -100,7 +100,9 @@ def _violation_expr(rule: Rule) -> F.Column:
         bad = c.isNotNull() & ((c < F.lit(rule.lo)) | (c > F.lit(rule.hi)))
         return F.sum(F.when(bad, 1).otherwise(0))
     if rule.kind == "matches":
-        bad = c.isNotNull() & ~c.rlike(rule.pattern)
+        # rlike() is substring search; anchor so "fully matching" (the
+        # documented contract) holds — '[0-9]+' must reject 'abc123'.
+        bad = c.isNotNull() & ~c.rlike(f"^(?:{rule.pattern})$")
         return F.sum(F.when(bad, 1).otherwise(0))
     if rule.kind == "isin":
         bad = c.isNotNull() & ~c.isin(list(rule.values))

@@ -170,7 +170,13 @@ def write_training_shards(
     writer.parquet(path)
     info: dict = {}
     if manifest:
-        rows = df.groupBy(shard_col).count().collect()
+        # Count from the files just written, not from `df`: counting the
+        # input would re-run the entire upstream lineage a second time
+        # (for a curation pipeline that means re-deduping everything
+        # just to count rows). The written parquet scan is footer-cheap.
+        rows = (
+            df.sparkSession.read.parquet(path).groupBy(shard_col).count().collect()
+        )
         shards = {str(r[shard_col]): r["count"] for r in rows}
         info = {
             "shard_col": shard_col,

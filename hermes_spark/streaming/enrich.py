@@ -28,6 +28,7 @@ from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.utils import AnalysisException
 
 _BUCKET = "__kb"
+_SEQ = "__seq"
 
 
 def enrich_stream(
@@ -51,10 +52,17 @@ def enrich_stream(
 
 
 def _latest_per_key(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    # Order: newest order_col, then highest ingest sequence (batch_id —
+    # so a restated key with a TIED order_col resolves to the most
+    # recently ingested row, not to whichever value columns happen to
+    # sort higher), then the value columns descending as a final
+    # deterministic tiebreak for equal-seq duplicates within one batch.
+    tail = [F.col(c).desc() for c in df.columns
+            if c not in keys and c not in (order_col, _SEQ)]
+    seq = [F.col(_SEQ).desc()] if _SEQ in df.columns else []
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col(order_col).desc(), *[F.col(c).desc() for c in df.columns
-                                            if c not in keys and c != order_col])
+        .orderBy(F.col(order_col).desc(), *seq, *tail)
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -71,8 +79,15 @@ def upsert_sink(
     num_buckets: int = 64,
 ) -> DataStreamWriter:
     """``writeStream`` sink maintaining a keyed latest-state parquet
-    store at ``path`` (newest ``order_col`` per key wins; ties broken by
-    the remaining columns descending, so the merge is deterministic).
+    store at ``path``. Newest ``order_col`` per key wins; an
+    ``order_col`` tie goes to the most recently ingested row (each batch
+    stamps ``batch_id`` as an internal sequence column, so restating a
+    key with an unchanged ``order_col`` — e.g. re-aggregating a window
+    keyed by ``window_end`` — still replaces the stale value), and any
+    remaining equal-seq duplicates break by the value columns descending
+    so the merge stays deterministic. Batch/store schema drift is merged
+    with ``unionByName(allowMissingColumns=True)`` — new columns appear
+    null-filled in old rows rather than being silently dropped.
 
     Per micro-batch:
 
@@ -97,13 +112,24 @@ def upsert_sink(
         spark = batch.sparkSession
         b = batch.withColumn(
             _BUCKET, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
-        )
+        ).withColumn(_SEQ, F.lit(int(batch_id)).cast("long"))
         b = _latest_per_key(b, keys, order_col)
         touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
         try:
-            existing = spark.read.parquet(path).filter(F.col(_BUCKET).isin(touched))
+            # mergeSchema: after an evolution, untouched buckets still
+            # hold the old column set — the union of footers is the
+            # store schema, not whichever file is sampled first.
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(path)
+                .filter(F.col(_BUCKET).isin(touched))
+            )
+            if _SEQ not in existing.columns:  # store predates seq stamping
+                existing = existing.withColumn(_SEQ, F.lit(-1).cast("long"))
+            # Schema evolution: a column present on only one side is kept
+            # and null-filled on the other (never silently dropped).
             merged = _latest_per_key(
-                existing.unionByName(b.select(existing.columns)), keys, order_col
+                existing.unionByName(b, allowMissingColumns=True), keys, order_col
             )
         except AnalysisException:  # first batch: no store yet
             merged = b
@@ -121,5 +147,7 @@ def upsert_sink(
 
 def read_upsert_store(spark, path: str) -> DataFrame:
     """Read the latest-state store written by :func:`upsert_sink`
-    (drops the internal bucket column)."""
-    return spark.read.parquet(path).drop(_BUCKET)
+    (drops the internal bucket and ingest-sequence columns)."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path).drop(_BUCKET, _SEQ)
+    )

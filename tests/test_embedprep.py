@@ -47,3 +47,17 @@ def test_standardize_with_external_stats(spark):
     # train: dim0 mean 1 std sqrt(2); dim1 mean 20 std sqrt(200)
     assert z[0] == pytest.approx(0.0, abs=1e-12)
     assert z[1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_standardize_degenerate_dims_yield_zero_not_null(spark):
+    """A constant dimension (std=0) and a single-row corpus
+    (stddev_samp null) must produce z=0.0, never null/inf."""
+    df = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 3.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["vec_id"]: r["z"] for r in standardize_embeddings(df).collect()}
+    assert rows[0][0] == 0.0 and rows[1][0] == 0.0  # constant dim
+    assert rows[0][1] == pytest.approx(-1 / np.sqrt(2))
+    single = spark.createDataFrame([(0, [7.0])], ["vec_id", "embedding"])
+    z = standardize_embeddings(single).collect()[0]["z"]
+    assert z == [0.0]

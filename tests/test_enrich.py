@@ -108,3 +108,66 @@ def test_upsert_sink_replay_idempotent(spark, tmp_path):
             for r in read_upsert_store(spark, store).collect()
         )
         assert got == [(1, 2, "b"), (2, 1, "x")]
+
+
+def test_upsert_sink_order_tie_goes_to_newest_batch(spark, tmp_path):
+    """Restating a key with an UNCHANGED order_col (e.g. re-aggregating
+    a window keyed by window_end) must replace the stale value even when
+    the new value sorts lower — recency is the batch_id stamp, not the
+    value columns."""
+    src = str(tmp_path / "updates")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rows):
+        spark.createDataFrame(rows, ["k", "ts", "val"]).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("k long, ts long, val string").parquet(src)
+        q = (
+            upsert_sink(stream, store, keys=["k"], order_col="ts", num_buckets=2)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run([(1, 100, "zzz")])
+    run([(1, 100, "aaa")])  # same ts, lexically SMALLER value — must still win
+    got = {r["k"]: r["val"] for r in read_upsert_store(spark, store).collect()}
+    assert got == {1: "aaa"}
+
+
+def test_upsert_sink_schema_evolution_keeps_new_columns(spark, tmp_path):
+    """A batch with a column the store lacks must surface it (null in
+    old rows), not silently drop it."""
+    store = str(tmp_path / "store")
+
+    def run(df, schema, src, ckpt):
+        df.write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            upsert_sink(stream, store, keys=["k"], order_col="ts", num_buckets=2)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run(
+        spark.createDataFrame([(1, 100, "a")], ["k", "ts", "val"]),
+        "k long, ts long, val string",
+        str(tmp_path / "src1"),
+        str(tmp_path / "ckpt1"),
+    )
+    run(
+        spark.createDataFrame([(2, 100, "b", 7.5)], ["k", "ts", "val", "score"]),
+        "k long, ts long, val string, score double",
+        str(tmp_path / "src2"),
+        str(tmp_path / "ckpt2"),
+    )
+    got = {
+        r["k"]: (r["val"], r["score"])
+        for r in read_upsert_store(spark, store).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 7.5)}

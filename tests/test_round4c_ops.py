@@ -94,3 +94,25 @@ def test_rollup_state_merge_equals_full_recompute(spark, sf_dir):
 def test_merge_rollup_states_requires_input(spark):
     with pytest.raises(ValueError):
         merge_rollup_states([], ["k"])
+
+
+def test_finalized_frame_keeps_serving_as_state(spark, sf_dir):
+    # finalize_rollup must NOT round sum_v in place: a finalized frame
+    # fed back into merge_rollup_states has to stay bit-exact with the
+    # never-finalized state (no rounding drift across cycles).
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    cut = F.col("value") < 50.0
+    state_a = rollup_state(events.filter(cut), ["event_type"], "value")
+    state_b = rollup_state(events.filter(~cut), ["event_type"], "value")
+    finalized_a = finalize_rollup(state_a).drop("sum_v_rounded", "avg_v")
+    via_finalized = merge_rollup_states([finalized_a, state_b], ["event_type"])
+    direct = merge_rollup_states([state_a, state_b], ["event_type"])
+    m = {r["event_type"]: r for r in via_finalized.collect()}
+    d = {r["event_type"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["sum_v"] == d[k]["sum_v"]  # exact, not approx
+    out_cols = set(finalize_rollup(state_a).columns)
+    assert {"sum_v", "sum_v_rounded", "avg_v"} <= out_cols
