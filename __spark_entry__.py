@@ -96,6 +96,7 @@ SIMHASH_BITS = 32
 ANN_QUERIES = 10
 ANN_K = 10
 IVF_CENTROIDS = 8
+KMEANS_IVF_ITERS = 3
 EMBED_DIM = 64
 JACCARD_MIN = 0.2
 
@@ -1564,13 +1565,116 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_ivf_topk() -> str:
+    """Unrolled-CTE Lloyd iterations (the pagerank-oracle move applied
+    to k-means): deterministic init (k smallest ids), each iteration =
+    one 6-dp-rounded-cosine assignment + one per-component mean, then
+    the IVF search over the final centroids. Assignment decisions are
+    made on ROUNDED cosines on both engines, which is what makes the
+    iterative chain hash-stable despite FP sum-order differences."""
+
+    def cos(vec: str, cent: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * {cent}[i]))"
+        )
+        vn = (
+            f"sqrt(list_sum(list_transform({vec}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        cn = f"sqrt(list_sum(list_transform({cent}, x -> x * x)))"
+        return f"round({dot} / ({vn} * {cn}), 6)"
+
+    parts = [
+        f"""WITH expl AS (
+  SELECT vec_id, unnest(range(0, {EMBED_DIM})) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+)"""
+    ]
+    for i in range(1, KMEANS_IVF_ITERS + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT v.vec_id, c.cid, {cos("v.embedding", "c.centroid")} AS cos
+  FROM embeddings v CROSS JOIN c{i - 1} c
+),
+b{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT b.cid, e.pos, avg(e.x) AS m
+  FROM b{i} b JOIN expl e ON e.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+c{i} AS (SELECT cid, list(m ORDER BY pos) AS centroid FROM u{i} GROUP BY cid)"""
+        )
+    n = KMEANS_IVF_ITERS
+    parts.append(
+        f""",
+corpus_cell AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos("v.embedding", "c.centroid")} DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN c{n} c
+  ) WHERE rn = 1
+),
+query_cell AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos("v.embedding", "c.centroid")} DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN c{n} c
+    WHERE v.vec_id < {ANN_QUERIES}
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT qc.query_id, cc.vec_id,
+         {cos("q.embedding", "list_transform(v.embedding, x -> CAST(x AS DOUBLE))")} AS cosine
+  FROM query_cell qc
+  JOIN corpus_cell cc ON cc.cid = qc.cid
+  JOIN embeddings q ON q.vec_id = qc.query_id
+  JOIN embeddings v ON v.vec_id = cc.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+    )
+    return "".join(parts)
+
+
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-contained IVF: fit centroids with DataFrame k-means, then
-    search. Iterative fit -> rows-only check (no SQL oracle)."""
+    search. The fit is deterministic (smallest-id init, fixed iteration
+    count, assignment by 6-dp-ROUNDED cosine), so the Lloyd iterations
+    unroll into the oracle's CTE chain exactly like the pagerank power
+    iteration does — the rounded assignment is what keeps the chain
+    hash-stable across engines."""
     from hermes_spark.operators import kmeans_centroids
 
     emb = _read(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(emb, k=IVF_CENTROIDS, dim=64, max_iter=3)
+    centroids = kmeans_centroids(
+        emb, k=IVF_CENTROIDS, dim=64, max_iter=KMEANS_IVF_ITERS
+    )
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
     out = ivf_topk(emb, centroids, queries, k=ANN_K)
     return out.select(
@@ -2892,34 +2996,121 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k (m=4 subspaces, 8 centroids each;
-    codebooks trained in-query). Iterative k-means inside -> rows-only
-    driver check; recall is pinned vs exact search in
-    tests/test_quantize_entropy.py."""
-    from hermes_spark.operators import pq_encode, pq_topk, pq_train
+PQ_CODEBOOKS = [
+    (0, 0, [-0.095162, -0.005068, -0.05664, -0.037463, -0.006394, -0.035495, 0.008956, 0.052042, 0.019388, -0.048418, -0.017091, -0.031658, 0.111069, 0.075668, -0.05848, -0.013964]),
+    (0, 1, [-0.033834, 0.003019, -0.055123, -0.031817, -0.053851, -0.038103, 0.039297, 0.018264, -0.064325, -0.089142, 0.007766, -0.065529, -0.080863, -0.110351, 0.01613, 0.015183]),
+    (0, 2, [0.042984, -0.010661, 0.021855, 0.027348, -0.067301, 0.061136, -0.0192, 0.005311, -0.154748, -0.001961, 0.008266, 0.066535, 0.044826, -0.012158, 0.013796, -0.042993]),
+    (0, 3, [-0.03413, 0.057034, 0.013271, 0.044547, -0.006544, -0.068723, -0.000951, -0.118842, 0.060849, 0.033324, -0.028945, -0.017552, -0.076046, -0.03846, -0.094896, -0.074847]),
+    (0, 4, [0.013835, 0.010937, 0.064344, -0.003631, 0.038796, 0.016953, -0.05274, 0.097569, -0.004525, -0.004452, 0.0933, -0.00273, -0.088809, -0.002724, 0.034613, -0.015031]),
+    (0, 5, [-0.094268, 0.010031, 0.021946, 0.012001, 0.036197, 0.107964, 0.034905, -0.118267, -0.038974, -0.018955, -0.021115, -0.073384, -0.040376, 0.062897, 0.031427, 0.013796]),
+    (0, 6, [0.046159, -0.055552, -0.000624, -0.052927, 0.01621, -0.080275, 0.019466, -0.034591, 0.003549, 0.151688, -0.031618, 0.029098, 0.022651, 0.034129, -0.016749, 0.05478]),
+    (0, 7, [0.091895, -0.010273, -0.006042, 0.101451, 0.019616, 0.010628, -0.007258, -0.033446, 0.079626, -0.046404, 0.01917, 0.002324, 0.080089, 0.02034, 0.081451, 0.029952]),
+    (1, 0, [0.070468, -0.021244, 0.025926, 0.070985, -0.003877, -0.049995, 0.072786, 0.02956, -0.010103, 0.034019, 0.007199, -0.001644, -0.022146, 0.104033, -0.113938, -0.01652]),
+    (1, 1, [0.042648, -0.025728, -0.060343, -0.019951, -0.023293, 0.036579, 0.024979, -0.136564, 0.027071, 0.055521, -0.107853, -0.011977, -0.010599, -0.019038, -0.052674, -0.023099]),
+    (1, 2, [0.002585, 0.095085, -0.070444, -0.034279, -0.003445, -0.019698, 0.020631, 0.113219, -0.049046, 0.028553, -0.045894, 0.059976, 0.022988, -0.010628, 0.067575, 0.086366]),
+    (1, 3, [-0.055021, 0.055915, 0.054556, 0.002482, 0.034632, -0.091884, -0.078422, -0.084947, 0.000785, -0.078311, 0.010362, -0.050215, 0.005593, 0.007496, 0.03127, 0.012221]),
+    (1, 4, [-0.026206, -0.082064, -0.072305, -0.014044, -0.105141, -0.005635, 0.016145, 0.02372, 0.057531, -0.123479, 0.013624, 0.029185, 0.01818, -0.065296, -0.011618, -0.044575]),
+    (1, 5, [-0.089954, 0.032988, 0.039483, 0.004646, 0.025949, -0.003441, 0.000385, 0.046994, -0.049341, 0.055942, 0.026053, -0.021219, -0.009952, -0.084113, -0.011759, -0.106439]),
+    (1, 6, [0.007633, -0.009209, 0.022823, 0.019036, 0.056502, 0.11544, -0.023499, -0.020076, 0.037148, -0.004016, 0.065185, -0.014686, -0.028219, 0.055932, -0.019436, 0.124165]),
+    (1, 7, [0.070064, -0.068869, 0.063585, -0.101792, -0.032776, 0.034777, -0.01321, -0.007424, -0.054754, -0.015667, 0.086094, 0.006343, -0.017093, -0.004724, 0.079247, 0.026941]),
+    (2, 0, [0.010303, -0.021304, 0.005956, 0.149237, 0.03951, -0.067295, -0.015717, 0.051785, -0.016991, -0.046919, 0.007305, -0.070719, -0.003185, -0.014283, 0.06344, 0.000212]),
+    (2, 1, [0.051473, 0.073094, -0.043113, -0.040209, -0.054372, -0.077569, -0.021765, -0.020325, -0.024696, -0.073875, 0.001522, -0.044614, -0.077878, -0.06416, -0.030788, 0.084838]),
+    (2, 2, [0.010405, -0.022064, -0.085636, 0.022851, 0.025828, 0.04888, 0.030894, -0.062639, 0.087968, 0.097937, -0.008751, -0.022417, -0.003569, -0.04808, -0.065695, 0.003359]),
+    (2, 3, [-0.059627, -0.00856, 0.060765, -0.096236, -0.03825, -0.018965, 0.061173, 0.009854, -0.032893, -0.044815, 0.02727, -0.060778, 0.008446, -0.018106, 0.016636, -0.110335]),
+    (2, 4, [-0.030669, 0.032397, -0.014575, 0.019862, -0.027852, 0.03763, -0.106693, 0.010863, 0.021273, -0.049626, 0.033415, 0.052264, -0.053847, 0.028769, -0.082094, -0.097159]),
+    (2, 5, [-0.022082, 0.004585, 0.035429, -0.077593, 0.088007, 0.033503, 0.038638, 0.078934, 0.071992, -0.071354, 0.009456, 0.117093, -0.020884, -0.014379, 0.046965, 0.057047]),
+    (2, 6, [0.103144, -0.002819, 0.022039, -0.012164, -0.014251, 0.032961, -0.072252, 0.007304, -0.028667, 0.014475, -0.063677, 0.083439, 0.11643, 0.004613, 0.035679, -0.003808]),
+    (2, 7, [-0.061604, -0.009715, 0.003861, 0.015867, -0.026445, 0.042401, 0.01562, -0.005951, -0.129922, 0.141941, 0.022948, 0.009982, -0.012118, 0.051811, 0.006415, 0.059535]),
+    (3, 0, [0.012165, 0.043744, -0.003415, 0.076898, -0.007415, -0.024795, 0.077368, 0.051426, -0.03799, 0.032463, -0.061845, 0.071196, -0.033953, 0.001865, -0.093228, 0.05494]),
+    (3, 1, [0.039789, 0.065436, 0.017099, -0.013374, -0.022893, 0.108049, -0.047359, -0.11835, -0.014462, 0.019824, 0.027999, 0.067401, -0.059951, -0.026209, -0.004938, -0.051309]),
+    (3, 2, [-0.007295, -0.062097, 0.034746, 0.017351, 0.028183, -0.002563, -0.055308, 0.074164, 0.018641, 0.114164, -0.075056, -0.00339, 0.040198, -0.058755, 0.035504, -0.068581]),
+    (3, 3, [-0.052562, 0.095265, 0.04871, 0.001116, 0.005027, -0.069262, 0.004148, 0.027135, -0.034884, -0.09366, 0.023336, -0.013407, 0.044343, -0.095162, 0.055751, 0.042837]),
+    (3, 4, [-0.067533, 0.016188, -0.03906, -0.097139, 0.030955, 0.015388, -0.025835, 0.015937, -0.003419, -0.03267, -0.040805, 0.007273, 0.009962, 0.110647, -0.081843, -0.0531]),
+    (3, 5, [0.019005, -0.094917, 0.064639, -0.007726, -0.083455, 0.03986, 0.042156, -0.009791, 0.029714, 0.04433, 0.056013, -0.016816, 0.020547, 0.032111, -0.0401, 0.095848]),
+    (3, 6, [0.047757, -0.046478, -0.030632, -0.016019, 0.09559, -0.029745, 0.015193, -0.077503, 0.050939, 0.018407, 0.083451, -0.051288, -0.01442, 0.025096, 0.06683, -0.025004]),
+    (3, 7, [0.036954, -0.015997, -0.114461, 0.018469, -0.011921, 0.028834, 0.056632, 0.032867, 0.035753, -0.094393, -0.071332, -0.066116, -0.032204, 0.010405, 0.068668, -0.010811]),
+]
 
-    emb = _read(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with PRE-TRAINED codebooks (m=4
+    subspaces x 8 centroids each, trained once offline on the sf0.001
+    sample via pq_train and inlined as 6-dp-rounded literals — the
+    production pattern: fit codebooks on a deterministic sample, then
+    encode + search the full corpus). With training split out, encoding
+    (nearest-centroid code per subspace) and LUT search (per-query
+    partial inner products summed over subspaces) are pure deterministic
+    arithmetic, so the DuckDB oracle replays the exact pipeline; the
+    k-means *fit* itself stays covered by the NumPy recall test in
+    tests/test_quantize_entropy.py."""
+    from hermes_spark.operators import pq_encode, pq_topk
+
+    books = spark.createDataFrame(
+        PQ_CODEBOOKS, "subspace int, code int, centroid array<double>"
     )
-    unit = emb.select(
+    emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
             "embedding"
         ),
     )
-    books = pq_train(unit, m=4, k=8, dim=EMBED_DIM, max_iter=3)
-    codes = pq_encode(unit, books, m=4, dim=EMBED_DIM)
-    queries = unit.filter(F.col("vec_id") < ANN_QUERIES)
+    codes = pq_encode(emb, books, m=4, dim=EMBED_DIM)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
     out = pq_topk(codes, books, queries, k=ANN_K, m=4, dim=EMBED_DIM)
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _sql_pq_topk() -> str:
+    d_sub = EMBED_DIM // 4
+    cb_rows = ",\n    ".join(
+        f"({s}, {c}, {cent!r})" for s, c, cent in PQ_CODEBOOKS
+    )
+    def sq_diff():
+        t = f"(CAST(e.embedding[cb.subspace*{d_sub} + i] AS DOUBLE) - cb.centroid[i])"
+        return f"{t} * {t}"
+    return f"""
+WITH cb AS (
+  SELECT * FROM (VALUES
+    {cb_rows}
+  ) t(subspace, code, centroid)
+),
+sub AS (
+  SELECT e.vec_id, cb.subspace, cb.code,
+         list_sum(list_transform(range(1, {d_sub + 1}), i -> {sq_diff()})) AS d2
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2 ASC, code ASC) AS rn
+  FROM sub
+),
+codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {ANN_QUERIES}),
+lut AS (
+  SELECT q.query_id, cb.subspace, cb.code,
+         list_sum(list_transform(range(1, {d_sub + 1}), i ->
+           CAST(q.embedding[cb.subspace*{d_sub} + i] AS DOUBLE) * cb.centroid[i]
+         )) AS partial
+  FROM q CROSS JOIN cb
+),
+scored AS (
+  SELECT l.query_id, c.vec_id, round(sum(l.partial), 6) AS score
+  FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3067,10 +3258,94 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_mmr_select() -> str:
+    """Greedy MMR unrolled as a fixed-k CTE chain. Works because every
+    quantity the selection compares is 6-dp-quantized on both engines:
+    rel is the rounded pool cosine, the pairwise penalty sims are
+    rounded before the running max, and score = lam*rel -
+    (1-lam)*max_sim is then bit-identical IEEE arithmetic on identical
+    rounded inputs — so the greedy trace replays exactly."""
+    lam = MMR_LAMBDA
+    one_minus = 1.0 - MMR_LAMBDA  # NOT 0.3: mirror Python's FP value
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+            f"{a}[i] * {b}[i]))"
+        )
+        na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+        return f"round({dot} / ({na} * {nb}), 6)"
+
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {cos("q.e", "c.e")} AS rel
+  FROM v q CROSS JOIN v c WHERE q.vec_id < {MMR_QUERIES}
+),
+rem0 AS (
+  SELECT query_id, vec_id, rel, 0.0::DOUBLE AS max_sim FROM (
+    SELECT query_id, vec_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_POOL}
+)"""
+    ]
+    for j in range(1, MMR_K + 1):
+        upd = (
+            "ps"
+            if j == 1
+            else "greatest(r.max_sim, ps)"  # first pick REPLACES the zeros
+        )
+        parts.append(
+            f""",
+s{j} AS (
+  SELECT query_id, vec_id, rel, score FROM (
+    SELECT query_id, vec_id, rel,
+           {lam!r} * rel - {one_minus!r} * max_sim AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam!r} * rel - {one_minus!r} * max_sim DESC,
+                                       vec_id ASC) AS rn
+    FROM rem{j - 1}
+  ) WHERE rn = 1
+),
+rem{j} AS (
+  SELECT r.query_id, r.vec_id, r.rel,
+         CASE WHEN TRUE THEN {upd} END AS max_sim
+  FROM (
+    SELECT r.query_id, r.vec_id, r.rel, r.max_sim,
+           {cos("a.e", "b.e")} AS ps
+    FROM rem{j - 1} r
+    JOIN s{j} s ON s.query_id = r.query_id AND s.vec_id <> r.vec_id
+    JOIN v a ON a.vec_id = r.vec_id
+    JOIN v b ON b.vec_id = s.vec_id
+  ) r
+)"""
+        )
+    selects = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, vec_id, round(rel, 6) AS relevance, "
+        f"round(score, 6) AS mmr_score, {j}::BIGINT AS mmr_rank FROM s{j}"
+        for j in range(1, MMR_K + 1)
+    )
+    parts.append(f"""
+SELECT * FROM (
+  {selects}
+)
+""")
+    return "".join(parts)
+
+
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k per query via greedy MMR over an exact top-50
-    candidate pool (iterative-greedy -> rows-only driver check; the
-    NumPy reference lives in tests/test_mmr.py)."""
+    candidate pool. The greedy trace compares only 6-dp-quantized
+    scores, so the fixed-k loop unrolls into the _sql_mmr_select CTE
+    chain (hash-matched oracle); the NumPy reference lives in
+    tests/test_curation_r4b.py."""
     from hermes_spark.operators import mmr_select
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -4268,28 +4543,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_compare_diff(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness harness oracle-checks the
-    # FIRST 50 entries of this dict.  Round-4 window (tools/rotate_window.py):
-    # the 14 round-4c queries (pagerank / degrees / EWMA / PMI / SCD2
-    # lookup / incremental rollup / data quality / IVF rescore / event
-    # transitions / grouping sets / length deciles / embedding profile +
-    # whitening / lang confusion — never verified by definition) lead,
-    # then
-    # the 8 queries with no driver CORRECTNESS row yet, then the 8
-    # NEW round-4 queries (entropy/link/rebalance/sq8), then the 8 NEW
-    # round-4b queries (ngram mining / quality classifier / random
-    # projection / DSIR / MMR / temperature mix / semantic decontam —
-    # never verified by definition), then the 3
-    # whose implementation changed this round (funnel fold rewrite,
-    # cohort window+floor, split boundary arithmetic), then
-    # stale-but-stable entries in rotation order.  Everything below the
-    # fold has a green driver row from r1-r3 and unchanged code (the
-    # fourteen entries displaced to make room — except_all,
-    # compare_metrics_nokeys, compare_cherry_pick,
-    # near_dup_components_star, q6, topk_orders_per_customer, text_stats,
-    # text_hash_buckets, blocking_pairs, ann_cosine_topk, ann_cosine_topk_vec, ivf_assign,
-    # embedding_near_dup, ivf_topk — are green in r1, most in r2 too).
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness harness oracle-checks
+    # the FIRST 50 entries of queries().  The authoritative window order
+    # lives in _WINDOW_ORDER below (applied by queries()); this dict's
+    # own order no longer matters.  Regenerate _WINDOW_ORDER each round
+    # with tools/rotate_window.py after the driver drops the new
+    # CORRECTNESS file.
     return {
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
@@ -4311,7 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "events_distinct_users": q_events_distinct_users,
         # -- never driver-verified (local hash-match via
-        #    tools/check_oracles.py; kmeans_ivf_topk is rows-only by nature)
+        #    tools/check_oracles.py)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
         "events_value_histogram": q_events_value_histogram,
         "events_winsorized": q_events_winsorized,
@@ -4330,7 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivf_sq8_topk": q_ivf_sq8_topk,
         # -- new this round, second batch (ngram mining / classifier /
-        #    projection / DSIR / MMR; mmr_select is rows-only by nature)
+        #    projection / DSIR / MMR)
         "topk_ngrams": q_topk_ngrams,
         "ngram_novelty": q_ngram_novelty,
         "quality_classifier": q_quality_classifier,
@@ -4429,6 +4689,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Round-5 oracle window (output of tools/rotate_window.py with
+# CORRECTNESS_r01..r04 present): the 3 queries needing their FIRST green
+# driver row lead — mmr_select / pq_topk / kmeans_ivf_topk were
+# oracle-paired this round (unrolled-CTE + literal-codebook oracles) —
+# then the stalest-verified entries (last green r1/r2), freshest last.
+_WINDOW_ORDER = [
+    "mmr_select", "pq_topk", "kmeans_ivf_topk",
+    "minhash_lsh_pairs", "dedup_duplicate_keys", "except_distinct",
+    "key_hash_md5", "sort_aligned_projection", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
+    "q18_large_orders", "q14_promo_share", "customer_running_totals",
+    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "lang_id", "tfidf_topk_terms", "unigram_logprob", "vocab_top_terms",
+    "bigram_logprob", "text_hash_buckets", "blocking_pairs", "text_stats",
+    "ann_cosine_topk", "ann_cosine_topk_vec", "ivf_assign",
+    "embedding_near_dup", "ivf_topk", "flatten_nested",
+    "near_dup_components", "except_all", "compare_metrics_nokeys",
+    "compare_cherry_pick", "near_dup_components_star",
+    "q6_forecast_revenue", "topk_orders_per_customer",
+    "docs_quality_filter", "curation_pipeline", "simhash_near_dups",
+    "events_hourly_rollup", "events_json_extract", "sessionize_events",
+    "windowed_rollup", "events_sliding_rollup", "events_cube",
+    "events_pivot", "user_session_stats",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    missing = [n for n in _WINDOW_ORDER if n not in q]
+    if missing:
+        raise KeyError(f"_WINDOW_ORDER names unknown queries: {missing}")
+    ordered = {n: q[n] for n in _WINDOW_ORDER}
+    ordered.update((n, f) for n, f in q.items() if n not in ordered)
+    return ordered
+
+
 def oracle_sql() -> dict[str, str]:
     orders_cols = ", ".join(ORDERS_COLS)
     return {
@@ -4502,6 +4798,9 @@ FROM events GROUP BY 1
         "rebalance_mix": _sql_rebalance_mix(),
         "sq8_quantize": _sql_sq8_quantize(),
         "sq8_topk": _sql_sq8_topk(),
+        "pq_topk": _sql_pq_topk(),
+        "kmeans_ivf_topk": _sql_kmeans_ivf_topk(),
+        "mmr_select": _sql_mmr_select(),
         "ivf_sq8_topk": _sql_ivf_sq8_topk(),
         "topk_ngrams": _sql_topk_ngrams(),
         "ngram_novelty": _sql_ngram_novelty(),
@@ -4531,8 +4830,6 @@ FROM events GROUP BY 1
         "weighted_sample_docs": _sql_weighted_sample(),
         "events_mad_outliers": _sql_events_mad_outliers(),
         "events_distinct_users": _SQL_EVENTS_DISTINCT_USERS,
-        # mmr_select: greedy-iterative -> no SQL oracle (rows-only);
-        # NumPy reference in tests/test_mmr.py
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
         "unigram_logprob": _sql_unigram_logprob(),

@@ -28,9 +28,13 @@ Scale design (100 TB corpus, many queries):
 * Every query group is independent → embarrassingly parallel across
   executors; the corpus itself is touched only by the candidate
   generator, which is the already-plan-audited top-k operator.
-* Iterative-greedy output is not SQL-expressible; correctness is
-  guarded by a NumPy reference implementation in the test suite
-  (``tests/test_curation_r4b.py``) and a rows-only driver check.
+* The greedy trace IS oracle-checkable: relevance and the
+  candidate-candidate similarities are both quantized to 6 dp, so
+  every score the selection compares is a bit-identical double on any
+  engine, and the fixed-k loop unrolls into a plain CTE chain (see
+  ``_sql_mmr_select`` in ``__spark_entry__.py``). A NumPy reference
+  implementation (``tests/test_curation_r4b.py``) guards the
+  semantics independently.
 """
 
 from __future__ import annotations
@@ -81,7 +85,11 @@ def _greedy_mmr(qids, vids, rel, vecs, k: int, lam: float):
                 rank,
             )
         )
-        sims = unit @ unit[best]
+        # candidate-candidate similarities are quantized to 6 dp — the
+        # same quantization the relevance scores already carry — so the
+        # greedy trace is engine-reproducible (the SQL oracle replays
+        # the identical arithmetic on identical rounded inputs)
+        sims = np.round(unit @ unit[best], 6)
         if selected:
             max_sim = np.maximum(max_sim, sims)
         else:

@@ -328,8 +328,11 @@ def kmeans_centroids(
     groupBy whose per-component ``avg`` aggregates are all computed in
     a single shuffle (the map side emits k partial sums, not k x dim
     rows). Empty clusters drop out (standard Lloyd's on sparse data).
-    Iterative and order-sensitive, hence no SQL oracle — covered by
-    convergence/recall tests instead.
+    Deterministic end to end — init, iteration count, and the ROUNDED
+    assignment cosine make the Lloyd chain reproducible on any engine,
+    so it unrolls into a CTE-chain SQL oracle (``_sql_kmeans_ivf_topk``
+    in ``__spark_entry__.py``) exactly like the pagerank power
+    iteration; convergence/recall tests guard the semantics.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])

@@ -229,7 +229,7 @@ def _mmr_reference(unit, rel, vids, k, lam):
         )
         best = order[0]
         out.append((vids[best], rank))
-        sims = unit @ unit[best]
+        sims = np.round(unit @ unit[best], 6)  # 6-dp quantized, as documented
         max_sim = np.maximum(max_sim, sims) if selected else sims
         selected.append(best)
     return out
