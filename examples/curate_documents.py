@@ -52,9 +52,22 @@ from hermes_spark.operators.passages import decontaminate
 from hermes_spark.operators.sampling import split_assign
 
 
-def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def curate(
+    spark: SparkSession, sf_dir: str, out_dir: str, funnel: dict | None = None
+) -> None:
+    """Run the full curation flow; pass a dict as ``funnel`` to record
+    the per-stage row counts (each count is an extra action, so leave
+    it None outside of probes/benchmarks)."""
+
+    def track(stage: str, df):
+        if funnel is not None:
+            funnel[stage] = df.count()
+        return df
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+    if funnel is not None:
+        funnel["input"] = n0
 
     # -1. fail fast on broken input: one-scan data-quality gate before
     # spending any compute on curation
@@ -161,13 +174,15 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # A production pipeline would write the gated corpus to storage
     # here; localCheckpoint is the in-process equivalent — it truncates
     # lineage so each phase is planned against a flat scan.
-    gated = gated.localCheckpoint()
+    gated = track("gated", gated.localCheckpoint())
 
     # 3. scrub remaining PII spans
     scrubbed = gated.withColumn("text", scrub_pii(F.col("text")))
 
     # 4. exact dedup (normalized-text fingerprint, keep min id)
-    exact = exact_dedup(scrubbed, "doc_id", text_col="text").drop("dup_count")
+    exact = track(
+        "exact_dedup", exact_dedup(scrubbed, "doc_id", text_col="text").drop("dup_count")
+    )
 
     # 5. fuzzy dedup: minhash candidates -> components -> keep one
     pairs = minhash_lsh_pairs(
@@ -176,7 +191,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     deduped = fuzzy_dedup_keep_one(exact, "doc_id", pairs)
 
     # --- stage boundary (same rationale as above) -----------------------
-    deduped = deduped.localCheckpoint()
+    deduped = track("fuzzy_dedup", deduped.localCheckpoint())
 
     # 5b. phrase-novelty gate: drop documents re-assembled almost
     # entirely from phrases the corpus already contains (template spam
@@ -193,9 +208,13 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     # so the output mix tracks the target as the corpus evolves
     # (temperature_mix(deduped, "doc_id", "lang", temperature=2.0)
     #  derives the targets from the data instead — same filter shape)
-    final = rebalance_mix(
-        deduped, "doc_id", "lang",
-        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+    deduped = track("novelty_gate", deduped)
+    final = track(
+        "rebalance",
+        rebalance_mix(
+            deduped, "doc_id", "lang",
+            {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+        ),
     )
 
     # 7. benchmark decontamination: drop anything sharing an 8-gram
@@ -205,7 +224,9 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
     flags = decontaminate(final, bench, "doc_id", "text", n=8)
     clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
-    final = final.join(clean_ids, on="doc_id", how="left_semi")
+    final = track(
+        "decontaminated", final.join(clean_ids, on="doc_id", how="left_semi")
+    )
 
     # 8. deterministic 90/5/5 split, then pack the train split into
     # fixed-budget training sequences
@@ -213,6 +234,8 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     train = final.filter(F.col("split") == "train")
     packed = pack_sequences(train, "doc_id", token_count_col="n_tokens", budget=2048)
     n_seqs = packed.select("shard", "seq_in_shard").distinct().count()
+    if funnel is not None:
+        funnel["train_packed_seqs"] = n_seqs
 
     # shard-partitioned output with bounded file sizes + row-count
     # manifest (what a training loader actually consumes)

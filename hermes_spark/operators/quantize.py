@@ -129,7 +129,8 @@ def sq8_topk(
     Returns ``(query_id, vec_id, score, rank)`` where ``score`` is the
     cosine between the float query and the dequantized corpus vector.
     The corpus-side input to the ranking stage is the 4x-smaller code
-    column; queries are broadcast; one per-query window ranks. At scale
+    column; queries are broadcast; ranking goes through
+    ``topk_per_query`` (partition-pruned via WindowGroupLimit). At scale
     you would persist :func:`sq8_quantize`'s output once and run every
     search against it — the stats row is the only full-corpus pass.
     """
@@ -179,12 +180,11 @@ def sq8_topk(
         "vec_id",
         F.round(dot / (qnorm * dnorm), 6).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return ranked.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    # Catalyst's partial WindowGroupLimit prunes each input partition
+    # to top-k before the exchange (see topk_per_query's docstring)
+    from .similarity import topk_per_query
+
+    return topk_per_query(ranked, "score", k)
 
 
 # ---------------------------------------------------------------------------

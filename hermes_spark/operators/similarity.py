@@ -50,6 +50,35 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(
+    scored: DataFrame,
+    score_col: str,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query top-k: rank by ``(score desc, id asc)``, keep ``rank
+    <= k``.
+
+    Scale note: this LOOKS like the O(|corpus| * |q|)-through-one-task
+    window cliff, but Catalyst rewrites the ``row_number() <= k``
+    pattern into a pair of ``WindowGroupLimit`` nodes — a PARTIAL one
+    that prunes every input partition to its own top-k BEFORE the
+    exchange (so the shuffle carries k * partitions * |q| rows, never
+    the full scored set) and a FINAL one after it. The plan test
+    ``test_brute_topk_prunes_before_exchange`` pins that shape; keep
+    the ``row_number().over(...)`` + ``filter`` idiom exactly, or the
+    optimizer stops firing and the cliff comes back.
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,13 +103,7 @@ def brute_force_cosine_topk(
         "vec_id",
         F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, "cosine", k)
 
 
 def brute_force_cosine_topk_pandas(

@@ -301,3 +301,37 @@ def test_standardize_broadcasts_stats_no_vector_shuffle(spark, sf_dir):
     assert any("BroadcastNestedLoopJoin" in op or "BroadcastExchange" in op for op in ops)
     # the only exchange is the dim-stats aggregation, not the vectors
     assert count_exchanges(df) <= 2, ops
+
+
+def _window_prune_shape_ok(df):
+    """True when the rank<=k window runs with a PARTIAL WindowGroupLimit
+    below its exchange: each input partition is pruned to its own top-k
+    map-side, so the shuffle carries k * partitions * |q| rows, never
+    |corpus| * |q| through one task per query."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchanges = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    # toString prints the tree top-down, so "map side of the window
+    # shuffle" = a Partial group-limit on a LATER line than an exchange
+    return any(p > e for p in partial for e in exchanges)
+
+
+def test_brute_topk_prunes_before_exchange(spark, sf_dir):
+    """Catalyst must rewrite the brute searchers' row_number()<=k into
+    Partial+Final WindowGroupLimit (the map-side top-k prune). If this
+    fails, the operator drifted off the idiom the optimizer recognizes
+    and the per-query single-task cliff is back — fix the operator, not
+    the test."""
+    from hermes_spark.operators import brute_force_cosine_topk, sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    for df in (
+        brute_force_cosine_topk(emb, queries, k=5),
+        sq8_topk(emb, queries, k=5, dim=64),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+        assert _window_prune_shape_ok(df), plan

@@ -255,6 +255,104 @@ def main() -> int:
         return spark.read.parquet(store).count()
 
     probe("upsert_sink_1M_updates_plus_100k_batch", _upsert)
+
+    # ---- ANN recall@10 at ~1M vectors: ivf_sq8_rescore vs exact ---------
+    # Fully synthetic hash-derived vectors (uniform [-1, 1] per
+    # component): exploded near-duplicate copies would sit in their
+    # query's own cell and report a vacuous recall of 1.0; a genuinely
+    # spread corpus is what exercises the cell-boundary recall loss
+    # that nprobe exists to recover.
+    from hermes_spark.operators.quantize import ivf_sq8_rescore_topk, sq8_stats
+    from hermes_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        kmeans_centroids,
+    )
+
+    nvec_target = 100_000 * factor  # factor 10 -> 1M vectors
+    bigvec = (
+        spark.range(nvec_target)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.pmod(
+                    F.xxhash64(F.col("id"), i), F.lit(100_000)
+                ).cast("double")
+                / 50_000.0
+                - 1.0,
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    nvec = bigvec.count()
+    print(json.dumps({"probe": "rows_ann_corpus", "rows": nvec, "wall": 0.0}), flush=True)
+    qs = bigvec.filter(F.col("vec_id") < 10)
+    # index build once: centroids from a deterministic ~20k sample + stats
+    t0 = time.time()
+    sample = bigvec.filter(F.col("vec_id") % 50 == 0)
+    cents = kmeans_centroids(sample, k=64, dim=64, max_iter=3).localCheckpoint()
+    stats = sq8_stats(bigvec, "embedding", 64).localCheckpoint()
+    print(json.dumps({"probe": f"ivf_index_build_{nvec}vecs_64cells",
+                      "rows": 64, "wall": round(time.time() - t0, 1)}), flush=True)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(bigvec, qs, k=10).collect()
+    }
+    nq = len({q for q, _ in exact})
+    for nprobe in (1, 4, 8):
+        t0 = time.time()
+        got = ivf_sq8_rescore_topk(
+            bigvec, cents, qs, k=10, shortlist=50, nprobe=nprobe, stats=stats
+        ).collect()
+        hits = sum((r["query_id"], r["vec_id"]) in exact for r in got)
+        print(json.dumps({
+            "probe": f"ivf_sq8_rescore_recall@10_nprobe{nprobe}_{nvec}vecs",
+            "rows": len(got),
+            "recall": round(hits / (10 * nq), 3),
+            "wall": round(time.time() - t0, 1),
+        }), flush=True)
+
+    # ---- composed curation pipeline at ~500k docs -----------------------
+    # The operators are individually proven; this runs the WHOLE
+    # examples/curate_documents.py flow (expectations gate -> strip ->
+    # gates -> dedup -> novelty -> mix -> decontaminate -> split ->
+    # pack -> shard writer) as one job and records the stage funnel.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    from curate_documents import curate
+
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="scale_curate_")
+    try:
+        doc_factor = factor  # sf0.1 has ~50k docs -> ~500k
+        big_docs = (
+            docs.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(doc_factor - 1))).alias("__c")
+            )
+            .withColumn("doc_id", F.col("doc_id") * doc_factor + F.col("__c"))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.col("text"), F.lit(" variant"), F.col("__c").cast("string")
+                ),
+            )
+            .drop("__c")
+        )
+        big_docs.write.mode("overwrite").parquet(f"{work}/src/documents.parquet")
+        funnel: dict = {}
+        t0 = time.time()
+        curate(spark, f"{work}/src", f"{work}/out", funnel=funnel)
+        print(json.dumps({
+            "probe": f"curation_pipeline_{funnel.get('input', -1)}docs",
+            "rows": funnel.get("input", -1),
+            "funnel": funnel,
+            "wall": round(time.time() - t0, 1),
+        }), flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     spark.stop()
     return 0
 
