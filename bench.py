@@ -133,6 +133,9 @@ BENCH_QUERIES = {
     "ivf_rescore_topk": lambda s, d: _materialize(entry.q_ivf_rescore_topk(s, d)),
     "event_transitions": lambda s, d: _materialize(entry.q_event_transitions(s, d)),
     "embedding_standardize": lambda s, d: _materialize(entry.q_embedding_standardize(s, d)),
+    "jaccard_pairs_exact": lambda s, d: _materialize(entry.q_jaccard_pairs_exact(s, d)),
+    "oov_rate_docs": lambda s, d: _materialize(entry.q_oov_rate_docs(s, d)),
+    "events_collapsed_runs": lambda s, d: _materialize(entry.q_events_collapsed_runs(s, d)),
 }
 
 
@@ -209,18 +212,23 @@ def main() -> None:
     # retains the total and every per-query median (the r4 driver artifact
     # lost both because `raw` was the last — and largest — key in the line).
     print(json.dumps({"raw": raw}), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": reps,
-            }
-        )
+    # Key order is deliberate: queries first, headline totals LAST, so a
+    # tail-truncated capture still ends with the metric/value pair.
+    line = json.dumps(
+        {
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "reps": reps,
+            "unit": "sec",
+            "metric": "bench_total_wall",
+            "value": total,
+        }
     )
+    if len(line) > 1900:  # the driver keeps a 2000-char stdout tail
+        print(f"WARNING: bench summary line {len(line)} chars — trim "
+              f"BENCH_QUERIES or it will truncate in the driver capture",
+              file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -334,3 +334,111 @@ def weighted_sample(
         .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The per-source contribution cap of a crawl pipeline: one spammy
+    domain must not dominate the corpus, so each group keeps ``cap``
+    rows picked by hash order — reproducible across runs, engines and
+    repartitions (same posture as :func:`deterministic_sample`), and
+    unbiased w.r.t. any upstream ordering.
+
+    Scale: the ``row_number() <= cap`` idiom compiles to a pair of
+    WindowGroupLimit nodes — every input partition is pruned to its own
+    top-``cap`` per group BEFORE the exchange, so a 10M-doc spam domain
+    ships ``cap * partitions`` rows, not 10M, through the shuffle.
+    ``keep_rank=True`` exposes the rank as ``cap_rank``.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    order_key = _bucket(F.col(key_col), salt)
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        order_key.asc(), F.col(key_col).asc()
+    )
+    out = df.withColumn("cap_rank", F.row_number().over(w)).filter(
+        F.col("cap_rank") <= cap
+    )
+    return out if keep_rank else out.drop("cap_rank")
+
+
+def percentile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+    key_col: str,
+    keep_score_rank: bool = False,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` fraction of each group by score.
+
+    The per-stratum quality gate ("top 30% quality per source"): a
+    global score cutoff lets one high-quality source crowd out the
+    rest, while a per-group percentile keeps the corpus mix. Rows rank
+    by ``(score desc, key asc)`` inside their group and survive when
+    ``percent_rank <= keep_frac`` — percent_rank (rank-1)/(n-1) is
+    rounded to 6 dp before the comparison so the verdict is
+    engine-reproducible. Groups with one row always survive
+    (percent_rank 0). One keyed shuffle, no global pass.
+    """
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(group_col)).orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    out = df.withColumn(
+        "score_pct", F.round(F.percent_rank().over(w), 6)
+    ).filter(F.col("score_pct") <= keep_frac)
+    return out if keep_score_rank else out.drop("score_pct")
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    salt: str = "order",
+) -> DataFrame:
+    """Deterministic global training order without a global sort.
+
+    Assigns each row ``(shard, pos_in_shard)``: the epoch order is
+    "shard 0 positions ascending, then shard 1, ...". Both coordinates
+    derive from portable hashes of the key, so the order is (a) as good
+    as a random shuffle w.r.t. any upstream clustering (hash-scattered),
+    (b) identical on every engine/run/partitioning, and (c) computed
+    with ONE keyed shuffle into ``num_shards`` groups and a per-shard
+    window — never a single-partition global ``row_number`` (the cliff a
+    naive "shuffle then number" hits at 100 TB; shards are also exactly
+    the write-granularity a loader consumes, see
+    ``sources.io.write_training_shards``).
+
+    Ties in the position hash break by the key itself, so duplicate
+    hash values cannot make the order ambiguous.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    shard = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:shard:"), key)),
+        F.lit(num_shards),
+    )
+    pos_hash = portable_hash64(F.concat(F.lit(f"{salt}:pos:"), key))
+    out = df.withColumn("shard", shard.cast("long")).withColumn("__ph", pos_hash)
+    w = Window.partitionBy("shard").orderBy(F.col("__ph").asc(), F.col(key_col).asc())
+    return (
+        out.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("__ph")
+    )

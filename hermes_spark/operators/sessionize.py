@@ -54,3 +54,62 @@ def sessionize(
         .drop("session_idx")
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def collapse_runs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    value_col: str = "event_type",
+    count_runs: bool = True,
+) -> DataFrame:
+    """Run-length collapse: within each key's ordered event stream, keep
+    only the FIRST event of every run of consecutive equal values.
+
+    The event-stream de-noising step (double-clicks, repeated sensor
+    readings, retry storms): unlike a keyed ``dropDuplicates`` this
+    preserves re-occurrences that are separated by something else —
+    A A B A collapses to A B A, not A B.
+
+    ``order_cols`` must be a deterministic total order per key (pass a
+    unique id as the tiebreak — equal timestamps otherwise make run
+    boundaries engine-dependent). ``count_runs=True`` appends
+    ``run_length`` (how many rows the kept event absorbed).
+
+    Scale: one shuffle on ``key_col``; the lag, the boundary flag, and
+    (for run lengths) the running count all reuse that single window
+    partitioning, so Catalyst plans one exchange + one sort end-to-end.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    flagged = df.withColumn(
+        "__new_run",
+        F.when(
+            F.lag(F.col(value_col)).over(w).isNull()
+            | (F.lag(F.col(value_col)).over(w) != F.col(value_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    if not count_runs:
+        return flagged.filter(F.col("__new_run") == 1).drop("__new_run")
+    # Run length WITHOUT a self-join: a run spans from its boundary row
+    # to just before the NEXT boundary, so length = lead(rn) - rn over
+    # the boundary rows only (last run: per-key total + 1 - rn). The
+    # filter preserves the user partitioning AND sort, so the post-
+    # filter lead window adds no exchange — one shuffle end-to-end.
+    numbered = flagged.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__total",
+        F.count(F.lit(1)).over(Window.partitionBy(F.col(key_col))),
+    )
+    boundaries = numbered.filter(F.col("__new_run") == 1)
+    wb = Window.partitionBy(F.col(key_col)).orderBy(F.col("__rn").asc())
+    return (
+        boundaries.withColumn(
+            "run_length",
+            (
+                F.coalesce(F.lead("__rn").over(wb), F.col("__total") + 1)
+                - F.col("__rn")
+            ).cast("long"),
+        )
+        .drop("__new_run", "__rn", "__total")
+    )

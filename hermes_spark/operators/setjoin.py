@@ -1,0 +1,143 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+Extension operator (the reference has no similarity joins; SURVEY.md §2
+extension table). Complements the *approximate* near-dup stack
+(MinHash/SimHash banding in ``operators/dedup.py``): this join returns
+EXACTLY the pairs with token-set Jaccard >= t — no banding recall loss —
+while still never materializing the all-pairs cross product.
+
+Prefix filtering (Chaudhuri et al., ICDE'06; Xiao et al., WWW'08
+"PPJoin"): order every document's distinct tokens by a global canonical
+order (rarest first), and keep only each document's first
+``n - ceil(t*n) + 1`` tokens as its *prefix*. Any pair with Jaccard >= t
+must overlap by ``i >= t*max(|A|,|B|)`` tokens, which forces at least
+one SHARED PREFIX token under the common order — so candidate pairs are
+generated only inside per-token buckets of prefix tokens, and rare-first
+ordering keeps those buckets small. The filter is lossless: the exact
+verify stage can only REMOVE candidates, never miss a qualifying pair.
+
+Scale shape (100 TB):
+
+* one scan tokenizes; token document-frequencies are a map-side-combined
+  aggregate (term-sized, not corpus-sized);
+* the candidate join is keyed on single prefix tokens — the classic
+  bucket join, with bucket sizes driven by the rarest tokens of each
+  doc, plus integer length pruning ``t*|A| <= |B| <= |A|/t`` applied
+  inside the join before any pair materializes;
+* the exact verify touches candidate pairs only, comparing two sorted
+  token arrays per pair (``array_intersect``), never raw text.
+
+All threshold arithmetic is integer (threshold scaled by 1e4), because
+``ceil(0.7 * n)`` in floating point is engine-dependent at exact
+multiples; the oracle replays the identical integer expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: threshold scale: Jaccard thresholds resolve to 1e-4
+THRESHOLD_DENOM = 10_000
+
+
+def jaccard_set_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
+    ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``
+    (rounded to 6 dp; the cut compares the ROUNDED value).
+
+    Exact — returns every qualifying pair — but candidate generation is
+    prefix-filtered, not all-pairs (see module docstring).
+    """
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    t_scaled = int(round(min_jaccard * THRESHOLD_DENOM))
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    # canonical rare-first order: (document frequency asc, term asc);
+    # per-doc array sorted by that order via struct sort
+    ordered = (
+        toks.join(freq, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_t", "term"))),
+                lambda s: s["term"],
+            ).alias("terms")
+        )
+        .withColumn("n", F.size("terms").cast("long"))
+    )
+    # ceil(t*n) in exact integer arithmetic: (t_scaled*n + DENOM-1) div DENOM
+    ceil_tn = (
+        (F.col("n") * F.lit(t_scaled) + F.lit(THRESHOLD_DENOM - 1))
+        / F.lit(THRESHOLD_DENOM)
+    ).cast("long")
+    docs = ordered.withColumn(
+        "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
+    )
+
+    pre = docs.select(
+        "doc_id", "n", F.explode("prefix").alias("term")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "term"
+    )
+    b = pre.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "term"
+    )
+    cand = (
+        a.join(b, on="term")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length pruning, integer form of t*na <= nb and t*nb <= na
+            & (F.col("n_a") * t_scaled <= F.col("n_b") * THRESHOLD_DENOM)
+            & (F.col("n_b") * t_scaled <= F.col("n_a") * THRESHOLD_DENOM)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    left = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("terms").alias("__ta"),
+        F.col("n").alias("n_a"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("terms").alias("__tb"),
+        F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(left, on="id_a")
+        .join(right, on="id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__ta", "__tb")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return verified.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")

@@ -315,3 +315,67 @@ def bm25_scores(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` terms.
+
+    The tokenizer-coverage QA step of a training pipeline: documents
+    whose tokens largely miss the (frequency-ranked) vocabulary are
+    encoding junk, foreign-script spills, or OCR noise — and a planned
+    tokenizer/vocab budget can be validated by sweeping ``vocab_size``.
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_rate)`` with the rate
+    rounded to 6 dp; vocabulary ties at the frequency boundary break
+    lexically (deterministic on any engine). Token-less documents get
+    rate 0.0.
+
+    Scale: one explode + map-side-combined count builds term
+    frequencies; the vocabulary is ``vocab_size`` rows (broadcast into
+    the membership join); the per-doc aggregate is one keyed shuffle of
+    ``(doc, term, count)`` partials — raw text is scanned once.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    freq = counts.groupBy("term").agg(F.sum("n").alias("tot"))
+    wv = Window.orderBy(F.col("tot").desc(), F.col("term").asc())
+    vocab = (
+        freq.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") <= vocab_size)
+        .select("term")
+    )
+    flagged = counts.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="term", how="left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

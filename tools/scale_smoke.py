@@ -326,7 +326,7 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="scale_curate_")
     try:
-        doc_factor = factor  # sf0.1 has ~50k docs -> ~500k
+        doc_factor = factor * 10  # sf0.1 has ~5k docs -> ~500k
         big_docs = (
             docs.select(
                 "*", F.explode(F.sequence(F.lit(0), F.lit(doc_factor - 1))).alias("__c")
