@@ -4577,6 +4577,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_docs": q_training_order_docs,
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "events_collapsed_runs": q_events_collapsed_runs,
+        "events_psi_drift": q_events_psi_drift,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "containment_pairs": q_containment_pairs,
         # -- never driver-verified (local hash-match via
         #    tools/check_oracles.py)
         "kmeans_ivf_topk": q_kmeans_ivf_topk,
@@ -4938,12 +4941,182 @@ WHERE r.new_run = 1
 """
 
 
+
+PSI_BINS = 10
+PSI_LO = 0.0
+PSI_HI = 100.0
+PSI_CUTOFF = "2024-01-16 00:00:00"
+PSI_EPS = 1e-6
+CONTAINMENT_T = 0.8
+CONTAINMENT_N = 3
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: per-bucket PSI terms of event values,
+    first half of the month (baseline) vs the rest (current) — the
+    standing is-this-week's-data-still-like-training-data check."""
+    from hermes_spark.operators import psi_report
+
+    ev = _read_events(spark, sf_dir)
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp_ntz")
+    return psi_report(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        "value",
+        bins=PSI_BINS,
+        lo=PSI_LO,
+        hi=PSI_HI,
+        eps=PSI_EPS,
+    )
+
+
+def _sql_events_psi() -> str:
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    bucket = (
+        f"least(greatest(floor((value - {PSI_LO!r}) / {width!r}), 0), "
+        f"{PSI_BINS - 1})::BIGINT"
+    )
+    return f"""
+WITH base AS (
+  SELECT {bucket} AS bucket, count(*)::BIGINT AS n
+  FROM events WHERE ts < TIMESTAMP '{PSI_CUTOFF}' GROUP BY 1
+),
+cur AS (
+  SELECT {bucket} AS bucket, count(*)::BIGINT AS n
+  FROM events WHERE ts >= TIMESTAMP '{PSI_CUTOFF}' GROUP BY 1
+),
+bt AS (SELECT sum(n) AS t FROM base),
+ct AS (SELECT sum(n) AS t FROM cur),
+spine AS (SELECT unnest(range(0, {PSI_BINS})) AS bucket),
+j AS (
+  SELECT s.bucket,
+         greatest(coalesce(b.n / bt.t, 0.0), {PSI_EPS!r}) AS pe,
+         greatest(coalesce(c.n / ct.t, 0.0), {PSI_EPS!r}) AS qe
+  FROM spine s
+  LEFT JOIN base b ON b.bucket = s.bucket
+  LEFT JOIN cur c ON c.bucket = s.bucket
+  CROSS JOIN bt CROSS JOIN ct
+)
+SELECT bucket,
+       round({PSI_LO!r} + bucket * {width!r}, 6) AS lo,
+       round({PSI_LO!r} + (bucket + 1) * {width!r}, 6) AS hi,
+       round(pe, 6) AS p, round(qe, 6) AS q,
+       round((qe - pe) * ln(qe / pe), 6) AS psi_term
+FROM j ORDER BY bucket
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are spammy: per-source doc counts, distinct
+    token-BAG fingerprints (order/repetition-blind, so permuted rewrites
+    collide), and the duplicate rate — the triage report that decides
+    where cap_per_group / dedup effort goes."""
+    from hermes_spark.functions.text import bag_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("source", bag_fingerprint(F.col("text")).alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("__fp").cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+_BAG_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))"
+)
+
+_SQL_DUP_RATE_BY_SOURCE = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT {_BAG_FP_SQL})::BIGINT AS n_unique,
+       round(1.0 - count(DISTINCT {_BAG_FP_SQL}) / count(*), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional doc-inside-doc pairs: word-3-gram containment
+    |A∩B|/|A| >= 0.8 via asymmetric prefix filtering — catches the
+    quoted-paragraph case Jaccard misses."""
+    from hermes_spark.operators import containment_join
+
+    return containment_join(
+        _read(spark, sf_dir, "documents"),
+        min_containment=CONTAINMENT_T,
+        ngram=CONTAINMENT_N,
+    )
+
+
+def _sql_containment_pairs() -> str:
+    t_scaled = int(round(CONTAINMENT_T * 10000))
+    n = CONTAINMENT_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 1 AND t[1] = '' THEN []
+              WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(1, len(t) - {n - 1} + 1),
+                     i -> array_to_string(t[i:i+{n - 1}], ' ')))
+         END AS grams
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, unnest(grams) AS term FROM gr
+),
+g AS (SELECT doc_id, term FROM grams WHERE term <> ''),
+freq AS (SELECT term, count(*)::BIGINT AS df_t FROM g GROUP BY 1),
+ordered AS (
+  SELECT doc_id, list(term ORDER BY df_t ASC, term ASC) AS terms,
+         count(*)::BIGINT AS n
+  FROM g JOIN freq USING (term) GROUP BY doc_id
+),
+docs AS (
+  SELECT doc_id, terms, n,
+         terms[1 : (n - ((n * {t_scaled} + 9999) // 10000) + 1)::INT] AS prefix
+  FROM ordered
+),
+pre_a AS (SELECT doc_id AS id_a, unnest(prefix) AS term FROM docs),
+cand AS (
+  SELECT DISTINCT a.id_a, b.doc_id AS id_b
+  FROM pre_a a JOIN g b ON a.term = b.term
+  WHERE a.id_a <> b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b, da.n AS n_a, db.n AS n_b,
+         len(list_intersect(da.terms, db.terms))::BIGINT AS n_common
+  FROM cand c
+  JOIN docs da ON da.doc_id = c.id_a
+  JOIN docs db ON db.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_a, n_b, n_common,
+       round(n_common / n_a, 6) AS containment
+FROM verified
+WHERE round(n_common / n_a, 6) >= {CONTAINMENT_T!r}
+"""
+
+
 # Round-5 oracle window (output of tools/rotate_window.py with
 # CORRECTNESS_r01..r04 present): the 3 queries needing their FIRST green
 # driver row lead — mmr_select / pq_topk / kmeans_ivf_topk were
 # oracle-paired this round (unrolled-CTE + literal-codebook oracles) —
 # then the stalest-verified entries (last green r1/r2), freshest last.
 _WINDOW_ORDER = [
+    "events_psi_drift", "dup_rate_by_source", "containment_pairs",
     "source_cap_docs", "quality_gate_docs", "oov_rate_docs",
     "training_order_docs", "jaccard_pairs_exact", "events_collapsed_runs",
     "mmr_select", "pq_topk", "kmeans_ivf_topk",
@@ -4960,7 +5133,6 @@ _WINDOW_ORDER = [
     "compare_cherry_pick", "near_dup_components_star",
     "q6_forecast_revenue", "topk_orders_per_customer",
     "docs_quality_filter", "curation_pipeline", "simhash_near_dups",
-    "events_hourly_rollup", "events_json_extract",
 ]
 
 
@@ -5056,6 +5228,9 @@ FROM events GROUP BY 1
         "training_order_docs": _sql_training_order(),
         "jaccard_pairs_exact": _sql_jaccard_pairs(),
         "events_collapsed_runs": _sql_collapsed_runs(),
+        "events_psi_drift": _sql_events_psi(),
+        "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
+        "containment_pairs": _sql_containment_pairs(),
         "ivf_sq8_topk": _sql_ivf_sq8_topk(),
         "topk_ngrams": _sql_topk_ngrams(),
         "ngram_novelty": _sql_ngram_novelty(),

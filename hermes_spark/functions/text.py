@@ -222,6 +222,16 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def bag_fingerprint(col: Column) -> Column:
+    """md5 of the SORTED DISTINCT token set — an order/repetition-blind
+    dup key: token-permuted or re-repeated rewrites of the same content
+    collide, which plain :func:`doc_fingerprint` misses. Portable
+    (DuckDB: md5(array_to_string(list_sort(list_distinct(tokens)), ' '))).
+    """
+    bag = F.array_sort(F.array_distinct(tokens(F.lower(F.trim(col)))))
+    return F.md5(F.concat_ws(" ", bag))
+
+
 #: URL matcher shared with link_stats — deliberately simple (scheme +
 #: non-whitespace) so the identical pattern runs under Java regex and
 #: DuckDB's RE2 with the same matches

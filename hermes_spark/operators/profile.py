@@ -257,3 +257,73 @@ def mad_outlier_summary(
             6,
         ).alias("outlier_rate"),
     )
+
+
+def psi_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float = None,
+    hi: float = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a column —
+    the standing drift monitor for a training-data pipeline (is this
+    week's crawl distributed like the corpus the model was tuned on?).
+
+    Fixed-width bins over ``[lo, hi]`` (baseline min/max when not
+    given; pass explicit bounds for reproducible monitoring), clamped
+    edge buckets as in :func:`histogram`. Returns one row per bucket:
+    ``(bucket, lo, hi, p, q, psi_term)`` where ``p``/``q`` are the
+    baseline/current share (6 dp) and ``psi_term = (q - p) *
+    ln(q/p)`` (6 dp, shares floored at ``eps`` so empty buckets
+    contribute a finite, documented penalty). ``sum(psi_term)`` is the
+    PSI; > 0.2 is the usual "investigate" line.
+
+    Scale: one map-side-combined count per frame (bucket-sized
+    aggregates), a 1-row total broadcast each, and a ``bins``-row join —
+    the snapshots are scanned once and never shuffled row-wise.
+    """
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = baseline.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("long")
+        counts = (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = counts.agg(F.sum("__n").alias("__tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bucket", (F.col("__n") / F.col("__tot")).alias(name)
+        )
+
+    spine = baseline.sparkSession.range(bins).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    p = shares(baseline, "__p")
+    q = shares(current, "__q")
+    pe = F.greatest(F.coalesce(F.col("__p"), F.lit(0.0)), F.lit(eps))
+    qe = F.greatest(F.coalesce(F.col("__q"), F.lit(0.0)), F.lit(eps))
+    return (
+        spine.join(F.broadcast(p), on="bucket", how="left")
+        .join(F.broadcast(q), on="bucket", how="left")
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi"),
+            F.round(pe, 6).alias("p"),
+            F.round(qe, 6).alias("q"),
+            F.round((qe - pe) * F.log(qe / pe), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -141,3 +141,103 @@ def jaccard_set_join(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return verified.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
+
+
+def _word_ngrams(col, n: int):
+    """Distinct word n-grams (space-joined) of a lowercased text column."""
+    toks = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # shorter-than-n docs: the whole token string is the single gram
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(F.size(toks) < n, whole).otherwise(grams)
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment: float = 0.8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Asymmetric containment pairs: ``(id_a, id_b, n_a, n_b, n_common,
+    containment)`` where ``containment = |A ∩ B| / |A| >=
+    min_containment`` over distinct word ``ngram``-gram sets (``id_a !=
+    id_b``; both directions can appear — containment is directional).
+
+    The doc-inside-doc detector Jaccard misses: a paragraph fully
+    quoted inside a 100x-longer page has tiny Jaccard but containment
+    1.0 from the paragraph's side. Word n-grams (not single tokens)
+    keep the element space distinctive on small vocabularies.
+
+    Prefix filtering adapts to the asymmetry: ``i >= t*|A|`` bounds only
+    the CONTAINED side, so A contributes its ``|A| - ceil(t*|A|) + 1``
+    rarest grams and B is indexed on ALL grams — candidates are pairs
+    sharing one of A's rare grams, plus nothing else (no length pruning
+    exists for the containing side; that is inherent to containment).
+    Lossless, same integer threshold arithmetic as
+    :func:`jaccard_set_join`.
+    """
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError(
+            f"min_containment must be in (0, 1], got {min_containment}"
+        )
+    t_scaled = int(round(min_containment * THRESHOLD_DENOM))
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_ngrams(F.col(text_col), ngram)).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = grams.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ordered = (
+        grams.join(freq, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_t", "term"))),
+                lambda s: s["term"],
+            ).alias("terms")
+        )
+        .withColumn("n", F.size("terms").cast("long"))
+    )
+    ceil_tn = (
+        (F.col("n") * F.lit(t_scaled) + F.lit(THRESHOLD_DENOM - 1))
+        / F.lit(THRESHOLD_DENOM)
+    ).cast("long")
+    docs = ordered.withColumn(
+        "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
+    )
+    pre_a = docs.select(
+        F.col("doc_id").alias("id_a"), F.explode("prefix").alias("term")
+    )
+    all_b = grams.select(F.col("doc_id").alias("id_b"), "term")
+    cand = (
+        pre_a.join(all_b, on="term")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    left = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("terms").alias("__ta"),
+        F.col("n").alias("n_a"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("terms").alias("__tb"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        cand.join(left, on="id_a")
+        .join(right, on="id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__ta", "__tb")).cast("long")
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_a"), 6)
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "n_a", "n_b", "n_common", "containment")
+    )

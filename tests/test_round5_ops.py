@@ -226,3 +226,95 @@ def test_jaccard_set_join_high_threshold_small_candidates(spark):
 
     with pytest.raises(ValueError):
         jaccard_set_join(df, min_jaccard=0.0)
+
+
+# ------------------------------------------------------------- psi_report
+def test_psi_report_identical_distributions_near_zero(spark):
+    from hermes_spark.operators import psi_report
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = psi_report(a, a, "v", bins=10, lo=0.0, hi=100.0).collect()
+    assert len(out) == 10
+    assert abs(sum(r["psi_term"] for r in out)) < 1e-9
+    assert all(r["p"] == r["q"] for r in out)
+
+
+def test_psi_report_detects_shift(spark):
+    from hermes_spark.operators import psi_report
+
+    base = spark.range(1000).select((F.col("id") % 50).cast("double").alias("v"))
+    cur = spark.range(1000).select((F.col("id") % 50 + 50).cast("double").alias("v"))
+    out = psi_report(base, cur, "v", bins=10, lo=0.0, hi=100.0).collect()
+    psi = sum(r["psi_term"] for r in out)
+    assert psi > 0.2  # fully disjoint halves -> large drift
+    # empty buckets clamp at eps, never null/inf
+    assert all(r["p"] > 0 and r["q"] > 0 for r in out)
+
+
+def test_psi_report_python_reference(spark):
+    import math
+
+    from hermes_spark.operators import psi_report
+
+    vals_a = [1.0, 5.0, 15.0, 15.0, 42.0]
+    vals_b = [2.0, 18.0, 44.0, 44.0, 99.0]
+    a = spark.createDataFrame([(v,) for v in vals_a], ["v"])
+    b = spark.createDataFrame([(v,) for v in vals_b], ["v"])
+    got = {r["bucket"]: r for r in psi_report(a, b, "v", bins=5, lo=0.0, hi=100.0).collect()}
+    eps = 1e-6
+    for k in range(5):
+        p = max(sum(1 for v in vals_a if min(max(int(v // 20), 0), 4) == k) / 5, eps)
+        q = max(sum(1 for v in vals_b if min(max(int(v // 20), 0), 4) == k) / 5, eps)
+        assert got[k]["psi_term"] == pytest.approx(
+            round((q - p) * math.log(q / p), 6), abs=1e-9
+        )
+
+
+# ------------------------------------------------------- containment_join
+def test_containment_join_directional(spark):
+    para = "one two three four five six seven eight"
+    page = para + " and much more text follows here beyond the quote " * 3
+    df = spark.createDataFrame(
+        [(1, para), (2, page), (3, "completely different words entirely now")],
+        ["doc_id", "text"],
+    )
+    from hermes_spark.operators import containment_join
+
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, min_containment=0.8, ngram=3).collect()
+    }
+    assert got[(1, 2)] == 1.0  # the paragraph is fully inside the page
+    assert (2, 1) not in got  # the page is NOT inside the paragraph
+    assert not any(3 in pair for pair in got)
+
+
+def test_containment_join_matches_naive(spark, documents):
+    docs = documents.limit(150)
+    from hermes_spark.operators import containment_join
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_join(docs, min_containment=0.5, ngram=3).collect()
+    )
+    rows = docs.collect()
+    sets = {}
+    for r in rows:
+        toks = r["text"].lower().split()
+        grams = (
+            {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {" ".join(toks)}
+        )
+        grams.discard("")
+        if grams:
+            sets[r["doc_id"]] = grams
+    want = []
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+            if c >= 0.5:
+                want.append((a, b, c))
+    assert got == sorted(want)
