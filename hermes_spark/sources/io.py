@@ -174,8 +174,15 @@ def write_training_shards(
         # input would re-run the entire upstream lineage a second time
         # (for a curation pipeline that means re-deduping everything
         # just to count rows). The written parquet scan is footer-cheap.
+        # Explicit schema: an EMPTY write leaves no data files, and
+        # schema inference would fail where an empty manifest is the
+        # correct answer.
         rows = (
-            df.sparkSession.read.parquet(path).groupBy(shard_col).count().collect()
+            df.sparkSession.read.schema(df.schema)
+            .parquet(path)
+            .groupBy(shard_col)
+            .count()
+            .collect()
         )
         shards = {str(r[shard_col]): r["count"] for r in rows}
         info = {

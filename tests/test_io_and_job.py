@@ -272,3 +272,15 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     import json as _json
     with open(f"{out}/_MANIFEST") as fh:
         assert _json.load(fh)["total_rows"] == n
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    """A fully-filtered pipeline (0 surviving rows) must produce an
+    empty manifest, not a schema-inference crash on the read-back."""
+    from hermes_spark.sources.io import write_training_shards
+
+    df = spark.range(10).selectExpr(
+        "id AS doc_id", "id % 4 AS shard"
+    ).filter("doc_id < 0")
+    info = write_training_shards(df, str(tmp_path / "out"), shard_col="shard")
+    assert info["n_shards"] == 0 and info["total_rows"] == 0

@@ -327,6 +327,16 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="scale_curate_")
     try:
         doc_factor = factor * 10  # sf0.1 has ~5k docs -> ~500k
+        # Per-copy token DROPOUT (drop every (i%10==c%10)-th token), not a
+        # suffix: a pure-suffix variant family has ~0 n-gram novelty, so
+        # the novelty gate (correctly) annihilates the whole corpus and
+        # the later pipeline stages go untested. Dropout keeps variants
+        # near-duplicate (minhash-visible) yet each carries ~30% novel
+        # grams, so rows keep flowing through mix/decontaminate/pack.
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        dropped = F.filter(
+            toks, lambda t, i: F.pmod(i, F.lit(10)) != F.pmod(F.col("__c"), F.lit(10))
+        )
         big_docs = (
             docs.select(
                 "*", F.explode(F.sequence(F.lit(0), F.lit(doc_factor - 1))).alias("__c")
@@ -334,8 +344,12 @@ def main() -> int:
             .withColumn("doc_id", F.col("doc_id") * doc_factor + F.col("__c"))
             .withColumn(
                 "text",
-                F.concat(
-                    F.col("text"), F.lit(" variant"), F.col("__c").cast("string")
+                F.concat_ws(
+                    " ",
+                    F.concat(
+                        dropped,
+                        F.array(F.concat(F.lit("variant"), F.col("__c").cast("string"))),
+                    ),
                 ),
             )
             .drop("__c")
