@@ -5090,11 +5090,13 @@ docs AS (
          terms[1 : (n - ((n * {t_scaled} + 9999) // 10000) + 1)::INT] AS prefix
   FROM ordered
 ),
-pre_a AS (SELECT doc_id AS id_a, unnest(prefix) AS term FROM docs),
+pre_a AS (SELECT doc_id AS id_a, n AS n_a, unnest(prefix) AS term FROM docs),
+all_b AS (SELECT doc_id AS id_b, n AS n_b, unnest(terms) AS term FROM docs),
 cand AS (
-  SELECT DISTINCT a.id_a, b.doc_id AS id_b
-  FROM pre_a a JOIN g b ON a.term = b.term
-  WHERE a.id_a <> b.doc_id
+  SELECT DISTINCT a.id_a, b.id_b
+  FROM pre_a a JOIN all_b b ON a.term = b.term
+  WHERE a.id_a <> b.id_b
+    AND b.n_b * 10000 >= a.n_a * 8000
 ),
 verified AS (
   SELECT c.id_a, c.id_b, da.n AS n_a, db.n AS n_b,

@@ -212,12 +212,21 @@ def containment_join(
         "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
     )
     pre_a = docs.select(
-        F.col("doc_id").alias("id_a"), F.explode("prefix").alias("term")
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+        F.explode("prefix").alias("term"),
     )
-    all_b = grams.select(F.col("doc_id").alias("id_b"), "term")
+    all_b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+        F.explode("terms").alias("term"),
+    )
     cand = (
         pre_a.join(all_b, on="term")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            # size prune: i <= n_b and i >= t*n_a force n_b >= t*n_a —
+            # a short doc can never contain a long one's required overlap
+            & (F.col("n_b") * THRESHOLD_DENOM >= F.col("n_a") * t_scaled)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
