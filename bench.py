@@ -1,6 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line to
+stdout — {"queries": {...}, "sf": ..., "reps": N, "unit": "sec",
+"metric": "bench_total_wall", "value": N} — with the headline totals
+deliberately LAST so a tail-truncated capture still ends with them;
+raw per-pass triples go to stderr.
 
 Each query is materialized fully via the no-op sink (no driver collect
 bottleneck), mirroring how a production job would terminate in a write.
