@@ -256,6 +256,42 @@ def main() -> int:
 
     probe("upsert_sink_1M_updates_plus_100k_batch", _upsert)
 
+    # ---- round-5 curation/event ops at the exploded scales ---------------
+    from hermes_spark.operators import (
+        cap_per_group,
+        collapse_runs,
+        psi_report,
+        training_order,
+    )
+
+    probe(
+        f"cap_per_group_{nd}docs",
+        lambda: cap_per_group(vdocs, "doc_id", "source", cap=100).count(),
+    )
+    probe(
+        f"training_order_{nd}docs",
+        lambda: training_order(vdocs, "doc_id", num_shards=64).count(),
+    )
+    probe(
+        f"collapse_runs_{ne}events",
+        lambda: collapse_runs(
+            bige.withColumn("event_id", F.monotonically_increasing_id()),
+            key_col="user_id",
+            order_cols=("ts", "event_id"),
+            value_col="event_type",
+        ).count(),
+    )
+
+    def _psi():
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev2 = bige.withColumn("value", (F.col("user_id") % 100).cast("double"))
+        return psi_report(
+            ev2.filter(F.col("ts") < cut), ev2.filter(F.col("ts") >= cut),
+            "value", bins=10, lo=0.0, hi=100.0,
+        ).count()
+
+    probe(f"psi_report_{ne}events", _psi)
+
     # ---- ANN recall@10 at ~1M vectors: ivf_sq8_rescore vs exact ---------
     # Fully synthetic hash-derived vectors (uniform [-1, 1] per
     # component): exploded near-duplicate copies would sit in their
