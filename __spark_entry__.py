@@ -4895,7 +4895,7 @@ verified AS (
 SELECT id_a, id_b, n_a, n_b, n_common,
        round(n_common / (n_a + n_b - n_common), 6) AS jaccard
 FROM verified
-WHERE round(n_common / (n_a + n_b - n_common), 6) >= {JACCARD_JOIN_T!r}
+WHERE n_common * 10000 >= {t_scaled} * (n_a + n_b - n_common)
 """
 
 
@@ -5096,7 +5096,7 @@ cand AS (
   SELECT DISTINCT a.id_a, b.id_b
   FROM pre_a a JOIN all_b b ON a.term = b.term
   WHERE a.id_a <> b.id_b
-    AND b.n_b * 10000 >= a.n_a * 8000
+    AND b.n_b * 10000 >= a.n_a * {t_scaled}
 ),
 verified AS (
   SELECT c.id_a, c.id_b, da.n AS n_a, db.n AS n_b,
@@ -5108,7 +5108,7 @@ verified AS (
 SELECT id_a, id_b, n_a, n_b, n_common,
        round(n_common / n_a, 6) AS containment
 FROM verified
-WHERE round(n_common / n_a, 6) >= {CONTAINMENT_T!r}
+WHERE n_common * 10000 >= {t_scaled} * n_a
 """
 
 

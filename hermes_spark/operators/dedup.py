@@ -15,8 +15,11 @@ Scale design notes (100 TB):
   signature) rows per document, NOT the text, into a gather-and-pair
   aggregation (documents are scanned exactly once — a bucket self-join
   would re-run the hash pipeline per side). Buckets are O(candidates)
-  rather than O(n²); hot buckets (boilerplate docs) are dropped via
-  ``max_bucket_size`` to bound the quadratic work inside one bucket.
+  rather than O(n²); hot buckets (boilerplate/templated mega-clusters)
+  are COLLAPSED past ``max_bucket_size`` — identical-signature runs
+  chain in O(n), distinct-signature representatives pair normally —
+  so the biggest real-world dup clusters still connect instead of
+  silently yielding zero pairs.
 * ``connected_components`` / ``fuzzy_dedup_keep_one`` — turn any pair
   list into duplicate groups (iterative min-label propagation) and keep
   one representative per group.
@@ -144,49 +147,142 @@ def minhash_lsh_pairs(
     # shape the documents are scanned and hashed exactly once, and
     # est_jaccard is computed before the dedup shuffle so signature
     # arrays never travel twice.
-    # The bucket-size cap (pathological boilerplate buckets) becomes a
-    # plain size() filter on the gathered array.
     grouped = (
         buckets.groupBy("__band")
         .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
-        .filter(
-            (F.size("__members") >= 2) & (F.size("__members") <= max_bucket_size)
-        )
-    )
-
-    members = F.col("__members")
-    pair_structs = F.flatten(
-        F.transform(
-            members,
-            lambda m1, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda m2: F.struct(
-                    F.least(m1["__id"], m2["__id"]).alias("id_a"),
-                    F.greatest(m1["__id"], m2["__id"]).alias("id_b"),
-                    F.round(
-                        F.size(
-                            F.filter(
-                                F.zip_with(
-                                    m1["__sig"], m2["__sig"], lambda x, y: x == y
-                                ),
-                                lambda eq: eq,
-                            )
-                        )
-                        / F.lit(float(num_hashes)),
-                        6,
-                    ).alias("est_jaccard"),
-                ),
-            ),
-        )
+        .filter(F.size("__members") >= 2)
     )
     out = (
-        grouped.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.id_a", "__p.id_b", "__p.est_jaccard")
+        _gathered_bucket_pairs(grouped, num_hashes, max_bucket_size)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .distinct()
     )
     if min_jaccard > 0:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
     return out
+
+
+def _pair_est(m1: Column, m2: Column, num_hashes: int) -> Column:
+    """Signature-agreement estimator between two (…__id, __sig…) structs."""
+    return F.size(
+        F.filter(
+            F.zip_with(m1["__sig"], m2["__sig"], lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+
+
+def _all_pair_structs(arr: Column, num_hashes: int) -> Column:
+    """All intra-array pairs (id_a<id_b, est_jaccard) — in-task, O(k²)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda m1, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda m2: F.struct(
+                    F.least(m1["__id"], m2["__id"]).alias("id_a"),
+                    F.greatest(m1["__id"], m2["__id"]).alias("id_b"),
+                    _pair_est(m1, m2, num_hashes).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
+
+
+def _gathered_bucket_pairs(
+    grouped: DataFrame, num_hashes: int, max_bucket_size: int
+) -> DataFrame:
+    """Candidate pairs from gathered band buckets ``(…, __members:
+    array<struct<__id,__sig>>)`` — NOT distinct, ``est_jaccard`` unrounded.
+
+    Buckets within ``max_bucket_size`` generate all intra-bucket pairs
+    (O(k²) in-task).  Oversized buckets — real corpora DO have
+    boilerplate/templated clusters far larger than any sane cap, and
+    they collide in EVERY band, so dropping the bucket (the pre-round-6
+    behavior) silently yielded zero pairs for exactly the biggest
+    near-dup clusters — are collapsed instead of dropped:
+
+    1. members are sorted by ``(__sig, __id)``; identical-signature runs
+       are chained by ADJACENT pairs (est 1.0 — equal signatures), which
+       connects an n-member identical cluster with n-1 pairs, O(n);
+    2. the distinct-signature representatives (first of each run) go
+       through the normal all-pairs generation when they fit the cap;
+    3. a representative set still over the cap (a genuinely diverse hot
+       bucket) is star-chained to its minimum member with the true
+       signature-agreement estimate — downstream ``min_jaccard`` filters
+       keep only genuine near-dups, so this adds candidates (O(n))
+       rather than dropping them.
+
+    Connectivity, not the full pair list, is what downstream
+    ``connected_components`` / ``fuzzy_dedup_keep_one`` need — the
+    collapse preserves it at O(n) per oversized bucket.
+    """
+    members = F.col("__members")
+    # (__sig, __id)-sorted view, built only for oversized buckets (the
+    # common path pays a cheap restructure, no sort)
+    restruct = F.transform(
+        members, lambda m: F.struct(m["__sig"].alias("__sig"), m["__id"].alias("__id"))
+    )
+    g = grouped.withColumn(
+        "__ssort",
+        F.when(F.size(members) > max_bucket_size, F.array_sort(restruct)).otherwise(
+            F.slice(restruct, 1, 0)
+        ),
+    )
+    ssort = F.col("__ssort")
+
+    def prev(i: Column) -> Column:
+        # element_at is 1-based; greatest() keeps the index legal at
+        # i==0 where the (i > 0) guard discards the value anyway
+        return F.element_at(ssort, F.greatest(i, F.lit(1)))
+
+    chain = F.filter(
+        F.transform(
+            ssort,
+            lambda m, i: F.when(
+                (i > 0) & (prev(i)["__sig"] == m["__sig"]),
+                F.struct(
+                    F.least(prev(i)["__id"], m["__id"]).alias("id_a"),
+                    F.greatest(prev(i)["__id"], m["__id"]).alias("id_b"),
+                    F.lit(1.0).alias("est_jaccard"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    g = g.withColumn(
+        "__reps",
+        F.filter(
+            ssort,
+            lambda m, i: F.when(i == 0, F.lit(True)).otherwise(
+                prev(i)["__sig"] != m["__sig"]
+            ),
+        ),
+    )
+    reps = F.col("__reps")
+    rep0 = F.element_at(reps, 1)
+    star = F.transform(
+        F.slice(reps, 2, F.size(reps)),
+        lambda m2: F.struct(
+            F.least(rep0["__id"], m2["__id"]).alias("id_a"),
+            F.greatest(rep0["__id"], m2["__id"]).alias("id_b"),
+            _pair_est(rep0, m2, num_hashes).alias("est_jaccard"),
+        ),
+    )
+    pair_structs = F.when(
+        F.size(members) <= max_bucket_size, _all_pair_structs(members, num_hashes)
+    ).otherwise(
+        F.concat(
+            chain,
+            F.when(
+                F.size(reps) <= max_bucket_size,
+                _all_pair_structs(reps, num_hashes),
+            ).otherwise(star),
+        )
+    )
+    return g.select(F.explode(pair_structs).alias("__p")).select(
+        "__p.id_a", "__p.id_b", "__p.est_jaccard"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -750,10 +846,11 @@ def banded_match_pairs(
     groupBy on the band key, in-task pair generation from the gathered
     member array.  A band self-join would re-execute the whole
     shingle/hash pipeline once per join side AND go quadratic on a hot
-    band; here buckets larger than ``max_bucket_size`` are skipped —
-    a true near-dup pair agrees on several bands (pigeonhole at
-    ``min_jaccard`` ≥ band threshold), so one skipped hot band rarely
-    loses it.  Returns ``(id_a, id_b)`` with ``id_a < id_b``.
+    band; buckets larger than ``max_bucket_size`` are COLLAPSED
+    (identical-signature chaining + representative pairing/star — see
+    :func:`_gathered_bucket_pairs`), so a mega-cluster of near-identical
+    documents still connects in O(n) instead of silently producing zero
+    pairs.  Returns ``(id_a, id_b)`` with ``id_a < id_b``.
 
     Shared by :func:`dedup_against` and
     ``streaming.dedup.stream_minhash_dedup`` so batch and streaming
@@ -762,38 +859,12 @@ def banded_match_pairs(
     grouped = (
         banded.groupBy("__band")
         .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
-        .filter(
-            (F.size("__members") >= 2) & (F.size("__members") <= max_bucket_size)
-        )
-    )
-    members = F.col("__members")
-    pair_structs = F.flatten(
-        F.transform(
-            members,
-            lambda m1, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda m2: F.struct(
-                    F.least(m1["__id"], m2["__id"]).alias("id_a"),
-                    F.greatest(m1["__id"], m2["__id"]).alias("id_b"),
-                    (
-                        F.size(
-                            F.filter(
-                                F.zip_with(
-                                    m1["__sig"], m2["__sig"], lambda x, y: x == y
-                                ),
-                                lambda eq: eq,
-                            )
-                        )
-                        / F.lit(float(num_hashes))
-                    ).alias("est_jaccard"),
-                ),
-            ),
-        )
+        .filter(F.size("__members") >= 2)
     )
     return (
-        grouped.select(F.explode(pair_structs).alias("__p"))
-        .filter(F.col("__p.est_jaccard") >= F.lit(min_jaccard))
-        .select("__p.id_a", "__p.id_b")
+        _gathered_bucket_pairs(grouped, num_hashes, max_bucket_size)
+        .filter(F.col("est_jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -835,11 +906,13 @@ def dedup_against(
 
     Scale shape: only the NEW batch is shingled/hashed; the history join
     touches O(batch bands) store rows via the band-key equi-join (the
-    store side is first semi-joined to the batch's band set), never the
-    full history row set.  Both the in-batch pairing and the history
-    join skip band buckets larger than ``max_bucket_size`` — a
-    boilerplate-heavy batch would otherwise go quadratic in its hottest
-    band; true near-dups still collide on the other bands.
+    store side is first semi-joined to the batch's band set and
+    collapsed to distinct ``(__band, __sig)``), never the full history
+    row set.  The in-batch pairing collapses oversized band buckets
+    (identical-signature chains + representative pairs/star, see
+    :func:`_gathered_bucket_pairs`) instead of dropping them, so
+    mega-clusters still dedup; the history join skips only bands whose
+    DISTINCT-signature count exceeds ``max_bucket_size``.
     """
     if keep_policy not in ("component", "greedy"):
         raise ValueError(f"keep_policy must be 'component' or 'greedy', got {keep_policy!r}")
@@ -868,10 +941,19 @@ def dedup_against(
         ) / F.lit(num_hashes)
 
     # history side: only bands the batch actually emits (small, broadcast
-    # semi-join), then drop hot store bands — bounds the equi-join at
-    # O(batch band rows × max_bucket_size) instead of × |hottest band|
+    # semi-join).  A history hit only needs the BATCH id, so the store
+    # side collapses losslessly to distinct (__band, __sig) — a
+    # boilerplate mega-cluster of identical signatures in history
+    # becomes ONE row instead of making its band hot.  The hot-band cap
+    # then applies to DISTINCT-signature counts; only a genuinely
+    # diverse hot band (signature-distinct beyond the cap) is skipped,
+    # bounding the equi-join at O(batch band rows × max_bucket_size).
     batch_bands = F.broadcast(banded.select("__band").distinct())
-    store_rel = store.join(batch_bands, on="__band", how="left_semi")
+    store_rel = (
+        store.join(batch_bands, on="__band", how="left_semi")
+        .select("__band", "__sig")
+        .distinct()
+    )
     hot_bands = (
         store_rel.groupBy("__band")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -50,8 +50,10 @@ def jaccard_set_join(
     min_jaccard: float = 0.7,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
-    ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``
-    (rounded to 6 dp; the cut compares the ROUNDED value).
+    ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``.
+    The cut is exact integer arithmetic on the UNROUNDED ratio at 1e-4
+    threshold granularity; the ``jaccard`` column is rounded to 6 dp
+    for display only.
 
     Exact — returns every qualifying pair — but candidate generation is
     prefix-filtered, not all-pairs (see module docstring).
@@ -130,6 +132,16 @@ def jaccard_set_join(
         .withColumn(
             "n_common", F.size(F.array_intersect("__ta", "__tb")).cast("long")
         )
+        # the CUT is exact integer arithmetic on the unrounded ratio
+        # (n_common/(n_a+n_b-n_common) >= t_scaled/DENOM) — prefix
+        # filtering guarantees candidates for TRUE similarity >= t, so
+        # cutting on the 6-dp ROUNDED value would re-admit pairs in
+        # [t-5e-7, t) only when they happened to share a prefix token
+        # (data-dependent).  The rounded value is output-only.
+        .filter(
+            F.col("n_common") * THRESHOLD_DENOM
+            >= F.lit(t_scaled) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -138,7 +150,6 @@ def jaccard_set_join(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
     )
     return verified.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
 
@@ -244,9 +255,14 @@ def containment_join(
         .withColumn(
             "n_common", F.size(F.array_intersect("__ta", "__tb")).cast("long")
         )
+        # unrounded integer cut (see jaccard_set_join): lossless against
+        # the prefix filter's TRUE-similarity guarantee; rounded value
+        # is output-only
+        .filter(
+            F.col("n_common") * THRESHOLD_DENOM >= F.lit(t_scaled) * F.col("n_a")
+        )
         .withColumn(
             "containment", F.round(F.col("n_common") / F.col("n_a"), 6)
         )
-        .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "n_a", "n_b", "n_common", "containment")
     )

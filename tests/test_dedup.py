@@ -425,7 +425,8 @@ def test_dedup_against_component_keeps_representative(spark):
 
 def test_dedup_against_hot_band_bounded(spark):
     """One boilerplate-heavy batch (hot band) must complete with the
-    in-bucket pairing capped, not go quadratic."""
+    in-bucket pairing COLLAPSED (round-6 semantics: identical-signature
+    chains, O(n)), not go quadratic — and not silently under-dedup."""
     from hermes_spark.operators.dedup import banded_match_pairs, dedup_against
 
     body = "identical boilerplate body shared by every single document here"
@@ -436,13 +437,13 @@ def test_dedup_against_hot_band_bounded(spark):
     empty_store = spark.createDataFrame(
         [], "__band string, __id long, __sig array<bigint>"
     )
-    # cap of 50 skips the hot bucket entirely: identical docs share every
-    # band, so nothing pairs and all survive (the documented recall trade)
+    # even with a cap far below the cluster size, the oversized bucket
+    # collapses via identical-signature chaining: ONE survivor
     surv, store_rows = dedup_against(
         batch, empty_store, "doc_id", "text", max_bucket_size=50
     )
-    assert surv.count() == n
-    # with the cap above the bucket size, the cluster collapses to one
+    assert surv.count() == 1
+    # with the cap above the bucket size, same answer via all-pairs
     surv2, _ = dedup_against(
         batch, empty_store, "doc_id", "text", max_bucket_size=5000
     )
@@ -474,4 +475,6 @@ def test_dedup_against_hot_band_bounded(spark):
             F.explode(band_keys(F.col("__sig"), 4, 4)).alias("__band"),
         )
     )
-    assert banded_match_pairs(banded, 0.8, 16, max_bucket_size=50).count() == 0
+    # identical-signature collapse: exactly n-1 chain pairs (O(n)),
+    # never the n*(n-1)/2 quadratic blow-up and never zero
+    assert banded_match_pairs(banded, 0.8, 16, max_bucket_size=50).count() == n - 1
