@@ -13,6 +13,8 @@ code is the CI contract).
 from __future__ import annotations
 
 import logging
+import os
+from dataclasses import replace as _dc_replace
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -20,6 +22,7 @@ from pyspark.sql.types import StructType
 
 from hermes_spark.comparator import DatasetComparator
 from hermes_spark.config import ComparisonConfig, DEFAULT_CONFIG
+from hermes_spark.config_file import CONFIG_ENV_VAR, load_comparison_config
 from hermes_spark.exceptions import DatasetsDifferException
 from hermes_spark.result import ComparisonResult
 from hermes_spark.sources.io import (
@@ -51,14 +54,20 @@ def run(
     if cli.schema_path:
         schema = load_cherry_pick_schema(spark, cli.schema_path)
 
+    if cli.config_path or (
+        config is DEFAULT_CONFIG and os.environ.get(CONFIG_ENV_VAR)
+    ):
+        # reference parity: TypesafeConfig file layering (reference.conf
+        # defaults <- file <- CLI flags); explicit `config` args win over
+        # the environment variable, CLI flags below win over both
+        config = load_comparison_config(cli.config_path, base=config)
+
     if cli.mode or cli.allow_duplicates:
-        config = ComparisonConfig(
-            error_column_name=config.error_column_name,
-            actual_prefix=config.actual_prefix,
-            expected_prefix=config.expected_prefix,
+        config = _dc_replace(
+            config,
             allow_duplicates=cli.allow_duplicates or config.allow_duplicates,
             mode=cli.mode or config.mode,
-        )
+        ).validate()
 
     ref_df = load_dataframe(spark, cli.reference)
     actual_df = load_dataframe(spark, cli.actual)

@@ -36,6 +36,8 @@ HELP_TEXT = """Dataset comparison options (all as "--key value" pairs):
   --keys A,B             comparison key columns (optional; whole-row hash without)
   --schema PATH          cherry-pick Spark JSON schema restricting the comparison
   --mode MODE            comparison mode: fast (default) / hash / auto / reference
+  --config PATH          HOCON/JSON file with dataset-comparison defaults
+                         (also via $HERMES_SPARK_CONFIG; CLI flags win)
   --allow-duplicates BOOL   allow duplicate keys on both sides (default false)
   --common-columns BOOL  compare only columns both sides share (schema-evolution tolerant)
   --incremental-partition-col COL  digest partitions first; diff only changed ones
@@ -63,7 +65,7 @@ def _route(options: dict[str, str]) -> tuple[dict, dict, dict, dict]:
         k: v
         for k, v in options.items()
         if not k.startswith((_REF_PREFIX, _NEW_PREFIX, _OUT_PREFIX))
-        and k not in ("keys", "schema", "mode", "allow-duplicates", "common-columns", "incremental-partition-col")
+        and k not in ("keys", "schema", "mode", "allow-duplicates", "common-columns", "incremental-partition-col", "config")
     }
     return ref, new, out, generic
 
@@ -93,6 +95,14 @@ def parse_cli_parameters(
     if not args:
         raise MissingArgumentException("No arguments for reader and writer passed")
     if len(args) == 1:
+        if args[0] == "--help-json":
+            # reference CliHelp parity: structured help rendered from the
+            # JSON spec, plus the machine-readable spec itself
+            from hermes_spark.cli.clihelp import COMPARE_CLI_SPEC
+
+            print(COMPARE_CLI_SPEC)
+            print(COMPARE_CLI_SPEC.to_json())
+            raise SystemExit(0)
         print(HELP_TEXT)
         if args[0] == "--help":
             raise SystemExit(0)
@@ -115,6 +125,7 @@ def parse_cli_parameters(
         "true", "1", "yes",
     )
     incremental_partition_col = options.get("incremental-partition-col")
+    config_path = options.get("config")
 
     ref_map, new_map, out_map, generic = _route(options)
     ref_merged = {**generic, **ref_map}
@@ -137,4 +148,5 @@ def parse_cli_parameters(
         allow_duplicates=allow_duplicates,
         common_columns=common_columns,
         incremental_partition_col=incremental_partition_col,
+        config_path=config_path,
     )

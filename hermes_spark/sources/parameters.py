@@ -78,3 +78,6 @@ class CliParameters:
     allow_duplicates: bool = False
     common_columns: bool = False
     incremental_partition_col: Optional[str] = None
+    #: ``--config`` file with comparator defaults (reference parity:
+    #: TypesafeConfig's ``-Dconfig.file`` override path)
+    config_path: Optional[str] = None
