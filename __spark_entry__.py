@@ -1550,13 +1550,17 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic is reproduced in DuckDB via hex(blob) byte
     extraction (see ``_sql_multimodal_image_features``)."""
     from hermes_spark.operators import extract_image_features, with_media_metadata
+    from hermes_spark.operators.multimodal import decode_image_stub
 
     docs = _read(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
     )
     media = with_media_metadata(media, "media", "image", "fake")
-    feats = extract_image_features(media, "doc_id", "media")
+    # the stub decoder EXPLICITLY: these bytes are synthetic, and the
+    # DuckDB oracle replays the stub's arithmetic.  The default decoder
+    # is the real PNG parser (operators/codecs.py) since round 6.
+    feats = extract_image_features(media, "doc_id", "media", decoder=decode_image_stub)
     return feats.select(
         "doc_id",
         F.col("width").cast("long").alias("width"),

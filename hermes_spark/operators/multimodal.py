@@ -6,10 +6,13 @@ metadata struct; decode/feature-extraction/frame-sampling run as
 Arrow-batched pandas iterators over ``mapInPandas`` so the (heavy,
 C-library-backed) per-item work never goes through row-at-a-time Python.
 
-The actual codecs (Pillow/ffmpeg/torchaudio) are NOT available in this
-environment, so the decode kernels are STUBS — clearly marked, swappable
-via the ``decoder=`` parameter — while everything Spark-side (schemas,
-batch iteration, partition sizing, output contracts) is real and tested.
+Decode kernels: ``operators/codecs.py`` provides REAL dependency-free
+decoders (full PNG chunk/zlib/unfilter parse, RIFF/WAVE PCM parse) that
+are the DEFAULTS for the feature extractors; Pillow/ffmpeg-backed
+decoders swap in via the ``decoder=`` parameter for formats a pure
+Python parser can't cover (JPEG/MP3/MP4 — those libs aren't in this
+environment).  The ``*_stub`` kernels remain for deterministic
+oracle-pairing on synthetic bytes.
 
 Scale notes: media bytes dominate row size — repartition so a batch of
 rows fits executor memory (``target_rows_per_batch`` guidance below),
@@ -113,7 +116,7 @@ def extract_image_features(
     df: DataFrame,
     id_col: str,
     binary_col: str,
-    decoder: Callable[[bytes], dict] = decode_image_stub,
+    decoder: Optional[Callable[[bytes], dict]] = None,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode images and emit per-image features via ``mapInPandas``.
@@ -121,7 +124,16 @@ def extract_image_features(
     Output: ``(id, width, height, mean_intensity, decode_error)`` — decode
     failures land in ``decode_error`` instead of failing the job (at
     billions of crawled images some bytes are always corrupt).
+
+    The default decoder is the REAL pure-Python PNG parser
+    (:func:`~hermes_spark.operators.codecs.decode_image`); pass a
+    Pillow-backed callable for JPEG/WebP etc., or ``decode_image_stub``
+    for deterministic synthetic-byte tests.
     """
+    if decoder is None:
+        from .codecs import decode_image
+
+        decoder = decode_image
     out_schema = StructType(
         [df.schema[id_col]] + IMAGE_FEATURE_SCHEMA_SUFFIX
     )
@@ -248,13 +260,22 @@ def extract_audio_features(
     df: DataFrame,
     id_col: str,
     binary_col: str,
-    decoder: Callable[[bytes], dict] = decode_audio_stub,
+    decoder: Optional[Callable[[bytes], dict]] = None,
 ) -> DataFrame:
     """Decode audio binaries and emit per-clip features via
     ``mapInPandas`` — same contract as ``extract_image_features``: output
     ``(id, sample_rate, duration_ms, rms_energy, decode_error)`` with
     per-item failure isolation (corrupt bytes land in ``decode_error``).
+
+    The default decoder is the REAL RIFF/WAVE PCM parser
+    (:func:`~hermes_spark.operators.codecs.decode_audio`); pass a
+    soundfile/torchaudio-backed callable for compressed formats, or
+    ``decode_audio_stub`` for deterministic synthetic-byte tests.
     """
+    if decoder is None:
+        from .codecs import decode_audio
+
+        decoder = decode_audio
     out_schema = StructType([df.schema[id_col]] + AUDIO_FEATURE_SCHEMA_SUFFIX)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -39,8 +39,10 @@ def test_with_media_metadata(media_df):
 
 
 def test_extract_image_features_stub(media_df):
+    from hermes_spark.operators.multimodal import decode_image_stub
+
     feats = {r.media_id: r for r in extract_image_features(
-        media_df, "media_id", "data"
+        media_df, "media_id", "data", decoder=decode_image_stub
     ).collect()}
     assert len(feats) == 4
     ok = feats[0]
@@ -52,7 +54,7 @@ def test_extract_image_features_stub(media_df):
     assert feats[3].width is None
     # determinism
     again = {r.media_id: r for r in extract_image_features(
-        media_df, "media_id", "data"
+        media_df, "media_id", "data", decoder=decode_image_stub
     ).collect()}
     assert again[0].width == ok.width
 
@@ -106,7 +108,11 @@ def test_rich_format_and_calculate_time():
 
 
 def test_extract_audio_features_stub(media_df):
-    out = extract_audio_features(media_df, "media_id", "data").collect()
+    from hermes_spark.operators.multimodal import decode_audio_stub
+
+    out = extract_audio_features(
+        media_df, "media_id", "data", decoder=decode_audio_stub
+    ).collect()
     by_id = {r["media_id"]: r for r in out}
     assert len(by_id) == 4
     ok = by_id[0]
