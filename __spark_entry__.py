@@ -1574,8 +1574,11 @@ def _sql_kmeans_ivf_topk() -> str:
     to k-means): deterministic init (k smallest ids), each iteration =
     one 6-dp-rounded-cosine assignment + one per-component mean, then
     the IVF search over the final centroids. Assignment decisions are
-    made on ROUNDED cosines on both engines, which is what makes the
-    iterative chain hash-stable despite FP sum-order differences."""
+    made on ROUNDED cosines on both engines, which keeps the iterative
+    chain hash-stable despite FP sum-order differences — up to
+    ulp-level effects: the pre-round sums use different summation
+    orders per engine, so a cosine within an ulp of a .5e-6 boundary
+    could round apart (not observed on the test corpora)."""
 
     def cos(vec: str, cent: str) -> str:
         dot = (
@@ -1671,8 +1674,9 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search. The fit is deterministic (smallest-id init, fixed iteration
     count, assignment by 6-dp-ROUNDED cosine), so the Lloyd iterations
     unroll into the oracle's CTE chain exactly like the pagerank power
-    iteration does — the rounded assignment is what keeps the chain
-    hash-stable across engines."""
+    iteration does — the rounded assignment keeps the chain hash-stable
+    across engines up to ulp effects in the pre-round sums (see
+    _sql_kmeans_ivf_topk)."""
     from hermes_spark.operators import kmeans_centroids
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -3267,8 +3271,11 @@ def _sql_mmr_select() -> str:
     quantity the selection compares is 6-dp-quantized on both engines:
     rel is the rounded pool cosine, the pairwise penalty sims are
     rounded before the running max, and score = lam*rel -
-    (1-lam)*max_sim is then bit-identical IEEE arithmetic on identical
-    rounded inputs — so the greedy trace replays exactly."""
+    (1-lam)*max_sim is then identical IEEE arithmetic on identical
+    rounded inputs — so the greedy trace replays exactly WHEN the
+    unrounded cosines agree through the 6-dp round; per-engine
+    summation-order differences make that an up-to-ulp guarantee, not
+    an absolute one (see operators/mmr.py module docstring)."""
     lam = MMR_LAMBDA
     one_minus = 1.0 - MMR_LAMBDA  # NOT 0.3: mirror Python's FP value
 

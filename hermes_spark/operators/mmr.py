@@ -28,13 +28,19 @@ Scale design (100 TB corpus, many queries):
 * Every query group is independent → embarrassingly parallel across
   executors; the corpus itself is touched only by the candidate
   generator, which is the already-plan-audited top-k operator.
-* The greedy trace IS oracle-checkable: relevance and the
-  candidate-candidate similarities are both quantized to 6 dp, so
-  every score the selection compares is a bit-identical double on any
-  engine, and the fixed-k loop unrolls into a plain CTE chain (see
-  ``_sql_mmr_select`` in ``__spark_entry__.py``). A NumPy reference
-  implementation (``tests/test_curation_r4b.py``) guards the
-  semantics independently.
+* The greedy trace is oracle-checkable: relevance and the
+  candidate-candidate similarities are both quantized to 6 dp before
+  any comparison, so the selection compares identical doubles on both
+  engines *provided the unrounded cosines agree to within the 6-dp
+  rounding slack*.  The unrounded values come from different summation
+  orders per engine (NumPy pairwise/BLAS dots vs DuckDB sequential
+  ``list_sum``), so the guarantee is rounded-input agreement up to
+  ulp-level effects — a cosine landing within an ulp of a ``.5e-6``
+  boundary could round apart (never observed on the test corpora; the
+  driver gate would surface it as a hash mismatch).  The fixed-k loop
+  unrolls into a plain CTE chain (see ``_sql_mmr_select`` in
+  ``__spark_entry__.py``); a NumPy reference implementation
+  (``tests/test_curation_r4b.py``) guards the semantics independently.
 """
 
 from __future__ import annotations

@@ -288,6 +288,12 @@ def psi_report(
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = baseline.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                "psi_report: baseline frame has no non-null "
+                f"{value_col!r} values to derive [lo, hi] from — pass "
+                "explicit lo/hi bounds"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     width = (hi - lo) / bins if hi > lo else 1.0
@@ -298,7 +304,11 @@ def psi_report(
             F.lit(bins - 1),
         ).cast("long")
         counts = (
-            df.select(bucket.alias("bucket"))
+            # nulls are excluded BEFORE totals: a null value has no
+            # bucket, and counting it into the denominator would make
+            # p/q silently sum below 1
+            df.filter(v.isNotNull())
+            .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
         )

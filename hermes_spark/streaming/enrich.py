@@ -126,6 +126,18 @@ def upsert_sink(
             )
             if _SEQ not in existing.columns:  # store predates seq stamping
                 existing = existing.withColumn(_SEQ, F.lit(-1).cast("long"))
+            # Monotonic epoch: batch_id restarts at 0 when the stream is
+            # resumed with a FRESH checkpoint directory, and a raw
+            # batch_id stamp would then lose order_col ties to rows the
+            # previous incarnation stored with a higher seq — reverting
+            # restated keys to stale values.  Re-stamp the batch with
+            # max(existing seq over the touched buckets) + 1 (a key's
+            # rows always live in its own bucket, so the touched-bucket
+            # max covers every key this batch can tie with); the scan is
+            # column-pruned to _SEQ on partition-pruned buckets.
+            store_max = existing.agg(F.max(_SEQ)).collect()[0][0]
+            if store_max is not None and store_max >= int(batch_id):
+                b = b.withColumn(_SEQ, F.lit(int(store_max) + 1).cast("long"))
             # Schema evolution: a column present on only one side is kept
             # and null-filled on the other (never silently dropped).
             merged = _latest_per_key(

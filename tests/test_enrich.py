@@ -138,6 +138,39 @@ def test_upsert_sink_order_tie_goes_to_newest_batch(spark, tmp_path):
     assert got == {1: "aaa"}
 
 
+def test_upsert_sink_tie_survives_fresh_checkpoint_restart(spark, tmp_path):
+    """Round-6 (r5 advisory): batch_id restarts at 0 when the stream is
+    resumed with a NEW checkpoint directory; a restated key with a tied
+    order_col must STILL replace the stored value (monotonic epoch
+    re-stamp), not lose to the old incarnation's higher seq."""
+    store = str(tmp_path / "store")
+
+    def run(rows, src_name, ckpt_name):
+        src = str(tmp_path / src_name)
+        spark.createDataFrame(rows, ["k", "ts", "val"]).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("k long, ts long, val string").parquet(src)
+        q = (
+            upsert_sink(stream, store, keys=["k"], order_col="ts", num_buckets=2)
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    # first incarnation: two micro-batch runs push the stored seq past 0
+    run([(1, 100, "old1")], "src_a", "ckpt_a")
+    run([(1, 100, "old2"), (2, 10, "x")], "src_a", "ckpt_a")
+    got = {r["k"]: r["val"] for r in read_upsert_store(spark, store).collect()}
+    assert got[1] == "old2"
+    # fresh checkpoint + fresh source: batch_id is 0 again; the tied
+    # restatement must still win
+    run([(1, 100, "fresh")], "src_b", "ckpt_b")
+    got = {r["k"]: r["val"] for r in read_upsert_store(spark, store).collect()}
+    assert got == {1: "fresh", 2: "x"}
+
+
 def test_upsert_sink_schema_evolution_keeps_new_columns(spark, tmp_path):
     """A batch with a column the store lacks must surface it (null in
     old rows), not silently drop it."""

@@ -251,6 +251,35 @@ def test_psi_report_detects_shift(spark):
     assert all(r["p"] > 0 and r["q"] > 0 for r in out)
 
 
+def test_psi_report_empty_baseline_raises_clearly(spark):
+    from hermes_spark.operators import psi_report
+
+    empty = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError, match="no non-null"):
+        psi_report(empty, cur, "v", bins=5)
+    # all-null baseline is the same failure
+    nulls = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        psi_report(nulls, cur, "v", bins=5)
+    # explicit bounds sidestep the derivation and eps-floor the spine
+    out = psi_report(empty, cur, "v", bins=5, lo=0.0, hi=10.0).collect()
+    assert len(out) == 5 and all(r["p"] == pytest.approx(1e-6) for r in out)
+
+
+def test_psi_report_nulls_excluded_from_totals(spark):
+    from hermes_spark.operators import psi_report
+
+    base = spark.createDataFrame(
+        [(0.0,), (5.0,), (None,), (None,)], "v double"
+    )
+    out = psi_report(base, base, "v", bins=2, lo=0.0, hi=10.0).collect()
+    # 2 non-null rows, one per bucket: shares are 0.5/0.5 and SUM TO 1
+    # (nulls must not inflate the denominator)
+    assert sorted(r["p"] for r in out) == [0.5, 0.5]
+    assert sum(r["p"] for r in out) == pytest.approx(1.0)
+
+
 def test_psi_report_python_reference(spark):
     import math
 
