@@ -353,6 +353,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Connected components of the near-duplicate pair graph:
     ``(id, component)`` where ``component`` is the minimum id reachable
@@ -387,7 +388,9 @@ def connected_components(
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
     ).localCheckpoint(eager=True)
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -430,6 +433,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
@@ -438,6 +443,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -493,7 +499,9 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev_sig = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         sym = symmetrize(edges)
         # large-star: (v, m(u)) for v in N(u), v > u
         ls = (
@@ -523,6 +531,9 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev_sig[0] if prev_sig else 0
 
     # Fixed point is a forest of stars: every edge is (node, root).
     members = edges.select(
@@ -544,10 +555,30 @@ def fuzzy_dedup_keep_one(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "label",
+    star_edge_threshold: int = 2_000_000,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Drop every near-duplicate except the minimum-id member of each
-    component; rows not appearing in ``pairs`` are kept untouched."""
-    components = connected_components(pairs, id_a, id_b)
+    component; rows not appearing in ``pairs`` are kept untouched.
+
+    ``algorithm``: ``"label"`` (min-label propagation — shallow near-dup
+    clusters), ``"star"`` (large/small-star, the O(log²n) big-graph
+    path), or ``"auto"`` — materialize+count the pair list once
+    (``localCheckpoint``, so the clustering pass reuses the
+    materialization rather than recomputing the pair pipeline) and pick
+    star above ``star_edge_threshold`` edges."""
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(f"algorithm must be label/star/auto, got {algorithm!r}")
+    if algorithm == "auto":
+        pairs = pairs.localCheckpoint(eager=True)
+        n_edges = pairs.count()
+        algorithm = "star" if n_edges > star_edge_threshold else "label"
+        if stats is not None:
+            stats["edges"] = n_edges
+            stats["algorithm"] = algorithm
+    cc = connected_components_star if algorithm == "star" else connected_components
+    components = cc(pairs, id_a, id_b, stats=stats)
     losers = components.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

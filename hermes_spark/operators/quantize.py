@@ -525,3 +525,71 @@ def ivf_sq8_rescore_topk(
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pick_nprobe(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    sample_queries: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    dim: Optional[int] = None,
+    stats: Optional[DataFrame] = None,
+    max_nprobe: Optional[int] = None,
+) -> "tuple[int, list[dict]]":
+    """Empirically pick the smallest ``nprobe`` whose measured recall@k
+    on a QUERY SAMPLE meets ``target_recall`` — the operational answer
+    to "what accuracy knob do I set": measure on a held-out sample, not
+    guess from theory.
+
+    Doubling schedule (1, 2, 4, ... up to the centroid count), ground
+    truth from :func:`~hermes_spark.operators.similarity.
+    brute_force_cosine_topk` on the sample; returns ``(nprobe, curve)``
+    where ``curve`` is ``[{"nprobe": n, "recall": r}, ...]`` for every
+    probe evaluated (log it — the curve's shape tells you whether the
+    index or the quantizer is the recall bottleneck).
+
+    Scale shape: the sample is small (tens of queries), so each
+    evaluation is one IVF search plus a broadcast brute-force pass over
+    the corpus for truth — the truth pass runs ONCE and is reused
+    across the schedule.  Only (query_id, vec_id) id pairs are
+    collected.  Cost is O(log max_nprobe) index searches; run it on a
+    corpus sample for very large deployments.
+    """
+    from .similarity import brute_force_cosine_topk
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    n_centroids = centroids.count()
+    cap = min(max_nprobe or n_centroids, n_centroids)
+
+    truth_rows = brute_force_cosine_topk(
+        corpus, sample_queries, id_col, vec_col, query_id_col, k=k
+    ).select("query_id", "vec_id").collect()
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    denom = sum(len(v) for v in truth.values())
+    if denom == 0:
+        raise ValueError("empty ground truth: sample_queries or corpus is empty")
+
+    curve: "list[dict]" = []
+    nprobe = 1
+    while True:
+        got_rows = ivf_sq8_rescore_topk(
+            corpus, centroids, sample_queries, id_col, vec_col,
+            query_id_col, k=k, shortlist=shortlist, nprobe=nprobe,
+            dim=dim, stats=stats,
+        ).select("query_id", "vec_id").collect()
+        hits = sum(
+            1 for r in got_rows if r["vec_id"] in truth.get(r["query_id"], ())
+        )
+        recall = hits / denom
+        curve.append({"nprobe": nprobe, "recall": round(recall, 4)})
+        if recall >= target_recall or nprobe >= cap:
+            return nprobe, curve
+        nprobe = min(nprobe * 2, cap)

@@ -48,6 +48,7 @@ def jaccard_set_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.7,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
     ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``.
@@ -115,6 +116,13 @@ def jaccard_set_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    if stats is not None:
+        # instrumentation for pruning-effectiveness probes: materialize
+        # the candidate set once (the verify join below reuses it) and
+        # record how far below n^2/2 the prefix filter landed
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidates"] = cand.count()
+        stats["docs"] = docs.count()
 
     left = docs.select(
         F.col("doc_id").alias("id_a"),
@@ -174,6 +182,7 @@ def containment_join(
     text_col: str = "text",
     min_containment: float = 0.8,
     ngram: int = 3,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Asymmetric containment pairs: ``(id_a, id_b, n_a, n_b, n_common,
     containment)`` where ``containment = |A ∩ B| / |A| >=
@@ -241,6 +250,10 @@ def containment_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    if stats is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidates"] = cand.count()
+        stats["docs"] = docs.count()
     left = docs.select(
         F.col("doc_id").alias("id_a"), F.col("terms").alias("__ta"),
         F.col("n").alias("n_a"),

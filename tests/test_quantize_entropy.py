@@ -359,3 +359,32 @@ def test_ivf_rescore_recovers_exact_ordering(spark, embeddings):
     for r in resc:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_pick_nprobe_meets_target_on_clustered_data(spark):
+    """Round-6: empirical nprobe auto-tuning — on clustered (mixture)
+    data the tuner must find an nprobe whose measured recall@k on the
+    sample meets the target, with a monotone non-decreasing curve."""
+    import numpy as np
+
+    from hermes_spark.operators import kmeans_centroids, pick_nprobe
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, DIM)) * 3.0
+    rows = []
+    for i in range(1600):
+        c = i % 8
+        v = centers[c] + rng.normal(size=DIM) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, k=8, dim=DIM, max_iter=5)
+    sample = emb.filter(F.col("vec_id") % 200 == 7)  # 8 sample queries
+
+    nprobe, curve = pick_nprobe(
+        emb, cents, sample, target_recall=0.9, k=10, shortlist=60, dim=DIM
+    )
+    assert curve[-1]["recall"] >= 0.9, curve
+    assert nprobe == curve[-1]["nprobe"]
+    assert nprobe <= 8
+    recalls = [c["recall"] for c in curve]
+    assert all(b >= a - 0.05 for a, b in zip(recalls, recalls[1:])), curve
