@@ -5123,29 +5123,32 @@ WHERE n_common * 10000 >= {t_scaled} * n_a
 """
 
 
-# Round-5 oracle window (output of tools/rotate_window.py with
-# CORRECTNESS_r01..r04 present): the 3 queries needing their FIRST green
-# driver row lead — mmr_select / pq_topk / kmeans_ivf_topk were
-# oracle-paired this round (unrolled-CTE + literal-codebook oracles) —
-# then the stalest-verified entries (last green r1/r2), freshest last.
+# Round-6 oracle window (output of tools/rotate_window.py with
+# CORRECTNESS_r01..r05 present): every query has a green driver row, so
+# the window is pure staleness rotation — last-green r1/r2 entries
+# first (event rollups, the TPC-H long tail, winnowing/packing),
+# freshest-verified last.  This round's behavior-modified queries
+# (minhash_lsh_pairs, near_dup_components*, jaccard/containment pairs,
+# events_psi_drift) are all latest-green r4/r5 AND locally re-verified
+# against the DuckDB oracles at sf0.01 after the changes.
 _WINDOW_ORDER = [
-    "events_psi_drift", "dup_rate_by_source", "containment_pairs",
-    "source_cap_docs", "quality_gate_docs", "oov_rate_docs",
-    "training_order_docs", "jaccard_pairs_exact", "events_collapsed_runs",
-    "mmr_select", "pq_topk", "kmeans_ivf_topk",
-    "minhash_lsh_pairs", "dedup_duplicate_keys", "except_distinct",
-    "key_hash_md5", "sort_aligned_projection", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
-    "q18_large_orders", "q14_promo_share", "customer_running_totals",
-    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
-    "lang_id", "tfidf_topk_terms", "unigram_logprob", "vocab_top_terms",
-    "bigram_logprob", "text_hash_buckets", "blocking_pairs", "text_stats",
-    "ann_cosine_topk", "ann_cosine_topk_vec", "ivf_assign",
-    "embedding_near_dup", "ivf_topk", "flatten_nested",
-    "near_dup_components", "except_all", "compare_metrics_nokeys",
-    "compare_cherry_pick", "near_dup_components_star",
-    "q6_forecast_revenue", "topk_orders_per_customer",
-    "docs_quality_filter", "curation_pipeline", "simhash_near_dups",
+    "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
+    "sessionize_events", "windowed_rollup", "events_sliding_rollup",
+    "events_cube", "events_pivot", "user_session_stats",
+    "asof_join_rates", "events_quantiles", "gapfill_rollup",
+    "range_join_windows", "stratified_sample", "scrub_pii",
+    "repetition_ratio", "strip_boilerplate", "events_user_skew",
+    "events_profile", "q2_min_cost_supplier", "q4_priority_exists",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_shipments", "q13_order_distribution",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q19_disjunctive_join", "q20_bulk_suppliers", "q21_sole_return_blame",
+    "q22_idle_customers", "winnow_fingerprints", "winnow_near_dups",
+    "passage_dup_stats", "decontaminate", "pack_sequences",
+    "token_chunks", "dedup_exact_docs", "lsh_cosine_topk",
+    "source_overlap", "length_curriculum", "semantic_dedup",
+    "multimodal_image_features", "bm25_scores", "pagerank_links",
+    "link_degrees", "events_ewma",
 ]
 
 

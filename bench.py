@@ -146,6 +146,20 @@ BENCH_QUERIES = {
     "events_collapsed_runs": lambda s, d: _materialize(entry.q_events_collapsed_runs(s, d)),
 }
 
+# Output-bound section (round-6 bench hygiene): queries whose wall time
+# is dominated by legitimate answer SIZE on this corpus, not plan cost —
+# timed once per bench run, reported under "output_bound", EXCLUDED from
+# the suite total so their cost stays visible across rounds without
+# drowning the plan-quality signal.  jaccard_pairs_exact really emits
+# ~965k pairs at sf0.1 (31-token vocabulary defeats prefix pruning; on a
+# realistic Zipf vocabulary the same operator prunes to ~1.6% of the
+# pair space — tools/r6_probes.py setjoin_zipf).
+OUTPUT_BOUND_QUERIES = {
+    "jaccard_pairs_exact": lambda s, d: _materialize(
+        entry.q_jaccard_pairs_exact(s, d)
+    ),
+}
+
 
 def _simhash_fast(spark, sf_dir):
     """Production-hash simhash near-dups (xxhash64 token hashes)."""
@@ -215,6 +229,16 @@ def main() -> None:
         name: (median(vals) if vals else -1.0) for name, vals in raw.items()
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    output_bound: dict[str, float] = {}
+    for name, fn in OUTPUT_BOUND_QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir)
+            output_bound[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            output_bound[name] = -1.0
     # Per-pass raw triples go to stderr for humans; stdout carries exactly ONE
     # compact JSON line (no `raw` key) so a tail capture of stdout always
     # retains the total and every per-query median (the r4 driver artifact
@@ -225,6 +249,7 @@ def main() -> None:
     line = json.dumps(
         {
             "queries": timings,
+            "output_bound": output_bound,  # single-pass, NOT in the total
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "reps": reps,
             "unit": "sec",

@@ -335,3 +335,17 @@ def test_brute_topk_prunes_before_exchange(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan and "Partial" in plan, plan
         assert _window_prune_shape_ok(df), plan
+
+
+def test_minhash_mega_cluster_collapse_adds_no_exchange(spark, sf_dir):
+    """Round-6: the oversized-bucket collapse (identical-signature
+    chains + representative pairs) is pure per-row array expressions on
+    the GATHERED bucket — the plan must keep the exact pre-collapse
+    shuffle count (one groupBy exchange + one distinct exchange), not
+    grow a join or an extra aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hermes_spark.operators import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    assert count_exchanges(pairs) <= 2, plan_operators(pairs)
+    assert not any("Join" in op for op in plan_operators(pairs))

@@ -1,0 +1,249 @@
+"""Round-6 scale probes (VERDICT r5 items 2, 5, 6, 7).
+
+Usage: python tools/r6_probes.py [probe ...]   (default: all)
+
+Probes — each prints one JSON line:
+
+* ``setjoin_zipf``   — jaccard_set_join on a 200k-doc Zipfian corpus
+  (20k-term vocabulary): wall time + candidate-pair count vs n^2/2,
+  the evidence that prefix filtering prunes on realistic vocabularies.
+* ``cc_star``        — connected_components_star on a 5M-edge chain
+  graph (1000-node chains — label propagation's worst case): wall,
+  ROUND COUNT (the O(log^2 n) claim), component count verified.
+* ``hash_60m_disk``  — compare mode=fast vs mode=hash on a 60M-row
+  lineitem table read FROM PARQUET ON DISK (not in-memory exploded):
+  the 100 TB monitoring-mode evidence.
+* ``ann_clustered``  — 1M-vector mixture-of-Gaussians corpus (64
+  clusters): ivf_sq8_rescore recall@10 curve via pick_nprobe with a
+  0.9 target — the clustered complement of the adversarial uniform
+  floor in scale_smoke.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def out(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("r6-probes")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def probe_setjoin_zipf(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import jaccard_set_join
+    from hermes_spark.synth import zipf_documents
+
+    n = 200_000
+    docs = zipf_documents(
+        spark, n, vocab_size=20_000, doc_len=60, seed=6, near_dup_every=100,
+        partitions=64,
+    ).localCheckpoint(eager=True)
+    stats: dict = {}
+    t0 = time.time()
+    pairs = jaccard_set_join(docs, min_jaccard=0.8, stats=stats)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    planted = n // 100 - 1
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_b") % 100 == 0)
+    ).count()
+    out({
+        "probe": f"jaccard_set_join_zipf_{n}docs_20kvocab",
+        "rows": n_pairs,
+        "candidates": stats["candidates"],
+        "all_pairs": n * (n - 1) // 2,
+        "candidate_ratio": round(stats["candidates"] / (n * (n - 1) / 2), 6),
+        "planted_recall": round(found / planted, 4),
+        "wall": round(wall, 1),
+    })
+
+
+def probe_cc_star(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import connected_components_star
+
+    # 5M edges as 5000 chains of 1000 nodes: diameter 1000 — min-label
+    # propagation would need ~O(log diameter) pointer-jump rounds on the
+    # LABEL table; star rounds contract the EDGE set itself
+    n_edges = 5_000_000
+    chain = 1_000
+    pairs = spark.range(0, n_edges + 5_000, 1, 64).filter(
+        F.col("id") % chain != chain - 1  # break between chains
+    ).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).limit(n_edges)
+    stats: dict = {}
+    t0 = time.time()
+    comp = connected_components_star(pairs, stats=stats)
+    n_components = comp.select("component").distinct().count()
+    n_nodes = comp.count()
+    out({
+        "probe": f"cc_star_{n_edges}edges_chain{chain}",
+        "rows": n_nodes,
+        "components": n_components,
+        "rounds": stats.get("rounds"),
+        "wall": round(time.time() - t0, 1),
+    })
+
+
+def probe_hash_60m_disk(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from hermes_spark import ComparisonConfig, compare
+
+    work = "/tmp/r6_hash60m"
+    factor = 100
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+    big = li.select("*", copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") * factor + F.col("__copy")
+    ).drop("__copy")
+    t0 = time.time()
+    big.repartition(64).write.mode("overwrite").parquet(f"{work}/ref")
+    ref = spark.read.parquet(f"{work}/ref")
+    mutated = ref.withColumn(
+        "l_quantity",
+        F.when(
+            F.xxhash64("l_orderkey", "l_linenumber") % 1000 == 0,
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    mutated.repartition(64).write.mode("overwrite").parquet(f"{work}/act")
+    act = spark.read.parquet(f"{work}/act")
+    n = ref.count()
+    out({"probe": "hash60m_write", "rows": n, "wall": round(time.time() - t0, 1)})
+
+    keys = ["l_orderkey", "l_linenumber"]
+    try:
+        for mode in ("fast", "hash"):
+            t0 = time.time()
+            res = compare(
+                ref, act, keys=keys,
+                config=ComparisonConfig(mode=mode, allow_duplicates=True),
+            )
+            diff = res.result_df.count()
+            out({
+                "probe": f"compare_{mode}_{n}rows_on_disk",
+                "rows": diff,
+                "wall": round(time.time() - t0, 1),
+            })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def probe_ann_clustered(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import kmeans_centroids, pick_nprobe
+    from hermes_spark.operators.quantize import sq8_stats
+
+    nvec = 1_000_000
+    n_clusters = 64
+    dim = 64
+
+    # mixture of Gaussians, fully hash-derived: center[c][d] uniform in
+    # [-3, 3]; point = center + N(0, 0.5) via Box-Muller from two hashes
+    def unif(seed_cols, lo, hi):
+        return (
+            F.pmod(F.xxhash64(*seed_cols), F.lit(1_000_003)) / 1_000_003.0
+        ) * (hi - lo) + lo
+
+    def gauss(doc, d, tag):
+        u1 = (
+            F.pmod(F.xxhash64(doc, d, F.lit(tag)), F.lit(999_983)) + 0.5
+        ) / 999_983.0
+        u2 = (
+            F.pmod(F.xxhash64(doc, d, F.lit(tag + 1)), F.lit(999_979)) + 0.5
+        ) / 999_979.0
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(
+            F.lit(2.0 * 3.141592653589793) * u2
+        )
+
+    base = spark.range(0, nvec, 1, 64)
+    cluster = F.pmod(F.col("id"), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: unif([cluster, d, F.lit(777)], -3.0, 3.0)
+        + 0.5 * gauss(F.col("id"), d, 1),
+    )
+    corpus = base.select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).localCheckpoint(eager=True)
+    out({"probe": "ann_clustered_corpus", "rows": corpus.count(), "wall": 0.0})
+
+    t0 = time.time()
+    sample = corpus.filter(F.col("vec_id") % 20 == 0)  # 50k fit sample
+    cents = kmeans_centroids(sample, k=n_clusters, dim=dim, max_iter=4) \
+        .localCheckpoint(eager=True)
+    stats = sq8_stats(corpus, "embedding", dim).localCheckpoint(eager=True)
+    out({"probe": "ann_clustered_index_build", "rows": n_clusters,
+         "wall": round(time.time() - t0, 1)})
+
+    queries = corpus.filter(F.col("vec_id") % 100_000 == 17)  # 10 queries
+    t0 = time.time()
+    nprobe, curve = pick_nprobe(
+        corpus, cents, queries, target_recall=0.9, k=10, shortlist=100,
+        dim=dim, stats=stats,
+    )
+    out({
+        "probe": f"ann_clustered_recall_{nvec}vecs_{n_clusters}cells",
+        "rows": nvec,
+        "picked_nprobe": nprobe,
+        "curve": curve,
+        "wall": round(time.time() - t0, 1),
+    })
+
+
+PROBES = {
+    "setjoin_zipf": probe_setjoin_zipf,
+    "cc_star": probe_cc_star,
+    "hash_60m_disk": probe_hash_60m_disk,
+    "ann_clustered": probe_ann_clustered,
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(PROBES)
+    unknown = [n for n in names if n not in PROBES]
+    if unknown:
+        print(f"unknown probes: {unknown}; known: {list(PROBES)}", file=sys.stderr)
+        return 2
+    spark = get_spark()
+    for n in names:
+        PROBES[n](spark)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
