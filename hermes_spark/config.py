@@ -26,10 +26,14 @@ class ComparisonConfig:
     #: "reference" replays the reference dataflow action-for-action;
     #: "fast" runs the single-shuffle/cached plan designed for very large
     #: inputs; "hash" classifies by (key, xxhash64(row)) so the shuffle
-    #: moves ~16 bytes/row and only unmatched rows rematerialize (the
-    #: 100 TB monitoring mode; 2^-64 per-pair collision caveat — see
-    #: comparator.py); "auto" resolves to "hash"/"fast" from the estimated
-    #: row width. Results are identical across modes (tested).
+    #: moves ~16 bytes/row and only unmatched rows rematerialize — but it
+    #: scans the inputs twice more, so it wins only when rows are WIDE
+    #: (documents/embeddings) or shuffle is network-bound; on narrow
+    #: (~100 B) fact rows fast mode wins even at 60M rows on disk
+    #: (measured both ways — BASELINE.md round-6 probes; 2^-64 per-pair
+    #: collision caveat in comparator.py); "auto" resolves to
+    #: "hash"/"fast" from the estimated row width, matching exactly the
+    #: measured crossover. Results are identical across modes (tested).
     mode: str = "fast"
     #: Use EXCEPT ALL instead of EXCEPT DISTINCT semantics (scale-friendly
     #: variant; reference always uses EXCEPT DISTINCT, SURVEY.md §2.5).

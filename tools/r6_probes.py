@@ -161,6 +161,56 @@ def probe_hash_60m_disk(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_hash_wide_disk(spark) -> None:
+    """The other branch of mode=auto: WIDE rows (~1.5 kB of text) on
+    disk, where hash mode's 16 B/row classification shuffle should beat
+    fast mode's full-row shuffle even though hash scans the inputs
+    twice more."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark import ComparisonConfig, compare
+
+    work = "/tmp/r6_hashwide"
+    factor = 2_000  # sf0.1 documents ~5k rows -> ~10M wide rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+    big = docs.select("doc_id", "text", copies).withColumn(
+        "doc_id", F.col("doc_id") * factor + F.col("__copy")
+    ).withColumn(
+        # make every row's payload unique so parquet can't dictionary-
+        # collapse the copies to nothing
+        "text", F.concat(F.col("text"), F.lit(" copy"), F.col("__copy"))
+    ).drop("__copy")
+    t0 = time.time()
+    big.repartition(64).write.mode("overwrite").parquet(f"{work}/ref")
+    ref = spark.read.parquet(f"{work}/ref")
+    mutated = ref.withColumn(
+        "text",
+        F.when(
+            F.xxhash64("doc_id") % 1000 == 0, F.concat(F.col("text"), F.lit(" MUT"))
+        ).otherwise(F.col("text")),
+    )
+    mutated.repartition(64).write.mode("overwrite").parquet(f"{work}/act")
+    act = spark.read.parquet(f"{work}/act")
+    n = ref.count()
+    out({"probe": "hashwide_write", "rows": n, "wall": round(time.time() - t0, 1)})
+    try:
+        for mode in ("fast", "hash"):
+            t0 = time.time()
+            res = compare(
+                ref, act, keys=["doc_id"],
+                config=ComparisonConfig(mode=mode, allow_duplicates=True),
+            )
+            diff = res.result_df.count()
+            out({
+                "probe": f"compare_{mode}_{n}widerows_on_disk",
+                "rows": diff,
+                "wall": round(time.time() - t0, 1),
+            })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_ann_clustered(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -228,6 +278,7 @@ PROBES = {
     "setjoin_zipf": probe_setjoin_zipf,
     "cc_star": probe_cc_star,
     "hash_60m_disk": probe_hash_60m_disk,
+    "hash_wide_disk": probe_hash_wide_disk,
     "ann_clustered": probe_ann_clustered,
 }
 
