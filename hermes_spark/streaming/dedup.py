@@ -139,11 +139,18 @@ def stream_minhash_dedup(
                 state = spark.createDataFrame([], state_schema)
 
             # vs accepted history: band-key equi-join restricted to the
-            # batch's bands, minus hot store bands (same max_bucket_size
-            # cap as the batch operator — a hot band would make the join
-            # quadratic; true near-dups still collide on other bands)
+            # batch's bands.  A history hit only needs the BATCH id, so
+            # the state side collapses losslessly to distinct
+            # (__band, __sig) — a mega-cluster of identical accepted
+            # signatures becomes one row instead of making its band hot
+            # (round-6, mirroring operators.dedup.dedup_against); only
+            # DISTINCT-signature-hot bands are skipped to bound the join
             batch_bands = F.broadcast(banded.select("__band").distinct())
-            state_rel = state.join(batch_bands, on="__band", how="left_semi")
+            state_rel = (
+                state.join(batch_bands, on="__band", how="left_semi")
+                .select("__band", "__sig")
+                .distinct()
+            )
             hot_bands = (
                 state_rel.groupBy("__band")
                 .agg(F.count(F.lit(1)).alias("__n"))

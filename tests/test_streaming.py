@@ -543,3 +543,55 @@ def test_anomaly_stream_state_across_batches(spark, tmp_path):
     for i in range(15):
         want = (1 + i % 2) if i < 10 else 2
         assert got[base + i * 3600] == want, i
+
+
+def test_stream_minhash_dedup_mega_cluster_in_batch(spark, tmp_path):
+    """Round-6: a micro-batch containing a near-identical cluster LARGER
+    than max_bucket_size must still collapse to one survivor (the
+    oversized-bucket collapse is shared with the batch operator), and a
+    later re-post must be dropped against the stored survivor."""
+    from hermes_spark.streaming import stream_minhash_dedup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = (
+        "boilerplate template page shared by every mirror of this site "
+        "with navigation headers footers and the same inline disclaimers"
+    )
+    other = "genuinely novel document about star connected components"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_minhash_dedup(
+            stream,
+            state_path=state,
+            output_path=out,
+            min_jaccard=0.5,
+            max_bucket_size=50,  # << the 300-member cluster
+            checkpointLocation=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+    # 300 byte-distinct near-identical docs (unique suffix) + 1 novel
+    write_batch(
+        [(i, f"{base} v{i}") for i in range(300)] + [(900, other)]
+    )
+    schema = spark.read.parquet(src).schema
+    run_once(schema)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [0, 900], first  # pre-fix: all 300 survived
+
+    # re-post of the cluster in a later batch: dropped against history
+    write_batch([(1000, f"{base} v1000"), (1001, "another new topic entirely")])
+    run_once(schema)
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [0, 900, 1001], ids

@@ -274,8 +274,57 @@ def probe_ann_clustered(spark) -> None:
     })
 
 
+def probe_png_throughput(spark) -> None:
+    """Throughput of the pure-Python PNG decoder through mapInPandas:
+    50k generated 32x32 RGB images, end-to-end decode + feature
+    extraction.  Sets the honest swap-in threshold for a Pillow-backed
+    decoder (the Spark contract is identical either way)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from hermes_spark.operators import extract_image_features
+
+    n = 50_000
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hermes_spark.operators.codecs import encode_png
+
+        for pdf in batches:
+            rng = np.random.default_rng(int(pdf["id"].iloc[0]))
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "data": [
+                    encode_png(
+                        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                    )
+                    for _ in range(len(pdf))
+                ],
+            })
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("data", BinaryType()),
+    ])
+    imgs = spark.range(0, n, 1, 32).mapInPandas(gen, schema) \
+        .localCheckpoint(eager=True)
+    t0 = time.time()
+    decoded = extract_image_features(imgs, "media_id", "data")
+    n_ok = decoded.filter(F.col("decode_error").isNull()).count()
+    wall = time.time() - t0
+    out({
+        "probe": f"png_decode_throughput_{n}imgs_32x32",
+        "rows": n_ok,
+        "imgs_per_sec": round(n / wall),
+        "wall": round(wall, 1),
+    })
+
+
 PROBES = {
     "setjoin_zipf": probe_setjoin_zipf,
+    "png_throughput": probe_png_throughput,
     "cc_star": probe_cc_star,
     "hash_60m_disk": probe_hash_60m_disk,
     "hash_wide_disk": probe_hash_wide_disk,
