@@ -4562,6 +4562,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with tools/rotate_window.py after the driver drops the new
     # CORRECTNESS file.
     return {
+        # -- round-6 sketch additions (never verified by definition)
+        "hll_distinct_orders": q_hll_distinct_orders,
+        "cms_heavy_users": q_cms_heavy_users,
+        "kmv_flag_overlap": q_kmv_flag_overlap,
+        "bloom_join_parts": q_bloom_join_parts,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5123,6 +5128,201 @@ WHERE n_common * 10000 >= {t_scaled} * n_a
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 sketch queries (operators/sketch.py): HLL distinct, count-min
+# heavy hitters, KMV theta overlap, Bloom-prefiltered join
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 1024 registers, ~3.2% relative error
+CMS_DEPTH, CMS_WIDTH, CMS_THRESHOLD = 3, 1024, 80
+KMV_K = 256
+BLOOM_M, BLOOM_K = 1 << 17, 5
+_KMV_FLAG_PAIRS = [("A", "N"), ("A", "R"), ("N", "R")]
+
+
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-order count per return flag (p=10). The
+    state shuffle is bounded at m=1024 register rows per flag no matter
+    how many rows/distinct keys feed it — the 100 TB path for
+    COUNT(DISTINCT) dashboards and incremental rollups."""
+    from hermes_spark.operators.sketch import hll_distinct
+
+    li = _read(spark, sf_dir, "lineitem")
+    return hll_distinct(li, ["l_returnflag"], "l_orderkey", p=HLL_P)
+
+
+def _sql_hll_distinct() -> str:
+    from hermes_spark.operators.sketch import HASH_BITS, hll_alpha
+
+    p = HLL_P
+    w = HASH_BITS - p
+    s = w + 1
+    m = 1 << p
+    num = hll_alpha(m) * m * m * float(1 << s)
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substring(md5('' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+), reg AS (
+  SELECT l_returnflag, h >> {w} AS bucket,
+         max(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+                  ELSE {w} + 1 - length(bin(h & {(1 << w) - 1})) END) AS max_rank
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT l_returnflag, count(*)::BIGINT AS used_registers,
+         sum((1::BIGINT << ({s} - max_rank)))::BIGINT AS sum_scaled
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT l_returnflag, used_registers, {m} - used_registers AS v,
+         CAST({num!r} AS DOUBLE)
+           / CAST(({m} - used_registers) * {1 << s} + sum_scaled AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT l_returnflag, used_registers,
+       round(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * ln(CAST({float(m)!r} AS DOUBLE) / CAST(v AS DOUBLE))
+             ELSE raw END, 4) AS distinct_est
+FROM est
+"""
+
+
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: users with estimated event count >= 80.
+    The sketch state is <= d*w = 3072 cells regardless of user count;
+    estimates only overestimate, so recall of true heavy users is 1."""
+    from hermes_spark.operators.sketch import cms_heavy_hitters
+
+    ev = _read_events(spark, sf_dir)
+    return cms_heavy_hitters(
+        ev, "user_id", CMS_THRESHOLD, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
+def _sql_cms_heavy_users() -> str:
+    d, w, t = CMS_DEPTH, CMS_WIDTH, CMS_THRESHOLD
+    hash_b = (
+        "('0x' || substring(md5('cms' || r || '|' || CAST(user_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {w}"
+    )
+    return f"""
+WITH vals AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+rows_r AS (SELECT unnest(range({d})) AS r),
+cells AS (SELECT r, {hash_b} AS b FROM vals CROSS JOIN rows_r),
+state AS (SELECT r, b, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+cand AS (SELECT DISTINCT user_id FROM vals),
+cand_cells AS (SELECT user_id, r, {hash_b} AS b FROM cand CROSS JOIN rows_r),
+est AS (
+  SELECT user_id, min(coalesce(cnt, 0))::BIGINT AS est_count
+  FROM cand_cells LEFT JOIN state USING (r, b) GROUP BY 1
+)
+SELECT user_id, est_count FROM est WHERE est_count >= {t}
+"""
+
+
+def q_kmv_flag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch set-overlap: estimated union / intersection /
+    jaccard of the distinct part sets of each return-flag pair, from one
+    k=256-row state per flag — the sketch path of source_overlap (exact
+    variant) for corpus×corpus overlap at 100 TB."""
+    from hermes_spark.operators.sketch import kmv_overlap, kmv_state
+
+    li = _read(spark, sf_dir, "lineitem")
+    state = kmv_state(li, ["l_returnflag"], "l_partkey", k=KMV_K)
+    out = None
+    for a, b in _KMV_FLAG_PAIRS:
+        pair = F.lit(f"{a}-{b}")
+        sa = state.filter(F.col("l_returnflag") == a).select(
+            pair.alias("pair"), "h"
+        )
+        sb = state.filter(F.col("l_returnflag") == b).select(
+            pair.alias("pair"), "h"
+        )
+        o = kmv_overlap(sa, sb, ["pair"], k=KMV_K)
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def _sql_kmv_flag_overlap() -> str:
+    from hermes_spark.operators.sketch import HASH_BITS
+
+    k = KMV_K
+    space = float(1 << HASH_BITS)
+    branches = []
+    for a, b in _KMV_FLAG_PAIRS:
+        branches.append(f"""
+SELECT '{a}-{b}' AS pair,
+       coalesce(x.h, y.h) AS h,
+       CASE WHEN x.h IS NULL THEN 0 ELSE 1 END AS ina,
+       CASE WHEN y.h IS NULL THEN 0 ELSE 1 END AS inb
+FROM (SELECT h FROM state WHERE l_returnflag = '{a}') x
+FULL OUTER JOIN (SELECT h FROM state WHERE l_returnflag = '{b}') y ON x.h = y.h
+""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substring(md5('' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+), state AS (
+  SELECT l_returnflag, h FROM (
+    SELECT l_returnflag, h,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= {k}
+), pairsets AS ({union}),
+sampled AS (
+  SELECT pair, h, ina, inb FROM (
+    SELECT pair, h, ina, inb, row_number() OVER (PARTITION BY pair ORDER BY h) AS rn
+    FROM pairsets
+  ) WHERE rn <= {k}
+), agg AS (
+  SELECT pair, count(*)::BIGINT AS n, max(h) AS kth,
+         sum(ina * inb)::BIGINT AS ninter
+  FROM sampled GROUP BY pair
+), est AS (
+  SELECT pair, n, ninter,
+         CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+              ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                   * (CAST({space!r} AS DOUBLE) / CAST(kth AS DOUBLE)) END AS union_est
+  FROM agg
+)
+SELECT pair, round(union_est, 4) AS union_est,
+       round(CAST(ninter AS DOUBLE) / CAST(n AS DOUBLE) * union_est, 4) AS intersect_est,
+       round(CASE WHEN union_est > 0
+             THEN (CAST(ninter AS DOUBLE) / CAST(n AS DOUBLE) * union_est) / union_est
+             ELSE 0.0 END, 6) AS jaccard_est
+FROM est
+"""
+
+
+def q_bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: lineitem x small-parts, the big side
+    pruned scan-side by a 16 KiB bitmap BEFORE any exchange. Output is
+    exactly the plain join (false positives re-verified), so the oracle
+    is the plain SQL join."""
+    from hermes_spark.operators.sketch import bloom_prefilter_join
+
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    joined = bloom_prefilter_join(li, part, "p_partkey", m_bits=BLOOM_M, k=BLOOM_K)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_SQL_BLOOM_JOIN_PARTS = """
+SELECT p_brand, count(*)::BIGINT AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
+
 # Round-6 oracle window (output of tools/rotate_window.py with
 # CORRECTNESS_r01..r05 present): every query has a green driver row, so
 # the window is pure staleness rotation — last-green r1/r2 entries
@@ -5132,6 +5332,8 @@ WHERE n_common * 10000 >= {t_scaled} * n_a
 # events_psi_drift) are all latest-green r4/r5 AND locally re-verified
 # against the DuckDB oracles at sf0.01 after the changes.
 _WINDOW_ORDER = [
+    "hll_distinct_orders", "cms_heavy_users", "kmv_flag_overlap",
+    "bloom_join_parts",
     "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
     "sessionize_events", "windowed_rollup", "events_sliding_rollup",
     "events_cube", "events_pivot", "user_session_stats",
@@ -5147,8 +5349,7 @@ _WINDOW_ORDER = [
     "passage_dup_stats", "decontaminate", "pack_sequences",
     "token_chunks", "dedup_exact_docs", "lsh_cosine_topk",
     "source_overlap", "length_curriculum", "semantic_dedup",
-    "multimodal_image_features", "bm25_scores", "pagerank_links",
-    "link_degrees", "events_ewma",
+    "multimodal_image_features",
 ]
 
 
@@ -5165,6 +5366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     orders_cols = ", ".join(ORDERS_COLS)
     return {
+        "hll_distinct_orders": _sql_hll_distinct(),
+        "cms_heavy_users": _sql_cms_heavy_users(),
+        "kmv_flag_overlap": _sql_kmv_flag_overlap(),
+        "bloom_join_parts": _SQL_BLOOM_JOIN_PARTS,
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

@@ -1,0 +1,521 @@
+"""Mergeable sketch operators: HyperLogLog, count-min, KMV theta, Bloom.
+
+Extension beyond reference parity (the reference has no sketching; see
+``SURVEY.md`` §2 extension table).  At 100 TB, exact ``COUNT(DISTINCT)``
+/ frequency / set-overlap answers force a shuffle proportional to the
+*distinct-key volume*; the sketch answers here cost one scan with
+map-side-combinable aggregates and leave behind a small **mergeable
+state** that later batches can fold into without rescanning history —
+the same contract as ``incremental.rollup_state``.
+
+Design decisions (all Spark-first):
+
+* **States are relational, not blobs.** An HLL state is ``(group...,
+  bucket, max_rank)`` rows (≤ m per group), a CMS state is ``(group...,
+  row, bucket, cnt)`` rows (≤ d·w), a KMV state is the k smallest
+  60-bit hashes per group.  Register-per-row states merge with plain
+  ``groupBy().agg(max/sum)`` — Catalyst map-side combines them, AQE
+  coalesces them, and they persist as ordinary parquet.  No binary
+  payloads, no UDAFs, no Python in the hot path.
+* **Portable arithmetic.** Hashes come from
+  :func:`hermes_spark.functions.hashing.portable_hash64` (md5-derived,
+  reproducible in DuckDB), ranks from integer bit-length
+  (``length(bin(x))`` — exact on both engines, no ``floor(log2())``
+  double-rounding hazard), and the HLL harmonic sum is accumulated in
+  *scaled integer* form (``sum(1 << (S - rank))``), which is
+  order-independent and therefore engine-exact.  Only the final
+  one-division estimate is floating point.
+* **Production hash.** Every builder takes ``portable=False`` to switch
+  the base hash to ``xxhash64`` (one JVM intrinsic instead of md5+conv)
+  for real 100 TB runs; the md5 path exists so the driver oracle can
+  verify the register states bit-for-bit.
+
+Error contracts: HLL relative error ≈ ``1.04/sqrt(2^p)`` (~3.2 % at
+p=10); CMS overestimates only, by at most ``e·N/w`` with probability
+``1 - e^-d``; KMV relative error ≈ ``1/sqrt(k-2)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import fast_hash64, portable_hash64
+from ..naming import generate_unique_column_name
+
+#: portable_hash64 yields 60 bits (15 hex chars of md5).
+HASH_BITS = 60
+_HASH_SPACE = float(1 << HASH_BITS)
+
+
+def _hash60(col: Column, portable: bool, salt: str = "") -> Column:
+    """60-bit non-negative hash of ``col`` (salted), portable or fast."""
+    s = F.concat(F.lit(salt), col.cast("string"))
+    if portable:
+        return portable_hash64(s)
+    # keep the fast path in the same 60-bit space so all downstream
+    # arithmetic (bucket splits, KMV normalization) is hash-agnostic
+    return F.shiftrightunsigned(fast_hash64(s), 64 - HASH_BITS)
+
+
+def _bitlen(col: Column) -> Column:
+    """Exact integer bit length of a non-negative BIGINT (0 for 0).
+
+    ``length(bin(x))`` is string arithmetic on both Spark and DuckDB —
+    unlike ``floor(log2(x))`` it cannot round a power of two down.
+    """
+    return F.when(col == 0, F.lit(0)).otherwise(F.length(F.bin(col)))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. '07) — register-per-row representation
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m >= 128 registers (HLL paper §4)."""
+    if m < 128:
+        raise ValueError("hll precision must give m >= 128 registers (p >= 7)")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-group HLL registers ``(group..., bucket, max_rank)``.
+
+    One hash aggregate: the map side collapses repeated values into at
+    most ``m = 2^p`` register rows per group BEFORE the exchange, so the
+    shuffle carries ``O(groups · m)`` rows no matter how many input rows
+    or distinct values there are — that is the whole point vs exact
+    distinct.  Nulls are ignored (SQL COUNT DISTINCT semantics).
+    """
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
+    w = HASH_BITS - p
+    h = _hash60(F.col(value_col), portable)
+    bucket = F.shiftrightunsigned(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rank = F.lit(w + 1) - _bitlen(rem)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(group_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Fold any number of HLL states into one (register-wise max).
+
+    States are mergeable across batches, partitions, and days — this is
+    the incremental / streaming path: historical batches are never
+    re-hashed, only their ≤ m-row states re-aggregated.
+    """
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate(state: DataFrame, group_cols: list[str], p: int = 12) -> DataFrame:
+    """Distinct-count estimates ``(group..., used_registers, distinct_est)``.
+
+    The harmonic sum is computed in scaled-integer form: register j
+    contributes ``2^(S - M_j)`` with ``S = (60-p)+1 >= max_rank``, and
+    the ``m - used`` absent registers contribute ``2^S`` each.  Integer
+    sums are order-independent, so the estimate is reproducible across
+    engines and partitionings up to one final double division (plus the
+    small-range linear-counting branch ``m·ln(m/V)`` when the raw
+    estimate is ≤ 2.5m — standard HLL practice).
+    """
+    m = 1 << p
+    s_exp = (HASH_BITS - p) + 1
+    alpha = hll_alpha(m)
+    used = F.count(F.lit(1))
+    # max_rank <= s_exp, so the shift exponent is >= 0; sum fits 63 bits
+    # for p <= 16 (m * 2^S <= 2^16 * 2^45).
+    sum_scaled = F.sum(F.expr(f"shiftleft(1L, {s_exp} - max_rank)"))
+    agg = state.groupBy(*group_cols).agg(
+        used.alias("used_registers"), sum_scaled.alias("__sum_scaled")
+    )
+    v = F.lit(m) - F.col("used_registers")
+    z_scaled = v * F.lit(1 << s_exp) + F.col("__sum_scaled")
+    raw = F.lit(alpha * m * m * float(1 << s_exp)) / z_scaled.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "used_registers",
+        F.round(est, 4).alias("distinct_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+    portable: bool = True,
+) -> DataFrame:
+    """One-shot ``approx COUNT(DISTINCT value) GROUP BY group_cols``."""
+    return hll_estimate(
+        hll_state(df, group_cols, value_col, p=p, portable=portable),
+        group_cols,
+        p=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan '05)
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(col: Column, depth: int, width: int, portable: bool) -> Column:
+    """``array<struct<r,b>>`` of the d (row, bucket) cells for a value."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (_hash60(col, portable, salt=f"cms{i}|") % width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    weight_col: str | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min state ``(r, b, cnt)`` — ≤ ``depth·width`` rows total.
+
+    Each input row increments d cells; the explode emits d small structs
+    per row and the hash aggregate map-side combines them, so the
+    exchange carries at most d·w rows per task.  ``weight_col`` turns it
+    into a weighted frequency sketch.  States from different batches
+    merge with :func:`cms_merge` (cell-wise sum) — counts are additive.
+    """
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    cells = df.filter(F.col(value_col).isNotNull()).select(
+        F.explode(_cms_cells(F.col(value_col), depth, width, portable)).alias("__c"),
+        wcol.alias("__w"),
+    )
+    return (
+        cells.select(F.col("__c.r").alias("r"), F.col("__c.b").alias("b"), "__w")
+        .groupBy("r", "b")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Cell-wise sum of count-min states (counts are additive)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Point estimates for ``items``: ``(item..., est_count)``.
+
+    ``est = min over the d cells`` — never underestimates the true
+    count.  The state (≤ d·w rows) joins broadcast, so estimating any
+    number of items is a map-only pass over ``items``.  Integer-exact →
+    engine-reproducible bit-for-bit.
+    """
+    cell = generate_unique_column_name(items.columns, "cell")
+    exploded = items.select(
+        "*",
+        F.explode(_cms_cells(F.col(item_col), depth, width, portable)).alias(cell),
+    )
+    joined = exploded.join(
+        F.broadcast(state),
+        (F.col(f"{cell}.r") == F.col("r")) & (F.col(f"{cell}.b") == F.col("b")),
+        "left",
+    )
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = 3,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Items whose estimated frequency ≥ threshold: ``(item, est_count)``.
+
+    Candidate enumeration here is the distinct values of ``df`` itself
+    (complete recall: CMS only overestimates, so every true heavy hitter
+    survives the filter; false positives are bounded by the sketch
+    error).  In a streaming / multi-batch setting, pass an externally
+    maintained candidate set to :func:`cms_estimate` against a merged
+    state instead.
+    """
+    state = cms_state(df, value_col, depth=depth, width=width, portable=portable)
+    candidates = df.filter(F.col(value_col).isNotNull()).select(value_col).distinct()
+    est = cms_estimate(
+        state, candidates, value_col, depth=depth, width=width, portable=portable
+    )
+    return est.filter(F.col("est_count") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# KMV ("theta") sketch — k minimum hash values (Bar-Yossef et al. '02)
+# ---------------------------------------------------------------------------
+
+
+def kmv_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """The k smallest distinct 60-bit hashes per group: ``(group..., h)``.
+
+    Build cost is one distinct-collapse aggregate plus a per-group
+    top-k window — the same shuffle class as exact distinct — but the
+    *state* is ≤ k rows per group, persists as parquet, and supports
+    union AND intersection estimates later without touching the data
+    again (HLL states only union).  Map-side combine collapses repeats
+    before the exchange.
+    """
+    h = _hash60(F.col(value_col), portable)
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.lit(1))
+        .select(*group_cols, "h")
+    )
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    rn = generate_unique_column_name(hashes.columns, "rn")
+    return (
+        hashes.withColumn(rn, F.row_number().over(win))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
+    )
+
+
+def kmv_merge(group_cols: list[str], k: int, *states: DataFrame) -> DataFrame:
+    """Union of KMV states re-cut to the k smallest per group."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    distinct = merged.groupBy(*group_cols, "h").agg(F.lit(1)).select(*group_cols, "h")
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    rn = generate_unique_column_name(distinct.columns, "rn")
+    return (
+        distinct.withColumn(rn, F.row_number().over(win))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
+    )
+
+
+def kmv_estimate(state: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Distinct estimates ``(group..., distinct_est)``.
+
+    With fewer than k hashes the count is exact; otherwise the k-th
+    minimum value estimator ``(k-1) / U_(k)`` with hashes normalized to
+    [0,1).  Single multiply+divide → engine-deterministic.
+    """
+    agg = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * (F.lit(_HASH_SPACE) / F.col("__kth").cast("double"))
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("distinct_est"))
+
+
+def kmv_overlap(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Set-overlap estimates between two keyed KMV states.
+
+    Returns ``(group..., union_est, intersect_est, jaccard_est)`` per
+    group present in both states.  Method: the union sketch's threshold
+    ``θ = U_(k)`` (k-th smallest of the combined hash set) defines a
+    uniform sample of the union; the intersection estimate is the
+    fraction of sampled hashes present in both sides, scaled by the
+    union estimate (the standard theta-sketch a-priori estimator).
+    Everything is integer counting plus two final double ops per group.
+    """
+    a = state_a.select(*group_cols, F.col("h").alias("h"), F.lit(1).alias("__ina"))
+    b = state_b.select(*group_cols, F.col("h").alias("h"), F.lit(1).alias("__inb"))
+    both = (
+        a.join(b, [*group_cols, "h"], "full_outer")
+        .select(
+            *group_cols,
+            "h",
+            F.coalesce("__ina", F.lit(0)).alias("__ina"),
+            F.coalesce("__inb", F.lit(0)).alias("__inb"),
+        )
+    )
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    rn = generate_unique_column_name(both.columns, "rn")
+    sampled = both.withColumn(rn, F.row_number().over(win)).filter(F.col(rn) <= k)
+    agg = sampled.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("h").alias("__kth"),
+        F.sum(F.col("__ina") * F.col("__inb")).alias("__ninter"),
+    )
+    union_est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * (F.lit(_HASH_SPACE) / F.col("__kth").cast("double"))
+    )
+    # below the threshold the sample is exact membership, so the
+    # intersection fraction uses the same n rows the union estimate used
+    inter_est = F.col("__ninter").cast("double") / F.col("__n") * union_est
+    return agg.select(
+        *group_cols,
+        F.round(union_est, 4).alias("union_est"),
+        F.round(inter_est, 4).alias("intersect_est"),
+        F.round(
+            F.when(union_est > 0, inter_est / union_est).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitmap_hex(
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    portable: bool = True,
+) -> str:
+    """Build a Bloom bitmap of ``small[key_col]`` as a hex string.
+
+    The bitmap is assembled DISTRIBUTED: k bit positions per key →
+    64-bit words via ``groupBy(word).agg(bit_or)`` — the driver collects
+    at most ``m_bits/64`` word rows regardless of key count, then packs
+    them into ``m_bits/8`` bytes (hex-encoded for use as a plan
+    literal).  False-positive rate ≈ ``(1 - e^(-k·n/m))^k``; size the
+    filter at ~10 bits/key for ~1 % (the classic engineering point).
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    keys = small.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (_hash60(F.col(key_col), portable, salt=f"bf{i}|") % m_bits).alias(
+                        f"p{i}"
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.shiftrightunsigned(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(p & 63 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    buf = bytearray(m_bits // 8)
+    for row in words:
+        buf[row["w"] * 8 : row["w"] * 8 + 8] = int(row["bits"] & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    return buf.hex()
+
+
+def _bit_mask(p: Column) -> Column:
+    """``1 << (p & 7)`` as a column (shift amount is a column; an 8-entry
+    literal array lookup avoids shift-by-column portability questions)."""
+    masks = F.array(*[F.lit(1 << j) for j in range(8)])
+    return F.element_at(masks, (p.bitwiseAND(F.lit(7)) + 1).cast("int"))
+
+
+def bloom_member(
+    col: Column, bitmap_hex: str, m_bits: int, k: int, portable: bool = True
+) -> Column:
+    """Boolean: all k Bloom bits for ``col`` are set in ``bitmap_hex``.
+
+    Pure string/integer expressions over the hex literal (byte lookup
+    via ``conv(substring(...))``, bit test via mask) — whole-stage
+    codegen, no UDF, and reproducible in DuckDB for oracle checks.
+    """
+    lit = F.lit(bitmap_hex)
+    cond = None
+    for i in range(k):
+        p = _hash60(col, portable, salt=f"bf{i}|") % m_bits
+        byte = F.conv(
+            F.substring(lit, (F.shiftrightunsigned(p, 3) * 2 + 1).cast("int"), 2),
+            16,
+            10,
+        ).cast("long")
+        test = byte.bitwiseAND(_bit_mask(p).cast("long")) != 0
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    portable: bool = True,
+) -> DataFrame:
+    """Join ``big ⋈ small`` with a Bloom prefilter on the big side.
+
+    The 100 TB pattern: when the small side's distinct keys are too many
+    to broadcast as a semi-join but its Bloom bitmap (m/8 bytes) is not,
+    filtering the big side *scan-side* cuts the shuffle volume by the
+    join selectivity before any exchange happens.  The final join
+    re-verifies keys, so Bloom false positives never reach the output —
+    the result is EXACTLY ``big.join(small, on, how)``.
+
+    Spark's own runtime filter (``spark.sql.optimizer.runtime
+    .bloomFilter.enabled``) covers the automatic in-query case; this
+    explicit operator exists for (a) deterministic, engine-portable
+    hashing (oracle-checkable), (b) reusing one bitmap across many
+    queries/batches, and (c) prefiltering flows that feed non-join
+    consumers (e.g. decontamination).  Only inner/semi joins can prune
+    the big side; other join types are rejected.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(f"bloom prefilter only valid for inner/semi joins, got {how}")
+    bitmap = bloom_bitmap_hex(small, on, m_bits=m_bits, k=k, portable=portable)
+    member = bloom_member(F.col(on), bitmap, m_bits, k, portable)
+    filtered = big.filter(F.col(on).isNotNull() & member)
+    if how in ("semi", "left_semi", "leftsemi"):
+        return filtered.join(small.select(on).distinct(), on, "left_semi")
+    return filtered.join(small, on, how)

@@ -1,0 +1,255 @@
+"""Sketch operators: error bounds vs exact answers, merge algebra,
+Bloom-join exactness, and the plan shapes that make sketches the 100 TB
+path (bounded-state shuffles, scan-side prefilters)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark.operators import (
+    bloom_bitmap_hex,
+    bloom_member,
+    bloom_prefilter_join,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+    cms_state,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_state,
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap,
+    kmv_state,
+)
+from hermes_spark.plans import count_exchanges, plan_operators
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 20k rows, 5k distinct values, 4 groups of unequal distinct counts
+    return spark.range(20000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 5000).alias("v")
+    )
+
+
+# -- HyperLogLog -----------------------------------------------------------
+
+
+def test_hll_within_error_bound(spark, ids):
+    est = hll_distinct(ids, ["g"], "v", p=12).collect()
+    exact = {
+        r["g"]: r["x"]
+        for r in ids.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    assert len(est) == 4
+    for r in est:
+        rel = abs(r["distinct_est"] - exact[r["g"]]) / exact[r["g"]]
+        # theoretical sigma at p=12 is 1.63%; allow 4 sigma
+        assert rel < 0.065, (r["g"], r["distinct_est"], exact[r["g"]])
+
+
+def test_hll_merge_equals_direct(spark, ids):
+    a = hll_state(ids.filter("id is not null and v % 2 = 0"), ["g"], "v", p=10)
+    b = hll_state(ids.filter("v % 2 = 1"), ["g"], "v", p=10)
+    merged = hll_merge(["g"], a, b)
+    direct = hll_state(ids, ["g"], "v", p=10)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_deterministic_under_repartition(spark, ids):
+    one = hll_distinct(ids.repartition(1), ["g"], "v", p=10).collect()
+    many = hll_distinct(ids.repartition(13, "v"), ["g"], "v", p=10).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_hll_state_bounded_and_single_exchange(spark, ids):
+    state = hll_state(ids, ["g"], "v", p=10)
+    # register-per-row state is capped at m rows per group
+    top = state.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    assert top <= 1024
+    # one hash-aggregate exchange builds the state; no joins, no windows
+    assert count_exchanges(state) == 1
+    assert not any("Window" in op or "Join" in op for op in plan_operators(state))
+
+
+def test_hll_fast_hash_variant(spark, ids):
+    est = hll_distinct(ids, ["g"], "v", p=12, portable=False).collect()
+    exact = {
+        r["g"]: r["x"]
+        for r in ids.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for r in est:
+        assert abs(r["distinct_est"] - exact[r["g"]]) / exact[r["g"]] < 0.065
+
+
+def test_hll_rejects_bad_precision(spark, ids):
+    with pytest.raises(ValueError):
+        hll_state(ids, ["g"], "v", p=5)
+
+
+# -- Count-min -------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark, ids):
+    # narrow width forces collisions: estimates must still be >= truth
+    state = cms_state(ids, "v", depth=3, width=64)
+    items = ids.select("v").distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(state, items, "v", depth=3, width=64).collect()
+    }
+    exact = {r["v"]: r["c"] for r in ids.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert all(est[v] >= exact[v] for v in exact)
+
+
+def test_cms_heavy_hitters_complete_recall(spark):
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("u"), (F.col("id") % 500).cast("string"))
+        ).alias("v")
+    )
+    hh = cms_heavy_hitters(df, "v", threshold=900, depth=3, width=1024)
+    rows = {r["v"]: r["est_count"] for r in hh.collect()}
+    assert "hot" in rows and rows["hot"] >= 1000
+
+
+def test_cms_merge_equals_direct(spark, ids):
+    a = cms_state(ids.filter("v % 2 = 0"), "v", depth=3, width=256)
+    b = cms_state(ids.filter("v % 2 = 1"), "v", depth=3, width=256)
+    merged = cms_merge(a, b)
+    direct = cms_state(ids, "v", depth=3, width=256)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_state_bounded(spark, ids):
+    assert cms_state(ids, "v", depth=3, width=64).count() <= 3 * 64
+
+
+def test_cms_weighted(spark, ids):
+    weighted = ids.withColumn("w", F.lit(3))
+    state = cms_state(weighted, "v", depth=3, width=2048, weight_col="w")
+    est = cms_estimate(
+        state, ids.select("v").distinct().limit(5), "v", depth=3, width=2048
+    ).collect()
+    # every value appears 4 times with weight 3 -> estimate >= 12
+    assert all(r["est_count"] >= 12 for r in est)
+
+
+# -- KMV / theta -----------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    est = kmv_estimate(kmv_state(df, ["g"], "v", k=256), ["g"], k=256).collect()
+    assert est[0]["distinct_est"] == 100.0
+
+
+def test_kmv_within_error_bound(spark, ids):
+    est = kmv_estimate(kmv_state(ids, ["g"], "v", k=512), ["g"], k=512).collect()
+    exact = {
+        r["g"]: r["x"]
+        for r in ids.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for r in est:
+        # sigma ~ 1/sqrt(k-2) = 4.4%; allow 4 sigma
+        assert abs(r["distinct_est"] - exact[r["g"]]) / exact[r["g"]] < 0.18
+
+
+def test_kmv_merge_equals_direct(spark, ids):
+    a = kmv_state(ids.filter("v % 2 = 0"), ["g"], "v", k=128)
+    b = kmv_state(ids.filter("v % 2 = 1"), ["g"], "v", k=128)
+    merged = kmv_merge(["g"], 128, a, b)
+    direct = kmv_state(ids, ["g"], "v", k=128)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_kmv_overlap_estimates(spark):
+    # |A|=3000, |B|=3000, |A∩B|=1000 (values 2000..2999 shared)
+    base = spark.range(5000).select(F.col("id").alias("v"))
+    a = base.filter("v < 3000").select(F.lit("p").alias("g"), "v")
+    b = base.filter("v >= 2000").select(F.lit("p").alias("g"), "v")
+    ov = kmv_overlap(
+        kmv_state(a, ["g"], "v", k=512),
+        kmv_state(b, ["g"], "v", k=512),
+        ["g"],
+        k=512,
+    ).collect()[0]
+    assert abs(ov["union_est"] - 5000) / 5000 < 0.2
+    assert abs(ov["intersect_est"] - 1000) / 1000 < 0.35
+    assert abs(ov["jaccard_est"] - 0.2) < 0.07
+
+
+def test_kmv_state_bounded(spark, ids):
+    top = (
+        kmv_state(ids, ["g"], "v", k=64)
+        .groupBy("g")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert top == 64
+
+
+# -- Bloom prefilter join --------------------------------------------------
+
+
+def test_bloom_join_exactly_matches_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size <= 3")
+    bloomed = bloom_prefilter_join(li, part, "p_partkey", m_bits=1 << 14, k=5)
+    plain = li.join(part, "p_partkey")
+    assert bloomed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bloomed).count() == 0
+
+
+def test_bloom_member_no_false_negatives_and_prunes(spark):
+    small = spark.range(500).select((F.col("id") * 7).alias("key"))
+    big = spark.range(50000).select(F.col("id").alias("key"))
+    bitmap = bloom_bitmap_hex(small, "key", m_bits=1 << 14, k=5)
+    kept = big.filter(bloom_member(F.col("key"), bitmap, 1 << 14, 5))
+    true_matches = big.join(small, "key", "left_semi")
+    # no false negatives: every true match survives the prefilter
+    assert true_matches.exceptAll(kept.join(small, "key", "left_semi")).count() == 0
+    # and the filter actually prunes (kept << big; fp rate is tiny here)
+    n_kept = kept.count()
+    assert n_kept < 2000, n_kept
+
+
+def test_bloom_filter_applied_before_exchange(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size <= 3")
+    out = bloom_prefilter_join(li, part, "p_partkey", m_bits=1 << 14, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the membership test (conv over the bitmap literal) must sit below
+    # the first exchange/broadcast on the big side: find a Filter with
+    # 'conv(' in the same plan; and the join itself must be broadcast
+    # (small side) so the big side never shuffles at all
+    assert "conv(" in plan
+    ops = plan_operators(out)
+    assert any("BroadcastHashJoin" in op for op in ops), ops
+    assert count_exchanges(out) == 0
+
+
+def test_bloom_semi_join_variant(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size <= 3")
+    semi = bloom_prefilter_join(li, part, "p_partkey", how="semi", m_bits=1 << 14, k=5)
+    plain = li.join(part.select("p_partkey").distinct(), "p_partkey", "left_semi")
+    assert semi.exceptAll(plain).count() == 0
+    assert plain.exceptAll(semi).count() == 0
+
+
+def test_bloom_rejects_outer_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(li, li, "l_orderkey", how="left")
