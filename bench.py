@@ -144,6 +144,12 @@ BENCH_QUERIES = {
     "containment_pairs": lambda s, d: _materialize(entry.q_containment_pairs(s, d)),
     "oov_rate_docs": lambda s, d: _materialize(entry.q_oov_rate_docs(s, d)),
     "events_collapsed_runs": lambda s, d: _materialize(entry.q_events_collapsed_runs(s, d)),
+    # round 6: sketches — bounded-state distinct / overlap, and the
+    # Bloom-prefiltered join (production xxhash64 hash for hll, the
+    # registry queries use the md5 oracle hash)
+    "hll_distinct_fast": lambda s, d: _materialize(_hll_fast(s, d)),
+    "kmv_flag_overlap": lambda s, d: _materialize(entry.q_kmv_flag_overlap(s, d)),
+    "bloom_join_parts": lambda s, d: _materialize(entry.q_bloom_join_parts(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
@@ -159,6 +165,14 @@ OUTPUT_BOUND_QUERIES = {
         entry.q_jaccard_pairs_exact(s, d)
     ),
 }
+
+
+def _hll_fast(spark, sf_dir):
+    """Production-hash HLL distinct (xxhash64, p=12) per return flag."""
+    from hermes_spark.operators import hll_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_distinct(li, ["l_returnflag"], "l_orderkey", p=12, portable=False)
 
 
 def _simhash_fast(spark, sf_dir):

@@ -16,6 +16,11 @@ here is a scale extension built on the same kernels:
 from hermes_spark.streaming.anomaly import anomaly_stream
 from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
+from hermes_spark.streaming.distinct import (
+    hll_distinct_sink,
+    hll_store_estimates,
+    read_hll_store,
+)
 from hermes_spark.streaming.enrich import enrich_stream, read_upsert_store, upsert_sink
 from hermes_spark.streaming.metrics import ProgressRecorder
 from hermes_spark.streaming.rollup import windowed_rollup
@@ -23,6 +28,9 @@ from hermes_spark.streaming.sessionize import sessionize_stream
 
 __all__ = [
     "anomaly_stream",
+    "hll_distinct_sink",
+    "hll_store_estimates",
+    "read_hll_store",
     "compare_stream",
     "enrich_stream",
     "read_upsert_store",
