@@ -4567,6 +4567,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_users": q_cms_heavy_users,
         "kmv_flag_overlap": q_kmv_flag_overlap,
         "bloom_join_parts": q_bloom_join_parts,
+        "events_value_quantiles": q_events_value_quantiles,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5297,6 +5298,75 @@ FROM est
 """
 
 
+QD_K = 64
+QD_QS = [0.5, 0.9, 0.99]
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (log2-linear buckets, rel err <= 1/2k):
+    p50/p90/p99 of event value per type from a bounded bucket state —
+    the persistable/incremental path where exact percentile() rescans
+    all history."""
+    from hermes_spark.operators.sketch import qdigest_quantiles, qdigest_state
+
+    ev = _read_events(spark, sf_dir)
+    state = qdigest_state(ev, ["event_type"], "value", k=QD_K)
+    return qdigest_quantiles(state, ["event_type"], QD_QS, k=QD_K)
+
+
+def _sql_events_value_quantiles() -> str:
+    from hermes_spark.operators.sketch import QD_SCALE
+
+    k = QD_K
+    scale_f = float(QD_SCALE)
+    qs = ", ".join(f"{q!r}::DOUBLE" for q in QD_QS)
+    return f"""
+WITH scaled_v AS (
+  SELECT event_type, value,
+         CAST(floor(abs(value) * CAST({scale_f!r} AS DOUBLE)) AS BIGINT) AS scaled
+  FROM events WHERE value IS NOT NULL
+), coded AS (
+  SELECT event_type, value, scaled,
+         CASE WHEN scaled = 0 THEN 0 ELSE length(bin(scaled)) END AS e
+  FROM scaled_v
+), bucketed AS (
+  SELECT event_type,
+         CASE WHEN scaled = 0 THEN 0
+              WHEN value < 0 THEN -(e * {k} + (((scaled - (1::BIGINT << (e - 1))) * {k}) >> (e - 1)))
+              ELSE e * {k} + (((scaled - (1::BIGINT << (e - 1))) * {k}) >> (e - 1)) END AS qb
+  FROM coded
+), state AS (
+  SELECT event_type, qb, count(*)::BIGINT AS cnt FROM bucketed GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, qb,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY qb
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM state
+), hit AS (
+  SELECT event_type, q, qb
+  FROM cum CROSS JOIN (SELECT unnest([{qs}]) AS q) qlist
+  WHERE c >= greatest(1, ceil(q * CAST(n AS DOUBLE)))
+), chosen AS (
+  SELECT event_type, q, min(qb) AS qb FROM hit GROUP BY 1, 2
+), decoded AS (
+  SELECT event_type, q, qb,
+         CAST(floor(abs(qb) / CAST({float(k)!r} AS DOUBLE)) AS BIGINT) AS e,
+         abs(qb) % {k} AS sub
+  FROM chosen
+)
+SELECT event_type, q,
+       round(CASE WHEN qb = 0 THEN 0.0
+             WHEN qb < 0 THEN -((CAST(1::BIGINT << (e - 1) AS DOUBLE) * (1.0 + CAST(sub AS DOUBLE) / CAST({float(k)!r} AS DOUBLE))
+                                + CAST(1::BIGINT << (e - 1) AS DOUBLE) * (1.0 + CAST(sub + 1 AS DOUBLE) / CAST({float(k)!r} AS DOUBLE)))
+                               / 2.0 / CAST({scale_f!r} AS DOUBLE))
+             ELSE ((CAST(1::BIGINT << (e - 1) AS DOUBLE) * (1.0 + CAST(sub AS DOUBLE) / CAST({float(k)!r} AS DOUBLE))
+                   + CAST(1::BIGINT << (e - 1) AS DOUBLE) * (1.0 + CAST(sub + 1 AS DOUBLE) / CAST({float(k)!r} AS DOUBLE)))
+                  / 2.0 / CAST({scale_f!r} AS DOUBLE)) END, 6) AS est
+FROM decoded
+"""
+
+
 def q_bloom_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered join: lineitem x small-parts, the big side
     pruned scan-side by a 16 KiB bitmap BEFORE any exchange. Output is
@@ -5333,7 +5403,7 @@ GROUP BY p_brand
 # against the DuckDB oracles at sf0.01 after the changes.
 _WINDOW_ORDER = [
     "hll_distinct_orders", "cms_heavy_users", "kmv_flag_overlap",
-    "bloom_join_parts",
+    "bloom_join_parts", "events_value_quantiles",
     "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
     "sessionize_events", "windowed_rollup", "events_sliding_rollup",
     "events_cube", "events_pivot", "user_session_stats",
@@ -5349,7 +5419,6 @@ _WINDOW_ORDER = [
     "passage_dup_stats", "decontaminate", "pack_sequences",
     "token_chunks", "dedup_exact_docs", "lsh_cosine_topk",
     "source_overlap", "length_curriculum", "semantic_dedup",
-    "multimodal_image_features",
 ]
 
 
@@ -5370,6 +5439,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_users": _sql_cms_heavy_users(),
         "kmv_flag_overlap": _sql_kmv_flag_overlap(),
         "bloom_join_parts": _SQL_BLOOM_JOIN_PARTS,
+        "events_value_quantiles": _sql_events_value_quantiles(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

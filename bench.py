@@ -150,6 +150,9 @@ BENCH_QUERIES = {
     "hll_distinct_fast": lambda s, d: _materialize(_hll_fast(s, d)),
     "kmv_flag_overlap": lambda s, d: _materialize(entry.q_kmv_flag_overlap(s, d)),
     "bloom_join_parts": lambda s, d: _materialize(entry.q_bloom_join_parts(s, d)),
+    "events_value_quantiles": lambda s, d: _materialize(
+        entry.q_events_value_quantiles(s, d)
+    ),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time

@@ -405,6 +405,150 @@ def kmv_overlap(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable quantile sketch — log2-linear buckets (DDSketch-style
+# relative-error guarantee, but with fully INTEGER bucket arithmetic so
+# states and estimates are engine-exact; cf. Masson et al. '19)
+# ---------------------------------------------------------------------------
+
+#: Default fixed-point scale: values are quantized to 1/2^30 before
+#: bucketing. Bucket arithmetic is exact for |x| < 2^56/scale (~6.7e7 at
+#: the default) — pick a smaller scale for larger magnitudes.
+QD_SCALE = 1 << 30
+
+
+def _qd_bucket(col: Column, k: int, scale: int) -> Column:
+    """Signed bucket id: 0 for |x| < 1/scale, else ``sign * (e*k + sub)``
+    with ``e = bitlen(floor(|x|*scale))`` and ``sub`` the k-way linear
+    split of the octave ``[2^(e-1), 2^e)``.  Bucket order == value
+    order, width ≤ (1+1/k)× → relative error ≤ 1/(2k) at the midpoint.
+    All integer ops after one exact IEEE multiply+floor.
+    """
+    scaled = F.floor(F.abs(col) * F.lit(float(scale))).cast("long")
+    e = _bitlen(scaled)
+    pow2 = _qd_pow2(e - 1)
+    # k is a power of two, so the k-way octave split is a pure shift:
+    # ((scaled - 2^(e-1)) * k) >> (e-1) — exact integer arithmetic (a
+    # double division here would lose bits above 2^53)
+    sub = F.call_function(
+        "shiftright", (scaled - pow2) * F.lit(k), (e - 1).cast("int")
+    )
+    mag = e * k + sub
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(scaled == 0, F.lit(0))
+        .otherwise(F.when(col < 0, -mag).otherwise(mag))
+    )
+
+
+def _qd_pow2(exp: Column) -> Column:
+    """``2^exp`` as BIGINT with a column exponent (shiftleft-by-column)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), exp.cast("int"))
+
+
+def qdigest_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    scale: int = QD_SCALE,
+) -> DataFrame:
+    """Mergeable quantile state ``(group..., qb, cnt)``.
+
+    One map-side-combined hash aggregate; state size is bounded by the
+    occupied buckets (≤ ``2·63·k`` per group ≈ 8k rows at k=64, in
+    practice far fewer), independent of row count — the quantile
+    analogue of the HLL register store, and the missing piece next to
+    ``incremental.rollup_state``'s count/sum/min/max (which cannot
+    answer p95 without rescanning history).
+    """
+    _qd_check(k, scale)
+    qb = _qd_bucket(F.col(value_col), k, scale)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, qb.alias("qb"))
+        .groupBy(*group_cols, "qb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _qd_check(k: int, scale: int) -> None:
+    """Both k and scale must be powers of two: the bucket split and the
+    midpoint decode rely on shift/dyadic arithmetic being exact."""
+    if k <= 0 or k & (k - 1):
+        raise ValueError(f"k must be a positive power of two, got {k}")
+    if scale <= 0 or scale & (scale - 1):
+        raise ValueError(f"scale must be a positive power of two, got {scale}")
+
+
+def qdigest_merge(group_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Bucket-wise sum of quantile states (counts are additive)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*group_cols, "qb").agg(F.sum("cnt").alias("cnt"))
+
+
+def _qd_midpoint(qb: Column, k: int, scale: int) -> Column:
+    """Decoded bucket midpoint (double).  ``p·(1 + sub/k)`` …
+    ``p·(1 + (sub+1)/k)`` brackets the true value; the expression is a
+    fixed sequence of IEEE ops on integer-derived doubles, so both
+    engines produce identical bits."""
+    mag = F.abs(qb)
+    # floor, not cast: Spark's cast truncates but DuckDB's rounds, so an
+    # oracle translation of a bare cast would disagree on .5+ values
+    e = F.floor(mag / F.lit(float(k))).cast("long")  # mag >= k, so e >= 1
+    sub = mag % F.lit(k)
+    p = _qd_pow2(e - 1).cast("double")
+    lo = p * (F.lit(1.0) + sub.cast("double") / F.lit(float(k)))
+    hi = p * (F.lit(1.0) + (sub + 1).cast("double") / F.lit(float(k)))
+    mid = (lo + hi) / F.lit(2.0) / F.lit(float(scale))
+    signed = F.when(qb < 0, -mid).otherwise(mid)
+    return F.when(qb == 0, F.lit(0.0)).otherwise(signed)
+
+
+def qdigest_quantiles(
+    state: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    k: int = 64,
+    scale: int = QD_SCALE,
+) -> DataFrame:
+    """Quantile estimates ``(group..., q, est)`` from a state.
+
+    Rank selection is exact integer arithmetic (cumulative counts over
+    the ordered buckets; target rank ``ceil(q·n)``); only the final
+    midpoint decode is floating point, and it is engine-deterministic.
+    The window runs over BUCKET rows (bounded per group), not data rows
+    — estimating any quantile set from a persisted state touches no
+    original data.
+    """
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = state.select(
+        *group_cols,
+        "qb",
+        F.sum("cnt").over(win).alias("__cum"),
+        F.sum("cnt").over(tot).alias("__n"),
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    with_q = cum.select(*group_cols, "qb", "__cum", "__n", qcol)
+    hit = with_q.filter(
+        F.col("__cum")
+        >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n").cast("double")))
+    )
+    chosen = hit.groupBy(*group_cols, "q").agg(F.min("qb").alias("qb"))
+    return chosen.select(
+        *group_cols,
+        "q",
+        F.round(_qd_midpoint(F.col("qb"), k, scale), 6).alias("est"),
+    ).orderBy(*group_cols, "q")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter join pruning
 # ---------------------------------------------------------------------------
 

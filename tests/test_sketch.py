@@ -21,6 +21,9 @@ from hermes_spark.operators import (
     kmv_merge,
     kmv_overlap,
     kmv_state,
+    qdigest_merge,
+    qdigest_quantiles,
+    qdigest_state,
 )
 from hermes_spark.plans import count_exchanges, plan_operators
 
@@ -192,6 +195,73 @@ def test_kmv_state_bounded(spark, ids):
         .collect()[0][0]
     )
     assert top == 64
+
+
+# -- q-digest quantile sketch ----------------------------------------------
+
+
+def test_qdigest_relative_error_bound(spark):
+    import math
+
+    df = spark.range(1, 20001).select(
+        F.lit("g").alias("g"),
+        # skewed positive values spanning several octaves
+        (F.pow(F.col("id").cast("double") / 100.0, 2.0) + 0.5).alias("v"),
+    )
+    state = qdigest_state(df, ["g"], "v", k=64)
+    got = {
+        r["q"]: r["est"]
+        for r in qdigest_quantiles(state, ["g"], [0.1, 0.5, 0.9, 0.99]).collect()
+    }
+    exact = df.agg(
+        F.expr("percentile(v, array(0.1, 0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0]["p"]
+    for q, want in zip([0.1, 0.5, 0.9, 0.99], exact):
+        # bucket width gives <= 1/(2k) midpoint error ~0.8%; allow 2%
+        # to absorb the rank-vs-interpolation definition gap
+        assert abs(got[q] - want) / want < 0.02, (q, got[q], want)
+
+
+def test_qdigest_merge_equals_direct(spark, ids):
+    vals = ids.withColumn("v", (F.col("v") + 1).cast("double") / 7.0)
+    a = qdigest_state(vals.filter("v < 300"), ["g"], "v", k=64)
+    b = qdigest_state(vals.filter("v >= 300"), ["g"], "v", k=64)
+    merged = qdigest_merge(["g"], a, b)
+    direct = qdigest_state(vals, ["g"], "v", k=64)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_qdigest_handles_negatives_and_zero(spark):
+    df = spark.range(0, 1001).select(
+        F.lit("g").alias("g"), (F.col("id").cast("double") - 500.0).alias("v")
+    )
+    state = qdigest_state(df, ["g"], "v", k=64)
+    got = {r["q"]: r["est"] for r in
+           qdigest_quantiles(state, ["g"], [0.01, 0.5, 0.99]).collect()}
+    assert got[0.01] < -470
+    assert abs(got[0.5]) < 2  # true median is 0
+    assert got[0.99] > 470
+
+
+def test_qdigest_state_bounded_and_deterministic(spark, ids):
+    vals = ids.withColumn("v", (F.col("v") + 1).cast("double"))
+    state = qdigest_state(vals, ["g"], "v", k=64)
+    # 5000 distinct values collapse into far fewer buckets
+    top = state.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    assert top < 900
+    one = qdigest_quantiles(
+        qdigest_state(vals.repartition(1), ["g"], "v"), ["g"], [0.5, 0.95]
+    ).collect()
+    many = qdigest_quantiles(
+        qdigest_state(vals.repartition(17, "v"), ["g"], "v"), ["g"], [0.5, 0.95]
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_qdigest_rejects_non_power_of_two(spark, ids):
+    with pytest.raises(ValueError):
+        qdigest_state(ids, ["g"], "v", k=48)
 
 
 # -- Bloom prefilter join --------------------------------------------------
