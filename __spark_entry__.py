@@ -4568,6 +4568,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_flag_overlap": q_kmv_flag_overlap,
         "bloom_join_parts": q_bloom_join_parts,
         "events_value_quantiles": q_events_value_quantiles,
+        "gopher_quality": q_gopher_quality,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5298,6 +5299,92 @@ FROM est
 """
 
 
+GOPHER_MIN_WORDS = 20
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-gate metrics over documents. The corpus has no line
+    structure, so deterministic bullets/ellipses/symbols are injected
+    first (same rule in the oracle) to exercise every rule."""
+    from hermes_spark.operators.gopher import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- bullet intro\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\ntrailing thought...")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ## ##")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality_flags(
+        injected, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopwords=1
+    )
+
+
+def _sql_gopher_quality() -> str:
+    from hermes_spark.operators.gopher import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 5 = 0 THEN '- bullet intro' || chr(10) ELSE '' END,
+           text,
+           CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' ## ##' ELSE '' END
+         ) AS text
+  FROM documents
+), feats AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM injected
+), m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         greatest(len(toks), 1)::DOUBLE AS nw,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE AS tok_chars,
+         (length(text) - length(regexp_replace(text, '#', '', 'g'))
+          + len(regexp_extract_all(text, '\\.{{3}}|…', 0)))::DOUBLE AS n_symbols,
+         greatest(len(lines), 1)::DOUBLE AS n_lines,
+         len(list_filter(lines, l -> starts_with(trim(l), '- ')
+                                  OR starts_with(trim(l), '* ')
+                                  OR starts_with(trim(l), '•')))::DOUBLE AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.{{3}}|…)$')))::DOUBLE AS n_ell,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS n_alpha,
+         len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
+                                       t -> list_contains([{stop_list}], t))))::BIGINT AS n_stopwords
+  FROM feats
+), r AS (
+  SELECT doc_id, n_words,
+         round(tok_chars / nw, 6) AS mean_word_len,
+         round(n_symbols / nw, 6) AS symbol_ratio,
+         round(n_bullet / n_lines, 6) AS bullet_ratio,
+         round(n_ell / n_lines, 6) AS ellipsis_ratio,
+         round(n_alpha / nw, 6) AS alpha_word_ratio,
+         n_stopwords
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_word_ratio, n_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3
+        AND alpha_word_ratio >= 0.8
+        AND n_stopwords >= 1) AS keep
+FROM r
+"""
+
+
 QD_K = 64
 QD_QS = [0.5, 0.9, 0.99]
 
@@ -5403,7 +5490,7 @@ GROUP BY p_brand
 # against the DuckDB oracles at sf0.01 after the changes.
 _WINDOW_ORDER = [
     "hll_distinct_orders", "cms_heavy_users", "kmv_flag_overlap",
-    "bloom_join_parts", "events_value_quantiles",
+    "bloom_join_parts", "events_value_quantiles", "gopher_quality",
     "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
     "sessionize_events", "windowed_rollup", "events_sliding_rollup",
     "events_cube", "events_pivot", "user_session_stats",
@@ -5418,7 +5505,7 @@ _WINDOW_ORDER = [
     "q22_idle_customers", "winnow_fingerprints", "winnow_near_dups",
     "passage_dup_stats", "decontaminate", "pack_sequences",
     "token_chunks", "dedup_exact_docs", "lsh_cosine_topk",
-    "source_overlap", "length_curriculum", "semantic_dedup",
+    "source_overlap", "length_curriculum",
 ]
 
 
@@ -5440,6 +5527,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_flag_overlap": _sql_kmv_flag_overlap(),
         "bloom_join_parts": _SQL_BLOOM_JOIN_PARTS,
         "events_value_quantiles": _sql_events_value_quantiles(),
+        "gopher_quality": _sql_gopher_quality(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

@@ -1,0 +1,140 @@
+"""Gopher-style document quality rules (Rae et al. '21, Appendix A).
+
+Extension beyond reference parity (the reference has no text analytics;
+see ``SURVEY.md`` §2 extension table).  This is the standard "rule
+gate" stage of web-scale LLM corpus curation: a bundle of cheap,
+interpretable per-document structural checks that remove machine
+garbage and boilerplate BEFORE the expensive dedup/classifier stages
+run.  Complements the soft signals already here (``quality_score``,
+``linear_quality_score``, entropy, repetition): those rank, this GATES
+with document-level thresholds a reviewer can read.
+
+Scale design (100 TB): every rule is a pure Column expression over one
+text scan — whole-stage codegen, zero shuffles, zero UDFs, and the
+regexes are RE2-portable.  The keep decision is scan-side, so a
+downstream ``filter(keep)`` prunes at the parquet reader and composes
+with any later stage without materialization.
+
+Rule set (classic Gopher thresholds, all parameterizable):
+
+* word count within ``[min_words, max_words]``
+* mean word length within ``[3, 10]``
+* symbol-to-word ratio (``#`` and ellipsis) ≤ 0.1
+* ≤ 90 % of lines start with a bullet
+* ≤ 30 % of lines end with an ellipsis
+* ≥ 80 % of words contain at least one alphabetic character
+* at least 2 distinct common English stopwords appear
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: Small function-word set for the "natural language" check — must stay
+#: in sync with any SQL oracle re-implementation.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+BULLET_PREFIXES = ("- ", "* ", "•")
+
+
+def _lines(col: Column) -> Column:
+    return F.split(col, "\n")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document rule metrics + pass flags + the overall ``keep``.
+
+    Returns ``(id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, n_stopwords, keep)``; ratios are
+    6-dp-rounded doubles so the whole frame is engine-reproducible.
+    ``keep`` is the conjunction of all seven rules.
+    """
+    text = F.col(text_col)
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+
+    # sum of token lengths via aggregate — no second split of the text
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mean_word_len = tok_chars / nw
+
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # unicode ellipsis counts once; "..." runs count once per occurrence
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.{3}|…"), 0))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
+
+    lines = F.filter(_lines(text), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_cond = lambda l: (
+        F.trim(l).startswith(BULLET_PREFIXES[0])
+        | F.trim(l).startswith(BULLET_PREFIXES[1])
+        | F.trim(l).startswith(BULLET_PREFIXES[2])
+    )
+    n_bullet = F.size(F.filter(lines, bullet_cond)).cast("double")
+    ellipsis_cond = lambda l: F.trim(l).rlike(r"(\.{3}|…)$")
+    n_ell_lines = F.size(F.filter(lines, ellipsis_cond)).cast("double")
+
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double")
+    alpha_word_ratio = n_alpha_words / nw
+
+    low = F.array_distinct(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: t.isin(*GOPHER_STOPWORDS),
+        )
+    )
+    n_stop = F.size(low).cast("long")
+
+    metrics = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_ratio"),
+        F.round(n_ell_lines / n_lines, 6).alias("ellipsis_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_line_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_line_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return metrics.withColumn("keep", keep)
+
+
+def gopher_filter(
+    df: DataFrame, id_col: str, text_col: str, **thresholds
+) -> DataFrame:
+    """Rows of ``df`` passing every Gopher rule (scan-side semi-filter:
+    the flags frame is derived from the same scan, so Catalyst collapses
+    this to one pass with the predicate inline)."""
+    flags = gopher_quality_flags(df, id_col, text_col, **thresholds)
+    keep_ids = flags.filter(F.col("keep")).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")

@@ -322,8 +322,118 @@ def probe_png_throughput(spark) -> None:
     })
 
 
+def probe_sketches_60m(spark) -> None:
+    """Sketch family at 60M rows on disk: HLL distinct vs exact
+    COUNT(DISTINCT), q-digest quantiles vs exact percentile, and the
+    Bloom prefilter's shuffle reduction with broadcast joins DISABLED
+    (the 100 TB regime where the dimension no longer broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import (
+        bloom_prefilter_join,
+        hll_distinct,
+        qdigest_quantiles,
+        qdigest_state,
+    )
+
+    work = "/tmp/r6_sketch60m"
+    factor = 100
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+    big = li.select("*", copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") * factor + F.col("__copy")
+    ).drop("__copy")
+    t0 = time.time()
+    big.repartition(64).write.mode("overwrite").parquet(f"{work}/li")
+    ref = spark.read.parquet(f"{work}/li")
+    n = ref.count()
+    out({"probe": "sketch60m_write", "rows": n, "wall": round(time.time() - t0, 1)})
+
+    try:
+        # HLL (p=14, xxhash64) vs exact distinct orderkeys per flag
+        t0 = time.time()
+        est = {
+            r["l_returnflag"]: r["distinct_est"]
+            for r in hll_distinct(
+                ref, ["l_returnflag"], "l_orderkey", p=14, portable=False
+            ).collect()
+        }
+        hll_wall = time.time() - t0
+        t0 = time.time()
+        exact = {
+            r["l_returnflag"]: r["x"]
+            for r in ref.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("x"))
+            .collect()
+        }
+        exact_wall = time.time() - t0
+        err = max(abs(est[k] - exact[k]) / exact[k] for k in exact)
+        out({
+            "probe": "hll60m_p14_vs_exact",
+            "hll_wall": round(hll_wall, 1),
+            "exact_wall": round(exact_wall, 1),
+            "max_rel_err": round(err, 4),
+        })
+
+        # q-digest quantiles vs exact percentile on l_extendedprice
+        t0 = time.time()
+        qd = qdigest_quantiles(
+            qdigest_state(ref, ["l_returnflag"], "l_extendedprice", k=64),
+            ["l_returnflag"],
+            [0.5, 0.95, 0.99],
+        ).collect()
+        qd_wall = time.time() - t0
+        t0 = time.time()
+        px = {
+            r["l_returnflag"]: r["p"]
+            for r in ref.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, array(0.5,0.95,0.99))").alias("p"))
+            .collect()
+        }
+        px_wall = time.time() - t0
+        qerr = max(
+            abs(r["est"] - px[r["l_returnflag"]][[0.5, 0.95, 0.99].index(r["q"])])
+            / px[r["l_returnflag"]][[0.5, 0.95, 0.99].index(r["q"])]
+            for r in qd
+        )
+        out({
+            "probe": "qdigest60m_vs_exact_percentile",
+            "qdigest_wall": round(qd_wall, 1),
+            "exact_wall": round(px_wall, 1),
+            "max_rel_err": round(qerr, 4),
+        })
+
+        # Bloom prefilter with broadcast disabled: plain shuffle join of
+        # 60M x 2k-part subset vs the prefiltered one
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter("p_size <= 2")
+        renamed = ref.withColumnRenamed("l_partkey", "p_partkey")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t0 = time.time()
+            plain = renamed.join(part, "p_partkey").count()
+            plain_wall = time.time() - t0
+            t0 = time.time()
+            bloomed = bloom_prefilter_join(
+                renamed, part, "p_partkey", m_bits=1 << 17, k=5, portable=False
+            ).count()
+            bloom_wall = time.time() - t0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        out({
+            "probe": "bloom60m_shuffle_join",
+            "plain_wall": round(plain_wall, 1),
+            "bloom_wall": round(bloom_wall, 1),
+            "rows": plain,
+            "agree": plain == bloomed,
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 PROBES = {
     "setjoin_zipf": probe_setjoin_zipf,
+    "sketches_60m": probe_sketches_60m,
     "png_throughput": probe_png_throughput,
     "cc_star": probe_cc_star,
     "hash_60m_disk": probe_hash_60m_disk,
