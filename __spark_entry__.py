@@ -4569,6 +4569,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_parts": q_bloom_join_parts,
         "events_value_quantiles": q_events_value_quantiles,
         "gopher_quality": q_gopher_quality,
+        "c4_line_stats": q_c4_line_stats,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5299,6 +5300,74 @@ FROM est
 """
 
 
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-survival monitoring over documents. The corpus has no
+    line structure or punctuation, so deterministic sentence/nav/code
+    lines are injected first (same rule in the oracle)."""
+    from hermes_spark.operators.c4 import c4_line_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\nHome | Nav\nAnother good sentence here."),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nvar x = {1};")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\nLorem Ipsum filler.")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nWe use cookies, see our cookie policy."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_stats(injected, "doc_id", "text")
+
+
+def _sql_c4_line_stats() -> str:
+    from hermes_spark.operators.c4 import C4_LINE_MARKERS
+
+    marker_sql = " OR ".join(
+        f"contains(lower(trim(l)), '{m}')" for m in C4_LINE_MARKERS
+    )
+    keep = (
+        f"l -> regexp_matches(trim(l), '[.!?\"' || chr(39) || ']$') "
+        f"AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3 "
+        f"AND NOT ({marker_sql})"
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(
+           text,
+           '.' || chr(10) || 'Home | Nav' || chr(10) || 'Another good sentence here.',
+           CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'var x = {{1}};' ELSE '' END,
+           CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Lorem Ipsum filler.' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'We use cookies, see our cookie policy.' ELSE '' END
+         ) AS text
+  FROM documents
+), feats AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM injected
+), m AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines_in,
+         len(list_filter(lines, {keep}))::BIGINT AS n_lines_kept,
+         (contains(lower(text), '{{') OR contains(lower(text), '}}')
+          OR contains(lower(text), 'lorem ipsum')) AS doc_poisoned
+  FROM feats
+)
+SELECT doc_id, n_lines_in, n_lines_kept,
+       round(n_lines_kept::DOUBLE / greatest(n_lines_in, 1)::DOUBLE, 6) AS keep_ratio,
+       doc_poisoned
+FROM m
+"""
+
+
 GOPHER_MIN_WORDS = 20
 
 
@@ -5538,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_parts": _SQL_BLOOM_JOIN_PARTS,
         "events_value_quantiles": _sql_events_value_quantiles(),
         "gopher_quality": _sql_gopher_quality(),
+        "c4_line_stats": _sql_c4_line_stats(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

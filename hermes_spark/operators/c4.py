@@ -1,0 +1,116 @@
+"""C4-style line-level cleaning rules (Raffel et al. '20, §2.2).
+
+Extension beyond reference parity (the reference has no text analytics;
+see ``SURVEY.md`` §2 extension table).  Where the Gopher rules
+(:mod:`hermes_spark.operators.gopher`) GATE whole documents, the C4
+rules EDIT them: boilerplate lines are dropped line-by-line and only
+structurally poisoned documents are removed outright.  The two compose:
+C4-clean first (line edits change the Gopher ratios), gate second.
+
+Line rules (drop the line):
+* does not end in terminal punctuation (``.``, ``!``, ``?``, ``"``,
+  ``'``) — navigation/menu fragments;
+* fewer than ``min_line_words`` words;
+* contains a cookie/javascript boilerplate marker.
+
+Document rules (drop the document):
+* contains ``{`` or ``}`` (source code);
+* contains ``lorem ipsum``;
+* fewer than ``min_lines`` surviving lines.
+
+Scale design (100 TB): one text scan, all line edits are array
+expressions (``split`` → ``filter`` → ``array_join``) inside
+whole-stage codegen — zero shuffles, zero UDFs (plan-asserted), and the
+document drops prune scan-side.  RE2-portable regexes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Lowercase substrings that mark a line as web boilerplate.
+C4_LINE_MARKERS = ("javascript", "cookie policy", "privacy policy", "terms of use")
+
+#: Lowercase substrings that poison the whole document.
+C4_DOC_MARKERS = ("lorem ipsum",)
+
+_TERMINAL = r'[.!?"\x27]$'
+
+
+def _keep_line(min_line_words: int):
+    def cond(line: Column) -> Column:
+        t = F.trim(line)
+        ends_ok = t.rlike(_TERMINAL)
+        long_enough = F.size(F.split(t, r"\s+")) >= min_line_words
+        low = F.lower(t)
+        marked = F.lit(False)
+        for m in C4_LINE_MARKERS:
+            marked = marked | low.contains(m)
+        return ends_ok & long_enough & ~marked
+
+    return cond
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 3,
+    min_lines: int = 1,
+) -> DataFrame:
+    """Line-filtered corpus: ``(id, text, n_lines_in, n_lines_kept)``.
+
+    ``text`` is the surviving lines re-joined with newlines; documents
+    failing a document rule (code braces, lorem ipsum, too few
+    surviving lines) are REMOVED from the output.  Deterministic and
+    engine-reproducible (pure string/array expressions).
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(lines, _keep_line(min_line_words))
+
+    low = F.lower(text)
+    doc_poisoned = low.contains("{") | low.contains("}")
+    for m in C4_DOC_MARKERS:
+        doc_poisoned = doc_poisoned | low.contains(m)
+
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines_in"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        doc_poisoned.alias("__poisoned"),
+    )
+    return (
+        out.filter(~F.col("__poisoned") & (F.col("n_lines_kept") >= min_lines))
+        .drop("__poisoned")
+    )
+
+
+def c4_line_stats(
+    df: DataFrame, id_col: str, text_col: str, min_line_words: int = 3
+) -> DataFrame:
+    """Per-document line-survival metrics WITHOUT editing the corpus:
+    ``(id, n_lines_in, n_lines_kept, keep_ratio, doc_poisoned)`` — the
+    monitoring view of :func:`c4_clean` (same rules, nothing dropped),
+    for dashboards that track boilerplate rates per source over time.
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(lines, _keep_line(min_line_words))
+    low = F.lower(text)
+    poisoned = low.contains("{") | low.contains("}")
+    for m in C4_DOC_MARKERS:
+        poisoned = poisoned | low.contains(m)
+    n_in = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_in.alias("n_lines_in"),
+        n_kept.alias("n_lines_kept"),
+        F.round(
+            n_kept.cast("double") / F.greatest(n_in, F.lit(1)).cast("double"), 6
+        ).alias("keep_ratio"),
+        poisoned.alias("doc_poisoned"),
+    )
