@@ -15,7 +15,7 @@ def main(argv: list[str]) -> int:
     if not argv:
         print(
             "usage: python -m hermes_spark.cli "
-            "{compare|info-compare|e2e|profile|dedup|split|quality} ...",
+            "{compare|info-compare|e2e|profile|dedup|split|quality|sketch} ...",
             file=sys.stderr,
         )
         return 2
@@ -48,6 +48,10 @@ def main(argv: list[str]) -> int:
         from hermes_spark.cli.quality_job import main as quality_main
 
         return quality_main(rest)
+    if command == "sketch":
+        from hermes_spark.cli.sketch_job import main as sketch_main
+
+        return sketch_main(rest)
     print(f"unknown command: {command}", file=sys.stderr)
     return 2
 
