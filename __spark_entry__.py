@@ -5471,15 +5471,17 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_events_value_quantiles() -> str:
-    from hermes_spark.operators.sketch import QD_SCALE
+    from hermes_spark.operators.sketch import QD_SCALE, _qd_cap
 
     k = QD_K
     scale_f = float(QD_SCALE)
+    cap_f = float(_qd_cap(k))
     qs = ", ".join(f"{q!r}::DOUBLE" for q in QD_QS)
     return f"""
 WITH scaled_v AS (
   SELECT event_type, value,
-         CAST(floor(abs(value) * CAST({scale_f!r} AS DOUBLE)) AS BIGINT) AS scaled
+         CAST(floor(least(abs(value) * CAST({scale_f!r} AS DOUBLE),
+                          CAST({cap_f!r} AS DOUBLE))) AS BIGINT) AS scaled
   FROM events WHERE value IS NOT NULL
 ), coded AS (
   SELECT event_type, value, scaled,

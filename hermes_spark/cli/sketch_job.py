@@ -32,6 +32,7 @@ pairs, matching the reference CLI convention).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -41,6 +42,12 @@ from hermes_spark.cli.parser import _args_to_map
 from hermes_spark.exceptions import MissingArgumentException
 from hermes_spark.sources.io import load_dataframe
 from hermes_spark.sources.parameters import Parameters
+
+#: Sidecar recording the parameters a state store was built with; Spark
+#: ignores underscore-prefixed files inside a parquet directory.  (Local
+#: filesystem I/O — for object stores, ship the sidecar with the same
+#: fsspec mechanism ``infofile`` uses.)
+_PARAMS_FILE = "_SKETCH_PARAMS.json"
 
 _RESERVED = (
     "group-by", "value", "p", "k", "qs", "depth", "width", "threshold",
@@ -59,6 +66,51 @@ def _require(options: dict, key: str) -> str:
     return options[key]
 
 
+def _parse_bool(options: dict, key: str, default: bool = False) -> bool:
+    """Strict boolean option: a typo like ``--portable yes`` must not
+    silently mean False when the user asked for the portable hash."""
+    raw = options.get(key)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise MissingArgumentException(
+        f"--{key} must be true/false (got {raw!r})"
+    )
+
+
+def _check_store_params(path: str, params: dict) -> None:
+    """Refuse to merge into a store built with different parameters —
+    mixed register widths / hash variants merge without error and
+    produce silently wrong estimates."""
+    sidecar = os.path.join(path, _PARAMS_FILE)
+    if os.path.exists(sidecar):
+        stored = json.load(open(sidecar))
+        if stored != params:
+            raise MissingArgumentException(
+                f"state store {path} was built with {stored}, "
+                f"refusing to merge with {params} — pass matching options "
+                f"or use a new --state path"
+            )
+    elif os.path.isdir(path):  # store predates sidecars: stamp it now
+        with open(sidecar, "w") as f:
+            json.dump(params, f, sort_keys=True)
+
+
+def _stamp_store_params(path: str, params: dict) -> None:
+    if os.path.isdir(path):
+        with open(os.path.join(path, _PARAMS_FILE), "w") as f:
+            json.dump(params, f, sort_keys=True)
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def run(spark: SparkSession, kind: str, argv: list[str]) -> list[dict]:
     """Execute one sketch command; returns the printed records (also a
     library entry point, mirroring the other job modules)."""
@@ -73,7 +125,7 @@ def run(spark: SparkSession, kind: str, argv: list[str]) -> list[dict]:
     )
 
     options = _args_to_map(argv)
-    portable = options.get("portable", "false").lower() in ("", "true", "1")
+    portable = _parse_bool(options, "portable", default=False)
     df = _load(spark, options)
     records: list[dict] = []
 
@@ -84,9 +136,13 @@ def run(spark: SparkSession, kind: str, argv: list[str]) -> list[dict]:
         state = hll_state(df, groups, value, p=p, portable=portable)
         store = options.get("state")
         if store:
+            params = {"kind": "hll", "p": p, "portable": portable,
+                      "group_by": groups}
+            _check_store_params(store, params)
             state = _merge_into_store(
                 spark, store, state, lambda a, b: hll_merge(groups, a, b)
             )
+            _stamp_store_params(store, params)
         for row in hll_estimate(state, groups, p=p).collect():
             records.append({"report": "hll_distinct", **row.asDict()})
     elif kind == "quantiles":
@@ -97,9 +153,12 @@ def run(spark: SparkSession, kind: str, argv: list[str]) -> list[dict]:
         state = qdigest_state(df, groups, value, k=k)
         store = options.get("state")
         if store:
+            params = {"kind": "qdigest", "k": k, "group_by": groups}
+            _check_store_params(store, params)
             state = _merge_into_store(
                 spark, store, state, lambda a, b: qdigest_merge(groups, a, b)
             )
+            _stamp_store_params(store, params)
         for row in qdigest_quantiles(state, groups, qs, k=k).collect():
             records.append({"report": "quantiles", **row.asDict()})
     elif kind == "heavy":
@@ -125,11 +184,18 @@ def run(spark: SparkSession, kind: str, argv: list[str]) -> list[dict]:
 def _merge_into_store(spark, path: str, batch_state, merge_fn):
     """Fold ``batch_state`` into the parquet store at ``path`` (created
     on first use) and return the merged state.  localCheckpoint cuts the
-    read-what-you-overwrite dependency before the store rewrite."""
+    read-what-you-overwrite dependency before the store rewrite.
+
+    Only a MISSING path counts as "first batch" — any other read error
+    (corrupt store, schema trouble, permissions) re-raises instead of
+    silently overwriting the accumulated history with today's batch.
+    """
     try:
         existing = spark.read.parquet(path)
         merged = merge_fn(existing, batch_state)
-    except AnalysisException:
+    except AnalysisException as exc:
+        if not _is_missing_path(exc):
+            raise
         merged = batch_state
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)

@@ -44,27 +44,10 @@ def _lines(col: Column) -> Column:
     return F.split(col, "\n")
 
 
-def gopher_quality_flags(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_bullet_line_ratio: float = 0.9,
-    max_ellipsis_line_ratio: float = 0.3,
-    min_alpha_word_ratio: float = 0.8,
-    min_stopwords: int = 2,
-) -> DataFrame:
-    """Per-document rule metrics + pass flags + the overall ``keep``.
-
-    Returns ``(id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
-    ellipsis_ratio, alpha_word_ratio, n_stopwords, keep)``; ratios are
-    6-dp-rounded doubles so the whole frame is engine-reproducible.
-    ``keep`` is the conjunction of all seven rules.
-    """
+def _metric_exprs(text_col: str) -> dict:
+    """The seven rule metrics as (rounded) Column expressions over the
+    raw text — shared by the flags frame and the single-scan filter so
+    their semantics cannot drift apart."""
     text = F.col(text_col)
     toks = tokens(F.col(text_col))
     n_words = F.size(toks).cast("long")
@@ -74,12 +57,10 @@ def gopher_quality_flags(
     tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     ).cast("double")
-    mean_word_len = tok_chars / nw
 
     n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
     # unicode ellipsis counts once; "..." runs count once per occurrence
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.{3}|…"), 0))
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
 
     lines = F.filter(_lines(text), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
@@ -95,7 +76,6 @@ def gopher_quality_flags(
     n_alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     ).cast("double")
-    alpha_word_ratio = n_alpha_words / nw
 
     low = F.array_distinct(
         F.filter(
@@ -103,38 +83,107 @@ def gopher_quality_flags(
             lambda t: t.isin(*GOPHER_STOPWORDS),
         )
     )
-    n_stop = F.size(low).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(tok_chars / nw, 6),
+        "symbol_ratio": F.round((n_hash + n_ellipsis).cast("double") / nw, 6),
+        "bullet_ratio": F.round(n_bullet / n_lines, 6),
+        "ellipsis_ratio": F.round(n_ell_lines / n_lines, 6),
+        "alpha_word_ratio": F.round(n_alpha_words / nw, 6),
+        "n_stopwords": F.size(low).cast("long"),
+    }
 
+
+def _keep_predicate(
+    m: dict,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_line_ratio: float,
+    max_ellipsis_line_ratio: float,
+    min_alpha_word_ratio: float,
+    min_stopwords: int,
+) -> Column:
+    """Rule conjunction over a metric-expression mapping (either the
+    rounded inline expressions or ``F.col`` references to them)."""
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["bullet_ratio"] <= max_bullet_line_ratio)
+        & (m["ellipsis_ratio"] <= max_ellipsis_line_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (m["n_stopwords"] >= min_stopwords)
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document rule metrics + the overall ``keep`` flag.
+
+    Returns ``(id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, n_stopwords, keep)``; ratios are
+    6-dp-rounded doubles so the whole frame is engine-reproducible.
+    ``keep`` is the conjunction of all seven rules over the rounded
+    metrics.
+    """
+    exprs = _metric_exprs(text_col)
     metrics = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(n_bullet / n_lines, 6).alias("bullet_ratio"),
-        F.round(n_ell_lines / n_lines, 6).alias("ellipsis_ratio"),
-        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
-        n_stop.alias("n_stopwords"),
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
-    keep = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_ratio") <= max_bullet_line_ratio)
-        & (F.col("ellipsis_ratio") <= max_ellipsis_line_ratio)
-        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
-        & (F.col("n_stopwords") >= min_stopwords)
+    refs = {name: F.col(name) for name in exprs}
+    return metrics.withColumn(
+        "keep",
+        _keep_predicate(
+            refs, min_words, max_words, min_mean_word_len, max_mean_word_len,
+            max_symbol_ratio, max_bullet_line_ratio, max_ellipsis_line_ratio,
+            min_alpha_word_ratio, min_stopwords,
+        ),
     )
-    return metrics.withColumn("keep", keep)
 
 
 def gopher_filter(
-    df: DataFrame, id_col: str, text_col: str, **thresholds
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
 ) -> DataFrame:
-    """Rows of ``df`` passing every Gopher rule (scan-side semi-filter:
-    the flags frame is derived from the same scan, so Catalyst collapses
-    this to one pass with the predicate inline)."""
-    flags = gopher_quality_flags(df, id_col, text_col, **thresholds)
-    keep_ids = flags.filter(F.col("keep")).select(id_col)
-    return df.join(keep_ids, id_col, "left_semi")
+    """Rows of ``df`` passing every Gopher rule — ONE scan, zero joins.
+
+    The metric expressions are evaluated inline in the filter predicate
+    (identical rounded intermediates to :func:`gopher_quality_flags`,
+    same ``_metric_exprs``), so the gate rides the parquet scan instead
+    of semi-joining a second corpus pass or broadcasting an unbounded
+    id set (plan-asserted in ``test_gopher.py``).
+    """
+    return df.filter(
+        _keep_predicate(
+            _metric_exprs(text_col), min_words, max_words, min_mean_word_len,
+            max_mean_word_len, max_symbol_ratio, max_bullet_line_ratio,
+            max_ellipsis_line_ratio, min_alpha_word_ratio, min_stopwords,
+        )
+    )

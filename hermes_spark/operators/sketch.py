@@ -57,6 +57,13 @@ def _hash60(col: Column, portable: bool, salt: str = "") -> Column:
     the avoided per-row string allocation is ~2× wall on numeric keys.
     Both stay in the same 60-bit space so downstream arithmetic
     (bucket splits, KMV normalization) is hash-agnostic.
+
+    COMPATIBILITY: this is fast-hash scheme v2 (raw typed values; v1
+    stringified).  Persisted ``portable=False`` states and Bloom
+    bitmaps are only mergeable/probe-able with states built by the
+    same scheme — the sketch CLI stamps ``_SKETCH_PARAMS.json`` into
+    its stores so a mismatch fails loudly instead of skewing
+    estimates.  The portable path is unchanged and version-stable.
     """
     if portable:
         return portable_hash64(F.concat(F.lit(salt), col.cast("string")))
@@ -254,14 +261,22 @@ def cms_estimate(
         "*",
         F.explode(_cms_cells(F.col(item_col), depth, width, portable)).alias(cell),
     )
+    # alias the state columns uniquely so an items frame that itself has
+    # r/b/cnt columns cannot make the join condition ambiguous
+    rcol = generate_unique_column_name(exploded.columns, "sr")
+    bcol = generate_unique_column_name([*exploded.columns, rcol], "sb")
+    ccol = generate_unique_column_name([*exploded.columns, rcol, bcol], "scnt")
+    aliased = state.select(
+        F.col("r").alias(rcol), F.col("b").alias(bcol), F.col("cnt").alias(ccol)
+    )
     joined = exploded.join(
-        F.broadcast(state),
-        (F.col(f"{cell}.r") == F.col("r")) & (F.col(f"{cell}.b") == F.col("b")),
+        F.broadcast(aliased),
+        (F.col(f"{cell}.r") == F.col(rcol)) & (F.col(f"{cell}.b") == F.col(bcol)),
         "left",
     )
     return (
         joined.groupBy(*items.columns)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .agg(F.min(F.coalesce(F.col(ccol), F.lit(0))).alias("est_count"))
     )
 
 
@@ -422,14 +437,33 @@ def kmv_overlap(
 QD_SCALE = 1 << 30
 
 
+def _qd_cap(k: int) -> int:
+    """Largest ``scaled`` value whose bucket arithmetic stays exact:
+    ``(scaled - 2^(e-1)) * k < 2^63`` with ``scaled - 2^(e-1) <
+    2^(e-1)`` strictly, so ``bitlen(scaled) <= 64 - log2(k) - 1`` is
+    safe (2^57 - 1 at the default k=64)."""
+    return (1 << (64 - k.bit_length())) - 1
+
+
 def _qd_bucket(col: Column, k: int, scale: int) -> Column:
     """Signed bucket id: 0 for |x| < 1/scale, else ``sign * (e*k + sub)``
     with ``e = bitlen(floor(|x|*scale))`` and ``sub`` the k-way linear
     split of the octave ``[2^(e-1), 2^e)``.  Bucket order == value
     order, width ≤ (1+1/k)× → relative error ≤ 1/(2k) at the midpoint.
     All integer ops after one exact IEEE multiply+floor.
+
+    Magnitudes beyond ``cap/scale`` (~1.3e8 at the defaults) CLAMP into
+    the top exact bucket BEFORE the long cast: order is still
+    preserved and nothing overflows (ANSI-mode cast would error, non-
+    ANSI would silently wrap), but relative error is unbounded in that
+    top bucket — pick a smaller ``scale`` when values are that large
+    (the estimate columns make the saturation visible: every clamped
+    value reports the same midpoint).
     """
-    scaled = F.floor(F.abs(col) * F.lit(float(scale))).cast("long")
+    cap = _qd_cap(k)
+    scaled = F.floor(
+        F.least(F.abs(col) * F.lit(float(scale)), F.lit(float(cap)))
+    ).cast("long")
     e = _bitlen(scaled)
     pow2 = _qd_pow2(e - 1)
     # k is a power of two, so the k-way octave split is a pure shift:
@@ -618,9 +652,10 @@ def bloom_member(
     UTF8 substring scans the 2·m/8-char literal per probe — measured
     80× slower than the plain join at 60M rows before this fix.)
     """
+    raw = bytes.fromhex(bitmap_hex)  # decode ONCE, not per word
     words = [
-        int.from_bytes(bytes.fromhex(bitmap_hex)[j * 8 : j * 8 + 8], "little")
-        for j in range(len(bitmap_hex) // 16)
+        int.from_bytes(raw[j * 8 : j * 8 + 8], "little")
+        for j in range(len(raw) // 8)
     ]
     # two's-complement into signed 64-bit for LongType literals
     arr = F.array(

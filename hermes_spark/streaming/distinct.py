@@ -84,7 +84,12 @@ def hll_distinct_sink(
                 .groupBy(*groups, "bucket", _BUCKET)
                 .agg(F.max("max_rank").alias("max_rank"))
             )
-        except AnalysisException:  # first batch: no store yet
+        except AnalysisException as exc:
+            # only a MISSING path means "first batch" — a corrupt or
+            # unreadable store must fail the batch, not silently reset
+            # the touched buckets to this batch's registers
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = b
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

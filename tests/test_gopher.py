@@ -68,6 +68,33 @@ def test_flags_zero_shuffle(spark, sf_dir):
     assert not any("Join" in op or "Window" in op for op in plan_operators(out))
 
 
+def test_filter_zero_shuffle_single_scan(spark, sf_dir):
+    """The gate must ride the scan: no join, no exchange, no second
+    corpus pass (a semi-join against the flags frame would add both)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_filter(docs, "doc_id", "text")
+    ops = plan_operators(out)
+    assert count_exchanges(out) == 0
+    assert not any("Join" in op for op in ops), ops
+    assert sum("Scan parquet" in op for op in ops) == 1
+
+
+def test_filter_agrees_with_flags(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_filter = sorted(
+        r["doc_id"]
+        for r in gopher_filter(docs, "doc_id", "text", min_words=20,
+                               min_stopwords=1).select("doc_id").collect()
+    )
+    via_flags = sorted(
+        r["doc_id"]
+        for r in gopher_quality_flags(docs, "doc_id", "text", min_words=20,
+                                      min_stopwords=1)
+        .filter("keep").select("doc_id").collect()
+    )
+    assert via_filter == via_flags and via_filter
+
+
 def test_thresholds_parameterizable(spark):
     rows = [(1, "five words here right now the of")]
     strict = gopher_quality_flags(

@@ -323,3 +323,23 @@ def test_bloom_rejects_outer_join(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with pytest.raises(ValueError):
         bloom_prefilter_join(li, li, "l_orderkey", how="left")
+
+
+def test_qdigest_huge_magnitudes_clamp_not_crash(spark):
+    """Epoch-millisecond-sized values must not overflow (ANSI cast
+    would error); they clamp into the top exact bucket, preserving
+    order, with quantiles saturating at the cap midpoint."""
+    df = spark.range(1, 1001).select(
+        F.lit("g").alias("g"),
+        (F.col("id").cast("double") * 1.7e9).alias("v"),  # ~1.7e12 max
+    )
+    state = qdigest_state(df, ["g"], "v", k=64)
+    got = qdigest_quantiles(state, ["g"], [0.5, 0.99]).collect()
+    assert len(got) == 2 and all(r["est"] > 0 for r in got)
+    # small values are unaffected by the clamp branch
+    small = spark.range(1, 1001).select(
+        F.lit("g").alias("g"), (F.col("id").cast("double")).alias("v")
+    )
+    est = {r["q"]: r["est"] for r in qdigest_quantiles(
+        qdigest_state(small, ["g"], "v", k=64), ["g"], [0.5]).collect()}
+    assert abs(est[0.5] - 500) / 500 < 0.02

@@ -81,3 +81,44 @@ def test_missing_args_raise(spark, src):
         run(spark, "distinct", _argv(src, "--value", "uid"))
     with pytest.raises(MissingArgumentException):
         run(spark, "nope", _argv(src))
+
+
+def test_store_params_mismatch_refuses_merge(spark, tmp_path):
+    store = str(tmp_path / "store")
+    d1 = str(tmp_path / "d1")
+    spark.range(100).select(
+        F.lit("g").alias("seg"), F.col("id").alias("uid")
+    ).write.parquet(d1)
+    run(spark, "distinct", _argv(d1, "--group-by", "seg", "--value", "uid", "--state", store))
+    with pytest.raises(MissingArgumentException, match="refusing to merge"):
+        run(spark, "distinct",
+            _argv(d1, "--group-by", "seg", "--value", "uid", "--state", store, "--p", "14"))
+    with pytest.raises(MissingArgumentException, match="refusing to merge"):
+        run(spark, "distinct",
+            _argv(d1, "--group-by", "seg", "--value", "uid", "--state", store,
+                  "--portable", "true"))
+
+
+def test_corrupt_store_does_not_get_overwritten(spark, tmp_path):
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "part-00000.parquet").write_text("this is not parquet")
+    d1 = str(tmp_path / "d1")
+    spark.range(100).select(
+        F.lit("g").alias("seg"), F.col("id").alias("uid")
+    ).write.parquet(d1)
+    with pytest.raises(Exception):
+        run(spark, "distinct",
+            _argv(d1, "--group-by", "seg", "--value", "uid", "--state", str(store)))
+    # the broken store was NOT silently replaced by the batch
+    assert (store / "part-00000.parquet").read_text() == "this is not parquet"
+
+
+def test_strict_bool_rejects_typos(spark, src):
+    with pytest.raises(MissingArgumentException, match="must be true/false"):
+        run(spark, "distinct",
+            _argv(src, "--group-by", "seg", "--value", "uid", "--portable", "maybe"))
+    # and 'yes' is accepted as true rather than silently meaning false
+    recs = run(spark, "distinct",
+               _argv(src, "--group-by", "seg", "--value", "uid", "--portable", "yes"))
+    assert len(recs) == 3

@@ -87,6 +87,10 @@ def _latest_driver_round() -> int:
 
 
 def _record_results(results: dict, sf_dir: str) -> None:
+    """``results`` maps name -> (ok, values_checked).  ``values_checked``
+    is False for rows-only queries (no oracle) — the rotation gate only
+    accepts a below-fold newcomer on a VALUES-checked local verdict, so
+    an oracle-less query cannot launder itself through this file."""
     import json
 
     path = "LOCAL_CHECK.json"
@@ -95,9 +99,10 @@ def _record_results(results: dict, sf_dir: str) -> None:
     except Exception:
         data = {}
     rnd = _latest_driver_round()
-    for name, ok in results.items():
+    for name, (ok, values_checked) in results.items():
         data[name] = {
             "ok": ok,
+            "values_checked": values_checked,
             "sf_dir": sf_dir,
             "driver_round_at_check": rnd,
             "checked_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -134,7 +139,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
-    results: dict[str, bool] = {}
+    results: dict[str, tuple[bool, bool]] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -144,28 +149,28 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
-            results[name] = False
+            results[name] = (False, False)
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            results[name] = True
+            results[name] = (True, False)
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
-            results[name] = False
+            results[name] = (False, False)
             continue
         problems = compare_frames(sdf, odf)
         if problems:
             failures += 1
-            results[name] = False
+            results[name] = (False, True)
             print(f"FAIL  {name} ({len(sdf)} vs {len(odf)} rows) [{time.time()-t0:.1f}s]")
             for p in problems[:6]:
                 print(f"      {p}")
         else:
-            results[name] = True
+            results[name] = (True, True)
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
     if record:
         _record_results(results, sf_dir)

@@ -110,6 +110,7 @@ def main() -> int:
             for q in stale
             if last_green.get(q, -1) < 0
             and local_check.get(q, {}).get("ok")
+            and local_check.get(q, {}).get("values_checked")
             and local_check.get(q, {}).get("driver_round_at_check", -1) >= latest
         ]
         if excused:
