@@ -153,6 +153,9 @@ BENCH_QUERIES = {
     "events_value_quantiles": lambda s, d: _materialize(
         entry.q_events_value_quantiles(s, d)
     ),
+    # the registry bloom query pays 5 portable md5 probes/row for the
+    # oracle; this is what a production run costs (xxhash64)
+    "bloom_join_fast": lambda s, d: _materialize(_bloom_fast(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
@@ -168,6 +171,24 @@ OUTPUT_BOUND_QUERIES = {
         entry.q_jaccard_pairs_exact(s, d)
     ),
 }
+
+
+def _bloom_fast(spark, sf_dir):
+    """Production-hash Bloom-prefiltered join (same shape as the
+    bloom_join_parts registry query, xxhash64 probes)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import bloom_prefilter_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") <= 5)
+    joined = bloom_prefilter_join(li, part, "p_partkey", portable=False)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
 
 
 def _hll_fast(spark, sf_dir):

@@ -109,9 +109,10 @@ def dashboard(spark, stores: dict):
         .agg(F.first("est"))
         .select(
             *GROUPS,
-            F.col("0.5").alias("p50_ms"),
-            F.col("0.95").alias("p95_ms"),
-            F.col("0.99").alias("p99_ms"),
+            # backticks: a bare "0.5" would parse as field access 0.5
+            F.col("`0.5`").alias("p50_ms"),
+            F.col("`0.95`").alias("p95_ms"),
+            F.col("`0.99`").alias("p99_ms"),
         )
     )
     return roll.join(dau, GROUPS).join(lat, GROUPS).orderBy(*GROUPS)
