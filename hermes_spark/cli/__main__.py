@@ -15,7 +15,7 @@ def main(argv: list[str]) -> int:
     if not argv:
         print(
             "usage: python -m hermes_spark.cli "
-            "{compare|info-compare|e2e|profile|dedup|split|quality|sketch} ...",
+            "{compare|info-compare|e2e|profile|dedup|split|quality|sketch|datasheet} ...",
             file=sys.stderr,
         )
         return 2
@@ -52,6 +52,10 @@ def main(argv: list[str]) -> int:
         from hermes_spark.cli.sketch_job import main as sketch_main
 
         return sketch_main(rest)
+    if command == "datasheet":
+        from hermes_spark.cli.datasheet_job import main as datasheet_main
+
+        return datasheet_main(rest)
     print(f"unknown command: {command}", file=sys.stderr)
     return 2
 
