@@ -4570,6 +4570,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": q_events_value_quantiles,
         "gopher_quality": q_gopher_quality,
         "c4_line_stats": q_c4_line_stats,
+        "epoch_mix_docs": q_epoch_mix_docs,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5300,6 +5301,48 @@ FROM est
 """
 
 
+EPOCH_FACTORS = {"en": 2.4, "de": 1.0, "fr": 0.5}
+
+
+def q_epoch_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling mix: en x2.4, de x1.0, fr x0.5 — the
+    budget-driven repetition the downsampling mixers cannot express.
+    Copy membership is keyed to (doc_id, copy), so it is reproducible
+    and monotone in the factor."""
+    from hermes_spark.operators.sampling import epoch_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return epoch_mix(docs, "doc_id", "lang", EPOCH_FACTORS).select(
+        "doc_id", "lang", "epoch"
+    )
+
+
+def _sql_epoch_mix_docs() -> str:
+    import math
+
+    max_copies = max(1, math.ceil(max(EPOCH_FACTORS.values())))
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({e!r} AS DOUBLE)" for s, e in EPOCH_FACTORS.items()
+    )
+    return f"""
+WITH copies AS (
+  SELECT doc_id, lang, unnest(range({max_copies}))::BIGINT AS epoch
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, epoch,
+         CASE lang {case} ELSE CAST(0.0 AS DOUBLE) END AS factor
+  FROM copies
+)
+SELECT doc_id, lang, epoch FROM f
+WHERE epoch < floor(factor)
+   OR (epoch = floor(factor)
+       AND ('0x' || substring(md5('epoch:' || CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT
+           % 10000
+           < CAST(round((factor - floor(factor)) * 10000) AS BIGINT))
+"""
+
+
 def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-survival monitoring over documents. The corpus has no
     line structure or punctuation, so deterministic sentence/nav/code
@@ -5610,6 +5653,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": _sql_events_value_quantiles(),
         "gopher_quality": _sql_gopher_quality(),
         "c4_line_stats": _sql_c4_line_stats(),
+        "epoch_mix_docs": _sql_epoch_mix_docs(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

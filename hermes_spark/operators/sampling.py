@@ -442,3 +442,96 @@ def training_order(
         out.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .drop("__ph")
     )
+
+
+def plan_epochs(
+    token_counts: Mapping[str, int],
+    targets: Mapping[str, float],
+    budget_tokens: int,
+    max_epochs: float = 10.0,
+) -> dict[str, float]:
+    """Per-stratum epoch factors hitting a token budget at a target mix.
+
+    The mixing calculator for pretraining runs: given observed per-source
+    token counts (e.g. from the datasheet), desired mix shares, and a
+    total token budget, stratum ``s`` should contribute ``share_s *
+    budget`` tokens — i.e. be repeated ``share_s * budget / count_s``
+    times (fractional epochs; > 1 means upsampling, the thing the
+    downsampling-only mixers cannot do).  Factors are capped at
+    ``max_epochs`` (repeating a tiny source dozens of times degrades
+    models faster than it fills budget — cap and redistribute
+    deliberately rather than silently).  Driver-side pure arithmetic;
+    feed the result to :func:`epoch_mix`.
+    """
+    total_share = sum(targets.values())
+    if total_share <= 0:
+        raise ValueError("targets must have positive total share")
+    plan: dict[str, float] = {}
+    for stratum, share in targets.items():
+        count = token_counts.get(stratum, 0)
+        if count <= 0:
+            raise ValueError(f"stratum {stratum!r} has no tokens")
+        want = share / total_share * budget_tokens
+        plan[stratum] = min(round(want / count, 4), max_epochs)
+    return plan
+
+
+def epoch_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    epochs: Mapping[str, float],
+    salt: str = "epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Replicate each stratum by a (fractional) epoch factor.
+
+    A row of stratum ``s`` with factor ``e`` appears ``floor(e)`` times
+    plus one more with probability ``frac(e)`` — decided by the same
+    deterministic hash-threshold as :func:`deterministic_sample`, keyed
+    on ``(key, copy_index)`` so every copy's membership is reproducible
+    across runs, engines, and layouts, and raising a factor only ADDS
+    copies.  Output carries ``epoch_col`` (0-based copy index) so
+    packing/shuffling stages can interleave epochs deterministically
+    (e.g. ``training_order`` on ``(key, epoch)``).  Strata not in
+    ``epochs`` are dropped (explicit mix, like ``rebalance_mix``).
+
+    Scale shape: one ``explode(sequence(...))`` per row bounded by the
+    LARGEST factor, then a scan-side filter — no shuffle, no join; the
+    per-stratum factors fold in as a CASE literal.
+    """
+    if not epochs:
+        raise ValueError("epochs must be non-empty")
+    bad = {s: e for s, e in epochs.items() if e < 0}
+    if bad:
+        raise ValueError(f"epoch factors must be >= 0: {bad}")
+    import math
+
+    max_copies = max(1, math.ceil(max(epochs.values())))
+    # fold the factor map into one CASE expression (strata sets are
+    # small: languages, sources); unknown strata get factor 0 -> dropped
+    factor = F.lit(None).cast("double")
+    expr = None
+    for stratum, e in epochs.items():
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, F.lit(float(e))) if expr is None else expr.when(
+            cond, F.lit(float(e))
+        )
+    factor = expr.otherwise(F.lit(0.0))
+
+    copies = F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1))).alias(
+        epoch_col
+    )
+    out = df.select("*", copies).withColumn("__factor", factor)
+    whole = F.col(epoch_col) < F.floor(F.col("__factor"))
+    frac_scaled = F.round(
+        (F.col("__factor") - F.floor(F.col("__factor")))
+        * SAMPLE_DENOMINATOR
+    ).cast("long")
+    partial_key = F.concat(
+        F.col(key_col).cast("string"), F.lit("#"), F.col(epoch_col).cast("string")
+    )
+    partial = (F.col(epoch_col) == F.floor(F.col("__factor"))) & (
+        _bucket(partial_key, salt) < frac_scaled
+    )
+    return out.filter(whole | partial).drop("__factor")
