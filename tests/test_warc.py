@@ -1,0 +1,87 @@
+"""WARC/WET reader: record parsing, type filtering, gzip members,
+truncation tolerance, and the pipe into the text-curation operators."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark.sources.warc import parse_warc_records, read_warc, wet_text
+
+
+def _record(warc_type: str, uri: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{warc_type}-{len(payload)}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+SHARD = (
+    _record("warcinfo", "", b"software: test")
+    + _record("request", "http://a.example/", b"GET / HTTP/1.1")
+    + _record("response", "http://a.example/", b"<html><body>Hello page A.</body></html>")
+    + _record("conversion", "http://b.example/", "Extracted text. With two sentences.".encode())
+)
+
+
+def test_parse_all_records():
+    recs = list(parse_warc_records(SHARD))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "conversion",
+    ]
+    assert recs[2]["target_uri"] == "http://a.example/"
+    assert recs[2]["payload"].startswith(b"<html>")
+    assert recs[3]["n_bytes"] == len("Extracted text. With two sentences.")
+
+
+def test_parse_gzip_members_and_truncated_tail():
+    # two gzip members (the on-disk convention) + a garbage tail record
+    shard = gzip.compress(SHARD) + gzip.compress(
+        _record("response", "http://c.example/", b"tail")[:-10]  # cut mid-payload
+    )
+    # gzip.decompress handles the first member chain; the truncated tail
+    # record is dropped, everything whole survives
+    recs = list(parse_warc_records(gzip.compress(SHARD)))
+    assert len(recs) == 4
+    cut = SHARD + _record("response", "http://c.example/", b"0123456789")[:-14]
+    kept = list(parse_warc_records(cut))
+    assert [r["warc_type"] for r in kept] == [
+        "warcinfo", "request", "response", "conversion",
+    ]
+
+
+def test_payload_truncation_flag():
+    recs = list(parse_warc_records(_record("response", "u", b"x" * 100), max_payload=10))
+    assert recs[0]["truncated"] and len(recs[0]["payload"]) == 10
+    assert recs[0]["n_bytes"] == 100
+
+
+def test_read_warc_filters_types(spark, tmp_path):
+    p = tmp_path / "shard-00000.warc.gz"
+    p.write_bytes(gzip.compress(SHARD))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert sorted(r["warc_type"] for r in rows) == ["conversion", "response"]
+    everything = read_warc(spark, str(tmp_path), types=()).count()
+    assert everything == 4
+
+
+def test_wet_text_into_curation_ops(spark, tmp_path):
+    from hermes_spark.operators import c4_line_stats
+
+    p = tmp_path / "shard.wet.gz"
+    wet = _record(
+        "conversion", "http://x.example/",
+        "A good first sentence.\nMenu | Nav\nAnother full sentence here.".encode(),
+    )
+    p.write_bytes(gzip.compress(wet))
+    docs = wet_text(read_warc(spark, str(tmp_path), types=("conversion",)))
+    stats = c4_line_stats(docs, "record_id", "text").collect()[0]
+    assert stats["n_lines_in"] == 3 and stats["n_lines_kept"] == 2
