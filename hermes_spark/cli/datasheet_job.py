@@ -66,8 +66,8 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
     lang_col = options.get("lang-col")
     reader_opts = {k: v for k, v in options.items() if k not in _RESERVED}
     df = load_dataframe(spark, Parameters.validate_and_create(reader_opts))
-    for required in (id_col, text_col):
-        if required not in df.columns:
+    for required in (id_col, text_col, source_col, lang_col):
+        if required is not None and required not in df.columns:
             raise MissingArgumentException(
                 f"column {required!r} not in source (have {df.columns})"
             )
@@ -93,9 +93,15 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
             F.sum("__chars").alias("total_chars"),
             F.sum("__toks").alias("total_tokens_ws"),
             F.sum("__bpe").alias("total_tokens_bpe"),
-            F.countDistinct("__src").alias("n_sources"),
+            # HLL (approx_count_distinct) — sources can be millions of
+            # domains; 2% error is fine for a card and avoids a
+            # distinct-volume shuffle
+            F.approx_count_distinct("__src", 0.02).alias("n_sources"),
         ).collect()[0]
         records.append({"report": "corpus", **totals.asDict()})
+        if totals["n_docs"] == 0:
+            records.append({"report": "empty", "note": "corpus has no rows"})
+            return records
 
         # -- language mix --------------------------------------------------
         n = totals["n_docs"]

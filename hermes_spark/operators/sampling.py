@@ -510,7 +510,6 @@ def epoch_mix(
     max_copies = max(1, math.ceil(max(epochs.values())))
     # fold the factor map into one CASE expression (strata sets are
     # small: languages, sources); unknown strata get factor 0 -> dropped
-    factor = F.lit(None).cast("double")
     expr = None
     for stratum, e in epochs.items():
         cond = F.col(strata_col) == stratum

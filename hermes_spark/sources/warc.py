@@ -6,17 +6,21 @@ as WARC shards (raw HTTP captures) or WET shards (extracted text), and
 a curation engine that cannot open them forces a pre-processing hop
 through another system.  This reader is dependency-free: the WARC
 envelope is a simple header block + ``Content-Length`` payload, and
-``.gz`` shards are concatenated gzip members, which Python's ``gzip``
-decompresses natively.
+``.gz`` shards are concatenated gzip members, which Python's
+``gzip.GzipFile`` decompresses as a stream.
 
 Spark shape: one task per SHARD (``binaryFile`` source → ``mapInPandas``
 record parser).  That is the standard parallelism unit for WARC work —
 shards are ~1 GiB by convention, so a 100 TB crawl is ~100k tasks, and
-no shard ever splits mid-record.  The parser is generator-based (one
-record in memory at a time, payloads truncated at ``max_payload``), so
-executor memory stays bounded regardless of record sizes.  Downstream,
-``payload`` feeds ``strip_html`` → the C4/Gopher gates for WARC
-responses, or decodes directly for WET conversion records.
+no shard ever splits mid-record.  The parser streams records off the
+decompressor (peak memory = compressed shard + one record, payloads
+truncated at ``max_payload``); a shard whose gzip stream is cut off
+mid-download yields every record decompressed before the cut — the
+tail record is lost, never the batch.  Downstream, ``payload`` feeds
+``strip_html`` → the C4/Gopher gates for WARC responses, or decodes
+directly for WET conversion records (``wet_text`` sanitizes invalid
+UTF-8 — real crawl payloads routinely mis-declare charsets, and an
+ANSI-strict decode would kill the whole job on the first bad record).
 """
 
 from __future__ import annotations
@@ -28,12 +32,12 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     LongType,
     StringType,
     StructField,
     StructType,
-    BinaryType,
 )
 
 WARC_SCHEMA = StructType([
@@ -48,58 +52,64 @@ WARC_SCHEMA = StructType([
     StructField("truncated", BooleanType()),
 ])
 
+#: Hadoop glob matching conventional WARC/WET shard names; pass
+#: ``glob=None`` to read every file under the path.
+WARC_GLOB = "*.{warc,wet}*"
+
 
 def parse_warc_records(
     raw: bytes, max_payload: int = 1 << 20
 ) -> Iterator[dict]:
     """Yield WARC records from one shard's bytes (gzip or plain).
 
-    Tolerant of trailing garbage and malformed tails: parsing stops at
-    the first record whose envelope cannot be read, yielding everything
-    before it (a truncated shard loses its tail record, not the batch).
+    Streaming and damage-tolerant: records are read one at a time off
+    the (possibly gzip) stream, and ANY mid-record failure — truncated
+    gzip member, cut-off payload, lost framing — ends iteration AFTER
+    the records already yielded.  A corrupt shard therefore loses its
+    tail, not the whole batch, and complete leading gzip members of a
+    partially-downloaded shard survive.
     """
     if raw[:2] == b"\x1f\x8b":  # gzip magic; members concatenate
-        try:
-            raw = gzip.decompress(raw)
-        except Exception:
-            return
-    buf = io.BytesIO(raw)
-    while True:
-        # skip inter-record blank lines
-        line = buf.readline()
-        while line in (b"\r\n", b"\n"):
-            line = buf.readline()
-        if not line:
-            return
-        if not line.startswith(b"WARC/"):
-            return  # lost framing: stop rather than misparse
-        headers: dict[str, str] = {}
+        buf = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        buf = io.BytesIO(raw)
+    try:
         while True:
             line = buf.readline()
-            if line in (b"\r\n", b"\n", b""):
-                break
-            if b":" in line:
-                k, v = line.split(b":", 1)
-                headers[k.strip().decode("latin-1").lower()] = (
-                    v.strip().decode("latin-1")
-                )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        payload = buf.read(length)
-        if len(payload) < length:
-            return  # truncated shard tail
-        yield {
-            "record_id": headers.get("warc-record-id"),
-            "warc_type": headers.get("warc-type"),
-            "target_uri": headers.get("warc-target-uri"),
-            "warc_date": headers.get("warc-date"),
-            "content_type": headers.get("content-type"),
-            "payload": payload[:max_payload],
-            "n_bytes": length,
-            "truncated": length > max_payload,
-        }
+            while line in (b"\r\n", b"\n"):  # inter-record blank lines
+                line = buf.readline()
+            if not line or not line.startswith(b"WARC/"):
+                return  # end of stream, or lost framing: stop cleanly
+            headers: dict[str, str] = {}
+            while True:
+                line = buf.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                if b":" in line:
+                    k, v = line.split(b":", 1)
+                    headers[k.strip().decode("latin-1").lower()] = (
+                        v.strip().decode("latin-1")
+                    )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            payload = buf.read(length)
+            if len(payload) < length:
+                return  # truncated tail record
+            yield {
+                "record_id": headers.get("warc-record-id"),
+                "warc_type": headers.get("warc-type"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "payload": payload[:max_payload],
+                "n_bytes": length,
+                "truncated": length > max_payload,
+            }
+    except (EOFError, OSError):
+        # gzip stream cut off mid-record: keep what was yielded
+        return
 
 
 def read_warc(
@@ -107,15 +117,20 @@ def read_warc(
     path: str,
     types: tuple[str, ...] = ("response", "conversion"),
     max_payload: int = 1 << 20,
+    glob: str | None = WARC_GLOB,
 ) -> DataFrame:
-    """DataFrame of WARC/WET records under ``path`` (``*.warc[.gz]``,
-    ``*.wet[.gz]``).
+    """DataFrame of WARC/WET records under ``path``.
 
-    ``types`` filters on ``WARC-Type`` IN THE PARSER (request/metadata
-    records are dropped before they ever reach Spark rows); pass ``()``
-    to keep everything.
+    ``glob`` (default ``*.{warc,wet}*``) keeps ``binaryFile`` from
+    loading stray files (``_SUCCESS`` markers, checksums, unrelated
+    blobs) into executor memory; ``types`` filters on ``WARC-Type`` IN
+    THE PARSER (request/metadata records are dropped before they ever
+    become Spark rows); pass ``()`` to keep everything.
     """
-    files = spark.read.format("binaryFile").load(path)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
 
     def parse(batches):
         import pandas as pd
@@ -135,10 +150,14 @@ def read_warc(
 
 
 def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode WET conversion payloads to a ``text`` column (UTF-8,
-    invalid bytes replaced) — the entry point into the text-curation
-    operators (``c4_clean``, ``gopher_quality_flags``, dedup)."""
+    """Decode WET conversion payloads to a ``text`` column.
+
+    ``CAST(binary AS STRING)`` + ``make_valid_utf8`` replaces invalid
+    byte sequences with U+FFFD instead of failing — ``F.decode(...,
+    'UTF-8')`` is ANSI-strict on Spark 4 and would abort the job on the
+    first mis-encoded crawl payload.
+    """
     return df.withColumn(
         "text",
-        F.decode(F.col(payload_col), "UTF-8"),
+        F.expr(f"make_valid_utf8(CAST({payload_col} AS STRING))"),
     )

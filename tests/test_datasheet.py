@@ -51,3 +51,19 @@ def test_datasheet_missing_column_raises(spark, sf_dir):
             "--format", "parquet", "--path", f"{sf_dir}/documents.parquet",
             "--id-col", "nope",
         ])
+    # optional columns are validated too (a typo must not surface as an
+    # opaque AnalysisException later)
+    with pytest.raises(MissingArgumentException, match="not in source"):
+        run(spark, [
+            "--format", "parquet", "--path", f"{sf_dir}/documents.parquet",
+            "--source-col", "sorce",
+        ])
+
+
+def test_datasheet_empty_corpus(spark, tmp_path):
+    p = str(tmp_path / "empty")
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(p)
+    recs = run(spark, ["--format", "parquet", "--path", p])
+    kinds = [r["report"] for r in recs]
+    assert kinds[0] == "corpus" and recs[0]["n_docs"] == 0
+    assert "empty" in kinds  # clean early return, no ZeroDivisionError

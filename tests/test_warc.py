@@ -41,20 +41,33 @@ def test_parse_all_records():
     assert recs[3]["n_bytes"] == len("Extracted text. With two sentences.")
 
 
-def test_parse_gzip_members_and_truncated_tail():
-    # two gzip members (the on-disk convention) + a garbage tail record
-    shard = gzip.compress(SHARD) + gzip.compress(
-        _record("response", "http://c.example/", b"tail")[:-10]  # cut mid-payload
+def test_parse_concatenated_gzip_members():
+    # one gzip member per record is the on-disk Common-Crawl convention
+    shard = b"".join(
+        gzip.compress(_record("response", f"http://m{i}.example/", b"Page."))
+        for i in range(3)
     )
-    # gzip.decompress handles the first member chain; the truncated tail
-    # record is dropped, everything whole survives
-    recs = list(parse_warc_records(gzip.compress(SHARD)))
-    assert len(recs) == 4
+    recs = list(parse_warc_records(shard))
+    assert [r["target_uri"] for r in recs] == [
+        "http://m0.example/", "http://m1.example/", "http://m2.example/",
+    ]
+
+
+def test_truncated_tails_keep_leading_records():
+    # plain shard cut mid-payload: whole leading records survive
     cut = SHARD + _record("response", "http://c.example/", b"0123456789")[:-14]
     kept = list(parse_warc_records(cut))
     assert [r["warc_type"] for r in kept] == [
         "warcinfo", "request", "response", "conversion",
     ]
+    # gzip shard cut mid-download (second member truncated): every
+    # record of the complete first member survives, nothing raises
+    two = gzip.compress(SHARD) + gzip.compress(
+        _record("response", "http://c.example/", b"tail record data")
+    )
+    cut_gz = two[: len(gzip.compress(SHARD)) + 20]
+    kept_gz = list(parse_warc_records(cut_gz))
+    assert len(kept_gz) == 4
 
 
 def test_payload_truncation_flag():
@@ -71,6 +84,21 @@ def test_read_warc_filters_types(spark, tmp_path):
     assert sorted(r["warc_type"] for r in rows) == ["conversion", "response"]
     everything = read_warc(spark, str(tmp_path), types=()).count()
     assert everything == 4
+
+
+def test_wet_text_sanitizes_invalid_utf8(spark, tmp_path):
+    p = tmp_path / "bad.wet.gz"
+    wet = _record("conversion", "http://bad.example/", b"good text \xff\xfe more")
+    p.write_bytes(gzip.compress(wet))
+    rows = wet_text(read_warc(spark, str(tmp_path), types=("conversion",))).collect()
+    assert len(rows) == 1 and "good text" in rows[0]["text"]  # no ANSI crash
+
+
+def test_glob_skips_stray_files(spark, tmp_path):
+    (tmp_path / "shard.warc.gz").write_bytes(gzip.compress(SHARD))
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "notes.bin").write_bytes(b"\x00" * 128)
+    assert read_warc(spark, str(tmp_path), types=()).count() == 4
 
 
 def test_wet_text_into_curation_ops(spark, tmp_path):
