@@ -1,0 +1,138 @@
+"""Web-corpus pipeline example: WET shards → cleaned, gated, deduped,
+budget-mixed training shards — the full round-6 ingestion story.
+
+Stages (each a zero- or one-shuffle pass):
+
+  1. ``read_warc`` + ``wet_text`` — synthetic ``.wet.gz`` shards parsed
+     one-task-per-shard, invalid UTF-8 sanitized;
+  2. ``c4_clean`` — boilerplate lines dropped, poisoned docs removed;
+  3. ``gopher_quality_flags`` — rule gate on the CLEANED text;
+  4. ``exact_dedup`` — fingerprint keep-one;
+  5. ``plan_epochs`` + ``epoch_mix`` — hit a token budget at a target
+     source mix (upsampling scarce sources by fractional epochs);
+  6. ``write_training_shards`` — bounded shard files + manifest.
+
+Usage (from the repo root):
+
+    python examples/wet_pipeline.py [n_shards]
+"""
+
+import gzip
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from hermes_spark.operators import (
+    c4_clean,
+    epoch_mix,
+    exact_dedup,
+    gopher_quality_flags,
+    plan_epochs,
+)
+from hermes_spark.sources import read_warc, wet_text
+from hermes_spark.sources.io import write_training_shards
+
+
+def _record(uri: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uri}>\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def synthesize_shards(root: str, n_shards: int) -> None:
+    """Deterministic fake crawl: two 'sources' with different volumes,
+    some boilerplate lines, some exact duplicates."""
+    for s in range(n_shards):
+        recs = []
+        for j in range(200):
+            src = "blog" if (s * 200 + j) % 4 else "wiki"  # wiki is scarce
+            if j % 10 == 0:  # mirrored syndicated page: exact duplicate
+                body = (
+                    f"The {src} syndicated article is byte-identical on every mirror.\n"
+                    "Home | About | Contact\n"
+                    f"It keeps the same second sentence on all of the {src} mirrors.\n"
+                )
+            else:
+                body = (
+                    f"The {src} article {s}-{j} has a first good sentence of the usual kind.\n"
+                    "Home | About | Contact\n"
+                    f"It also has that second sentence to keep the word count of doc {j} healthy.\n"
+                    "We use cookies, see our cookie policy.\n"
+                )
+            recs.append(_record(f"http://{src}.example/{s}/{j}", body.encode()))
+        with open(f"{root}/shard-{s:05d}.wet.gz", "wb") as f:
+            f.write(b"".join(gzip.compress(r) for r in recs))
+
+
+def main() -> int:
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("wet-pipeline-example")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="wet_pipeline_")
+    try:
+        synthesize_shards(root, n_shards)
+
+        docs = wet_text(read_warc(spark, root, types=("conversion",))).select(
+            F.col("record_id").alias("doc_id"),
+            F.regexp_extract("target_uri", r"http://(\w+)\.", 1).alias("source"),
+            "text",
+        )
+        print(f"ingested: {docs.count()} records from {n_shards} shards")
+
+        cleaned = c4_clean(docs, "doc_id", "text", min_line_words=4)
+        print(f"after c4_clean: {cleaned.count()} docs "
+              f"(boilerplate lines stripped)")
+
+        flags = gopher_quality_flags(cleaned, "doc_id", "text",
+                                     min_words=15, min_stopwords=1)
+        keep_ids = flags.filter("keep").select("doc_id")
+        gated = cleaned.join(keep_ids, "doc_id", "left_semi")
+        print(f"after gopher gate: {gated.count()} docs")
+
+        with_src = gated.join(docs.select("doc_id", "source"), "doc_id")
+        deduped = exact_dedup(with_src, "doc_id", text_col="text")
+        print(f"after exact dedup: {deduped.count()} docs")
+
+        counts = {
+            r["source"]: r["t"]
+            for r in deduped.groupBy("source")
+            .agg(F.sum(F.length("text")).alias("t"))
+            .collect()
+        }
+        budget = int(sum(counts.values()) * 1.2)
+        plan = plan_epochs(counts, {"wiki": 0.5, "blog": 0.5}, budget, max_epochs=4)
+        print(f"token counts {counts} -> epoch plan {plan}")
+        mixed = epoch_mix(deduped, "doc_id", "source", plan)
+        print(f"after epoch mix: {mixed.count()} rows "
+              f"(wiki upsampled toward the 50/50 target)")
+
+        out = f"{root}/shards"
+        sharded = mixed.select(
+            "doc_id", "source", "epoch", "text",
+            F.pmod(F.xxhash64("doc_id", "epoch"), F.lit(8)).alias("shard"),
+        )
+        manifest = write_training_shards(sharded, out, max_records_per_file=5000)
+        print(f"wrote {manifest['n_shards']} shards, "
+              f"total rows {manifest['total_rows']}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
