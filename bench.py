@@ -156,6 +156,10 @@ BENCH_QUERIES = {
     # the registry bloom query pays 5 portable md5 probes/row for the
     # oracle; this is what a production run costs (xxhash64)
     "bloom_join_fast": lambda s, d: _materialize(_bloom_fast(s, d)),
+    # round 6b: rule gates and budget mixing
+    "gopher_quality": lambda s, d: _materialize(entry.q_gopher_quality(s, d)),
+    "c4_line_stats": lambda s, d: _materialize(entry.q_c4_line_stats(s, d)),
+    "epoch_mix_docs": lambda s, d: _materialize(entry.q_epoch_mix_docs(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time

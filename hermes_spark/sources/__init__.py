@@ -7,7 +7,7 @@ filesystem (local, HDFS, s3a).
 """
 
 from hermes_spark.sources.parameters import CliParameters, Parameters
-from hermes_spark.sources.warc import parse_warc_records, read_warc, wet_text
+from hermes_spark.sources.warc import parse_warc_records, read_warc, stream_warc, wet_text
 from hermes_spark.sources.io import (
     get_unique_file_path,
     load_dataframe,
@@ -23,6 +23,7 @@ __all__ = [
     "CliParameters",
     "parse_warc_records",
     "read_warc",
+    "stream_warc",
     "wet_text",
     "Parameters",
     "get_unique_file_path",

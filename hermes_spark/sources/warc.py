@@ -149,6 +149,52 @@ def read_warc(
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
 
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response", "conversion"),
+    max_payload: int = 1 << 20,
+    glob: str | None = WARC_GLOB,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant of :func:`read_warc`: new shards landing under
+    ``path`` are parsed incrementally (one micro-batch task per shard,
+    exactly the batch parallelism), so a crawl drop-zone feeds the
+    curation pipeline continuously.  ``max_files_per_trigger`` bounds
+    the shards per micro-batch (ingestion backpressure).  Compose with
+    ``wet_text`` and the zero-shuffle gates, then any streaming sink —
+    the parser and record schema are identical to the batch path, which
+    is what the batch/stream equivalence test pins.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = []
+                for rec in parse_warc_records(row["content"], max_payload):
+                    if types and rec["warc_type"] not in types:
+                        continue
+                    rec["file"] = row["path"]
+                    out.append(rec)
+                if out:
+                    yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA])
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
 def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode WET conversion payloads to a ``text`` column.
 

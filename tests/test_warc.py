@@ -113,3 +113,41 @@ def test_wet_text_into_curation_ops(spark, tmp_path):
     docs = wet_text(read_warc(spark, str(tmp_path), types=("conversion",)))
     stats = c4_line_stats(docs, "record_id", "text").collect()[0]
     assert stats["n_lines_in"] == 3 and stats["n_lines_kept"] == 2
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """New shards landing in the drop-zone stream through the same
+    parser; the accumulated sink equals the batch read of everything."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    from hermes_spark.sources.warc import stream_warc
+
+    def run_stream():
+        q = (
+            wet_text(stream_warc(spark, str(src), types=("conversion",)))
+            .select("record_id", "target_uri", "text")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "a.wet.gz").write_bytes(gzip.compress(
+        _record("conversion", "http://a/", b"First doc text here.")))
+    run_stream()
+    (src / "b.wet.gz").write_bytes(gzip.compress(
+        _record("conversion", "http://b/", b"Second doc text here.")
+        + _record("request", "http://b/", b"GET /")))
+    run_stream()
+
+    streamed = spark.read.parquet(out)
+    batch = wet_text(read_warc(spark, str(src), types=("conversion",))).select(
+        "record_id", "target_uri", "text"
+    )
+    assert streamed.count() == 2
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

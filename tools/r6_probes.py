@@ -431,9 +431,61 @@ def probe_sketches_60m(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_text_gates_1m(spark) -> None:
+    """Rule gates + epoch mix at 1M Zipf documents: one scan each, no
+    shuffle — wall should track scan size, not corpus structure."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import (
+        c4_line_stats,
+        epoch_mix,
+        gopher_quality_flags,
+    )
+    from hermes_spark.synth import zipf_documents
+
+    n = 1_000_000
+    docs = (
+        zipf_documents(spark, n, vocab_size=20_000, doc_len=60, seed=9,
+                       partitions=64)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(".\nHome | Nav\nThe second good line is here.")),
+        )
+        .withColumn(
+            "src",
+            F.when(F.col("doc_id") % 5 == 0, "wiki").otherwise("crawl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    gq = gopher_quality_flags(docs, "doc_id", "text", min_words=20,
+                              min_stopwords=0)
+    passed = gq.filter("keep").count()
+    gopher_wall = time.time() - t0
+    t0 = time.time()
+    c4 = c4_line_stats(docs, "doc_id", "text")
+    kept_lines = c4.agg(F.sum("n_lines_kept")).collect()[0][0]
+    c4_wall = time.time() - t0
+    t0 = time.time()
+    mixed = epoch_mix(docs.select("doc_id", "src"), "doc_id", "src",
+                      {"wiki": 2.5, "crawl": 0.8})
+    mixed_rows = mixed.count()
+    mix_wall = time.time() - t0
+    out({
+        "probe": f"text_gates_{n}docs",
+        "gopher_pass": passed,
+        "gopher_wall": round(gopher_wall, 1),
+        "c4_kept_lines": kept_lines,
+        "c4_wall": round(c4_wall, 1),
+        "epoch_mix_rows": mixed_rows,
+        "epoch_mix_wall": round(mix_wall, 1),
+    })
+
+
 PROBES = {
     "setjoin_zipf": probe_setjoin_zipf,
     "sketches_60m": probe_sketches_60m,
+    "text_gates_1m": probe_text_gates_1m,
     "png_throughput": probe_png_throughput,
     "cc_star": probe_cc_star,
     "hash_60m_disk": probe_hash_60m_disk,
