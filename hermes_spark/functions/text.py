@@ -302,3 +302,48 @@ def strip_html(col: Column) -> Column:
     for entity, repl in _HTML_ENTITIES:
         out = F.regexp_replace(out, entity, repl)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum over the digits of a string — true iff the digit
+    sequence passes (the card-number check).  Use to verify
+    ``long_number`` PII candidates before scrubbing/flagging: random
+    8-16 digit runs (order ids, timestamps) fail ~90% of the time, so
+    gating on Luhn cuts false "payment card" hits an order of
+    magnitude.  Pure expressions: digits reversed, doubled at odd
+    positions via ``transform`` index arithmetic, folded with
+    ``aggregate`` — no UDF.
+    """
+    digits = F.regexp_replace(col, r"[^0-9]", "")
+    rev = F.split(F.reverse(digits), "")
+    # position i (0-based in reversed order): even keeps d, odd doubles
+    # (summing the two digits of 2d as 2d>9 ? 2d-9 : 2d)
+    terms = F.zip_with(
+        rev,
+        F.sequence(F.lit(0), F.greatest(F.length(digits), F.lit(1)) - 1),
+        lambda d, i: F.when(
+            i % 2 == 0, d.cast("int")
+        ).otherwise(
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(
+                d.cast("int") * 2
+            )
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, t: acc + F.coalesce(t, F.lit(0)))
+    return (F.length(digits) >= 8) & (total % 10 == 0)
+
+
+def blocklist_hits(col: Column, terms: list[str]) -> Column:
+    """Count of blocklisted terms present in the text (case-insensitive
+    whole-word matches).  The standard keyword-exclusion stage (domain
+    or content blocklists); one compiled alternation regex, RE2-portable
+    (no backreferences), whole-stage codegen.  Filter with
+    ``blocklist_hits(...) == 0`` or keep the count as a feature.
+    """
+    if not terms:
+        return F.lit(0)
+    import re as _re
+
+    alternation = "|".join(_re.escape(t.lower()) for t in sorted(terms))
+    pattern = rf"(?i)\b(?:{alternation})\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))

@@ -324,3 +324,61 @@ def test_strip_html_tags_scripts_entities(spark):
     got = {r["i"]: r["out"] for r in df.select("i", strip_html(F.col("s")).alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_luhn_valid(spark):
+    from hermes_spark.functions.text import luhn_valid
+
+    rows = [
+        (1, "4532015112830366", True),    # valid test number
+        (2, "4532015112830367", False),   # checksum off by one
+        (3, "pay 4111 1111 1111 1111 now", True),  # digits scattered
+        (4, "79927398713", True),         # classic Luhn example
+        (5, "1234567", False),            # too short (< 8 digits)
+        (6, "no digits at all", False),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["i", "t"])
+    got = {r["i"]: r["ok"] for r in df.select("i", luhn_valid(F.col("t")).alias("ok")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i])
+
+
+def test_luhn_python_parity(spark):
+    """Expression Luhn agrees with a reference Python implementation on
+    arbitrary digit strings."""
+    from hermes_spark.functions.text import luhn_valid
+
+    def py_luhn(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        if len(ds) < 8:
+            return False
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    vals = [str(4532015112830300 + i) for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    got = {r["t"]: r["ok"] for r in df.select("t", luhn_valid(F.col("t")).alias("ok")).collect()}
+    assert got == {v: py_luhn(v) for v in vals}
+    # exactly ~1 in 10 random numbers passes
+    assert 2 <= sum(got.values()) <= 6
+
+
+def test_blocklist_hits(spark):
+    from hermes_spark.functions.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [(1, "the casino bonus"), (2, "clean text"), (3, "CASINO and poker site"),
+         (4, "casinos are not a whole-word match")],
+        ["i", "t"],
+    )
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", blocklist_hits(F.col("t"), ["casino", "poker"]).alias("n")).collect()}
+    assert got == {1: 1, 2: 0, 3: 2, 4: 0}
+    # empty blocklist is a no-op literal
+    assert df.select(blocklist_hits(F.col("t"), []).alias("n")).first()["n"] == 0

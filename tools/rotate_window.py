@@ -26,9 +26,16 @@ than the window has free slots (stale + new > 50) cannot satisfy (a)
 for every newcomer.  A never-driver-checked query below the fold is
 therefore accepted — loudly, never silently — when LOCAL_CHECK.json
 (written by ``tools/check_oracles.py --record``) holds a green verdict
-for it recorded at the CURRENT driver round; it must rotate into the
-window next round, at which point the stale-entry rule (b) enforces
-exactly that.
+for it recorded at the CURRENT driver round.
+
+Steady state: the 2-round rule gives the 50-slot window a rotation
+capacity of 150 queries.  With more registered (153 as of round 6),
+``registered - 150`` queries per round overflow the stale set even
+with perfect rotation; the stalest-first ranking cycles WHICH queries
+overflow, so every query is still driver-verified at least every
+``ceil(registered/50)`` rounds, and each overflow round must be
+covered by a fresh recorded local check — the gate never lets one go
+silently unverified.
 """
 
 from __future__ import annotations
