@@ -347,3 +347,43 @@ def blocklist_hits(col: Column, terms: list[str]) -> Column:
     alternation = "|".join(_re.escape(t.lower()) for t in sorted(terms))
     pattern = rf"(?i)\b(?:{alternation})\b"
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+#: Query parameters stripped by canonical_url: tracking/session noise
+#: that makes byte-distinct URLs point at the same resource.
+TRACKING_PARAMS = (
+    "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_[ce]id", "igshid",
+    "ref", "ref_src", "spm",
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for dedup keys: lowercased host without
+    ``www.``, path without its trailing slash, query with tracking
+    parameters removed and the survivors SORTED (param order is
+    presentation noise), scheme and fragment dropped.
+
+    URL dedup is the first dedup of any web pipeline — it collapses the
+    crawl frontier before a byte of content is compared.  Pure
+    ``parse_url`` + array expressions, whole-stage codegen.
+    """
+    # try_parse_url: plain parse_url is ANSI-strict and would abort the
+    # job on the first malformed URL in a crawl
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.try_parse_url(col, F.lit("QUERY"))
+    tracking = "|".join(TRACKING_PARAMS)
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(rf"^(?:{tracking})="),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(host, path, qtail)
+    )

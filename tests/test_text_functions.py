@@ -382,3 +382,34 @@ def test_blocklist_hits(spark):
     assert got == {1: 1, 2: 0, 3: 2, 4: 0}
     # empty blocklist is a no-op literal
     assert df.select(blocklist_hits(F.col("t"), []).alias("n")).first()["n"] == 0
+
+
+def test_canonical_url_collapses_variants(spark):
+    from hermes_spark.functions.text import canonical_url
+
+    variants = [
+        "https://www.Example.com/a/b/?utm_source=x&id=2&gclid=zzz",
+        "http://example.com/a/b?id=2",
+        "https://example.com/a/b/?id=2&utm_campaign=y#frag",
+        "https://EXAMPLE.com/a/b?fbclid=abc&id=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    keys = {r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()}
+    assert keys == {"example.com/a/b?id=2"}
+
+
+def test_canonical_url_param_order_and_edge_cases(spark):
+    from hermes_spark.functions.text import canonical_url
+
+    rows = [
+        (1, "https://s.example/p?b=2&a=1"),
+        (2, "https://s.example/p?a=1&b=2"),
+        (3, "https://other.com/"),
+        (4, "not a url"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got[1] == got[2] == "s.example/p?a=1&b=2"  # params sorted
+    assert got[3] == "other.com"
+    assert got[4] is None and got[5] is None  # no ANSI crash
