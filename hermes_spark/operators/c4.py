@@ -58,13 +58,17 @@ def c4_clean(
     text_col: str,
     min_line_words: int = 3,
     min_lines: int = 1,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Line-filtered corpus: ``(id, text, n_lines_in, n_lines_kept)``.
 
     ``text`` is the surviving lines re-joined with newlines; documents
     failing a document rule (code braces, lorem ipsum, too few
     surviving lines) are REMOVED from the output.  Deterministic and
-    engine-reproducible (pure string/array expressions).
+    engine-reproducible (pure string/array expressions).  ``keep_cols``
+    carries extra metadata columns through the projection — re-joining
+    them afterwards would cost a shuffle (and is not even expressible
+    on a stream).
     """
     text = F.col(text_col)
     lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
@@ -77,6 +81,7 @@ def c4_clean(
 
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array_join(kept, "\n").alias(text_col),
         F.size(lines).cast("long").alias("n_lines_in"),
         F.size(kept).cast("long").alias("n_lines_kept"),

@@ -22,6 +22,7 @@ from hermes_spark.streaming.distinct import (
     read_hll_store,
 )
 from hermes_spark.streaming.enrich import enrich_stream, read_upsert_store, upsert_sink
+from hermes_spark.streaming.ingest import curated_wet_stream
 from hermes_spark.streaming.metrics import ProgressRecorder
 from hermes_spark.streaming.rollup import windowed_rollup
 from hermes_spark.streaming.sessionize import sessionize_stream
@@ -32,6 +33,7 @@ __all__ = [
     "hll_store_estimates",
     "read_hll_store",
     "compare_stream",
+    "curated_wet_stream",
     "enrich_stream",
     "read_upsert_store",
     "upsert_sink",

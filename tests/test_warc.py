@@ -151,3 +151,49 @@ def test_stream_warc_matches_batch(spark, tmp_path):
     assert streamed.count() == 2
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_curated_wet_stream_matches_batch_pipeline(spark, tmp_path):
+    """The one-call streaming ingest equals running the same stages in
+    batch, and never plans a stateful join (all stages stateless)."""
+    from hermes_spark.operators import c4_clean, gopher_filter
+    from hermes_spark.streaming import curated_wet_stream
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    body = (
+        "The article has a first good sentence with the usual words of that kind.\n"
+        "Home | About\n"
+        "It has that second sentence to keep the word count of the page healthy.\n"
+    )
+    shard = b"".join(
+        _record("conversion", f"http://s.example/{j}", (body + f"Tail sentence {j} is here of course.\n").encode())
+        for j in range(30)
+    )
+    (src / "a.wet.gz").write_bytes(gzip.compress(shard))
+
+    out = str(tmp_path / "out")
+    q = (
+        curated_wet_stream(
+            spark, str(src),
+            gopher_thresholds={"min_words": 15, "min_stopwords": 1},
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out).select("doc_id", "text")
+
+    docs = wet_text(read_warc(spark, str(src), types=("conversion",))).select(
+        F.col("record_id").alias("doc_id"), "text"
+    )
+    batch = gopher_filter(
+        c4_clean(docs, "doc_id", "text"), "doc_id", "text",
+        min_words=15, min_stopwords=1,
+    ).select("doc_id", "text")
+    assert streamed.count() == 30  # every synthetic doc passes the gate
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
