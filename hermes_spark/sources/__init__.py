@@ -7,7 +7,13 @@ filesystem (local, HDFS, s3a).
 """
 
 from hermes_spark.sources.parameters import CliParameters, Parameters
-from hermes_spark.sources.warc import parse_warc_records, read_warc, stream_warc, wet_text
+from hermes_spark.sources.warc import (
+    http_response_text,
+    parse_warc_records,
+    read_warc,
+    stream_warc,
+    wet_text,
+)
 from hermes_spark.sources.io import (
     get_unique_file_path,
     load_dataframe,
@@ -21,6 +27,7 @@ from hermes_spark.sources.io import (
 
 __all__ = [
     "CliParameters",
+    "http_response_text",
     "parse_warc_records",
     "read_warc",
     "stream_warc",

@@ -207,3 +207,34 @@ def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "text",
         F.expr(f"make_valid_utf8(CAST({payload_col} AS STRING))"),
     )
+
+
+def http_response_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Turn raw WARC ``response`` payloads (HTTP envelope + HTML body)
+    into ``(status_code, http_content_type, text)`` columns — the raw-
+    crawl twin of :func:`wet_text`.
+
+    The HTTP envelope is split at the first blank line with pure string
+    expressions (no http library), the body is UTF-8-sanitized and
+    HTML-stripped (``functions.text.strip_html``), and the result pipes
+    into the same curation gates as WET text.  Non-HTTP payloads yield
+    a null status and the whole sanitized payload as text.
+    """
+    from ..functions.text import strip_html
+
+    s = F.expr(f"make_valid_utf8(CAST({payload_col} AS STRING))")
+    sep = F.instr(s, "\r\n\r\n")
+    header = F.when(sep > 0, F.substring(s, F.lit(1), (sep - 1).cast("int")))
+    body = F.when(sep > 0, F.substring(s, (sep + 4).cast("int"), F.length(s))).otherwise(s)
+    status = F.regexp_extract(header, r"^HTTP/[0-9.]+ (\d{3})", 1)
+    return (
+        df.withColumn(
+            "status_code",
+            F.when(status != "", status.cast("int")),
+        )
+        .withColumn(
+            "http_content_type",
+            F.lower(F.regexp_extract(header, r"(?i)content-type:\s*([^;\r\n]+)", 1)),
+        )
+        .withColumn("text", strip_html(body))
+    )

@@ -197,3 +197,36 @@ def test_curated_wet_stream_matches_batch_pipeline(spark, tmp_path):
     assert streamed.count() == 30  # every synthetic doc passes the gate
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_http_response_text(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"\r\n"
+        b"<html><head><title>T</title><script>var x=1;</script></head>"
+        b"<body><p>Real page text.</p><p>Second paragraph here.</p></body></html>"
+    )
+    shard = _record("response", "http://page.example/", http)
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(shard))
+    out = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",))
+    ).collect()[0]
+    assert out["status_code"] == 200
+    assert out["http_content_type"] == "text/html"
+    assert "Real page text." in out["text"] and "Second paragraph" in out["text"]
+    assert "script" not in out["text"] and "<p>" not in out["text"]
+
+
+def test_http_response_text_non_http_payload(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    shard = _record("response", "http://odd.example/", b"just plain bytes, no envelope")
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(shard))
+    out = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",))
+    ).collect()[0]
+    assert out["status_code"] is None
+    assert "plain bytes" in out["text"]
