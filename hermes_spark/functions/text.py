@@ -330,7 +330,9 @@ def luhn_valid(col: Column) -> Column:
         ),
     )
     total = F.aggregate(terms, F.lit(0), lambda acc, t: acc + F.coalesce(t, F.lit(0)))
-    return (F.length(digits) >= 8) & (total % 10 == 0)
+    # null text must be FALSE, not null: a negated predicate would
+    # otherwise silently drop null rows
+    return F.coalesce((F.length(digits) >= 8) & (total % 10 == 0), F.lit(False))
 
 
 def blocklist_hits(col: Column, terms: list[str]) -> Column:
@@ -351,9 +353,13 @@ def blocklist_hits(col: Column, terms: list[str]) -> Column:
 
 #: Query parameters stripped by canonical_url: tracking/session noise
 #: that makes byte-distinct URLs point at the same resource.
+#: NOTE: plain ``ref`` is deliberately NOT stripped — many sites use it
+#: as a content-determining parameter (branch/variant selectors), so
+#: removing it would merge distinct resources; ``ref_src`` (social
+#: share tracking) is safe.
 TRACKING_PARAMS = (
     "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_[ce]id", "igshid",
-    "ref", "ref_src", "spm",
+    "ref_src", "spm",
 )
 
 
@@ -368,8 +374,12 @@ def canonical_url(col: Column) -> Column:
     ``parse_url`` + array expressions, whole-stage codegen.
     """
     # try_parse_url: plain parse_url is ANSI-strict and would abort the
-    # job on the first malformed URL in a crawl
-    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    # job on the first malformed URL in a crawl.  AUTHORITY (not HOST)
+    # keeps a non-default port — dropping it would merge distinct
+    # origins; userinfo and the default :80/:443 are presentation noise.
+    host = F.lower(F.try_parse_url(col, F.lit("AUTHORITY")))
+    host = F.regexp_replace(host, r"^[^@/]*@", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/$", "")

@@ -112,6 +112,28 @@ def parse_warc_records(
         return
 
 
+def _shard_parser(types: tuple[str, ...], max_payload: int):
+    """The mapInPandas record loop shared VERBATIM by the batch and
+    streaming readers — one implementation is what keeps their pinned
+    equivalence true by construction."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = []
+                for rec in parse_warc_records(row["content"], max_payload):
+                    if types and rec["warc_type"] not in types:
+                        continue
+                    rec["file"] = row["path"]
+                    out.append(rec)
+                if out:
+                    yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA])
+
+    return parse
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -131,22 +153,9 @@ def read_warc(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path)
-
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                out = []
-                for rec in parse_warc_records(row["content"], max_payload):
-                    if types and rec["warc_type"] not in types:
-                        continue
-                    rec["file"] = row["path"]
-                    out.append(rec)
-                if out:
-                    yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA])
-
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _shard_parser(types, max_payload), WARC_SCHEMA
+    )
 
 
 def stream_warc(
@@ -177,22 +186,9 @@ def stream_warc(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path)
-
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                out = []
-                for rec in parse_warc_records(row["content"], max_payload):
-                    if types and rec["warc_type"] not in types:
-                        continue
-                    rec["file"] = row["path"]
-                    out.append(rec)
-                if out:
-                    yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA])
-
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _shard_parser(types, max_payload), WARC_SCHEMA
+    )
 
 
 def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -223,18 +219,27 @@ def http_response_text(df: DataFrame, payload_col: str = "payload") -> DataFrame
     from ..functions.text import strip_html
 
     s = F.expr(f"make_valid_utf8(CAST({payload_col} AS STRING))")
-    sep = F.instr(s, "\r\n\r\n")
+    # lenient servers emit LF-only headers (seen in real crawls): use
+    # whichever blank-line separator occurs FIRST ("\n\n" cannot occur
+    # inside "\r\n\r\n", so the earlier positive index is unambiguous)
+    sep_crlf = F.instr(s, "\r\n\r\n")
+    sep_lf = F.instr(s, "\n\n")
+    use_lf = (sep_lf > 0) & ((sep_crlf == 0) | (sep_lf < sep_crlf))
+    sep = F.when(use_lf, sep_lf).otherwise(sep_crlf)
+    width = F.when(use_lf, F.lit(2)).otherwise(F.lit(4))
     header = F.when(sep > 0, F.substring(s, F.lit(1), (sep - 1).cast("int")))
-    body = F.when(sep > 0, F.substring(s, (sep + 4).cast("int"), F.length(s))).otherwise(s)
+    body = F.when(sep > 0, F.substring(s, (sep + width).cast("int"), F.length(s))).otherwise(s)
     status = F.regexp_extract(header, r"^HTTP/[0-9.]+ (\d{3})", 1)
+    ctype = F.lower(F.regexp_extract(header, r"(?i)content-type:\s*([^;\r\n]+)", 1))
     return (
         df.withColumn(
             "status_code",
             F.when(status != "", status.cast("int")),
         )
         .withColumn(
+            # null (not '') when absent, matching status_code's sentinel
             "http_content_type",
-            F.lower(F.regexp_extract(header, r"(?i)content-type:\s*([^;\r\n]+)", 1)),
+            F.when(ctype != "", F.trim(ctype)),
         )
         .withColumn("text", strip_html(body))
     )

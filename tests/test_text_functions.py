@@ -413,3 +413,33 @@ def test_canonical_url_param_order_and_edge_cases(spark):
     assert got[1] == got[2] == "s.example/p?a=1&b=2"  # params sorted
     assert got[3] == "other.com"
     assert got[4] is None and got[5] is None  # no ANSI crash
+
+
+def test_canonical_url_keeps_nondefault_port_and_ref(spark):
+    from hermes_spark.functions.text import canonical_url
+
+    rows = [
+        (1, "http://example.com:8080/a"),
+        (2, "http://example.com/a"),
+        (3, "http://example.com:80/a"),
+        (4, "https://example.com:443/a"),
+        (5, "https://github.com/o/r/find?ref=main"),
+        (6, "https://github.com/o/r/find?ref=dev"),
+        (7, "https://user:pw@example.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got[1] == "example.com:8080/a"        # distinct origin kept
+    assert got[2] == got[3] == got[4] == "example.com/a"  # default ports dropped
+    assert got[5] != got[6]                       # ref selects content
+    assert got[7] == "example.com/a"              # userinfo stripped
+
+
+def test_luhn_null_is_false(spark):
+    from hermes_spark.functions.text import luhn_valid
+
+    df = spark.createDataFrame([(1, None), (2, "4532015112830366")], "i long, t string")
+    got = {r["i"]: r["ok"] for r in df.select("i", luhn_valid(F.col("t")).alias("ok")).collect()}
+    assert got[1] is False and got[2] is True
+    # the negated filter keeps null-text rows instead of dropping them
+    assert df.filter(~luhn_valid(F.col("t"))).count() == 1

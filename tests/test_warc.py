@@ -230,3 +230,30 @@ def test_http_response_text_non_http_payload(spark, tmp_path):
     ).collect()[0]
     assert out["status_code"] is None
     assert "plain bytes" in out["text"]
+
+
+def test_http_response_lf_only_headers(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    http = (b"HTTP/1.1 301 Moved\nContent-Type: text/html\n\n"
+            b"<html><body>LF-only server page text.</body></html>")
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(
+        _record("response", "http://lf.example/", http)))
+    out = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",))
+    ).collect()[0]
+    assert out["status_code"] == 301
+    assert out["http_content_type"] == "text/html"
+    assert "HTTP/1.1" not in out["text"] and "LF-only server page" in out["text"]
+
+
+def test_http_response_missing_content_type_is_null(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    http = b"HTTP/1.1 200 OK\r\n\r\nbody text here"
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(
+        _record("response", "http://x/", http)))
+    out = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",))
+    ).collect()[0]
+    assert out["status_code"] == 200 and out["http_content_type"] is None

@@ -21,21 +21,17 @@ either (a) it has never had a green driver row, or (b) its last green
 row is 2+ rounds old — i.e. a round is about to end with a query that
 can silently stay unverified.
 
-Window-saturation exception: a round that registers more NEW queries
-than the window has free slots (stale + new > 50) cannot satisfy (a)
-for every newcomer.  A never-driver-checked query below the fold is
-therefore accepted — loudly, never silently — when LOCAL_CHECK.json
-(written by ``tools/check_oracles.py --record``) holds a green verdict
-for it recorded at the CURRENT driver round.
-
-Steady state: the 2-round rule gives the 50-slot window a rotation
-capacity of 150 queries.  With more registered (153 as of round 6),
-``registered - 150`` queries per round overflow the stale set even
-with perfect rotation; the stalest-first ranking cycles WHICH queries
-overflow, so every query is still driver-verified at least every
-``ceil(registered/50)`` rounds, and each overflow round must be
-covered by a fresh recorded local check — the gate never lets one go
-silently unverified.
+Window-saturation exception: when more queries need the window than it
+has slots (never-green + stale > 50 — either many new registrations in
+one round, or steadily more than the 150-query rotation capacity), the
+overflow is arithmetically unavoidable.  The gate then excuses AT MOST
+``max(0, pressure - 50)`` below-fold queries — loudly, never silently —
+and only those holding a values-checked green verdict in
+LOCAL_CHECK.json (``tools/check_oracles.py --record``) recorded at the
+CURRENT driver round.  The cap means a local check can never excuse a
+query that rotation could have fit; the stalest-first ranking cycles
+which queries overflow, so every query is still driver-verified at
+least every ``ceil(registered/50)`` rounds.
 """
 
 from __future__ import annotations
@@ -109,22 +105,35 @@ def main() -> int:
             for q in below_fold
             if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
         ]
-        # saturation escape hatch: never-driver-checked newcomers are OK
-        # below the fold iff a local oracle check recorded at the
-        # current driver round covers them (see module docstring)
-        excused = [
+        # saturation escape hatch, capped at the ARITHMETICALLY
+        # unavoidable overflow: with P queries needing the window
+        # (never-green or stale) and 50 slots, at most max(0, P-50)
+        # may sit below the fold — and only with a values-checked local
+        # verdict recorded at the current driver round.  The cap keeps
+        # the gate strict: local checks can never excuse a query that
+        # rotation COULD have fit.
+        pressure = [
             q
-            for q in stale
-            if last_green.get(q, -1) < 0
-            and local_check.get(q, {}).get("ok")
-            and local_check.get(q, {}).get("values_checked")
-            and local_check.get(q, {}).get("driver_round_at_check", -1) >= latest
+            for q in registered
+            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
         ]
+        allowed = max(0, len(pressure) - 50)
+
+        def locally_covered(q: str) -> bool:
+            rec = local_check.get(q, {})
+            return bool(
+                rec.get("ok")
+                and rec.get("values_checked")
+                and rec.get("driver_round_at_check", -1) >= latest
+            )
+
+        excused = [q for q in stale if locally_covered(q)][:allowed]
         if excused:
             print(
-                f"\ngate: {len(excused)} new below-fold queries pass only by "
-                f"recorded local oracle check (driver verification pending "
-                f"round {latest + 2} rotation): {', '.join(excused)}"
+                f"\ngate: {len(excused)} below-fold queries (of {allowed} "
+                f"unavoidable overflow with {len(pressure)} needing the "
+                f"50-slot window) pass only by recorded local oracle check: "
+                f"{', '.join(excused)}"
             )
         stale = [q for q in stale if q not in excused]
         if stale:
