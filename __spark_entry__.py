@@ -700,6 +700,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_QUERY = ["merge", "join", "vector"]
 BM25_K = 20
+RRF_QUERY_VEC = 0  # embeddings row used as the semantic query vector
+RRF_K = 60  # standard RRF dampening constant
+RRF_TOP = 10
+LOGREG_ITERS = 2
+LOGREG_LR = 1.0
 
 CDC_DELETE_MOD = 211
 
@@ -4549,6 +4554,171 @@ GROUP BY a.event_type, a.bucket, a.n_events
 # ---------------------------------------------------------------------------
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with embedding-cosine top-20
+    by reciprocal-rank fusion (k=60) — rank-only combination, no score
+    calibration. With exactly two lists the fused score is one IEEE
+    addition, so the result is aggregation-order independent."""
+    from hermes_spark.operators import rrf_fuse
+    from hermes_spark.operators.similarity import brute_force_cosine_topk
+    from hermes_spark.operators.tfidf import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, BM25_QUERY, k=BM25_K).select("doc_id", "rank")
+    qvec = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+    sem = brute_force_cosine_topk(emb, qvec, k=BM25_K).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], "doc_id", k=RRF_K, top=RRF_TOP).select(
+        "doc_id",
+        F.col("n_lists").cast("long").alias("n_lists"),
+        "rrf_score",
+        "fused_rank",
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b = 1.2, 0.75
+    cos = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE trim(text) != ''
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term != ''),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE term IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+per_term AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+      * tf * {k1 + 1.0} / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id) CROSS JOIN consts
+),
+lexscore AS (SELECT doc_id, round(sum(s), 6) AS score FROM per_term GROUP BY doc_id),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM lexscore
+  ) WHERE rank <= {BM25_K}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+semscore AS (
+  SELECT c.vec_id AS doc_id, {cos} AS cosine FROM q CROSS JOIN embeddings c
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+    FROM semscore
+  ) WHERE rank <= {BM25_K}
+),
+u AS (
+  SELECT doc_id, rank FROM lex
+  UNION ALL
+  SELECT doc_id, rank FROM sem
+),
+fused AS (
+  SELECT doc_id, count(*) AS n_lists,
+         round(sum(1.0 / ({RRF_K} + rank)), 6) AS rrf_score
+  FROM u GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_lists, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM fused
+)
+SELECT doc_id, n_lists::BIGINT AS n_lists, rrf_score, fused_rank::BIGINT AS fused_rank
+FROM ranked WHERE fused_rank <= {RRF_TOP}
+"""
+
+
+def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier's logistic weights in-engine
+    (label: lang == 'en') and return the per-iteration weight trace.
+    The gradient is an exact int64 sum of 1e-6-quantized per-row
+    contributions, so the trajectory is bit-identical across
+    partitionings AND engines (see operators/logreg.py)."""
+    from hermes_spark.operators import train_quality_weights, weights_trace_df
+
+    docs = _read(spark, sf_dir, "documents")
+    trace = train_quality_weights(
+        docs, "text", F.col("lang") == "en", lr=LOGREG_LR, iters=LOGREG_ITERS
+    )
+    return weights_trace_df(spark, trace)
+
+
+def _sql_logreg_quality_train() -> str:
+    """Unrolled gradient-ascent CTE chain (same technique as the
+    k-means/MMR oracles): iteration i's weights are a 1-row CTE
+    computed from iteration i-1's, with every cross-engine-compared
+    quantity either an exact int64 sum or a 6-dp round of identical
+    IEEE arithmetic."""
+    from hermes_spark.operators.classify import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    lr = LOGREG_LR
+    names = ["bias", "log_n_tokens", "mean_tok_len", "distinct_ratio", "stopword_ratio"]
+    cols = ["b", "c1", "c2", "c3", "c4"]
+    parts = [
+        f"""WITH tok AS (
+  SELECT lang, {_TOKENS_SQL} AS t,
+         length(regexp_replace(text, '\\s', '', 'g')) AS ns
+  FROM documents
+),
+feats AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS y,
+         round(ln(len(t) + 1.0), 6) AS x1,
+         round(ns::DOUBLE / greatest(len(t), 1), 6) AS x2,
+         round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6) AS x3,
+         round(len(list_filter(t, x -> list_contains([{stop_list}], x)))::DOUBLE
+               / greatest(len(t), 1), 6) AS x4
+  FROM tok
+),
+w0(b, c1, c2, c3, c4) AS (
+  VALUES (0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE)
+)"""
+    ]
+    for i in range(1, LOGREG_ITERS + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT f.y, f.x1, f.x2, f.x3, f.x4,
+         round(1.0 / (1.0 + exp(-(w.b + w.c1 * f.x1 + w.c2 * f.x2
+               + w.c3 * f.x3 + w.c4 * f.x4))), 6) AS p
+  FROM feats f CROSS JOIN {prev} w
+),
+g{i} AS (
+  SELECT count(*) AS n,
+         sum(CAST(round((y - p) * 1000000.0) AS BIGINT)) AS g0,
+         sum(CAST(round((y - p) * x1 * 1000000.0) AS BIGINT)) AS g1,
+         sum(CAST(round((y - p) * x2 * 1000000.0) AS BIGINT)) AS g2,
+         sum(CAST(round((y - p) * x3 * 1000000.0) AS BIGINT)) AS g3,
+         sum(CAST(round((y - p) * x4 * 1000000.0) AS BIGINT)) AS g4
+  FROM p{i}
+),
+w{i}(b, c1, c2, c3, c4) AS (
+  SELECT round(w.b + {lr!r} * g.g0 / (1000000.0 * g.n), 6),
+         round(w.c1 + {lr!r} * g.g1 / (1000000.0 * g.n), 6),
+         round(w.c2 + {lr!r} * g.g2 / (1000000.0 * g.n), 6),
+         round(w.c3 + {lr!r} * g.g3 / (1000000.0 * g.n), 6),
+         round(w.c4 + {lr!r} * g.g4 / (1000000.0 * g.n), 6)
+  FROM g{i} g CROSS JOIN {prev} w
+)"""
+        )
+    selects = []
+    for i in range(LOGREG_ITERS + 1):
+        for name, c in zip(names, cols):
+            selects.append(
+                f"SELECT {i}::BIGINT AS iteration, '{name}' AS weight, "
+                f"{c}::DOUBLE AS value FROM w{i}"
+            )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
     return q_compare_diff(spark, "/root/testdata/sf0.001")
@@ -4571,6 +4741,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_line_stats": q_c4_line_stats,
         "epoch_mix_docs": q_epoch_mix_docs,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "logreg_quality_train": q_logreg_quality_train,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5654,6 +5826,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _sql_gopher_quality(),
         "c4_line_stats": _sql_c4_line_stats(),
         "epoch_mix_docs": _sql_epoch_mix_docs(),
+        "hybrid_rrf_topk": _sql_hybrid_rrf(),
+        "logreg_quality_train": _sql_logreg_quality_train(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

@@ -160,6 +160,11 @@ BENCH_QUERIES = {
     "gopher_quality": lambda s, d: _materialize(entry.q_gopher_quality(s, d)),
     "c4_line_stats": lambda s, d: _materialize(entry.q_c4_line_stats(s, d)),
     "epoch_mix_docs": lambda s, d: _materialize(entry.q_epoch_mix_docs(s, d)),
+    # round 6c: hybrid retrieval fusion + in-engine classifier training
+    "hybrid_rrf_topk": lambda s, d: _materialize(entry.q_hybrid_rrf_topk(s, d)),
+    "logreg_quality_train": lambda s, d: _materialize(
+        entry.q_logreg_quality_train(s, d)
+    ),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
