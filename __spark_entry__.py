@@ -705,6 +705,10 @@ RRF_K = 60  # standard RRF dampening constant
 RRF_TOP = 10
 LOGREG_ITERS = 2
 LOGREG_LR = 1.0
+EDIT_MAX_DIST = 5
+EDIT_PREFIX = 8
+EDIT_MATCH_LEN = 40
+EDIT_MAX_BLOCK = 1000
 
 CDC_DELETE_MOD = 211
 
@@ -4719,6 +4723,118 @@ w{i}(b, c1, c2, c3, c4) AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_retrieval_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the retrieval evaluation loop IN-REGISTRY: score the IVF
+    index's top-10 against exact brute-force truth — per-query
+    recall@10 / MRR / nDCG@10, every float exact-integer-derived
+    (1e-6-quantized DCG terms summed as int64)."""
+    from hermes_spark.operators import ranking_metrics
+    from hermes_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    qs = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    truth = brute_force_cosine_topk(emb, qs, k=ANN_K).select("query_id", "vec_id")
+    system = ivf_topk(emb, centroids, qs, k=ANN_K).select(
+        "query_id", "vec_id", "rank"
+    )
+    return ranking_metrics(
+        system, truth, group_cols=["query_id"], item_col="vec_id"
+    )
+
+
+def _sql_retrieval_eval_ivf() -> str:
+    """Metrics CTE over the existing brute-force and IVF oracle
+    statements embedded as subqueries — the truth/system SQL is the
+    byte-identical text already proven green for ``ann_cosine_topk``
+    and ``ivf_topk``."""
+    term = "CAST(round(1000000.0 / log2({r} + 1.0)) AS BIGINT)"
+    return f"""
+WITH truth AS (SELECT query_id, vec_id FROM ({_sql_ann_topk()})),
+sys AS (SELECT query_id, vec_id, rank FROM ({_sql_ivf_topk()})),
+relc AS (SELECT query_id, count(*) AS n_relevant FROM truth GROUP BY 1),
+j AS (
+  SELECT s.query_id, s.rank, (t.vec_id IS NOT NULL) AS hit
+  FROM sys s LEFT JOIN truth t
+    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+),
+perq AS (
+  SELECT query_id, count(*) AS n_retrieved,
+         sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         min(CASE WHEN hit THEN rank END) AS first_hit,
+         sum(CASE WHEN hit THEN {term.format(r="rank")} ELSE 0 END) AS dcg,
+         max(rank) AS depth
+  FROM j GROUP BY 1
+),
+m AS (
+  SELECT r.query_id, r.n_relevant,
+         coalesce(p.n_retrieved, 0) AS n_retrieved,
+         coalesce(p.n_hit, 0) AS n_hit, p.first_hit,
+         coalesce(p.dcg, 0) AS dcg,
+         coalesce(list_sum(list_transform(
+           range(1, least(r.n_relevant, coalesce(p.depth, 0)) + 1),
+           x -> {term.format(r="x")})), 0) AS idcg
+  FROM relc r LEFT JOIN perq p USING (query_id)
+)
+SELECT query_id, n_relevant::BIGINT AS n_relevant,
+       n_retrieved::BIGINT AS n_retrieved, n_hit::BIGINT AS n_hit,
+       round(n_hit / greatest(n_relevant, 1)::DOUBLE, 6) AS recall_at_k,
+       round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+       round(dcg / greatest(idcg, 1)::DOUBLE, 6) AS ndcg_at_k
+FROM m
+"""
+
+
+def q_edit_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-duplicate pairs on the normalized 40-char
+    document prefix — prefix-blocked, length-pruned, exact distances
+    (order-sensitive fuzzy matching the set-similarity joins can't
+    express)."""
+    from hermes_spark.operators import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_distance=EDIT_MAX_DIST,
+        prefix_len=EDIT_PREFIX,
+        match_len=EDIT_MATCH_LEN,
+        max_block_size=EDIT_MAX_BLOCK,
+    )
+
+
+def _sql_edit_near_pairs() -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   1, {EDIT_MATCH_LEN}) AS s
+  FROM documents
+),
+k2 AS (SELECT doc_id, s FROM k WHERE length(s) > 0),
+b AS (SELECT doc_id, s, substring(s, 1, {EDIT_PREFIX}) AS blk FROM k2),
+sizes AS (SELECT blk, count(*) AS n FROM b GROUP BY 1),
+ok AS (
+  SELECT b.* FROM b JOIN sizes USING (blk)
+  WHERE n BETWEEN 2 AND {EDIT_MAX_BLOCK}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, levenshtein(a.s, c.s) AS distance
+  FROM ok a JOIN ok c
+    ON a.blk = c.blk AND a.doc_id < c.doc_id
+   AND abs(length(a.s) - length(c.s)) <= {EDIT_MAX_DIST}
+)
+SELECT id_a, id_b, distance::BIGINT AS distance
+FROM pairs WHERE distance <= {EDIT_MAX_DIST}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
     return q_compare_diff(spark, "/root/testdata/sf0.001")
@@ -4743,6 +4859,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix_docs": q_epoch_mix_docs,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "logreg_quality_train": q_logreg_quality_train,
+        "retrieval_eval_ivf": q_retrieval_eval_ivf,
+        "edit_near_pairs": q_edit_near_pairs,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5828,6 +5946,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_mix_docs": _sql_epoch_mix_docs(),
         "hybrid_rrf_topk": _sql_hybrid_rrf(),
         "logreg_quality_train": _sql_logreg_quality_train(),
+        "retrieval_eval_ivf": _sql_retrieval_eval_ivf(),
+        "edit_near_pairs": _sql_edit_near_pairs(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

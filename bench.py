@@ -165,6 +165,8 @@ BENCH_QUERIES = {
     "logreg_quality_train": lambda s, d: _materialize(
         entry.q_logreg_quality_train(s, d)
     ),
+    "retrieval_eval_ivf": lambda s, d: _materialize(entry.q_retrieval_eval_ivf(s, d)),
+    "edit_near_pairs": lambda s, d: _materialize(entry.q_edit_near_pairs(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
