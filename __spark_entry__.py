@@ -709,6 +709,9 @@ EDIT_MAX_DIST = 5
 EDIT_PREFIX = 8
 EDIT_MATCH_LEN = 40
 EDIT_MAX_BLOCK = 1000
+LM_VOCAB = 300
+LM_K_NUM = 1  # add-k smoothing as an exact fraction: k = 1/2
+LM_K_DEN = 2
 
 CDC_DELETE_MOD = 211
 
@@ -4835,6 +4838,113 @@ FROM pairs WHERE distance <= {EDIT_MAX_DIST}
 """
 
 
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus LM filter: train a capped-vocab bigram
+    LM on the even-doc_id half of `documents`, score the odd half with
+    add-1/2 smoothing, bucket into head/middle/tail by perplexity
+    (operators/lm.py). Every log term 1e-6-quantized and int64-summed;
+    bucket order keys on the already-rounded output value."""
+    from hermes_spark.operators import lm_score, lm_train, perplexity_ntile
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), vocab_size=LM_VOCAB
+    )
+    scored = lm_score(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        lm,
+        k_num=LM_K_NUM,
+        k_den=LM_K_DEN,
+        broadcast_model=True,
+    )
+    return perplexity_ntile(scored)
+
+
+def _sql_lm_perplexity_buckets() -> str:
+    """Mirror of q_lm_perplexity_buckets: identical vocab tie-break,
+    OOV collapse, exact-integer smoothing ratio, 1e-6 term grid."""
+    return f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+tg AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+trt AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM tr WHERE trim(lower(text)) <> ''
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM trt WHERE term <> '' GROUP BY 1
+  ) ORDER BY cnt DESC, term ASC LIMIT {LM_VOCAB}
+),
+nv AS (SELECT count(*) AS v FROM vocab),
+tr_toks AS (
+  SELECT doc_id, unnest(lst) AS term, unnest(range(1, len(lst) + 1)) AS pos
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lst
+    FROM tr WHERE trim(lower(text)) <> ''
+  )
+),
+tr_mapped AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN v.term IS NOT NULL THEN t.term ELSE '<unk>' END AS term
+  FROM tr_toks t LEFT JOIN vocab v ON t.term = v.term
+  WHERE t.term <> ''
+),
+tr_bg AS (
+  SELECT doc_id, prev, cur FROM (
+    SELECT doc_id,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           term AS cur
+    FROM tr_mapped
+  ) WHERE prev IS NOT NULL
+),
+bc AS (SELECT prev, cur, count(*) AS cnt FROM tr_bg GROUP BY 1, 2),
+cc AS (SELECT prev, count(*) AS ctx_cnt FROM tr_bg GROUP BY 1),
+tg_toks AS (
+  SELECT doc_id, unnest(lst) AS term, unnest(range(1, len(lst) + 1)) AS pos
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lst
+    FROM tg WHERE trim(lower(text)) <> ''
+  )
+),
+tg_mapped AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN v.term IS NOT NULL THEN t.term ELSE '<unk>' END AS term
+  FROM tg_toks t LEFT JOIN vocab v ON t.term = v.term
+  WHERE t.term <> ''
+),
+tg_bg AS (
+  SELECT doc_id, prev, cur FROM (
+    SELECT doc_id,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           term AS cur
+    FROM tg_mapped
+  ) WHERE prev IS NOT NULL
+),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(ln(
+           ({LM_K_DEN} * coalesce(bc.cnt, 0) + {LM_K_NUM})::DOUBLE
+           / ({LM_K_DEN} * coalesce(cc.ctx_cnt, 0)
+              + {LM_K_NUM} * (nv.v + 1))::DOUBLE
+         ) * 1000000.0) AS BIGINT) AS t
+  FROM tg_bg g
+  LEFT JOIN bc ON g.prev = bc.prev AND g.cur = bc.cur
+  LEFT JOIN cc ON g.prev = cc.prev
+  CROSS JOIN nv
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(sum(t) / (1000000.0 * count(*)), 6) AS avg_logprob
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
     return q_compare_diff(spark, "/root/testdata/sf0.001")
@@ -4861,6 +4971,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality_train": q_logreg_quality_train,
         "retrieval_eval_ivf": q_retrieval_eval_ivf,
         "edit_near_pairs": q_edit_near_pairs,
+        "lm_perplexity_buckets": q_lm_perplexity_buckets,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -5948,6 +6059,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality_train": _sql_logreg_quality_train(),
         "retrieval_eval_ivf": _sql_retrieval_eval_ivf(),
         "edit_near_pairs": _sql_edit_near_pairs(),
+        "lm_perplexity_buckets": _sql_lm_perplexity_buckets(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

@@ -167,6 +167,9 @@ BENCH_QUERIES = {
     ),
     "retrieval_eval_ivf": lambda s, d: _materialize(entry.q_retrieval_eval_ivf(s, d)),
     "edit_near_pairs": lambda s, d: _materialize(entry.q_edit_near_pairs(s, d)),
+    "lm_perplexity_buckets": lambda s, d: _materialize(
+        entry.q_lm_perplexity_buckets(s, d)
+    ),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time

@@ -1,0 +1,236 @@
+"""Cross-corpus n-gram language-model scoring (CCNet-style filter).
+
+Extension beyond reference parity (the reference has no LM surface;
+see ``SURVEY.md`` §2 extension table). The missing half of the LM
+quality-proxy family in ``operators/tfidf.py``: ``unigram_logprob`` /
+``bigram_logprob`` score a corpus under its OWN statistics, which is a
+noise detector but not a domain filter. The CCNet / CC-100 recipe
+trains the LM on a TRUSTED reference corpus (Wikipedia) and scores the
+crawled TARGET corpus against it, bucketing documents into
+head / middle / tail by perplexity — head goes to pretraining, tail is
+dropped. This module is that step: train on one frame, score another.
+
+Model: capped-vocabulary bigram LM with add-k smoothing.
+
+* The vocabulary is the top ``vocab_size`` training terms (count desc,
+  term asc — deterministic); everything else maps to ``<unk>`` at BOTH
+  train and score time, so the event space is closed and every scored
+  bigram has a well-defined probability.
+* ``P(cur | prev) = (C(prev,cur) + k) / (C(prev,·) + k·(V+1))`` where
+  ``V+1`` counts the vocab plus ``<unk>`` and ``k = k_num / k_den`` is
+  kept as an integer fraction: each log argument is
+  ``(k_den·C(prev,cur) + k_num) / (k_den·C(prev,·) + k_num·(V+1))`` —
+  a ratio of exact int64s, so both engines feed ``ln`` the identical
+  IEEE double. Each term's log-prob is quantized to a 1e-6 grid and
+  summed as int64 (associative, partitioning-independent); the final
+  mean is one division, rounded to 6 dp. Cross-engine agreement relies
+  on the 1e-6 rounding absorbing ulp-level libm ``ln`` differences on
+  identical inputs — the same honest guarantee as ``operators/logreg``.
+
+Scale design (100 TB target corpus, bounded model):
+
+* Context counts are at most ``V+1`` rows (every context is an
+  in-vocab term or ``<unk>``) — always broadcast. The vocab list is
+  ``V`` rows — always broadcast. Only the bigram-count table grows
+  with training data (bounded by min(tokens, (V+1)^2) distinct pairs);
+  scoring joins it on ``(prev, cur)``, broadcast when it fits
+  (``broadcast_model=True``), hash-join otherwise.
+* Per-frame work: one token-order shuffle on the doc key (the ``lag``
+  window), map-side-combined count aggregations, one final per-doc
+  aggregation. No driver-side collection anywhere.
+* ``perplexity_ntile`` ranks with a GLOBAL window — exact and
+  engine-stable, but single-partition in the ranking stage: use it for
+  reports and oracle checks. The 100 TB path is
+  ``bucket_by_bounds`` with thresholds taken from a sample or a
+  previous run (exactly how CCNet ships per-language cutoffs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "NgramLM",
+    "lm_train",
+    "lm_score",
+    "perplexity_ntile",
+    "bucket_by_bounds",
+    "UNK",
+]
+
+UNK = "<unk>"
+_SCALE = 1_000_000.0
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    """A trained capped-vocab bigram model.
+
+    ``vocab``: ``(term)`` — the in-vocabulary terms (no ``<unk>``).
+    ``bigram_counts``: ``(prev, cur, cnt)`` over mapped train tokens.
+    ``context_counts``: ``(prev, ctx_cnt)`` — occurrences of ``prev``
+    with a successor; at most ``n_vocab + 1`` rows.
+    ``n_vocab``: |vocab| actually selected (≤ requested size)."""
+
+    vocab: DataFrame
+    bigram_counts: DataFrame
+    context_counts: DataFrame
+    n_vocab: int
+
+
+def _mapped_tokens(df: DataFrame, id_col: str, text_col: str,
+                   vocab: DataFrame) -> DataFrame:
+    """Ordered per-doc tokens with out-of-vocab terms collapsed to
+    ``<unk>`` — vocab join is always a broadcast."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    v = F.broadcast(vocab.select("term", F.lit(True).alias("__in_v")))
+    return toks.join(v, on="term", how="left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("__in_v"), F.col("term")).otherwise(F.lit(UNK)).alias("term"),
+    )
+
+
+def _doc_bigrams(mapped: DataFrame) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        mapped.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", F.col("term").alias("cur"))
+    )
+
+
+def lm_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> NgramLM:
+    """Train the capped-vocab bigram LM on a reference corpus.
+
+    Two passes over the token stream (vocab selection, then counting
+    with OOV collapsed) — cache the input upstream if it is expensive
+    to rescan. Vocab ties break on term asc, so the model is fully
+    deterministic."""
+    raw = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        raw.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    n_vocab = vocab.count()
+    bg = _doc_bigrams(_mapped_tokens(df, id_col, text_col, vocab))
+    bigram_counts = bg.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    context_counts = bg.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("ctx_cnt")
+    )
+    return NgramLM(vocab, bigram_counts, context_counts, n_vocab)
+
+
+def lm_score(
+    df: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_num: int = 1,
+    k_den: int = 2,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score a target corpus under a trained model.
+
+    Returns ``(doc_id, n_bigrams, avg_logprob)`` — higher (less
+    negative) means more reference-like; perplexity is
+    ``exp(-avg_logprob)``, strictly monotone in it, so ordering /
+    bucketing uses ``avg_logprob`` directly and never materializes an
+    ``exp``. Docs with fewer than two tokens have no bigrams and are
+    omitted. ``k_num/k_den`` is the add-k smoothing constant as an
+    exact integer fraction (default 1/2, Jeffreys)."""
+    types = lm.n_vocab + 1  # vocab plus <unk>
+    bg = _doc_bigrams(_mapped_tokens(df, id_col, text_col, lm.vocab))
+    bc = lm.bigram_counts
+    if broadcast_model:
+        bc = F.broadcast(bc)
+    scored = (
+        bg.join(bc, on=["prev", "cur"], how="left")
+        .join(
+            F.broadcast(lm.context_counts), on="prev", how="left"
+        )
+        .select(
+            "doc_id",
+            (
+                (
+                    F.lit(k_den) * F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.lit(k_num)
+                ).cast("double")
+                / (
+                    F.lit(k_den) * F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                    + F.lit(k_num * types)
+                ).cast("double")
+            ).alias("p"),
+        )
+    )
+    term = F.round(F.log(F.col("p")) * F.lit(_SCALE)).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(term) / (F.lit(_SCALE) * F.count(F.lit(1))), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def perplexity_ntile(
+    scored: DataFrame,
+    parts: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style equal-count buckets: rank by ``avg_logprob`` desc
+    (i.e. perplexity asc) with ``doc_id`` tie-break, ``ntile(parts)``,
+    label bucket 1..parts (``head`` = most reference-like).
+
+    Exact and engine-stable (the ordering key is the already-rounded
+    output value), but the ranking stage is a global window — use
+    :func:`bucket_by_bounds` at scale."""
+    if len(labels) != parts:
+        raise ValueError(f"need {parts} labels, got {len(labels)}")
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
+    tile = F.ntile(parts).over(w)
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), tile
+    )
+    return scored.withColumn("ppl_bucket", label)
+
+
+def bucket_by_bounds(
+    scored: DataFrame,
+    head_min_logprob: float,
+    tail_max_logprob: float,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Fixed-threshold bucketing — the shuffle-free 100 TB path.
+
+    ``avg_logprob >= head_min_logprob`` → head;
+    ``avg_logprob < tail_max_logprob`` → tail; else middle. Thresholds
+    come from a sample run or a previous :func:`perplexity_ntile`
+    (CCNet ships them per language)."""
+    h, m, t = labels
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("avg_logprob") >= head_min_logprob, F.lit(h))
+        .when(F.col("avg_logprob") < tail_max_logprob, F.lit(t))
+        .otherwise(F.lit(m)),
+    )
