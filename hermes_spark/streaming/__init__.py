@@ -11,10 +11,13 @@ here is a scale extension built on the same kernels:
   ``applyInPandasWithState``.
 - :func:`anomaly_stream` — stateful trailing z-score anomaly detection
   (streaming twin of ``operators/gapfill.py::rolling_anomalies``).
+- :func:`interval_join_streams` — watermarked stream-stream interval
+  join (click↔impression attribution, request↔response pairing).
 """
 
 from hermes_spark.streaming.anomaly import anomaly_stream
 from hermes_spark.streaming.compare import compare_stream
+from hermes_spark.streaming.correlate import interval_join_streams, last_touch
 from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
 from hermes_spark.streaming.distinct import (
     hll_distinct_sink,
@@ -34,6 +37,8 @@ __all__ = [
     "read_hll_store",
     "compare_stream",
     "curated_wet_stream",
+    "interval_join_streams",
+    "last_touch",
     "enrich_stream",
     "read_upsert_store",
     "upsert_sink",
