@@ -4945,6 +4945,29 @@ FROM scored
 """
 
 
+BPE_MERGES = 100
+BPE_MAX_WORDS = 10_000
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-BPE token accounting (operators/bpe.py): learn merges from
+    the even-doc_id half (distributed word count, driver merge loop
+    over the capped aggregate), Arrow-batch encode the odd half.
+    No oracle_sql entry BY DESIGN: BPE training is an iterative
+    argmax-merge loop that ANSI SQL cannot express — the driver
+    records the rows-only check; exact semantics are pinned against
+    the hand-computed Sennrich example in tests/test_bpe.py."""
+    from hermes_spark.operators import bpe_token_counts, bpe_train_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train_merges(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_merges=BPE_MERGES,
+        max_words=BPE_MAX_WORDS,
+    )
+    return bpe_token_counts(docs.filter(F.col("doc_id") % 2 == 1), merges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
     return q_compare_diff(spark, "/root/testdata/sf0.001")
@@ -4972,6 +4995,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_ivf": q_retrieval_eval_ivf,
         "edit_near_pairs": q_edit_near_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
+        "bpe_token_stats": q_bpe_token_stats,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,

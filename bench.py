@@ -170,6 +170,7 @@ BENCH_QUERIES = {
     "lm_perplexity_buckets": lambda s, d: _materialize(
         entry.q_lm_perplexity_buckets(s, d)
     ),
+    "bpe_token_stats": lambda s, d: _materialize(entry.q_bpe_token_stats(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
