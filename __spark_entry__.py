@@ -4949,6 +4949,99 @@ BPE_MERGES = 100
 BPE_MAX_WORDS = 10_000
 
 
+def q_chat_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation-format audit (operators/chatformat.py):
+    documents are split on '.' into turn fragments with the role
+    derived from fragment-length parity (odd -> user), then
+    conversation_stats computes the structural flags the SFT loader
+    gates on — all per-row higher-order array expressions, zero
+    shuffles."""
+    from hermes_spark.operators import conversation_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    # the synthetic corpus has no sentence punctuation, so split on the
+    # frequent token 'the' to get genuinely multi-turn conversations
+    frags = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"\s+the\s+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    turns = F.transform(
+        frags,
+        lambda s: F.struct(
+            F.when(F.length(s) % 2 == 1, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            s.alias("content"),
+        ),
+    )
+    return conversation_stats(docs.select("doc_id", turns.alias("turns")))
+
+
+def _sql_chat_stats_docs() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\s+the\\s+'),
+                                    s -> trim(s)), s -> s <> '') AS frags
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(frags) AS content,
+         unnest(range(1, len(frags) + 1)) AS p
+  FROM base
+),
+r AS (
+  SELECT doc_id, p, content,
+         CASE WHEN length(content) % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         len(regexp_split_to_array(content, '\\s+'))::BIGINT AS toks
+  FROM pos
+),
+adj AS (
+  SELECT *, lag(role) OVER (PARTITION BY doc_id ORDER BY p) AS prev_role
+  FROM r
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_turns,
+         bool_or(p = 1 AND role = 'user') AS starts_with_user,
+         max(p) AS last_p,
+         bool_and(prev_role IS NULL OR role <> prev_role) AS adj_ok,
+         sum(CASE WHEN role = 'assistant' THEN toks ELSE 0 END)::BIGINT
+           AS assistant_tokens,
+         sum(toks)::BIGINT AS total_tokens
+  FROM adj GROUP BY doc_id
+),
+lastrole AS (
+  SELECT a.doc_id, r.role AS last_role
+  FROM agg a JOIN r ON r.doc_id = a.doc_id AND r.p = a.last_p
+),
+j AS (
+  SELECT b.doc_id,
+         coalesce(a.n_turns, 0) AS n_turns,
+         coalesce(a.starts_with_user, false) AS starts_with_user,
+         coalesce(l.last_role = 'assistant', false) AS ends_with_assistant,
+         CASE WHEN coalesce(a.n_turns, 0) <= 1
+              THEN coalesce(a.n_turns, 0) = 1
+              ELSE a.adj_ok END AS alternates,
+         true AS all_nonempty,  -- empty fragments dropped upstream
+         coalesce(a.assistant_tokens, 0) AS assistant_tokens,
+         coalesce(a.total_tokens, 0) AS total_tokens
+  FROM base b
+  LEFT JOIN agg a USING (doc_id) LEFT JOIN lastrole l ON l.doc_id = b.doc_id
+)
+SELECT doc_id, n_turns, starts_with_user, ends_with_assistant, alternates,
+       all_nonempty, assistant_tokens, total_tokens,
+       round(assistant_tokens / greatest(total_tokens, 1)::DOUBLE, 6)
+         AS assistant_share,
+       (starts_with_user AND ends_with_assistant AND alternates
+        AND all_nonempty AND n_turns >= 2) AS well_formed
+FROM j
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-BPE token accounting (operators/bpe.py): learn merges from
     the even-doc_id half (distributed word count, driver merge loop
@@ -4996,6 +5089,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_near_pairs": q_edit_near_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
         "bpe_token_stats": q_bpe_token_stats,
+        "chat_stats_docs": q_chat_stats_docs,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6084,6 +6178,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval_ivf": _sql_retrieval_eval_ivf(),
         "edit_near_pairs": _sql_edit_near_pairs(),
         "lm_perplexity_buckets": _sql_lm_perplexity_buckets(),
+        "chat_stats_docs": _sql_chat_stats_docs(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

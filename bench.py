@@ -171,6 +171,7 @@ BENCH_QUERIES = {
         entry.q_lm_perplexity_buckets(s, d)
     ),
     "bpe_token_stats": lambda s, d: _materialize(entry.q_bpe_token_stats(s, d)),
+    "chat_stats_docs": lambda s, d: _materialize(entry.q_chat_stats_docs(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
