@@ -482,8 +482,121 @@ def probe_text_gates_1m(spark) -> None:
     })
 
 
+def probe_newops_1m(spark) -> None:
+    """Round-6 late-session operators at 1M Zipf documents: cross-corpus
+    LM scoring, real-BPE token accounting, edit-distance blocking,
+    conversation-format audit, and the batch form of the interval join.
+    Each prints wall + an output-sanity number."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import (
+        bpe_token_counts,
+        bpe_train_merges,
+        bucket_by_bounds,
+        conversation_stats,
+        edit_distance_pairs,
+        lm_score,
+        lm_train,
+        turns_from_text,
+    )
+    from hermes_spark.streaming import interval_join_streams
+    from hermes_spark.synth import zipf_documents
+
+    n = 1_000_000
+    docs = zipf_documents(
+        spark, n, vocab_size=20_000, doc_len=60, seed=17,
+        near_dup_every=50, partitions=64,
+    ).localCheckpoint(eager=True)
+
+    # -- cross-corpus LM: train on 20% of docs, score all 1M
+    t0 = time.time()
+    lm = lm_train(docs.filter(F.col("doc_id") % 5 == 0), vocab_size=10_000)
+    train_wall = time.time() - t0
+    t0 = time.time()
+    scored = lm_score(docs, lm, broadcast_model=True)
+    buckets = {
+        r.ppl_bucket: r.n
+        for r in bucket_by_bounds(scored, -7.0, -8.5)
+        .groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    score_wall = time.time() - t0
+    out({
+        "probe": f"lm_{n}docs", "n_vocab": lm.n_vocab,
+        "train_wall": round(train_wall, 1),
+        "score_wall": round(score_wall, 1), "buckets": buckets,
+    })
+
+    # -- real BPE: train merges on 10% (driver loop over the capped
+    # word aggregate), Arrow-encode all 1M docs (60M words)
+    t0 = time.time()
+    merges = bpe_train_merges(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        num_merges=200, max_words=20_000,
+    )
+    bpe_train_wall = time.time() - t0
+    t0 = time.time()
+    total_pieces = (
+        bpe_token_counts(docs, merges).agg(F.sum("n_pieces")).collect()[0][0]
+    )
+    bpe_enc_wall = time.time() - t0
+    out({
+        "probe": f"bpe_{n}docs", "n_merges": len(merges),
+        "train_wall": round(bpe_train_wall, 1),
+        "encode_wall": round(bpe_enc_wall, 1),
+        "total_pieces": int(total_pieces),
+    })
+
+    # -- edit-distance blocking: 3-token prefix blocks; planted
+    # near-dups (every 50th doc copies its predecessor's head) must
+    # surface as distance-0 pairs on the 40-char key
+    t0 = time.time()
+    pairs = edit_distance_pairs(
+        docs, "doc_id", "text", max_distance=3,
+        prefix_len=24, match_len=40, max_block_size=2000,
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    planted = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 50 == 0)
+    ).count()
+    edit_wall = time.time() - t0
+    out({
+        "probe": f"editsim_{n}docs", "wall": round(edit_wall, 1),
+        "pairs": n_pairs, "planted_found": planted,
+        "planted_total": n // 50 - 1,
+    })
+
+    # -- conversation audit: split on the modal token, full stats scan
+    t0 = time.time()
+    convs = docs.select(
+        "doc_id", turns_from_text(F.col("text"), sep=r"\s+w0000001\s+").alias("turns")
+    )
+    wf = conversation_stats(convs).filter("well_formed").count()
+    chat_wall = time.time() - t0
+    out({"probe": f"chat_{n}docs", "wall": round(chat_wall, 1),
+         "well_formed": wf})
+
+    # -- interval join (batch form of the stream-stream join): 1M x 1M
+    # events over 100k users, 60 s lookback
+    ev = lambda tag, shift: spark.range(0, n, 1, 64).select(  # noqa: E731
+        (F.col("id") % 100_000).alias("user_id"),
+        F.col("id").alias(f"{tag}_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.xxhash64(F.col("id"), F.lit(shift)) % 86_400)
+        ).alias(f"{tag}_ts"),
+    )
+    t0 = time.time()
+    joined = interval_join_streams(
+        ev("l", 1), ev("r", 2), ["user_id"], "l_ts", "r_ts", lookback="60 seconds"
+    )
+    n_joined = joined.count()
+    join_wall = time.time() - t0
+    out({"probe": f"interval_join_{n}x{n}", "wall": round(join_wall, 1),
+         "pairs": n_joined})
+
+
 PROBES = {
     "setjoin_zipf": probe_setjoin_zipf,
+    "newops_1m": probe_newops_1m,
     "sketches_60m": probe_sketches_60m,
     "text_gates_1m": probe_text_gates_1m,
     "png_throughput": probe_png_throughput,
