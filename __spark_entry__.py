@@ -5061,6 +5061,70 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs.filter(F.col("doc_id") % 2 == 1), merges)
 
 
+def q_clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-repair pass (functions/clean.py): inject deterministic
+    cp1252 mojibake + NBSP + zero-width + control-char damage into
+    every document, run clean_text, and verify the repair restored the
+    intended text exactly — per-row expressions only, zero shuffle."""
+    from hermes_spark.functions.clean import clean_text, damage_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    corrupted = F.concat(
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" theâ€™ ")),
+        F.lit("\u00A0tail\u200B\u0007"),
+    )
+    expected = F.concat(
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" the’ ")),
+        F.lit(" tail"),
+    )
+    st = damage_stats(corrupted)
+    return docs.select(
+        "doc_id",
+        st["changed"].alias("changed"),
+        st["len_before"].alias("len_before"),
+        st["len_after"].alias("len_after"),
+        (clean_text(corrupted) == expected).alias("restored"),
+    )
+
+
+def _sql_clean_text_docs() -> str:
+    """Mirror: the same replace chain generated from MOJIBAKE_MAP and
+    the same character-class regexes, so oracle and operator share one
+    source of truth."""
+    from hermes_spark.functions.clean import (
+        _CONTROL_CLASS,
+        _SPACE_CLASS,
+        _ZERO_WIDTH_CLASS,
+        MOJIBAKE_MAP,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cleaned = "corrupted"
+    for bad, good in MOJIBAKE_MAP:
+        cleaned = f"replace({cleaned}, {q(bad)}, {q(good)})"
+    cleaned = f"regexp_replace({cleaned}, {q(_CONTROL_CLASS)}, '', 'g')"
+    cleaned = f"regexp_replace({cleaned}, {q(_SPACE_CLASS)}, ' ', 'g')"
+    cleaned = f"regexp_replace({cleaned}, {q(_ZERO_WIDTH_CLASS)}, '', 'g')"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         replace(text, ' the ', ' theâ€™ ')
+           || chr(160) || 'tail' || chr(8203) || chr(7) AS corrupted,
+         replace(text, ' the ', ' the’ ') || ' tail' AS expected
+  FROM documents
+),
+r AS (SELECT doc_id, corrupted, expected, {cleaned} AS cleaned FROM c)
+SELECT doc_id,
+       (cleaned <> corrupted) AS changed,
+       length(corrupted)::BIGINT AS len_before,
+       length(cleaned)::BIGINT AS len_after,
+       (cleaned = expected) AS restored
+FROM r
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: dataset comparison diff."""
     return q_compare_diff(spark, "/root/testdata/sf0.001")
@@ -5090,6 +5154,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
         "bpe_token_stats": q_bpe_token_stats,
         "chat_stats_docs": q_chat_stats_docs,
+        "clean_text_docs": q_clean_text_docs,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6179,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_near_pairs": _sql_edit_near_pairs(),
         "lm_perplexity_buckets": _sql_lm_perplexity_buckets(),
         "chat_stats_docs": _sql_chat_stats_docs(),
+        "clean_text_docs": _sql_clean_text_docs(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """
