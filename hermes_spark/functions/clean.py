@@ -61,7 +61,8 @@ MOJIBAKE_MAP: tuple = (
     ("Â«", "«"),
     ("Â»", "»"),
     ("Â°", "°"),
-    ("Â ", " "),  # stray Â before NBSP-turned-space
+    ("Â ", " "),  # UTF-8 NBSP read as cp1252: Â + real NBSP
+    ("Â ", " "),  # stray Â before an NBSP already turned into a space
 )
 
 #: C0/C1 control characters except tab/newline/carriage-return.

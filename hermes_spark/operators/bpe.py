@@ -161,14 +161,22 @@ def bpe_encode(
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
         import pandas as pd
 
+        # ASCII \s+ to match the Java-regex split used at TRAINING time
+        # (functions/text.py tokens()); Python str.split() would split
+        # on unicode whitespace and disagree on what a word is
+        ws = re.compile(r"\s+", re.ASCII)
         cache: dict = {}
         for b in batches:
             pieces_col, counts = [], []
             for t in b["__t"]:
                 ps = []
-                for w in str(t or "").lower().split():
+                for w in ws.split(str(t or "").lower()):
+                    if not w:
+                        continue
                     ps.extend(_encode_word(w, ranks, cache))
                 pieces_col.append(ps)
                 counts.append(len(ps))

@@ -47,7 +47,7 @@ def turns_from_text(
     )
     n_roles = len(roles)
     role_arr = F.array(*[F.lit(r) for r in roles])
-    return F.zip_with(
+    zipped = F.zip_with(
         frags,
         F.sequence(F.lit(0), F.greatest(F.size(frags) - 1, F.lit(0))),
         lambda c, i: F.struct(
@@ -55,6 +55,9 @@ def turns_from_text(
             c.alias("content"),
         ),
     )
+    # guard the no-fragment case: sequence(0, 0) would otherwise zip a
+    # phantom (null-content, role[0]) turn out of the empty array
+    return F.when(F.size(frags) == 0, F.slice(zipped, 1, 0)).otherwise(zipped)
 
 
 def conversation_stats(
@@ -86,7 +89,11 @@ def conversation_stats(
     ends = F.when(
         F.size(t) > 0, F.element_at(t, -1)["role"] == "assistant"
     ).otherwise(F.lit(False))
-    nonempty = F.forall(t, lambda x: F.trim(x["content"]) != "")
+    # coalesce: a NULL content must read as a violation (False), not
+    # poison the conjunction to NULL
+    nonempty = F.forall(
+        t, lambda x: F.coalesce(F.trim(x["content"]) != "", F.lit(False))
+    )
     tok = lambda c: token_count(c)  # noqa: E731
     assistant_toks = F.aggregate(
         F.filter(t, lambda x: x["role"] == "assistant"),

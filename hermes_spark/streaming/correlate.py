@@ -78,11 +78,11 @@ def interval_join_streams(
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
+    # qualified column refs (left[...]) — a bare name in F.expr would be
+    # ambiguous if the right side carries a same-named payload column
     cond = [left[k] == right[k] for k in key_list] + [
-        right[right_ts]
-        >= F.expr(f"{left_ts} - INTERVAL {lookback}"),
-        right[right_ts]
-        <= F.expr(f"{left_ts} + INTERVAL {lookahead}"),
+        right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"),
+        right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {lookahead}"),
     ]
     joined = left.join(right, cond, join_type)
     # collapse the duplicated key columns (keep left's)
