@@ -5061,6 +5061,73 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs.filter(F.col("doc_id") % 2 == 1), merges)
 
 
+CMIP_DEPTH = 3
+CMIP_WIDTH = 65536
+
+
+def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-predicted join cardinality (operators/sketch.py
+    cms_inner_product): estimate |orders JOIN lineitem ON orderkey|
+    from two count-min states without scanning either table at
+    estimate time, alongside the exact size — the broadcast-vs-shuffle
+    planning signal at 100 TB. Integer-exact, bit-reproducible."""
+    from hermes_spark.operators.sketch import cms_inner_product, cms_state
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    sa = cms_state(orders, "o_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH)
+    sb = cms_state(li, "l_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH)
+    est = cms_inner_product(sa, sb, depth=CMIP_DEPTH)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_size"))
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "exact_size",
+        F.round(
+            F.col("join_size_est") / F.col("exact_size").cast("double"), 4
+        ).alias("ratio"),
+    )
+
+
+def _sql_join_size_cms() -> str:
+    d, w = CMIP_DEPTH, CMIP_WIDTH
+
+    def hb(key: str) -> str:
+        return (
+            f"('0x' || substring(md5('cms' || r || '|' || CAST({key} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {w}"
+        )
+
+    return f"""
+WITH rows_r AS (SELECT unnest(range({d})) AS r),
+sa AS (
+  SELECT r, {hb("o_orderkey")} AS b, count(*)::BIGINT AS cnt
+  FROM orders CROSS JOIN rows_r WHERE o_orderkey IS NOT NULL GROUP BY 1, 2
+),
+sb AS (
+  SELECT r, {hb("l_orderkey")} AS b, count(*)::BIGINT AS cnt
+  FROM lineitem CROSS JOIN rows_r WHERE l_orderkey IS NOT NULL GROUP BY 1, 2
+),
+pr AS (
+  SELECT sa.r, sum(sa.cnt * sb.cnt) AS p
+  FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1
+),
+est AS (
+  SELECT min(coalesce(p, 0))::BIGINT AS join_size_est
+  FROM rows_r LEFT JOIN pr USING (r)
+),
+ex AS (
+  SELECT count(*)::BIGINT AS exact_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT join_size_est, exact_size,
+       round(join_size_est / exact_size::DOUBLE, 4) AS ratio
+FROM est CROSS JOIN ex
+"""
+
+
 def q_clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-repair pass (functions/clean.py): inject deterministic
     cp1252 mojibake + NBSP + zero-width + control-char damage into
@@ -5155,6 +5222,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "chat_stats_docs": q_chat_stats_docs,
         "clean_text_docs": q_clean_text_docs,
+        "join_size_cms": q_join_size_cms,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6245,6 +6313,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_buckets": _sql_lm_perplexity_buckets(),
         "chat_stats_docs": _sql_chat_stats_docs(),
         "clean_text_docs": _sql_clean_text_docs(),
+        "join_size_cms": _sql_join_size_cms(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """
