@@ -132,3 +132,22 @@ class TestEditDistancePairs:
             df, "id", "title", max_distance=4, max_block_size=10
         )
         assert out.count() == 0  # one 30-member block, over the cap
+
+
+def test_edit_block_stats(spark):
+    from hermes_spark.operators import edit_block_stats
+
+    df = spark.createDataFrame(
+        [(i, f"shared prefix doc {i}") for i in range(6)]
+        + [(100, "unique text one"), (101, "other text two")],
+        "doc_id long, text string",
+    )
+    row = edit_block_stats(
+        df, "doc_id", "text", prefix_len=8, max_block_size=4
+    ).collect()[0]
+    # "shared p" block has 6 docs (> cap 4, dropped); two singleton blocks
+    assert row.n_docs == 8
+    assert row.n_blocks == 3
+    assert row.n_dropped_blocks == 1
+    assert row.n_docs_in_dropped == 6
+    assert row.max_block == 6
