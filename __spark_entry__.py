@@ -6265,23 +6265,25 @@ GROUP BY p_brand
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    "hll_distinct_orders", "kmv_flag_overlap", "events_value_quantiles",
-    "semantic_dedup", "multimodal_image_features", "bm25_scores",
-    "simhash_near_dups", "events_hourly_rollup", "events_json_extract",
-    "sessionize_events", "windowed_rollup", "events_sliding_rollup",
-    "events_cube", "events_pivot", "user_session_stats",
-    "asof_join_rates", "events_quantiles", "gapfill_rollup",
-    "range_join_windows", "stratified_sample", "scrub_pii",
-    "repetition_ratio", "strip_boilerplate", "events_user_skew",
-    "events_profile", "q2_min_cost_supplier", "q4_priority_exists",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_late_shipments", "q13_order_distribution",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
-    "q19_disjunctive_join", "q20_bulk_suppliers", "q21_sole_return_blame",
-    "q22_idle_customers", "winnow_fingerprints", "winnow_near_dups",
-    "passage_dup_stats", "decontaminate", "pack_sequences",
-    "token_chunks", "dedup_exact_docs", "lsh_cosine_topk",
-    "source_overlap", "length_curriculum",
+    # r7 window (tools/rotate_window.py): the 14 queries that have never
+    # had a driver CORRECTNESS row come first, then the most-stale greens.
+    "join_size_cms", "clean_text_docs", "chat_stats_docs",
+    "bpe_token_stats", "lm_perplexity_buckets", "edit_near_pairs",
+    "retrieval_eval_ivf", "logreg_quality_train", "hybrid_rrf_topk",
+    "epoch_mix_docs", "c4_line_stats", "gopher_quality",
+    "bloom_join_parts", "cms_heavy_users",
+    "pagerank_links", "link_degrees", "events_ewma",
+    "pmi_collocations", "scd2_lookup_orders", "incremental_rollup",
+    "data_quality_orders", "ivf_rescore_topk", "event_transitions",
+    "events_grouping_sets", "length_deciles", "embedding_dim_profile",
+    "embedding_standardize", "lang_confusion", "strip_html_docs",
+    "weighted_sample_docs", "events_mad_outliers", "events_distinct_users",
+    "events_value_histogram", "events_winsorized", "linkage_scores",
+    "scd2_history", "cdc_latest", "events_anomalies",
+    "sample_per_group", "char_entropy", "token_entropy",
+    "link_stats", "rebalance_mix", "sq8_quantize",
+    "sq8_topk", "ivf_sq8_topk", "topk_ngrams",
+    "ngram_novelty", "quality_classifier", "random_projection",
 ]
 
 

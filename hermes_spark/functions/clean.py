@@ -46,7 +46,8 @@ MOJIBAKE_MAP: tuple = (
     ("Ã¨", "è"),
     ("Ãª", "ê"),
     ("Ã¡", "á"),
-    ("Ã ", "à"),
+    ("Ã ", "à"),  # true cp1252 damage: 0xC3 0xA0 -> Ã + NBSP
+    ("Ã ", "à"),  # fallback once spaces were already normalized
     ("Ã¢", "â"),
     ("Ã³", "ó"),
     ("Ã²", "ò"),

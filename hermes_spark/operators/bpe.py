@@ -158,7 +158,13 @@ def bpe_encode(
             StructField("n_pieces", LongType()),
         ]
     )
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    # lowercase JVM-side (F.lower) so encode-time case folding is the
+    # SAME fold used at training time (_word_counts); Python str.lower()
+    # disagrees on a few code points (e.g. 'İ' -> 'i' + U+0307) and
+    # such words would miss merges learned at train time
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import re
@@ -174,7 +180,8 @@ def bpe_encode(
             pieces_col, counts = [], []
             for t in b["__t"]:
                 ps = []
-                for w in ws.split(str(t or "").lower()):
+                # already lowercased JVM-side in the src select
+                for w in ws.split(str(t or "")):
                     if not w:
                         continue
                     ps.extend(_encode_word(w, ranks, cache))

@@ -62,10 +62,12 @@ def ranking_metrics(
     Returns one row per query:
     ``(*group_cols, n_relevant, n_retrieved, n_hit, recall_at_k,
     mrr, ndcg_at_k)`` where ``ndcg_at_k`` uses binary gains with
-    ``IDCG = sum_{r=1..min(n_relevant, depth)} 1/log2(r+1)``; queries
-    in ``relevant`` with no retrieved rows still appear (all-zero
-    metrics). All floats are exact-integer-derived (see module
-    docstring)."""
+    ``IDCG = sum_{r=1..min(n_relevant, depth)} 1/log2(r+1)``; the join
+    is FULL outer, so queries in ``relevant`` with no retrieved rows
+    still appear (all-zero metrics) AND queries in ``results`` with no
+    relevance judgments appear with ``n_relevant = 0`` (all-zero
+    metrics) instead of being dropped. All floats are
+    exact-integer-derived (see module docstring)."""
     g = list(group_cols)
     res = results.select(
         *g, F.col(item_col).alias("__item"), F.col(rank_col).cast("long").alias("__r")
@@ -91,7 +93,13 @@ def ranking_metrics(
         F.max("__r").alias("__depth"),
     )
 
-    out = rel_counts.join(per_q, g, "left")
+    # FULL outer: queries present only in ``relevant`` appear with
+    # all-zero retrieval metrics, and queries present only in
+    # ``results`` (no relevance judgments) appear with n_relevant = 0
+    # rather than being silently dropped
+    out = rel_counts.join(per_q, g, "full").withColumn(
+        "n_relevant", F.coalesce(F.col("n_relevant"), F.lit(0))
+    )
     # IDCG over min(n_relevant, depth) ideal positions — exact int64,
     # computed in-task from a generated sequence (no extra shuffle)
     ideal_n = F.least(

@@ -304,8 +304,14 @@ def cms_inner_product(
     stays current as batches land. Integer-exact arithmetic throughout
     → bit-reproducible across engines.
 
-    Returns one row: ``(join_size_est long)``."""
-    spark = state_a.sparkSession
+    Returns one row: ``(join_size_est long)``.
+
+    ``depth`` is advisory only: the row spine is derived from the
+    states' OWN ``r`` values (a non-empty count-min state has a row for
+    every hash row by construction), so a ``depth`` larger than the
+    states' real depth can no longer inject phantom all-zero rows and
+    silently collapse the estimate to 0 — which would violate the
+    never-underestimate guarantee above."""
     a = state_a.select("r", "b", F.col("cnt").alias("__ca"))
     bb = state_b.select("r", "b", F.col("cnt").alias("__cb"))
     per_row = (
@@ -313,11 +319,16 @@ def cms_inner_product(
         .groupBy("r")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__p"))
     )
-    # spine over all depth rows: a row with zero overlapping cells
-    # contributes estimate 0, which the min must see
-    spine = spark.range(depth).select(F.col("id").cast("int").alias("r"))
+    # spine over the rows the states actually contain: a row with zero
+    # OVERLAPPING cells still contributes estimate 0 (the min must see
+    # it), but rows absent from both states do not exist and must not
+    # fabricate zeros
+    spine = (
+        state_a.select("r").union(state_b.select("r")).distinct()
+    )
     return spine.join(per_row, "r", "left").agg(
-        F.min(F.coalesce(F.col("__p"), F.lit(0)))
+        # outer coalesce: two EMPTY states (no rows at all) join to 0
+        F.coalesce(F.min(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0))
         .cast("long")
         .alias("join_size_est")
     )
