@@ -4813,10 +4813,16 @@ def q_edit_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_edit_near_pairs() -> str:
+    """Mirror of edit_distance_pairs incl. the r7 salvage tier: members
+    of over-cap primary blocks re-block on the extended prefix and the
+    end-anchored suffix (DuckDB right() == Spark substring(-P, P),
+    verified on short strings), pairs deduped across the two families."""
     return f"""
 WITH k AS (
   SELECT doc_id,
-         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+         substring(regexp_replace(
+                     lower(trim(substring(text, 1, {4 * EDIT_MATCH_LEN}))),
+                     '\\s+', ' ', 'g'),
                    1, {EDIT_MATCH_LEN}) AS s
   FROM documents
 ),
@@ -4827,14 +4833,38 @@ ok AS (
   SELECT b.* FROM b JOIN sizes USING (blk)
   WHERE n BETWEEN 2 AND {EDIT_MAX_BLOCK}
 ),
-pairs AS (
+pairs1 AS (
   SELECT a.doc_id AS id_a, c.doc_id AS id_b, levenshtein(a.s, c.s) AS distance
   FROM ok a JOIN ok c
     ON a.blk = c.blk AND a.doc_id < c.doc_id
    AND abs(length(a.s) - length(c.s)) <= {EDIT_MAX_DIST}
+),
+residue AS (
+  SELECT b.doc_id, b.s FROM b JOIN sizes USING (blk)
+  WHERE n > {EDIT_MAX_BLOCK}
+),
+skeys AS (
+  SELECT doc_id, s, 'p|' || substring(s, 1, {2 * EDIT_PREFIX}) AS sk FROM residue
+  UNION ALL
+  SELECT doc_id, s, 's|' || right(s, {EDIT_PREFIX}) AS sk FROM residue
+),
+ssizes AS (SELECT sk, count(*) AS n FROM skeys GROUP BY 1),
+sok AS (
+  SELECT skeys.* FROM skeys JOIN ssizes USING (sk)
+  WHERE n BETWEEN 2 AND {EDIT_MAX_BLOCK}
+),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         levenshtein(a.s, c.s) AS distance
+  FROM sok a JOIN sok c
+    ON a.sk = c.sk AND a.doc_id < c.doc_id
+   AND abs(length(a.s) - length(c.s)) <= {EDIT_MAX_DIST}
 )
 SELECT id_a, id_b, distance::BIGINT AS distance
-FROM pairs WHERE distance <= {EDIT_MAX_DIST}
+FROM pairs1 WHERE distance <= {EDIT_MAX_DIST}
+UNION ALL
+SELECT id_a, id_b, distance::BIGINT AS distance
+FROM pairs2 WHERE distance <= {EDIT_MAX_DIST}
 """
 
 

@@ -125,13 +125,48 @@ class TestEditDistancePairs:
         # length gap 12 > max_distance 3 -> pruned before any DP
         assert edit_distance_pairs(df, "id", "title", max_distance=3).count() == 0
 
-    def test_block_cap_skips_megablocks(self, spark):
+    def test_block_cap_salvages_megablocks(self, spark):
+        # one 30-member primary block, over the cap 10 — the salvage
+        # tier re-blocks the residue on ext-prefix/suffix keys; here
+        # every salvage block is a singleton, so no pairs emerge (the
+        # graceful-degradation floor, formerly the silent-drop outcome)
         rows = [(i, f"same-pref {i}") for i in range(30)]
         df = spark.createDataFrame(rows, "id long, title string")
         out = edit_distance_pairs(
             df, "id", "title", max_distance=4, max_block_size=10
         )
-        assert out.count() == 0  # one 30-member block, over the cap
+        assert out.count() == 0
+
+    def test_salvage_recovers_exact_dups_in_megablock(self, spark):
+        # a hot prefix block over the cap contains planted exact
+        # duplicates: pre-r7 these were silently dropped; the salvage
+        # tier must recover them at distance 0
+        rows = [(i, f"hotprefix filler {i:06d} tail") for i in range(40)]
+        rows += [(100, "hotprefix planted duplicate xx"),
+                 (101, "hotprefix planted duplicate xx")]
+        df = spark.createDataFrame(rows, "id long, title string")
+        out = edit_distance_pairs(
+            df, "id", "title", max_distance=2,
+            prefix_len=8, max_block_size=10,
+        )
+        got = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+        assert got[(100, 101)] == 0
+
+    def test_salvage_recovers_tail_and_head_edits(self, spark):
+        # residue pair with ONE edit mid-string: caught by BOTH salvage
+        # keys yet emitted once (dedup); an edit in the last prefix_len
+        # chars is still caught via the extended prefix
+        filler = [(i, f"sameblok pad {i:08d} padding") for i in range(40)]
+        mid = [(200, "sameblok aaaaaaaaaaaaaaaaaaaa zz"),
+               (201, "sameblok aaaaaaaaaaaaaaaaaaaa zy")]
+        df = spark.createDataFrame(filler + mid, "id long, title string")
+        out = edit_distance_pairs(
+            df, "id", "title", max_distance=2,
+            prefix_len=8, max_block_size=10,
+        )
+        got = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+        assert got[(200, 201)] == 1
+        assert sum(1 for k in got if k == (200, 201)) == 1  # deduped
 
 
 def test_edit_block_stats(spark):
@@ -145,9 +180,32 @@ def test_edit_block_stats(spark):
     row = edit_block_stats(
         df, "doc_id", "text", prefix_len=8, max_block_size=4
     ).collect()[0]
-    # "shared p" block has 6 docs (> cap 4, dropped); two singleton blocks
+    # "shared p" block has 6 docs (> cap 4 -> salvage tier); two
+    # singleton blocks. Salvage keys for the residue: ext-prefix16
+    # "shared prefix do" is one 6-member block (still > cap) and the
+    # suffix8 keys are all singletons -> nothing salvageable here
     assert row.n_docs == 8
     assert row.n_blocks == 3
-    assert row.n_dropped_blocks == 1
-    assert row.n_docs_in_dropped == 6
+    assert row.n_capped_blocks == 1
+    assert row.n_docs_in_capped == 6
+    assert row.n_docs_salvaged == 0
+    assert row.n_docs_unpaired_final == 6
     assert row.max_block == 6
+
+
+def test_edit_block_stats_salvage_coverage(spark):
+    from hermes_spark.operators import edit_block_stats
+
+    # hot block with exact duplicates: salvage covers the dups
+    df = spark.createDataFrame(
+        [(i, f"hotprefix filler {i:06d} tail") for i in range(40)]
+        + [(100, "hotprefix planted duplicate xx"),
+           (101, "hotprefix planted duplicate xx")],
+        "doc_id long, text string",
+    )
+    row = edit_block_stats(
+        df, "doc_id", "text", prefix_len=8, max_block_size=10
+    ).collect()[0]
+    assert row.n_docs_in_capped == 42
+    assert row.n_docs_salvaged >= 2  # the planted dups land together
+    assert row.n_docs_salvaged + row.n_docs_unpaired_final == 42
