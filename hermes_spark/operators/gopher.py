@@ -44,12 +44,22 @@ def _lines(col: Column) -> Column:
     return F.split(col, "\n")
 
 
-def _metric_exprs(text_col: str) -> dict:
-    """The seven rule metrics as (rounded) Column expressions over the
-    raw text — shared by the flags frame and the single-scan filter so
-    their semantics cannot drift apart."""
-    text = F.col(text_col)
-    toks = tokens(F.col(text_col))
+def _nonblank_lines(col: Column) -> Column:
+    return F.filter(_lines(col), lambda l: F.trim(l) != "")
+
+
+def _metrics_from(text: Column, toks: Column, lines: Column) -> dict:
+    """The seven rule metrics as (rounded) Column expressions over a
+    text column plus its token / non-blank-line arrays — shared by the
+    flags frame and the single-scan filter so their semantics cannot
+    drift apart. Callers choose whether ``toks``/``lines`` are inline
+    expressions (filter path: codegen's subexpression elimination
+    handles one fused predicate well) or references to a prior
+    projection (flags path: seven separate output aliases each re-ran
+    the split — measured 7.7x slower on 1M docs — so the arrays are
+    materialized once; Catalyst's CollapseProject keeps the projection
+    separate because the aliases are referenced many times by non-cheap
+    expressions, the same trick as ``dedup.py`` minhash hashing)."""
     n_words = F.size(toks).cast("long")
     nw = F.greatest(n_words, F.lit(1)).cast("double")
 
@@ -62,7 +72,6 @@ def _metric_exprs(text_col: str) -> dict:
     # unicode ellipsis counts once; "..." runs count once per occurrence
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.{3}|…"), 0))
 
-    lines = F.filter(_lines(text), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_cond = lambda l: (
         F.trim(l).startswith(BULLET_PREFIXES[0])
@@ -143,8 +152,18 @@ def gopher_quality_flags(
     ``keep`` is the conjunction of all seven rules over the rounded
     metrics.
     """
-    exprs = _metric_exprs(text_col)
-    metrics = df.select(
+    # two-step projection: split the text into token / line arrays ONCE,
+    # then compute the seven metrics from column references (see
+    # _metrics_from docstring for the measured 7.7x)
+    text = F.col(text_col)
+    pre = df.select(
+        F.col(id_col),
+        text.alias("__text"),
+        tokens(text).alias("__toks"),
+        _nonblank_lines(text).alias("__lines"),
+    )
+    exprs = _metrics_from(F.col("__text"), F.col("__toks"), F.col("__lines"))
+    metrics = pre.select(
         F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
     refs = {name: F.col(name) for name in exprs}
@@ -180,9 +199,11 @@ def gopher_filter(
     of semi-joining a second corpus pass or broadcasting an unbounded
     id set (plan-asserted in ``test_gopher.py``).
     """
+    text = F.col(text_col)
+    inline = _metrics_from(text, tokens(text), _nonblank_lines(text))
     return df.filter(
         _keep_predicate(
-            _metric_exprs(text_col), min_words, max_words, min_mean_word_len,
+            inline, min_words, max_words, min_mean_word_len,
             max_mean_word_len, max_symbol_ratio, max_bullet_line_ratio,
             max_ellipsis_line_ratio, min_alpha_word_ratio, min_stopwords,
         )
