@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -364,6 +365,40 @@ def main() -> None:
         print(f"WARNING: bench summary line {len(line)} chars even after "
               f"spilling — extend BENCH_STDOUT_SPILL_ORDER",
               file=sys.stderr)
+
+    # Committed sidecar with the COMPLETE result (every median incl. the
+    # stdout-spilled rows, raw per-pass triples, output-bound walls) so
+    # the repo artifact never under-reports the suite — the r6 VERDICT
+    # found 13 medians living only on uncaptured stderr. Named by round
+    # (1 + newest driver BENCH_r*.json), overridable via env.
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
+    if not sidecar:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        sidecar = os.path.join(
+            here, f"BENCH_LOCAL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+        )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "queries": {n: round(t, 3) for n, t in timings.items()},
+                "output_bound": output_bound,
+                "raw": raw,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"full medians written to {sidecar}", file=sys.stderr)
     print(line)
 
 

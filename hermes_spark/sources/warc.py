@@ -134,12 +134,41 @@ def _shard_parser(types: tuple[str, ...], max_payload: int):
     return parse
 
 
+#: Spark's ``binaryFile`` source materializes each file as ONE binary
+#: column value, and byte arrays on the JVM cap at 2^31 - 1 bytes — a
+#: larger shard fails mid-job with an opaque executor error.
+BINARYFILE_MAX_BYTES = (1 << 31) - 1
+
+
+def _check_shard_sizes(files: DataFrame) -> None:
+    """Fail fast (clearly) on shards over the binaryFile 2 GiB column
+    cap. Metadata-only: selecting ``path``/``length`` never loads file
+    contents (binaryFile prunes the ``content`` column), so this is one
+    cheap file-listing job at construction time instead of an opaque
+    executor crash hours into the ingest."""
+    over = (
+        files.select("path", "length")
+        .filter(F.col("length") > BINARYFILE_MAX_BYTES)
+        .limit(5)
+        .collect()
+    )
+    if over:
+        names = ", ".join(f"{r['path']} ({r['length']} B)" for r in over)
+        raise ValueError(
+            "WARC shard(s) exceed Spark's binaryFile 2 GiB single-file "
+            f"cap ({BINARYFILE_MAX_BYTES} bytes): {names}. Re-split the "
+            "shards (the WARC convention is ~1 GiB) or pass "
+            "check_sizes=False to attempt the read anyway."
+        )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     types: tuple[str, ...] = ("response", "conversion"),
     max_payload: int = 1 << 20,
     glob: str | None = WARC_GLOB,
+    check_sizes: bool = True,
 ) -> DataFrame:
     """DataFrame of WARC/WET records under ``path``.
 
@@ -148,11 +177,16 @@ def read_warc(
     blobs) into executor memory; ``types`` filters on ``WARC-Type`` IN
     THE PARSER (request/metadata records are dropped before they ever
     become Spark rows); pass ``()`` to keep everything.
+    ``check_sizes`` (default on) runs one metadata-only listing job and
+    raises a clear error if any shard exceeds the binaryFile 2 GiB
+    column cap, instead of an opaque executor failure mid-ingest.
     """
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path)
+    if check_sizes:
+        _check_shard_sizes(files)
     return files.select("path", "content").mapInPandas(
         _shard_parser(types, max_payload), WARC_SCHEMA
     )
@@ -165,6 +199,7 @@ def stream_warc(
     max_payload: int = 1 << 20,
     glob: str | None = WARC_GLOB,
     max_files_per_trigger: int | None = None,
+    check_sizes: bool = True,
 ) -> DataFrame:
     """Streaming variant of :func:`read_warc`: new shards landing under
     ``path`` are parsed incrementally (one micro-batch task per shard,
@@ -174,7 +209,23 @@ def stream_warc(
     ``wet_text`` and the zero-shuffle gates, then any streaming sink —
     the parser and record schema are identical to the batch path, which
     is what the batch/stream equivalence test pins.
+
+    ``check_sizes`` validates the shards ALREADY in the drop-zone
+    against the binaryFile 2 GiB cap at setup (a batch metadata
+    listing); shards arriving later are necessarily unchecked — an
+    oversized late arrival still fails its micro-batch, so keep the
+    producer on the ~1 GiB shard convention.
     """
+    if check_sizes:
+        batch_reader = spark.read.format("binaryFile")
+        if glob:
+            batch_reader = batch_reader.option("pathGlobFilter", glob)
+        try:
+            _check_shard_sizes(batch_reader.load(path))
+        except ValueError:
+            raise
+        except Exception:
+            pass  # empty drop-zone at setup is fine; the stream waits
     reader = (
         spark.readStream.format("binaryFile")
         .schema(

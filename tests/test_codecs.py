@@ -224,3 +224,53 @@ def test_decode_image_audio_feature_contract():
     assert set(f) == {"width", "height", "mean_intensity"}
     a = decode_audio(encode_wav(np.zeros(100)))
     assert set(a) == {"sample_rate", "duration_ms", "rms_energy"}
+
+
+def test_png_filters_rgb_random_roundtrip():
+    """r7 vectorized unfilter: every filter type on MULTI-channel rows
+    (the lane reshape must respect bpp) against a forward filter."""
+    rng = np.random.RandomState(42)
+    h, w, ch = 6, 5, 3
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(int)
+    bpp = ch
+
+    def fwd(ftype, cur, prev):
+        out = cur.copy()
+        for i in range(len(cur)):
+            left = cur[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                out[i] = (cur[i] - left) % 256
+            elif ftype == 2:
+                out[i] = (cur[i] - prev[i]) % 256
+            elif ftype == 3:
+                out[i] = (cur[i] - ((left + prev[i]) >> 1)) % 256
+            elif ftype == 4:
+                p = left + prev[i] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[i]), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (
+                    prev[i] if pb <= pc else ul)
+                out[i] = (cur[i] - pred) % 256
+        return out
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=int)
+    for y in range(h):
+        ftype = y % 5
+        if ftype == 0:
+            enc = flat[y]
+        else:
+            enc = fwd(ftype, flat[y], prev)
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = flat[y]
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(png)["pixels"], px)

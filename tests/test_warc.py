@@ -257,3 +257,33 @@ def test_http_response_missing_content_type_is_null(spark, tmp_path):
         read_warc(spark, str(tmp_path), types=("response",))
     ).collect()[0]
     assert out["status_code"] == 200 and out["http_content_type"] is None
+
+
+def test_shard_size_guard_raises_clearly(spark):
+    """r7: a shard over the binaryFile 2 GiB column cap fails FAST with
+    the offending path in the message, not mid-job."""
+    import pytest
+
+    from hermes_spark.sources.warc import (
+        BINARYFILE_MAX_BYTES,
+        _check_shard_sizes,
+    )
+
+    fake = spark.createDataFrame(
+        [("/crawl/shard-big.warc.gz", BINARYFILE_MAX_BYTES + 1),
+         ("/crawl/shard-ok.warc.gz", 1 << 30)],
+        "path string, length long",
+    )
+    with pytest.raises(ValueError, match="shard-big.warc.gz"):
+        _check_shard_sizes(fake)
+    # all-under-cap listing passes silently
+    _check_shard_sizes(fake.filter("length <= %d" % BINARYFILE_MAX_BYTES))
+
+
+def test_shard_size_guard_on_real_read(spark, tmp_path):
+    """The default read path runs the guard (cheap metadata job) and
+    still parses normal shards."""
+    p = tmp_path / "shard.warc.gz"
+    p.write_bytes(gzip.compress(SHARD))
+    assert read_warc(spark, str(tmp_path)).count() > 0          # guard on
+    assert read_warc(spark, str(tmp_path), check_sizes=False).count() > 0
