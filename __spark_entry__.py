@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from hermes_spark import ComparisonConfig, compare
 from hermes_spark.flatten import flatten_dataframe
@@ -5121,6 +5121,125 @@ def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_ROW_BYTES = 100.0
+BLOOM_PROBE_NS = 60.0
+BLOOM_NET_NS = 5.0
+
+
+def q_bloom_engage_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter engagement decision in its zero-scan CMS mode
+    (operators/sketch.py bloom_join_decision): selectivity of
+    lineitem ⋈ small-parts from two count-min states via the inner
+    product, then the per-row cost inequality under the local
+    (0 ns/byte) and a 5 ns/byte cluster model. The engage booleans come
+    from the FUNCTION (IEEE-double arithmetic mirrored exactly by the
+    oracle); the float display columns are Spark-rounded from the same
+    exact integers so both engines hash identically."""
+    from hermes_spark.operators.sketch import (
+        bloom_join_decision,
+        cms_state,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    small = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    bs = cms_state(li, "l_partkey", depth=CMIP_DEPTH, width=CMIP_WIDTH)
+    ss = cms_state(
+        small.select("p_partkey").distinct(),
+        "p_partkey",
+        depth=CMIP_DEPTH,
+        width=CMIP_WIDTH,
+    )
+    d_local = bloom_join_decision(
+        li, small, "l_partkey", big_state=bs, small_state=ss,
+        row_bytes=BLOOM_ROW_BYTES, probe_cost_ns_per_row=BLOOM_PROBE_NS,
+        shuffle_cost_ns_per_byte=0.0,
+    )
+    d_net = bloom_join_decision(
+        li, small, "l_partkey", big_state=bs, small_state=ss,
+        row_bytes=BLOOM_ROW_BYTES, probe_cost_ns_per_row=BLOOM_PROBE_NS,
+        shuffle_cost_ns_per_byte=BLOOM_NET_NS,
+    )
+    schema = StructType([
+        StructField("big_rows", LongType()),
+        StructField("matched_big_rows_est", LongType()),
+        StructField("small_distinct", LongType()),
+        StructField("engage_local", BooleanType()),
+        StructField("engage_cluster", BooleanType()),
+    ])
+    base = spark.createDataFrame(
+        [(
+            d_local["big_rows"],
+            d_local["matched_big_rows_est"],
+            d_local["small_distinct_est"],
+            bool(d_local["engage"]),
+            bool(d_net["engage"]),
+        )],
+        schema,
+    )
+    sel = F.least(
+        F.lit(1.0), F.col("matched_big_rows_est") / F.col("big_rows").cast("double")
+    )
+    return base.select(
+        "big_rows",
+        "matched_big_rows_est",
+        "small_distinct",
+        F.round(sel, 6).alias("selectivity_est"),
+        F.round((F.lit(1.0) - sel) * BLOOM_ROW_BYTES * BLOOM_NET_NS, 2).alias(
+            "saved_cluster_ns_per_row"
+        ),
+        "engage_local",
+        "engage_cluster",
+    )
+
+
+def _sql_bloom_engage_cms() -> str:
+    d, w = CMIP_DEPTH, CMIP_WIDTH
+
+    def hb(key: str) -> str:
+        return (
+            f"('0x' || substring(md5('cms' || r || '|' || CAST({key} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {w}"
+        )
+
+    return f"""
+WITH rows_r AS (SELECT unnest(range({d})) AS r),
+bs AS (
+  SELECT r, {hb("l_partkey")} AS b, count(*)::BIGINT AS cnt
+  FROM lineitem CROSS JOIN rows_r WHERE l_partkey IS NOT NULL GROUP BY 1, 2
+),
+sk AS (SELECT DISTINCT p_partkey FROM part WHERE p_size <= 2
+       AND p_partkey IS NOT NULL),
+ss AS (
+  SELECT r, {hb("p_partkey")} AS b, count(*)::BIGINT AS cnt
+  FROM sk CROSS JOIN rows_r GROUP BY 1, 2
+),
+pr AS (
+  SELECT bs.r, sum(bs.cnt * ss.cnt) AS p
+  FROM bs JOIN ss ON bs.r = ss.r AND bs.b = ss.b GROUP BY 1
+),
+nums AS (
+  SELECT
+    (SELECT sum(cnt) FROM bs WHERE r = 0)::BIGINT AS big_rows,
+    (SELECT min(coalesce(p, 0))::BIGINT
+     FROM rows_r LEFT JOIN pr USING (r)) AS matched_big_rows_est,
+    (SELECT sum(cnt) FROM ss WHERE r = 0)::BIGINT AS small_distinct
+),
+calc AS (
+  SELECT *, least(1.0, matched_big_rows_est / big_rows::DOUBLE) AS sel_raw
+  FROM nums
+)
+SELECT big_rows, matched_big_rows_est, small_distinct,
+       round(sel_raw, 6) AS selectivity_est,
+       round(((1.0 - sel_raw) * {BLOOM_ROW_BYTES}) * {BLOOM_NET_NS}, 2)
+         AS saved_cluster_ns_per_row,
+       (((1.0 - sel_raw) * {BLOOM_ROW_BYTES}) * 0.0 > {BLOOM_PROBE_NS})
+         AS engage_local,
+       (((1.0 - sel_raw) * {BLOOM_ROW_BYTES}) * {BLOOM_NET_NS} > {BLOOM_PROBE_NS})
+         AS engage_cluster
+FROM calc
+"""
+
+
 def _sql_join_size_cms() -> str:
     d, w = CMIP_DEPTH, CMIP_WIDTH
 
@@ -5253,6 +5372,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_stats_docs": q_chat_stats_docs,
         "clean_text_docs": q_clean_text_docs,
         "join_size_cms": q_join_size_cms,
+        "bloom_engage_cms": q_bloom_engage_cms,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6295,8 +6415,10 @@ GROUP BY p_brand
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r7 window (tools/rotate_window.py): the 14 queries that have never
-    # had a driver CORRECTNESS row come first, then the most-stale greens.
+    # r7 window (tools/rotate_window.py): never-checked queries first
+    # (newest registration first — bloom_engage_cms is new this round),
+    # then the most-stale greens.
+    "bloom_engage_cms",
     "join_size_cms", "clean_text_docs", "chat_stats_docs",
     "bpe_token_stats", "lm_perplexity_buckets", "edit_near_pairs",
     "retrieval_eval_ivf", "logreg_quality_train", "hybrid_rrf_topk",
@@ -6313,7 +6435,7 @@ _WINDOW_ORDER = [
     "sample_per_group", "char_entropy", "token_entropy",
     "link_stats", "rebalance_mix", "sq8_quantize",
     "sq8_topk", "ivf_sq8_topk", "topk_ngrams",
-    "ngram_novelty", "quality_classifier", "random_projection",
+    "ngram_novelty", "quality_classifier",
 ]
 
 
@@ -6346,6 +6468,7 @@ def oracle_sql() -> dict[str, str]:
         "chat_stats_docs": _sql_chat_stats_docs(),
         "clean_text_docs": _sql_clean_text_docs(),
         "join_size_cms": _sql_join_size_cms(),
+        "bloom_engage_cms": _sql_bloom_engage_cms(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """
