@@ -5121,6 +5121,113 @@ def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Appendix-A REPETITION rules (operators/gopher.py
+    gopher_repetition_flags): duplicate-line fraction + char fraction,
+    top-{2,3,4}-gram char share, duplicate-{5..10}-gram char fraction,
+    and the keep conjunction — the machine-generated-text signals.
+    One explode + one (id, n, gram) count shuffle, linear in gram
+    count."""
+    from hermes_spark.operators import gopher_repetition_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_repetition_flags(docs, "doc_id", "text")
+
+
+def _sql_gopher_repetition() -> str:
+    from hermes_spark.operators import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    wide_cols = []
+    for n in top_ns:
+        wide_cols.append(
+            f"max(CASE WHEN n = {n} THEN top_chars END) AS top{n}"
+        )
+    for n in dup_ns:
+        wide_cols.append(
+            f"max(CASE WHEN n = {n} THEN chars_dup END) AS dup{n}"
+        )
+    out_cols, keeps = [], [
+        "round(coalesce(dlf, 0), 6) <= 0.30",
+        "round(coalesce(dlcf, 0), 6) <= 0.20",
+    ]
+    for n in top_ns:
+        out_cols.append(
+            f"round(coalesce(top{n} / greatest(tc, 1.0), 0), 6)"
+            f" AS top_{n}gram_char_frac"
+        )
+        keeps.append(
+            f"round(coalesce(top{n} / greatest(tc, 1.0), 0), 6)"
+            f" <= {GOPHER_TOP_NGRAM_MAX[n]}"
+        )
+    for n in dup_ns:
+        out_cols.append(
+            f"round(least(1.0, coalesce(dup{n} / greatest(tc, 1.0), 0)), 6)"
+            f" AS dup_{n}gram_char_frac"
+        )
+        keeps.append(
+            f"round(least(1.0, coalesce(dup{n} / greatest(tc, 1.0), 0)), 6)"
+            f" <= {GOPHER_DUP_NGRAM_MAX[n]}"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id, 0 AS n, trim(l) AS g
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''
+),
+grams AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(1, len(t) - n + 2),
+                i -> array_to_string(t[i:i+n-1], ' '))) AS g
+  FROM toks CROSS JOIN (SELECT unnest({list(all_ns)}) AS n)
+),
+elems AS (SELECT * FROM lns UNION ALL SELECT * FROM grams),
+counts AS (
+  SELECT doc_id, n, g, count(*)::BIGINT AS c FROM elems GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY c DESC, g ASC) AS rk
+  FROM counts
+),
+per AS (
+  SELECT doc_id, n, sum(c) AS tot, count(*) AS uniq,
+         sum(c * length(g)) AS chars_all,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS chars_dup,
+         max(CASE WHEN rk = 1 THEN c * length(g) END) AS top_chars
+  FROM ranked GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 0 THEN (tot - uniq) / tot::DOUBLE END) AS dlf,
+         max(CASE WHEN n = 0 THEN chars_dup / chars_all::DOUBLE END) AS dlcf,
+         {", ".join(wide_cols)}
+  FROM per GROUP BY 1
+),
+denom AS (
+  SELECT doc_id, length(array_to_string(t, ' '))::DOUBLE AS tc FROM toks
+)
+SELECT d.doc_id,
+       round(coalesce(dlf, 0), 6) AS dup_line_frac,
+       round(coalesce(dlcf, 0), 6) AS dup_line_char_frac,
+       {", ".join(out_cols)},
+       ({" AND ".join(keeps)}) AS keep
+FROM denom d LEFT JOIN wide w ON w.doc_id = d.doc_id
+"""
+
+
 BLOOM_ROW_BYTES = 100.0
 BLOOM_PROBE_NS = 60.0
 BLOOM_NET_NS = 5.0
@@ -5373,6 +5480,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_docs": q_clean_text_docs,
         "join_size_cms": q_join_size_cms,
         "bloom_engage_cms": q_bloom_engage_cms,
+        "gopher_repetition": q_gopher_repetition,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6418,7 +6526,7 @@ _WINDOW_ORDER = [
     # r7 window (tools/rotate_window.py): never-checked queries first
     # (newest registration first — bloom_engage_cms is new this round),
     # then the most-stale greens.
-    "bloom_engage_cms",
+    "bloom_engage_cms", "gopher_repetition",
     "join_size_cms", "clean_text_docs", "chat_stats_docs",
     "bpe_token_stats", "lm_perplexity_buckets", "edit_near_pairs",
     "retrieval_eval_ivf", "logreg_quality_train", "hybrid_rrf_topk",
@@ -6435,7 +6543,7 @@ _WINDOW_ORDER = [
     "sample_per_group", "char_entropy", "token_entropy",
     "link_stats", "rebalance_mix", "sq8_quantize",
     "sq8_topk", "ivf_sq8_topk", "topk_ngrams",
-    "ngram_novelty", "quality_classifier",
+    "ngram_novelty",
 ]
 
 
@@ -6469,6 +6577,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_docs": _sql_clean_text_docs(),
         "join_size_cms": _sql_join_size_cms(),
         "bloom_engage_cms": _sql_bloom_engage_cms(),
+        "gopher_repetition": _sql_gopher_repetition(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

@@ -24,6 +24,17 @@ Rule set (classic Gopher thresholds, all parameterizable):
 * ≤ 30 % of lines end with an ellipsis
 * ≥ 80 % of words contain at least one alphabetic character
 * at least 2 distinct common English stopwords appear
+
+Plus the Appendix-A REPETITION rules (r7,
+:func:`gopher_repetition_flags`): duplicate-line fraction,
+duplicate-line character fraction, top-{2,3,4}-gram character share,
+duplicate-{5..10}-gram character fraction — the machine-generated-text
+signals the per-document quality rules above cannot see. Unlike the
+quality rules (pure scan expressions), the n-gram character shares
+need per-document gram frequencies, which at unbounded document length
+is a grouped aggregation, not an in-row expression: one explode + ONE
+(id, n, gram) count shuffle + one per-(id, n) fold — linear in total
+gram count, never O(grams²) inside a task.
 """
 
 from __future__ import annotations
@@ -208,3 +219,168 @@ def gopher_filter(
             max_ellipsis_line_ratio, min_alpha_word_ratio, min_stopwords,
         )
     )
+
+
+#: Rae et al. '21 Appendix A1.2 repetition thresholds.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_ngram_max: "dict[int, float] | None" = None,
+    dup_ngram_max: "dict[int, float] | None" = None,
+) -> DataFrame:
+    """Gopher repetition-rule metrics + the overall ``keep`` flag.
+
+    Returns one row per input row:
+    ``(id, dup_line_frac, dup_line_char_frac,
+    top_{n}gram_char_frac...``, ``dup_{n}gram_char_frac...``, ``keep)``
+    — every fraction 6-dp-rounded, ``keep`` the conjunction of all
+    thresholds over the rounded values (consistent with
+    :func:`gopher_quality_flags`).
+
+    Definitions (Rae et al. Appendix A1.2, with the standard
+    overlap-agnostic reading used by open-source reimplementations):
+
+    * ``dup_line_frac`` — 1 − distinct/total over trimmed non-blank
+      lines (exact, case-sensitive line matches).
+    * ``dup_line_char_frac`` — characters sitting in lines that occur
+      ≥ 2 times, over all line characters.
+    * ``top_{n}gram_char_frac`` — characters of the single most
+      frequent word n-gram (count × its length; ties broken to the
+      lexicographically smallest gram), over the characters of the
+      space-joined lowercased token stream.
+    * ``dup_{n}gram_char_frac`` — characters in n-grams occurring ≥ 2
+      times (count × length summed, capped at 1.0 — the overlap-blind
+      upper bound), over the same denominator.
+
+    Documents with no tokens/lines score 0 everywhere and pass.
+
+    Scale shape: in-document gram construction (linear expressions),
+    ONE explode feeding ONE (id, n, gram) count shuffle (map-side
+    combined), one per-(id, n) fold, then a doc-keyed join back for the
+    denominators. No stage is quadratic in document length — the naive
+    in-row "count each gram's occurrences with a filter()" alternative
+    is O(grams²) per task and dies on long documents."""
+    if top_ngram_max is None:
+        top_ngram_max = dict(GOPHER_TOP_NGRAM_MAX)
+    if dup_ngram_max is None:
+        dup_ngram_max = dict(GOPHER_DUP_NGRAM_MAX)
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_ngrams
+
+    top_ns = sorted(top_ngram_max)
+    dup_ns = sorted(dup_ngram_max)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    text = F.col(text_col)
+    # drop empty tokens: F.trim strips SPACES only, so text whose edges
+    # are newlines/tabs splits into phantom "" tokens that would mint
+    # phantom grams (a whitespace-only doc scored top_2gram = 1.0)
+    toks = F.filter(_tokens(F.lower(text)), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        F.transform(_nonblank_lines(text), lambda l: F.trim(l)).alias("__lines"),
+    )
+    # one combined (n, gram) element array: n=0 tags lines. NB: the tag
+    # must be closed over via a helper — a two-parameter lambda default
+    # (lambda g, _n=n: ...) would make F.transform pass the ELEMENT
+    # INDEX as the second argument and silently overwrite the tag.
+    def _tagged(arr: Column, n_val: int) -> Column:
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n_val).alias("n"), g.alias("g"))
+        )
+
+    gram_arrays = [_tagged(F.col("__lines"), 0)] + [
+        _tagged(word_ngrams(F.col("__toks"), n), n) for n in all_ns
+    ]
+    exploded = base.select(
+        "__id", F.explode(F.flatten(F.array(*gram_arrays))).alias("__e")
+    ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
+
+    counts = exploded.groupBy("__id", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per = counts.groupBy("__id", "__n").agg(
+        F.sum("__c").alias("__tot"),
+        F.count(F.lit(1)).alias("__uniq"),
+        F.sum(F.col("__c") * F.length("__g")).alias("__chars_all"),
+        F.sum(
+            F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(0)
+        ).alias("__chars_dup"),
+        # most frequent gram, ties to the lexicographically smallest
+        F.min(F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g"))).alias(
+            "__top"
+        ),
+    )
+    per = per.withColumn(
+        "__top_chars", (-F.col("__top.nc")) * F.length("__top.g")
+    )
+
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__n") == 0,
+                (F.col("__tot") - F.col("__uniq")) / F.col("__tot").cast("double"),
+            )
+        ).alias("__dlf"),
+        F.max(
+            F.when(
+                F.col("__n") == 0,
+                F.col("__chars_dup") / F.col("__chars_all").cast("double"),
+            )
+        ).alias("__dlcf"),
+    ]
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("__n") == n, F.col("__top_chars"))).alias(f"__top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("__n") == n, F.col("__chars_dup"))).alias(f"__dup{n}")
+        )
+    wide = per.groupBy("__id").agg(*aggs)
+
+    denom = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(F.array_join(toks, " ")).cast("double").alias("__tok_chars"),
+    )
+    joined = denom.join(wide, "__id", "left")
+
+    cols = [
+        F.col("__id").alias(id_col),
+        F.round(F.coalesce(F.col("__dlf"), F.lit(0.0)), 6).alias("dup_line_frac"),
+        F.round(F.coalesce(F.col("__dlcf"), F.lit(0.0)), 6).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+    d = F.greatest(F.col("__tok_chars"), F.lit(1.0))
+    for n in top_ns:
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"__top{n}") / d, F.lit(0.0)), 6
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        cols.append(
+            F.round(
+                F.least(F.lit(1.0), F.coalesce(F.col(f"__dup{n}") / d, F.lit(0.0))),
+                6,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    out = joined.select(*cols)
+
+    keep = (F.col("dup_line_frac") <= max_dup_line_frac) & (
+        F.col("dup_line_char_frac") <= max_dup_line_char_frac
+    )
+    for n in top_ns:
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= top_ngram_max[n])
+    for n in dup_ns:
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= dup_ngram_max[n])
+    return out.withColumn("keep", keep)

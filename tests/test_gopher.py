@@ -119,3 +119,73 @@ def test_flags_plan_splits_text_once(spark, sf_dir):
     # the pre-projection survives optimization: metrics reference the
     # materialized arrays, not inline re-splits
     assert "__toks" in plan and "__lines" in plan
+
+
+class TestRepetitionFlags:
+    """r7: Gopher Appendix-A repetition rules."""
+
+    def _flags(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from hermes_spark.operators import gopher_repetition_flags
+
+        out = gopher_repetition_flags(df, "doc_id", "text", **kw)
+        return {r.doc_id: r.asDict() for r in out.collect()}
+
+    def test_hand_computed_dup_lines(self, spark):
+        # 4 non-blank lines: "same line" x2 (dup), "a", "bb" (unique)
+        text = "same line\nsame line\na\nbb\n\n"
+        got = self._flags(spark, [(1, text)])[1]
+        # distinct = 3 of 4 lines -> dup_line_frac = 1 - 3/4
+        assert got["dup_line_frac"] == 0.25
+        # dup chars = 2*9 = 18 of total 9+9+1+2 = 21
+        assert got["dup_line_char_frac"] == round(18 / 21, 6)
+
+    def test_hand_computed_top_and_dup_ngrams(self, spark):
+        # tokens: a b a b a  -> 2-grams: "a b","b a","a b","b a" ;
+        # top 2-gram "a b" (count 2, len 3) over joined chars "a b a b a" = 9
+        text = "a b a b a"
+        got = self._flags(
+            spark, [(1, text)],
+            top_ngram_max={2: 0.9}, dup_ngram_max={5: 0.9},
+        )[1]
+        assert got["top_2gram_char_frac"] == round(2 * 3 / 9, 6)
+        # 5-grams: only one ("a b a b a") -> no dups
+        assert got["dup_5gram_char_frac"] == 0.0
+        assert got["keep"] is True
+
+    def test_dup_ngram_char_frac_caps_at_one(self, spark):
+        # pathological loop: every 5-gram repeats; overlap-blind sum
+        # exceeds the denominator and must cap at 1.0
+        text = " ".join(["x"] * 40)
+        got = self._flags(spark, [(1, text)])[1]
+        assert got["dup_5gram_char_frac"] == 1.0
+        assert got["keep"] is False
+
+    def test_clean_prose_passes(self, spark):
+        # genuinely varied lines: no word pair repeats anywhere
+        words = [f"w{i:03d}" for i in range(48)]
+        text = "\n".join(
+            " ".join(words[i * 8:(i + 1) * 8]) for i in range(6)
+        )
+        got = self._flags(spark, [(1, text)])[1]
+        assert got["keep"] is True
+        assert got["dup_line_frac"] == 0.0
+        assert got["dup_5gram_char_frac"] == 0.0
+
+    def test_empty_doc_scores_zero_and_passes(self, spark):
+        got = self._flags(spark, [(1, ""), (2, "   \n  ")])
+        for d in (1, 2):
+            assert got[d]["keep"] is True
+            assert got[d]["dup_line_frac"] == 0.0
+            assert got[d]["top_2gram_char_frac"] == 0.0
+
+    def test_tie_break_deterministic(self, spark):
+        # "b b" and "a a" both occur once... make counts tie at 2:
+        # tokens: a a a b b b -> 2-grams: "a a" x2, "a b", "b b" x2
+        # tie at count 2 -> lexicographically smallest "a a" wins;
+        # both have len 3 so the share is the same either way, but the
+        # expression must not be nondeterministic
+        text = "a a a b b b"
+        g1 = self._flags(spark, [(1, text)])[1]
+        g2 = self._flags(spark, [(1, text)])[1]
+        assert g1 == g2

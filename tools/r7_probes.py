@@ -132,7 +132,7 @@ def probe_funnel_5m(spark) -> None:
     )
     from hermes_spark.synth import zipf_documents
 
-    n = 5_000_000
+    n = int(os.environ.get("FUNNEL_DOCS", "5000000"))
     work = "/tmp/r7_funnel5m"
     stages = []
 
@@ -142,10 +142,14 @@ def probe_funnel_5m(spark) -> None:
              "wall": round(wall, 1), "rows": rows})
 
     t0 = time.time()
-    zipf_documents(
+    # sentence-shape the synthetic text (terminal period) so the C4
+    # line rule evaluates it like real prose instead of zeroing the
+    # corpus; the uniform suffix changes no dedup/near-dup signal
+    synth = zipf_documents(
         spark, n, vocab_size=30_000, doc_len=80, seed=23,
         near_dup_every=50, partitions=128,
-    ).write.mode("overwrite").parquet(f"{work}/raw")
+    ).select("doc_id", F.concat(F.col("text"), F.lit(".")).alias("text"))
+    synth.write.mode("overwrite").parquet(f"{work}/raw")
     docs = spark.read.parquet(f"{work}/raw")
     stage("synth+write", time.time() - t0, docs.count())
 
@@ -180,8 +184,10 @@ def probe_funnel_5m(spark) -> None:
 
         # 5. MinHash near-dup pairs -> drop the higher id of each pair
         t0 = time.time()
+        # 8 rows/band: the Zipf head makes 4-row bands collide far too
+        # often (random-doc candidate volume, not true near-dups)
         pairs = minhash_lsh_pairs(
-            deduped, "doc_id", "text", shingle_n=3, num_hashes=16,
+            deduped, "doc_id", "text", shingle_n=3, num_hashes=32,
             num_bands=4, min_jaccard=0.7, portable=False,
         )
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -197,9 +203,8 @@ def probe_funnel_5m(spark) -> None:
         )
         scored = lm_score(neared, lm, broadcast_model=True)
         cut = scored.approxQuantile("avg_logprob", [0.2], 0.01)[0]
-        kept = scored.filter(F.col("avg_logprob") >= cut).select(
-            "doc_id", "text"
-        )
+        kept_ids = scored.filter(F.col("avg_logprob") >= cut).select("doc_id")
+        kept = neared.join(kept_ids, "doc_id").select("doc_id", "text")
         kept.write.mode("overwrite").parquet(f"{work}/lm")
         kept = spark.read.parquet(f"{work}/lm")
         stage("lm_filter", time.time() - t0, kept.count())
