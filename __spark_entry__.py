@@ -5155,6 +5155,8 @@ def _sql_gopher_repetition() -> str:
     out_cols, keeps = [], [
         "round(coalesce(dlf, 0), 6) <= 0.30",
         "round(coalesce(dlcf, 0), 6) <= 0.20",
+        "round(coalesce(dpf, 0), 6) <= 0.30",
+        "round(coalesce(dpcf, 0), 6) <= 0.20",
     ]
     for n in top_ns:
         out_cols.append(
@@ -5187,13 +5189,21 @@ lns AS (
         FROM documents)
   WHERE trim(l) <> ''
 ),
+paras AS (
+  SELECT doc_id, -1 AS n, trim(p) AS g
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS p
+        FROM documents)
+  WHERE trim(p) <> ''
+),
 grams AS (
   SELECT doc_id, n,
          unnest(list_transform(range(1, len(t) - n + 2),
                 i -> array_to_string(t[i:i+n-1], ' '))) AS g
   FROM toks CROSS JOIN (SELECT unnest({list(all_ns)}) AS n)
 ),
-elems AS (SELECT * FROM lns UNION ALL SELECT * FROM grams),
+elems AS (SELECT * FROM lns UNION ALL SELECT * FROM paras
+          UNION ALL SELECT * FROM grams),
 counts AS (
   SELECT doc_id, n, g, count(*)::BIGINT AS c FROM elems GROUP BY 1, 2, 3
 ),
@@ -5213,6 +5223,8 @@ wide AS (
   SELECT doc_id,
          max(CASE WHEN n = 0 THEN (tot - uniq) / tot::DOUBLE END) AS dlf,
          max(CASE WHEN n = 0 THEN chars_dup / chars_all::DOUBLE END) AS dlcf,
+         max(CASE WHEN n = -1 THEN (tot - uniq) / tot::DOUBLE END) AS dpf,
+         max(CASE WHEN n = -1 THEN chars_dup / chars_all::DOUBLE END) AS dpcf,
          {", ".join(wide_cols)}
   FROM per GROUP BY 1
 ),
@@ -5222,6 +5234,8 @@ denom AS (
 SELECT d.doc_id,
        round(coalesce(dlf, 0), 6) AS dup_line_frac,
        round(coalesce(dlcf, 0), 6) AS dup_line_char_frac,
+       round(coalesce(dpf, 0), 6) AS dup_para_frac,
+       round(coalesce(dpcf, 0), 6) AS dup_para_char_frac,
        {", ".join(out_cols)},
        ({" AND ".join(keeps)}) AS keep
 FROM denom d LEFT JOIN wide w ON w.doc_id = d.doc_id

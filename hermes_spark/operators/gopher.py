@@ -232,14 +232,17 @@ def gopher_repetition_flags(
     text_col: str,
     max_dup_line_frac: float = 0.30,
     max_dup_line_char_frac: float = 0.20,
+    max_dup_para_frac: float = 0.30,
+    max_dup_para_char_frac: float = 0.20,
     top_ngram_max: "dict[int, float] | None" = None,
     dup_ngram_max: "dict[int, float] | None" = None,
 ) -> DataFrame:
     """Gopher repetition-rule metrics + the overall ``keep`` flag.
 
     Returns one row per input row:
-    ``(id, dup_line_frac, dup_line_char_frac,
-    top_{n}gram_char_frac...``, ``dup_{n}gram_char_frac...``, ``keep)``
+    ``(id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, top_{n}gram_char_frac...``,
+    ``dup_{n}gram_char_frac...``, ``keep)``
     — every fraction 6-dp-rounded, ``keep`` the conjunction of all
     thresholds over the rounded values (consistent with
     :func:`gopher_quality_flags`).
@@ -251,6 +254,9 @@ def gopher_repetition_flags(
       lines (exact, case-sensitive line matches).
     * ``dup_line_char_frac`` — characters sitting in lines that occur
       ≥ 2 times, over all line characters.
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — the same two over
+      paragraphs (blank-line-separated blocks, ``\n\s*\n`` split,
+      trimmed).
     * ``top_{n}gram_char_frac`` — characters of the single most
       frequent word n-gram (count × its length; ties broken to the
       lexicographically smallest gram), over the characters of the
@@ -283,10 +289,15 @@ def gopher_repetition_flags(
     # are newlines/tabs splits into phantom "" tokens that would mint
     # phantom grams (a whitespace-only doc scored top_2gram = 1.0)
     toks = F.filter(_tokens(F.lower(text)), lambda t: t != "")
+    paras = F.filter(
+        F.transform(F.split(text, r"\n\s*\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
         toks.alias("__toks"),
         F.transform(_nonblank_lines(text), lambda l: F.trim(l)).alias("__lines"),
+        paras.alias("__paras"),
     )
     # one combined (n, gram) element array: n=0 tags lines. NB: the tag
     # must be closed over via a helper — a two-parameter lambda default
@@ -297,9 +308,10 @@ def gopher_repetition_flags(
             arr, lambda g: F.struct(F.lit(n_val).alias("n"), g.alias("g"))
         )
 
-    gram_arrays = [_tagged(F.col("__lines"), 0)] + [
-        _tagged(word_ngrams(F.col("__toks"), n), n) for n in all_ns
-    ]
+    gram_arrays = [
+        _tagged(F.col("__lines"), 0),
+        _tagged(F.col("__paras"), -1),
+    ] + [_tagged(word_ngrams(F.col("__toks"), n), n) for n in all_ns]
     exploded = base.select(
         "__id", F.explode(F.flatten(F.array(*gram_arrays))).alias("__e")
     ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
@@ -323,20 +335,24 @@ def gopher_repetition_flags(
         "__top_chars", (-F.col("__top.nc")) * F.length("__top.g")
     )
 
-    aggs = [
-        F.max(
-            F.when(
-                F.col("__n") == 0,
-                (F.col("__tot") - F.col("__uniq")) / F.col("__tot").cast("double"),
-            )
-        ).alias("__dlf"),
-        F.max(
-            F.when(
-                F.col("__n") == 0,
-                F.col("__chars_dup") / F.col("__chars_all").cast("double"),
-            )
-        ).alias("__dlcf"),
-    ]
+    def _dup_fracs(tag: int, suffix: str):
+        return [
+            F.max(
+                F.when(
+                    F.col("__n") == tag,
+                    (F.col("__tot") - F.col("__uniq"))
+                    / F.col("__tot").cast("double"),
+                )
+            ).alias(f"__d{suffix}f"),
+            F.max(
+                F.when(
+                    F.col("__n") == tag,
+                    F.col("__chars_dup") / F.col("__chars_all").cast("double"),
+                )
+            ).alias(f"__d{suffix}cf"),
+        ]
+
+    aggs = _dup_fracs(0, "l") + _dup_fracs(-1, "p")
     for n in top_ns:
         aggs.append(
             F.max(F.when(F.col("__n") == n, F.col("__top_chars"))).alias(f"__top{n}")
@@ -359,6 +375,10 @@ def gopher_repetition_flags(
         F.round(F.coalesce(F.col("__dlcf"), F.lit(0.0)), 6).alias(
             "dup_line_char_frac"
         ),
+        F.round(F.coalesce(F.col("__dpf"), F.lit(0.0)), 6).alias("dup_para_frac"),
+        F.round(F.coalesce(F.col("__dpcf"), F.lit(0.0)), 6).alias(
+            "dup_para_char_frac"
+        ),
     ]
     d = F.greatest(F.col("__tok_chars"), F.lit(1.0))
     for n in top_ns:
@@ -376,8 +396,11 @@ def gopher_repetition_flags(
         )
     out = joined.select(*cols)
 
-    keep = (F.col("dup_line_frac") <= max_dup_line_frac) & (
-        F.col("dup_line_char_frac") <= max_dup_line_char_frac
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_frac)
     )
     for n in top_ns:
         keep = keep & (F.col(f"top_{n}gram_char_frac") <= top_ngram_max[n])

@@ -189,3 +189,18 @@ class TestRepetitionFlags:
         g1 = self._flags(spark, [(1, text)])[1]
         g2 = self._flags(spark, [(1, text)])[1]
         assert g1 == g2
+
+
+def test_repetition_paragraph_metrics(spark):
+    from hermes_spark.operators import gopher_repetition_flags
+
+    # 3 paragraphs (blank-line separated), one duplicated
+    text = "para one here\n\npara two differs\n\npara one here"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = gopher_repetition_flags(df, "doc_id", "text").collect()[0]
+    assert got.dup_para_frac == round(1 - 2 / 3, 6)
+    # dup chars = 2 * 13 over 13+16+13 = 42
+    assert got.dup_para_char_frac == round(26 / 42, 6)
+    # lines: the same three strings are also the three LINES, and the
+    # blank separators are dropped -> same fractions at line level
+    assert got.dup_line_frac == round(1 - 2 / 3, 6)
