@@ -407,3 +407,23 @@ def gopher_repetition_flags(
     for n in dup_ns:
         keep = keep & (F.col(f"dup_{n}gram_char_frac") <= dup_ngram_max[n])
     return out.withColumn("keep", keep)
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **thresholds,
+) -> DataFrame:
+    """Rows of ``df`` passing every repetition rule.
+
+    Unlike :func:`gopher_filter` (pure scan expressions), the
+    repetition metrics need per-document gram frequencies — a grouped
+    aggregation — so this gate cannot ride the scan: it computes the
+    flags frame and LEFT SEMI joins the keepers back on ``id_col``
+    (ids only travel the join; AQE broadcasts the keeper side when the
+    corpus shrinks enough). Run it AFTER the zero-shuffle gates so the
+    expensive pass sees the smallest corpus."""
+    flags = gopher_repetition_flags(df, id_col, text_col, **thresholds)
+    keep_ids = flags.filter(F.col("keep")).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")

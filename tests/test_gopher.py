@@ -204,3 +204,23 @@ def test_repetition_paragraph_metrics(spark):
     # lines: the same three strings are also the three LINES, and the
     # blank separators are dropped -> same fractions at line level
     assert got.dup_line_frac == round(1 - 2 / 3, 6)
+
+
+def test_repetition_filter_semi_join(spark):
+    from hermes_spark.operators import (
+        gopher_repetition_filter,
+        gopher_repetition_flags,
+    )
+
+    rows = [(1, " ".join(["loop"] * 40)), (2, " ".join(f"u{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = gopher_repetition_filter(df, "doc_id", "text")
+    assert [r.doc_id for r in kept.collect()] == [2]
+    assert kept.columns == ["doc_id", "text"]  # original rows, original schema
+    # agrees with the flags frame
+    via_flags = sorted(
+        r.doc_id
+        for r in gopher_repetition_flags(df, "doc_id", "text")
+        .filter("keep").collect()
+    )
+    assert via_flags == [2]
