@@ -554,6 +554,25 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", F.col("dup_count").cast("long").alias("dup_count"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a retention POLICY (r7): keep the group's
+    maximum-keep_by row (ties -> min id) instead of the minimum id —
+    here the planted +100000 mirror copies outrank their originals, so
+    every dup group must surface its mirror. Same single window shuffle
+    as the default policy (operators/dedup.py exact_dedup)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    out = exact_dedup(
+        docs,
+        "doc_id",
+        text_col="text",
+        keep_by=F.when(F.col("doc_id") >= 100000, 2).otherwise(1),
+    )
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir)
     out = duplicate_clusters(docs, "doc_id", "text")
@@ -1955,6 +1974,25 @@ fp AS (SELECT *, {_NORM_FP_SQL} AS __fp FROM docs2),
 keep AS (SELECT __fp, min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY __fp)
 SELECT f.doc_id, f.lang, f.source, k.dup_count::BIGINT AS dup_count
 FROM fp f JOIN keep k ON f.__fp = k.__fp AND f.doc_id = k.doc_id
+"""
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+fp AS (
+  SELECT *, {_NORM_FP_SQL} AS __fp,
+         CASE WHEN doc_id >= 100000 THEN 2 ELSE 1 END AS __q
+  FROM docs2
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY __fp
+                               ORDER BY __q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY __fp) AS dup_count
+  FROM fp
+)
+SELECT doc_id, lang, source, dup_count::BIGINT AS dup_count
+FROM rk WHERE rn = 1
 """
 
 
@@ -5495,6 +5533,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_cms": q_join_size_cms,
         "bloom_engage_cms": q_bloom_engage_cms,
         "gopher_repetition": q_gopher_repetition,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- round-4c additions (never verified by definition)
         "pagerank_links": q_pagerank_links,
         "link_degrees": q_link_degrees,
@@ -6540,7 +6579,7 @@ _WINDOW_ORDER = [
     # r7 window (tools/rotate_window.py): never-checked queries first
     # (newest registration first — bloom_engage_cms is new this round),
     # then the most-stale greens.
-    "bloom_engage_cms", "gopher_repetition",
+    "bloom_engage_cms", "gopher_repetition", "dedup_keep_best",
     "join_size_cms", "clean_text_docs", "chat_stats_docs",
     "bpe_token_stats", "lm_perplexity_buckets", "edit_near_pairs",
     "retrieval_eval_ivf", "logreg_quality_train", "hybrid_rrf_topk",
@@ -6557,7 +6596,6 @@ _WINDOW_ORDER = [
     "sample_per_group", "char_entropy", "token_entropy",
     "link_stats", "rebalance_mix", "sq8_quantize",
     "sq8_topk", "ivf_sq8_topk", "topk_ngrams",
-    "ngram_novelty",
 ]
 
 
@@ -6592,6 +6630,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_cms": _sql_join_size_cms(),
         "bloom_engage_cms": _sql_bloom_engage_cms(),
         "gopher_repetition": _sql_gopher_repetition(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
         "compare_metrics": _sql_compare_metrics(),
         "compare_diff": _sql_compare_diff(),
         "dedup_duplicate_keys": """

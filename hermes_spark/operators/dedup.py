@@ -53,13 +53,22 @@ def exact_dedup(
     id_col: str,
     text_col: Optional[str] = None,
     subset: Optional[Sequence[str]] = None,
+    keep_by: Optional[Column] = None,
 ) -> DataFrame:
-    """Keep one row per duplicate group (the minimum ``id_col``).
+    """Keep one row per duplicate group.
 
     Group key: normalized-text fingerprint when ``text_col`` is given,
     else the given ``subset`` of columns (exact match).
     Returns ``df``'s rows (original schema) for the kept ids, plus a
     ``dup_count`` column with the group size.
+
+    Retention policy: by default the minimum ``id_col`` survives (the
+    deterministic classic). Pass ``keep_by`` (any Column over the
+    caller's frame — a quality score, a recency timestamp, a source
+    rank) to keep the group's MAXIMUM-``keep_by`` row instead, ties
+    broken to the minimum id so the choice stays deterministic — the
+    "keep the best copy, not the first copy" policy curation pipelines
+    want when duplicates differ in metadata quality.
     """
     if text_col is not None:
         key = doc_fingerprint(F.col(text_col))
@@ -75,12 +84,24 @@ def exact_dedup(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("__fp")
+    if keep_by is None:
+        return (
+            df.withColumn("__fp", key)
+            .withColumn("__min_id", F.min(id_col).over(w))
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .filter(F.col(id_col) == F.col("__min_id"))
+            .drop("__fp", "__min_id")
+        )
+    # max keep_by, ties -> min id: row_number over the SAME partitioning
+    # (one exchange; the rank just adds an in-partition sort)
+    wo = w.orderBy(F.desc("__q"), F.asc(id_col))
     return (
         df.withColumn("__fp", key)
-        .withColumn("__min_id", F.min(id_col).over(w))
+        .withColumn("__q", keep_by)
+        .withColumn("__rn", F.row_number().over(wo))
         .withColumn("dup_count", F.count(F.lit(1)).over(w))
-        .filter(F.col(id_col) == F.col("__min_id"))
-        .drop("__fp", "__min_id")
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__q", "__rn")
     )
 
 

@@ -478,3 +478,27 @@ def test_dedup_against_hot_band_bounded(spark):
     # identical-signature collapse: exactly n-1 chain pairs (O(n)),
     # never the n*(n-1)/2 quadratic blow-up and never zero
     assert banded_match_pairs(banded, 0.8, 16, max_bucket_size=50).count() == n - 1
+
+
+def test_exact_dedup_keep_by_quality(spark):
+    """r7: keep the MAX-keep_by row per group (ties -> min id)."""
+    df = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.9),
+         (4, "other text", 0.1)],
+        "doc_id int, text string, quality double",
+    )
+    out = exact_dedup(df, "doc_id", text_col="text", keep_by=F.col("quality"))
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    # quality 0.9 tie between 2 and 3 -> min id 2 survives
+    assert set(rows) == {2, 4}
+    assert rows[2] == 3
+    # original schema + dup_count, no temp columns
+    assert sorted(out.columns) == ["doc_id", "dup_count", "quality", "text"]
+
+
+def test_exact_dedup_keep_by_default_unchanged(spark):
+    a = exact_dedup(docs(spark), "doc_id", text_col="text")
+    b = exact_dedup(docs(spark), "doc_id", text_col="text",
+                    keep_by=F.lit(1))  # constant -> ties -> min id everywhere
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+           sorted(r["doc_id"] for r in b.collect())
