@@ -32,6 +32,7 @@ from hermes_spark.operators import (
     epoch_mix,
     exact_dedup,
     gopher_quality_flags,
+    gopher_repetition_filter,
     plan_epochs,
 )
 from hermes_spark.sources import read_warc, wet_text
@@ -101,7 +102,13 @@ def main() -> int:
                                      min_words=15, min_stopwords=1)
         keep_ids = flags.filter("keep").select("doc_id")
         gated = cleaned.join(keep_ids, "doc_id", "left_semi")
-        print(f"after gopher gate: {gated.count()} docs")
+        print(f"after gopher quality gate: {gated.count()} docs")
+
+        # repetition gate LAST of the rule gates: it is the only one
+        # that shuffles (per-doc gram frequencies), so it should see
+        # the smallest corpus
+        gated = gopher_repetition_filter(gated, "doc_id", "text")
+        print(f"after gopher repetition gate: {gated.count()} docs")
 
         with_src = gated.join(docs.select("doc_id", "source"), "doc_id")
         deduped = exact_dedup(with_src, "doc_id", text_col="text")
