@@ -579,9 +579,18 @@ def fuzzy_dedup_keep_one(
     algorithm: str = "label",
     star_edge_threshold: int = 2_000_000,
     stats: Optional[dict] = None,
+    keep_by: Optional[Column] = None,
 ) -> DataFrame:
-    """Drop every near-duplicate except the minimum-id member of each
+    """Drop every near-duplicate except one representative per
     component; rows not appearing in ``pairs`` are kept untouched.
+
+    The representative is the minimum-id member by default; pass
+    ``keep_by`` (a Column over ``df`` — quality score, recency, source
+    rank) to keep each component's MAXIMUM-``keep_by`` member instead,
+    ties to the minimum id (the same policy as
+    :func:`exact_dedup`). The selection touches only component members
+    (dup-involved ids), never the full corpus: one id-keyed join to
+    fetch the scores plus one component-keyed window.
 
     ``algorithm``: ``"label"`` (min-label propagation — shallow near-dup
     clusters), ``"star"`` (large/small-star, the O(log²n) big-graph
@@ -600,9 +609,23 @@ def fuzzy_dedup_keep_one(
             stats["algorithm"] = algorithm
     cc = connected_components_star if algorithm == "star" else connected_components
     components = cc(pairs, id_a, id_b, stats=stats)
-    losers = components.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep_by is None:
+        losers = components.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        scores = df.select(F.col(id_col).alias("id"), keep_by.alias("__q"))
+        w = Window.partitionBy("component").orderBy(
+            F.desc("__q"), F.asc("id")
+        )
+        losers = (
+            components.join(scores, "id")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") != 1)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -267,134 +267,160 @@ def gopher_repetition_flags(
 
     Documents with no tokens/lines score 0 everywhere and pass.
 
-    Scale shape: in-document gram construction (linear expressions),
-    ONE explode feeding ONE (id, n, gram) count shuffle (map-side
-    combined), one per-(id, n) fold, then a doc-keyed join back for the
-    denominators. No stage is quadratic in document length — the naive
-    in-row "count each gram's occurrences with a filter()" alternative
-    is O(grams²) per task and dies on long documents."""
+    Scale shape: an Arrow-batched ``mapInPandas`` kernel computes the
+    EXACT INTEGER quantities per document (Counter over token tuples —
+    linear in gram count), and the fractions + 6-dp rounding happen
+    JVM-side from those integers, so the float semantics are identical
+    to every other gate and to the DuckDB oracle. Zero shuffle. Two
+    pure-Spark formulations were measured and rejected on 1M docs: the
+    (id, n, gram) explode + count shuffle ships ~|ns| x token-stream
+    gram STRINGS (~20 GB, 495 s), and an in-row sorted-array adjacency
+    scan is lambda-bound (Spark higher-order functions run interpreted,
+    ~310 ns per element-lambda — minutes for ~5 x 10^9 invocations);
+    the Arrow kernel does the same counting at Python-dict speed on
+    bounded per-batch memory."""
     if top_ngram_max is None:
         top_ngram_max = dict(GOPHER_TOP_NGRAM_MAX)
     if dup_ngram_max is None:
         dup_ngram_max = dict(GOPHER_DUP_NGRAM_MAX)
-    from ..functions.text import tokens as _tokens
-    from ..functions.text import word_ngrams
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     top_ns = sorted(top_ngram_max)
     dup_ns = sorted(dup_ngram_max)
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    top_set, dup_set = set(top_ns), set(dup_ns)
 
-    text = F.col(text_col)
-    # drop empty tokens: F.trim strips SPACES only, so text whose edges
-    # are newlines/tabs splits into phantom "" tokens that would mint
-    # phantom grams (a whitespace-only doc scored top_2gram = 1.0)
-    toks = F.filter(_tokens(F.lower(text)), lambda t: t != "")
-    paras = F.filter(
-        F.transform(F.split(text, r"\n\s*\n"), lambda s: F.trim(s)),
-        lambda s: s != "",
-    )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        toks.alias("__toks"),
-        F.transform(_nonblank_lines(text), lambda l: F.trim(l)).alias("__lines"),
-        paras.alias("__paras"),
-    )
-    # one combined (n, gram) element array: n=0 tags lines. NB: the tag
-    # must be closed over via a helper — a two-parameter lambda default
-    # (lambda g, _n=n: ...) would make F.transform pass the ELEMENT
-    # INDEX as the second argument and silently overwrite the tag.
-    def _tagged(arr: Column, n_val: int) -> Column:
-        return F.transform(
-            arr, lambda g: F.struct(F.lit(n_val).alias("n"), g.alias("g"))
-        )
-
-    gram_arrays = [
-        _tagged(F.col("__lines"), 0),
-        _tagged(F.col("__paras"), -1),
-    ] + [_tagged(word_ngrams(F.col("__toks"), n), n) for n in all_ns]
-    exploded = base.select(
-        "__id", F.explode(F.flatten(F.array(*gram_arrays))).alias("__e")
-    ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
-
-    counts = exploded.groupBy("__id", "__n", "__g").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    per = counts.groupBy("__id", "__n").agg(
-        F.sum("__c").alias("__tot"),
-        F.count(F.lit(1)).alias("__uniq"),
-        F.sum(F.col("__c") * F.length("__g")).alias("__chars_all"),
-        F.sum(
-            F.when(F.col("__c") >= 2, F.col("__c") * F.length("__g")).otherwise(0)
-        ).alias("__chars_dup"),
-        # most frequent gram, ties to the lexicographically smallest
-        F.min(F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g"))).alias(
-            "__top"
-        ),
-    )
-    per = per.withColumn(
-        "__top_chars", (-F.col("__top.nc")) * F.length("__top.g")
-    )
-
-    def _dup_fracs(tag: int, suffix: str):
-        return [
-            F.max(
-                F.when(
-                    F.col("__n") == tag,
-                    (F.col("__tot") - F.col("__uniq"))
-                    / F.col("__tot").cast("double"),
-                )
-            ).alias(f"__d{suffix}f"),
-            F.max(
-                F.when(
-                    F.col("__n") == tag,
-                    F.col("__chars_dup") / F.col("__chars_all").cast("double"),
-                )
-            ).alias(f"__d{suffix}cf"),
+    fields = [
+        StructField("__id", df.schema[id_col].dataType),
+        StructField("__tok_chars", LongType()),
+    ]
+    for fam in ("l", "p"):
+        fields += [
+            StructField(f"__{fam}_tot", LongType()),
+            StructField(f"__{fam}_uniq", LongType()),
+            StructField(f"__{fam}_chars_all", LongType()),
+            StructField(f"__{fam}_chars_dup", LongType()),
         ]
+    fields += [StructField(f"__top{n}", LongType()) for n in top_ns]
+    fields += [StructField(f"__dup{n}", LongType()) for n in dup_ns]
+    schema = StructType(fields)
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
 
-    aggs = _dup_fracs(0, "l") + _dup_fracs(-1, "p")
-    for n in top_ns:
-        aggs.append(
-            F.max(F.when(F.col("__n") == n, F.col("__top_chars"))).alias(f"__top{n}")
-        )
-    for n in dup_ns:
-        aggs.append(
-            F.max(F.when(F.col("__n") == n, F.col("__chars_dup"))).alias(f"__dup{n}")
-        )
-    wide = per.groupBy("__id").agg(*aggs)
+    def stats(batches):
+        import re as _re
+        from collections import Counter
 
-    denom = df.select(
-        F.col(id_col).alias("__id"),
-        F.length(F.array_join(toks, " ")).cast("double").alias("__tok_chars"),
-    )
-    joined = denom.join(wide, "__id", "left")
+        import pandas as pd
+
+        # Spark-exact text semantics: trim() strips ASCII SPACES only,
+        # and Java \s is ASCII — replicate both (re.ASCII, strip(' '))
+        ws = _re.compile(r"\s+", _re.ASCII)
+        para_re = _re.compile(r"\n\s*\n", _re.ASCII)
+
+        def group_stats(items):
+            # (tot, uniq, chars_all, chars_dup) over exact duplicates
+            c = Counter(items)
+            chars_all = sum(len(g) * k for g, k in c.items())
+            chars_dup = sum(len(g) * k for g, k in c.items() if k >= 2)
+            return len(items), len(c), chars_all, chars_dup
+
+        for b in batches:
+            out = {f.name: [] for f in fields}
+            for id_, t in zip(b["__id"], b["__t"]):
+                t = "" if t is None else str(t)
+                toks = [
+                    w for w in ws.split(t.lower().strip(" ")) if w != ""
+                ]
+                lines = [
+                    l2 for l2 in (l.strip(" ") for l in t.split("\n"))
+                    if l2 != ""
+                ]
+                paras = [
+                    p2 for p2 in (p.strip(" ") for p in para_re.split(t))
+                    if p2 != ""
+                ]
+                out["__id"].append(id_)
+                tok_chars = sum(len(w) for w in toks)
+                if toks:
+                    tok_chars += len(toks) - 1  # array_join separators
+                out["__tok_chars"].append(tok_chars)
+                for fam, items in (("l", lines), ("p", paras)):
+                    tot, uniq, call, cdup = group_stats(items)
+                    out[f"__{fam}_tot"].append(tot)
+                    out[f"__{fam}_uniq"].append(uniq)
+                    out[f"__{fam}_chars_all"].append(call)
+                    out[f"__{fam}_chars_dup"].append(cdup)
+                for n in all_ns:
+                    grams = Counter(
+                        tuple(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                    if n in top_set:
+                        if grams:
+                            best = max(grams.values())
+                            # tie-break on the JOINED string (token-tuple
+                            # order differs when tokens contain chars
+                            # below U+0020, and Spark compares strings)
+                            top = min(
+                                " ".join(g)
+                                for g, k in grams.items()
+                                if k == best
+                            )
+                            out[f"__top{n}"].append(best * len(top))
+                        else:
+                            out[f"__top{n}"].append(0)
+                    if n in dup_set:
+                        dup = sum(
+                            (sum(len(w) for w in g) + n - 1) * k
+                            for g, k in grams.items()
+                            if k >= 2
+                        )
+                        out[f"__dup{n}"].append(dup)
+            yield pd.DataFrame(out)
+
+    pre = src.mapInPandas(stats, schema=schema)
+
+    def _frac(num: str, den: str) -> Column:
+        return F.when(F.col(den) <= 0, F.lit(0.0)).otherwise(
+            F.col(num) / F.col(den).cast("double")
+        )
 
     cols = [
         F.col("__id").alias(id_col),
-        F.round(F.coalesce(F.col("__dlf"), F.lit(0.0)), 6).alias("dup_line_frac"),
-        F.round(F.coalesce(F.col("__dlcf"), F.lit(0.0)), 6).alias(
+        F.round(
+            F.when(F.col("__l_tot") <= 0, F.lit(0.0)).otherwise(
+                (F.col("__l_tot") - F.col("__l_uniq"))
+                / F.col("__l_tot").cast("double")
+            ),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(_frac("__l_chars_dup", "__l_chars_all"), 6).alias(
             "dup_line_char_frac"
         ),
-        F.round(F.coalesce(F.col("__dpf"), F.lit(0.0)), 6).alias("dup_para_frac"),
-        F.round(F.coalesce(F.col("__dpcf"), F.lit(0.0)), 6).alias(
+        F.round(
+            F.when(F.col("__p_tot") <= 0, F.lit(0.0)).otherwise(
+                (F.col("__p_tot") - F.col("__p_uniq"))
+                / F.col("__p_tot").cast("double")
+            ),
+            6,
+        ).alias("dup_para_frac"),
+        F.round(_frac("__p_chars_dup", "__p_chars_all"), 6).alias(
             "dup_para_char_frac"
         ),
     ]
-    d = F.greatest(F.col("__tok_chars"), F.lit(1.0))
+    d = F.greatest(F.col("__tok_chars"), F.lit(1)).cast("double")
     for n in top_ns:
         cols.append(
-            F.round(
-                F.coalesce(F.col(f"__top{n}") / d, F.lit(0.0)), 6
-            ).alias(f"top_{n}gram_char_frac")
+            F.round(F.col(f"__top{n}") / d, 6).alias(f"top_{n}gram_char_frac")
         )
     for n in dup_ns:
         cols.append(
-            F.round(
-                F.least(F.lit(1.0), F.coalesce(F.col(f"__dup{n}") / d, F.lit(0.0))),
-                6,
-            ).alias(f"dup_{n}gram_char_frac")
+            F.round(F.least(F.lit(1.0), F.col(f"__dup{n}") / d), 6).alias(
+                f"dup_{n}gram_char_frac"
+            )
         )
-    out = joined.select(*cols)
+    out = pre.select(*cols)
 
     keep = (
         (F.col("dup_line_frac") <= max_dup_line_frac)

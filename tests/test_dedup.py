@@ -502,3 +502,24 @@ def test_exact_dedup_keep_by_default_unchanged(spark):
                     keep_by=F.lit(1))  # constant -> ties -> min id everywhere
     assert sorted(r["doc_id"] for r in a.collect()) == \
            sorted(r["doc_id"] for r in b.collect())
+
+
+def test_fuzzy_dedup_keep_by_quality(spark):
+    """r7: fuzzy dedup keeps each component's max-keep_by member."""
+    from hermes_spark.operators import fuzzy_dedup_keep_one
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.1), (2, "b", 0.9), (3, "c", 0.9),   # component {1,2,3}
+         (9, "z", 0.5)],                                  # untouched
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = fuzzy_dedup_keep_one(
+        df, "doc_id", pairs, keep_by=F.col("quality")
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # quality tie 0.9 between 2 and 3 -> min id 2; 9 untouched
+    assert ids == [2, 9]
+    # default policy still keeps the component minimum
+    kept_min = fuzzy_dedup_keep_one(df, "doc_id", pairs)
+    assert sorted(r.doc_id for r in kept_min.collect()) == [1, 9]

@@ -224,3 +224,12 @@ def test_repetition_filter_semi_join(spark):
         .filter("keep").collect()
     )
     assert via_flags == [2]
+
+
+def test_repetition_flags_zero_shuffle(spark, sf_dir):
+    """r7: the repetition metrics are per-document — the plan must have
+    no exchange (the Arrow kernel runs scan-side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hermes_spark.operators import gopher_repetition_flags
+
+    assert count_exchanges(gopher_repetition_flags(docs, "doc_id", "text")) == 0
