@@ -175,6 +175,8 @@ BENCH_QUERIES = {
     "chat_stats_docs": lambda s, d: _materialize(entry.q_chat_stats_docs(s, d)),
     "clean_text_docs": lambda s, d: _materialize(entry.q_clean_text_docs(s, d)),
     "join_size_cms": lambda s, d: _materialize(entry.q_join_size_cms(s, d)),
+    "gopher_repetition": lambda s, d: _materialize(entry.q_gopher_repetition(s, d)),
+    "dedup_keep_best": lambda s, d: _materialize(entry.q_dedup_keep_best(s, d)),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time
