@@ -5222,17 +5222,19 @@ WITH toks AS (
   FROM documents
 ),
 lns AS (
-  SELECT doc_id, 0 AS n, trim(l) AS g
+  -- line/paragraph edges strip the FULL \s class (DuckDB trim() is
+  -- space-only and would score 'aa' vs 'aa<tab>' as distinct lines)
+  SELECT doc_id, 0 AS n, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS g
   FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
         FROM documents)
-  WHERE trim(l) <> ''
+  WHERE regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''
 ),
 paras AS (
-  SELECT doc_id, -1 AS n, trim(p) AS g
+  SELECT doc_id, -1 AS n, regexp_replace(p, '^\\s+|\\s+$', '', 'g') AS g
   FROM (SELECT doc_id,
                unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS p
         FROM documents)
-  WHERE trim(p) <> ''
+  WHERE regexp_replace(p, '^\\s+|\\s+$', '', 'g') <> ''
 ),
 grams AS (
   SELECT doc_id, n,

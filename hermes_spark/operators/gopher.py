@@ -313,10 +313,15 @@ def gopher_repetition_flags(
 
         import pandas as pd
 
-        # Spark-exact text semantics: trim() strips ASCII SPACES only,
-        # and Java \s is ASCII — replicate both (re.ASCII, strip(' '))
+        # Text semantics pinned for the oracle: tokens use Spark's
+        # trim-then-split (space-only trim; the empty-token filter
+        # absorbs edge artifacts), while LINE/PARAGRAPH edges strip the
+        # full Java \s class — 'aa' and 'aa\n' are the same paragraph
+        # (a hypothesis counterexample caught the space-only version
+        # scoring them distinct). Java \s is ASCII (re.ASCII).
         ws = _re.compile(r"\s+", _re.ASCII)
         para_re = _re.compile(r"\n\s*\n", _re.ASCII)
+        _WS = " \t\n\r\x0b\x0c"
 
         def group_stats(items):
             # (tot, uniq, chars_all, chars_dup) over exact duplicates
@@ -333,11 +338,11 @@ def gopher_repetition_flags(
                     w for w in ws.split(t.lower().strip(" ")) if w != ""
                 ]
                 lines = [
-                    l2 for l2 in (l.strip(" ") for l in t.split("\n"))
+                    l2 for l2 in (l.strip(_WS) for l in t.split("\n"))
                     if l2 != ""
                 ]
                 paras = [
-                    p2 for p2 in (p.strip(" ") for p in para_re.split(t))
+                    p2 for p2 in (p.strip(_WS) for p in para_re.split(t))
                     if p2 != ""
                 ]
                 out["__id"].append(id_)

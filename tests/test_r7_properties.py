@@ -32,10 +32,24 @@ _doc = st.lists(
 
 
 def _ref_repetition(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
-    """Pure-Python mirror of gopher_repetition_flags for one doc."""
-    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t != ""]
-    lines = [l.strip() for l in text.split("\n") if l.strip() != ""]
-    paras = [p.strip() for p in re.split(r"\n\s*\n", text) if p.strip() != ""]
+    """Pure-Python mirror of gopher_repetition_flags for one doc
+    (ASCII \\s semantics; line/paragraph edges strip the full \\s set)."""
+    _WS = " \t\n\r\x0b\x0c"
+    toks = [
+        t
+        for t in re.split(r"\s+", text.lower().strip(" "), flags=re.ASCII)
+        if t != ""
+    ]
+    lines = [
+        l2 for l2 in (l.strip(_WS) for l in text.split("\n")) if l2 != ""
+    ]
+    paras = [
+        p2
+        for p2 in (
+            p.strip(_WS) for p in re.split(r"\n\s*\n", text, flags=re.ASCII)
+        )
+        if p2 != ""
+    ]
 
     def dup_fracs(items):
         if not items:
