@@ -26,15 +26,18 @@ Rule set (classic Gopher thresholds, all parameterizable):
 * at least 2 distinct common English stopwords appear
 
 Plus the Appendix-A REPETITION rules (r7,
-:func:`gopher_repetition_flags`): duplicate-line fraction,
-duplicate-line character fraction, top-{2,3,4}-gram character share,
+:func:`gopher_repetition_flags`): duplicate-line/paragraph fraction and
+character fraction, top-{2,3,4}-gram character share,
 duplicate-{5..10}-gram character fraction — the machine-generated-text
-signals the per-document quality rules above cannot see. Unlike the
-quality rules (pure scan expressions), the n-gram character shares
-need per-document gram frequencies, which at unbounded document length
-is a grouped aggregation, not an in-row expression: one explode + ONE
-(id, n, gram) count shuffle + one per-(id, n) fold — linear in total
-gram count, never O(grams²) inside a task.
+signals the per-document quality rules above cannot see. These need
+per-document gram FREQUENCIES, which pure Spark expressions cannot
+compute fast (higher-order-function lambdas evaluate interpreted) and
+a corpus-wide count shuffle computes wastefully (every gram string on
+the wire); instead an Arrow-batched kernel emits the exact integer
+statistics per document — still zero shuffle, still one scan, with the
+fractions and rounding JVM-side so the oracle semantics are shared
+with every other gate (measured 19x over the shuffle formulation on 1M
+docs; see the function docstring).
 """
 
 from __future__ import annotations
