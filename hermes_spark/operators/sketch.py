@@ -822,7 +822,15 @@ def bloom_join_decision(
         n, hits = int(agg["n"]), int(agg["hits"] or 0)
         selectivity = (hits / n) if n else 1.0  # no sample -> don't engage
         big_rows = int(n / sample_fraction) if n else 0
-        result.update(mode="sampled", bitmap_hex=bitmap, sampled_rows=n)
+        # a thin sample makes the selectivity estimate noisy (binomial
+        # stderr ~ sqrt(s(1-s)/n)); flag it so callers can raise
+        # sample_fraction rather than trust a 50-row verdict
+        result.update(
+            mode="sampled",
+            bitmap_hex=bitmap,
+            sampled_rows=n,
+            low_sample=n < 1000,
+        )
     if row_bytes is None:
         try:
             from ..plans import input_size_bytes
