@@ -4813,14 +4813,18 @@ perq AS (
   FROM j GROUP BY 1
 ),
 m AS (
-  SELECT r.query_id, r.n_relevant,
+  -- FULL join: queries with results but no relevance judgments are
+  -- kept with n_relevant = 0 (mirrors ranking_metrics' full-outer
+  -- semantics, ranking.py:96-100)
+  SELECT query_id, coalesce(r.n_relevant, 0) AS n_relevant,
          coalesce(p.n_retrieved, 0) AS n_retrieved,
          coalesce(p.n_hit, 0) AS n_hit, p.first_hit,
          coalesce(p.dcg, 0) AS dcg,
          coalesce(list_sum(list_transform(
-           range(1, least(r.n_relevant, coalesce(p.depth, 0)) + 1),
+           range(1, least(coalesce(r.n_relevant, 0),
+                          coalesce(p.depth, 0)) + 1),
            x -> {term.format(r="x")})), 0) AS idcg
-  FROM relc r LEFT JOIN perq p USING (query_id)
+  FROM relc r FULL JOIN perq p USING (query_id)
 )
 SELECT query_id, n_relevant::BIGINT AS n_relevant,
        n_retrieved::BIGINT AS n_retrieved, n_hit::BIGINT AS n_hit,
@@ -5164,8 +5168,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_repetition_flags): duplicate-line fraction + char fraction,
     top-{2,3,4}-gram char share, duplicate-{5..10}-gram char fraction,
     and the keep conjunction — the machine-generated-text signals.
-    One explode + one (id, n, gram) count shuffle, linear in gram
-    count."""
+    ZERO-shuffle: an Arrow-batched mapInPandas kernel emits the exact
+    integer gram statistics per document (plan-asserted by
+    test_repetition_flags_zero_shuffle); fractions/rounding/thresholds
+    stay JVM-side."""
     from hermes_spark.operators import gopher_repetition_flags
 
     docs = _read(spark, sf_dir, "documents")
@@ -5214,27 +5220,33 @@ def _sql_gopher_repetition() -> str:
             f"round(least(1.0, coalesce(dup{n} / greatest(tc, 1.0), 0)), 6)"
             f" <= {GOPHER_DUP_NGRAM_MAX[n]}"
         )
-    return f"""
+    # Explicit whitespace class = Python-ASCII \s (what the Arrow
+    # kernel uses), INCLUDING vertical tab \x0b which RE2's \s
+    # excludes — both engines must share one class or line/paragraph
+    # /token edges diverge on \v-containing text.
+    ws = r"[ \t\n\f\r\x0b]"
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '{ws}+'),
                      t -> t <> '') AS t
   FROM documents
 ),
 lns AS (
-  -- line/paragraph edges strip the FULL \s class (DuckDB trim() is
-  -- space-only and would score 'aa' vs 'aa<tab>' as distinct lines)
-  SELECT doc_id, 0 AS n, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS g
+  -- line/paragraph edges strip the FULL Python-\s class (DuckDB
+  -- trim() is space-only and would score 'aa' vs 'aa<tab>' as
+  -- distinct lines)
+  SELECT doc_id, 0 AS n, regexp_replace(l, '^{ws}+|{ws}+$', '', 'g') AS g
   FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
         FROM documents)
-  WHERE regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''
+  WHERE regexp_replace(l, '^{ws}+|{ws}+$', '', 'g') <> ''
 ),
 paras AS (
-  SELECT doc_id, -1 AS n, regexp_replace(p, '^\\s+|\\s+$', '', 'g') AS g
+  SELECT doc_id, -1 AS n, regexp_replace(p, '^{ws}+|{ws}+$', '', 'g') AS g
   FROM (SELECT doc_id,
-               unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS p
+               unnest(regexp_split_to_array(text, '\n{ws}*\n')) AS p
         FROM documents)
-  WHERE regexp_replace(p, '^\\s+|\\s+$', '', 'g') <> ''
+  WHERE regexp_replace(p, '^{ws}+|{ws}+$', '', 'g') <> ''
 ),
 grams AS (
   SELECT doc_id, n,

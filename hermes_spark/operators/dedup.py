@@ -129,12 +129,20 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.0,
     portable: bool = True,
     max_bucket_size: int = 1000,
+    pair_engine: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``;
     ``est_jaccard`` is the fraction of equal signature components (an
     unbiased estimator of shingle-set Jaccard).
+
+    ``pair_engine`` picks how intra-bucket pairs are generated after the
+    one gather shuffle — ``"arrow"`` (default; numpy kernel, ~100×
+    cheaper per pair, pushes ``min_jaccard`` into the kernel) or
+    ``"expr"`` (pure Column expressions).  Both produce bit-identical
+    results (property-tested); the expression path remains as the
+    all-JVM reference implementation.
     """
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
@@ -162,20 +170,31 @@ def minhash_lsh_pairs(
     )
 
     # ONE shuffle: gather each bucket's members, then generate the
-    # intra-bucket pairs in-task (array expressions, no self-join).
-    # A self-join here would recompute the shingle+hash pipeline once
-    # per join side (Spark re-executes un-cached branches) — with this
-    # shape the documents are scanned and hashed exactly once, and
-    # est_jaccard is computed before the dedup shuffle so signature
-    # arrays never travel twice.
-    grouped = (
-        buckets.groupBy("__band")
-        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
-        .filter(F.size("__members") >= 2)
-    )
+    # intra-bucket pairs in-task (numpy kernel or array expressions, no
+    # self-join).  A self-join here would recompute the shingle+hash
+    # pipeline once per join side (Spark re-executes un-cached branches)
+    # — with this shape the documents are scanned and hashed exactly
+    # once, and est_jaccard is computed before the dedup shuffle so
+    # signature arrays never travel twice.
+    if pair_engine == "arrow":
+        raw = _grouped_bucket_pairs_arrow(
+            buckets,
+            num_hashes,
+            max_bucket_size,
+            id_type=df.schema[id_col].dataType,
+            min_est=min_jaccard if min_jaccard > 0 else None,
+        )
+    elif pair_engine == "expr":
+        grouped = (
+            buckets.groupBy("__band")
+            .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
+            .filter(F.size("__members") >= 2)
+        )
+        raw = _gathered_bucket_pairs(grouped, num_hashes, max_bucket_size)
+    else:
+        raise ValueError(f"pair_engine must be 'arrow' or 'expr', got {pair_engine!r}")
     out = (
-        _gathered_bucket_pairs(grouped, num_hashes, max_bucket_size)
-        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        raw.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .distinct()
     )
     if min_jaccard > 0:
@@ -304,6 +323,153 @@ def _gathered_bucket_pairs(
     return g.select(F.explode(pair_structs).alias("__p")).select(
         "__p.id_a", "__p.id_b", "__p.est_jaccard"
     )
+
+
+def _allpairs_np(ids, sig, num_hashes: int, min_est):
+    """All intra-bucket pairs, vectorized.  ``ids``: (k,) ndarray,
+    ``sig``: (k, H) int64 ndarray.  Returns (id_a, id_b, est) ndarrays
+    with id_a < id_b, est = matches / num_hashes (exact IEEE double,
+    identical to the zip_with expression)."""
+    import numpy as np
+
+    k = len(ids)
+    if k < 2:
+        e = np.empty(0)
+        return ids[:0], ids[:0], e
+    iu, ju = np.triu_indices(k, 1)
+    m = np.empty(len(iu), dtype=np.int64)
+    # chunk the (pairs, H) gather so a cap-sized bucket stays ~tens of MB
+    step = 1 << 16
+    for s in range(0, len(iu), step):
+        e = s + step
+        m[s:e] = (sig[iu[s:e]] == sig[ju[s:e]]).sum(axis=1)
+    est = m / float(num_hashes)
+    a, b = ids[iu], ids[ju]
+    swap = b < a
+    id_a = np.where(swap, b, a)
+    id_b = np.where(swap, a, b)
+    if min_est is not None:
+        # margin covers the downstream 6-dp rounding (|round(x,6)-x| <=
+        # 5e-7) so the JVM-side filter stays the authoritative one
+        keep = est >= (min_est - 1e-6)
+        id_a, id_b, est = id_a[keep], id_b[keep], est[keep]
+    return id_a, id_b, est
+
+
+def _bucket_pairs_np(ids, sig, num_hashes: int, cap: int, min_est):
+    """Numpy twin of one bucket's worth of :func:`_gathered_bucket_pairs`
+    — same pairs, same estimates, same oversized-bucket collapse
+    (identical-signature chaining + representative pairs/star)."""
+    import numpy as np
+
+    k = len(ids)
+    if k <= cap:
+        return [_allpairs_np(ids, sig, num_hashes, min_est)]
+    # (__sig, __id) sort — identical to array_sort over struct(sig, id)
+    try:
+        order = np.lexsort((ids,) + tuple(sig.T[::-1]))
+    except TypeError:  # non-numeric ids: fall back to Python tuple sort
+        order = sorted(range(k), key=lambda i: (sig[i].tolist(), ids[i]))
+        order = np.asarray(order, dtype=np.int64)
+    ids_s, sig_s = ids[order], sig[order]
+    same = (sig_s[1:] == sig_s[:-1]).all(axis=1)
+    ca, cb = ids_s[:-1][same], ids_s[1:][same]
+    swap = cb < ca
+    chain = (
+        np.where(swap, cb, ca),
+        np.where(swap, ca, cb),
+        np.ones(len(ca), dtype=np.float64),
+    )
+    reps = np.concatenate(([True], ~same))
+    rid, rsig = ids_s[reps], sig_s[reps]
+    if len(rid) <= cap:
+        return [chain, _allpairs_np(rid, rsig, num_hashes, min_est)]
+    m = (rsig[1:] == rsig[0]).sum(axis=1)
+    est = m / float(num_hashes)
+    oa = np.where(rid[1:] < rid[0], rid[1:], np.broadcast_to(rid[0], (len(rid) - 1,)))
+    ob = np.where(rid[1:] < rid[0], np.broadcast_to(rid[0], (len(rid) - 1,)), rid[1:])
+    if min_est is not None:
+        keep = est >= (min_est - 1e-6)
+        oa, ob, est = oa[keep], ob[keep], est[keep]
+    return [chain, (oa, ob, est)]
+
+
+def _grouped_bucket_pairs_arrow(
+    buckets: DataFrame,
+    num_hashes: int,
+    max_bucket_size: int,
+    id_type,
+    min_est: "float | None" = None,
+) -> DataFrame:
+    """Candidate pairs from the banded frame ``(__band, __id, __sig)``
+    via ONE groupBy exchange + an Arrow-batched pair kernel.
+
+    Bit-identical output to the expression path (groupBy collect_list →
+    :func:`_gathered_bucket_pairs`), property-tested against it — but
+    the O(k²) intra-bucket work runs as numpy integer comparisons
+    (~ns/pair) instead of interpreted ``zip_with`` lambdas over the
+    signature (~310 ns/element × num_hashes per pair; see BASELINE.md
+    "Gopher repetition" for the interpreter measurement).  On Zipf-head
+    corpora where moderate (sub-cap) buckets dominate pair volume, this
+    is the difference between pair generation being 82% of a curation
+    funnel's wall and it being noise (measured, BASELINE.md §funnel).
+
+    ``min_est`` pushes the caller's own est_jaccard threshold into the
+    kernel (with a 1e-6 margin so 6-dp rounding can never flip a
+    borderline pair) — candidates the caller would filter anyway never
+    reach the downstream distinct() exchange.
+
+    The two collect_lists are aligned: Spark evaluates both aggregate
+    buffers over one pass of the group's rows in a single aggregation
+    operator, so index i of ``__ids`` and ``__sigs`` come from the same
+    input row (asserted in the kernel).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    grouped = (
+        buckets.groupBy("__band")
+        .agg(
+            F.collect_list("__id").alias("__ids"),
+            F.collect_list("__sig").alias("__sigs"),
+        )
+        .filter(F.size("__ids") >= 2)
+        .select("__ids", "__sigs")
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            parts_a, parts_b, parts_e = [], [], []
+            for ids_cell, sigs_cell in zip(pdf["__ids"], pdf["__sigs"]):
+                ids = np.asarray(ids_cell)
+                assert len(ids_cell) == len(sigs_cell)
+                sig = np.stack([np.asarray(s, dtype=np.int64) for s in sigs_cell])
+                for a, b, e in _bucket_pairs_np(
+                    ids, sig, num_hashes, max_bucket_size, min_est
+                ):
+                    if len(a):
+                        parts_a.append(a)
+                        parts_b.append(b)
+                        parts_e.append(e)
+            if parts_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(parts_a),
+                        "id_b": np.concatenate(parts_b),
+                        "est_jaccard": np.concatenate(parts_e),
+                    }
+                )
+
+    return grouped.mapInPandas(kernel, out_schema)
 
 
 def ngram_jaccard_pairs(
@@ -931,14 +1097,15 @@ def banded_match_pairs(
     ``streaming.dedup.stream_minhash_dedup`` so batch and streaming
     agree on candidate generation.
     """
-    grouped = (
-        banded.groupBy("__band")
-        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__members"))
-        .filter(F.size("__members") >= 2)
+    raw = _grouped_bucket_pairs_arrow(
+        banded,
+        num_hashes,
+        max_bucket_size,
+        id_type=banded.schema["__id"].dataType,
+        min_est=min_jaccard,
     )
     return (
-        _gathered_bucket_pairs(grouped, num_hashes, max_bucket_size)
-        .filter(F.col("est_jaccard") >= F.lit(min_jaccard))
+        raw.filter(F.col("est_jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b")
         .distinct()
     )

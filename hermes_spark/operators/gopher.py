@@ -240,7 +240,7 @@ def gopher_repetition_flags(
     top_ngram_max: "dict[int, float] | None" = None,
     dup_ngram_max: "dict[int, float] | None" = None,
 ) -> DataFrame:
-    """Gopher repetition-rule metrics + the overall ``keep`` flag.
+    r"""Gopher repetition-rule metrics + the overall ``keep`` flag.
 
     Returns one row per input row:
     ``(id, dup_line_frac, dup_line_char_frac, dup_para_frac,

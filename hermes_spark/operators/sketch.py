@@ -891,9 +891,18 @@ def bloom_prefilter_join(
     bitmap = None
     if auto:
         kwargs = dict(decision_kwargs or {})
+        # positional/self-supplied args must not collide with
+        # decision_kwargs — reject the reserved names loudly instead of
+        # letting Python raise "multiple values for keyword argument"
+        reserved = {"big", "small", "on"}.intersection(kwargs)
+        if reserved:
+            raise ValueError(
+                f"decision_kwargs may not override {sorted(reserved)}"
+            )
         kwargs.setdefault("m_bits", m_bits)
         kwargs.setdefault("k", k)
-        verdict = bloom_join_decision(big, small, on, portable=portable, **kwargs)
+        kwargs.setdefault("portable", portable)
+        verdict = bloom_join_decision(big, small, on, **kwargs)
         if not verdict["engage"]:
             if how in ("semi", "left_semi", "leftsemi"):
                 return big.filter(F.col(on).isNotNull()).join(

@@ -523,3 +523,51 @@ def test_fuzzy_dedup_keep_by_quality(spark):
     # default policy still keeps the component minimum
     kept_min = fuzzy_dedup_keep_one(df, "doc_id", pairs)
     assert sorted(r.doc_id for r in kept_min.collect()) == [1, 9]
+
+
+def _pair_set(df):
+    return {
+        (r["id_a"], r["id_b"], r["est_jaccard"]) for r in df.collect()
+    }
+
+
+def test_minhash_pair_engines_bit_identical(spark, documents):
+    """The Arrow pair kernel and the expression path must produce the
+    SAME (id_a, id_b, est_jaccard) set — including the oversized-bucket
+    collapse (forced here with a tiny cap) and the min_jaccard push-down."""
+    corpus = documents.limit(400)
+    for kwargs in (
+        dict(),  # default: all-pairs path
+        dict(max_bucket_size=3),  # force chain/reps/star collapse
+        dict(min_jaccard=0.5),  # kernel-side prefilter
+        dict(max_bucket_size=3, min_jaccard=0.25, num_hashes=32, num_bands=8),
+    ):
+        arrow = minhash_lsh_pairs(
+            corpus, "doc_id", "text", pair_engine="arrow", **kwargs
+        )
+        expr = minhash_lsh_pairs(
+            corpus, "doc_id", "text", pair_engine="expr", **kwargs
+        )
+        assert _pair_set(arrow) == _pair_set(expr), kwargs
+
+
+def test_minhash_pair_engine_string_ids(spark):
+    """Non-numeric ids go through the kernel's Python-sort fallback and
+    string least/greatest — must still match the expression path."""
+    rows = [(f"doc-{i:03d}", f"shared boilerplate text {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    arrow = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=4)
+    expr = minhash_lsh_pairs(
+        df, "doc_id", "text", max_bucket_size=4, pair_engine="expr"
+    )
+    assert _pair_set(arrow) == _pair_set(expr)
+    assert len(_pair_set(arrow)) > 0
+
+
+def test_minhash_rejects_unknown_engine(spark, documents):
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_engine"):
+        minhash_lsh_pairs(
+            documents, "doc_id", "text", pair_engine="nope"
+        )
