@@ -5017,10 +5017,6 @@ FROM scored
 """
 
 
-BPE_MERGES = 100
-BPE_MAX_WORDS = 10_000
-
-
 def q_chat_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT conversation-format audit (operators/chatformat.py):
     documents are split on '.' into turn fragments with the role
@@ -5114,23 +5110,206 @@ FROM j
 """
 
 
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-BPE token accounting (operators/bpe.py): learn merges from
-    the even-doc_id half (distributed word count, driver merge loop
-    over the capped aggregate), Arrow-batch encode the odd half.
-    No oracle_sql entry BY DESIGN: BPE training is an iterative
-    argmax-merge loop that ANSI SQL cannot express — the driver
-    records the rows-only check; exact semantics are pinned against
-    the hand-computed Sennrich example in tests/test_bpe.py."""
-    from hermes_spark.operators import bpe_token_counts, bpe_train_merges
+# Frozen BPE merge table: bpe_train_merges on sf0.001 even doc_ids,
+# num_merges=100, max_words=10000 (tools/freeze_bpe_merges.py) — the r5
+# pq_topk train/search split applied to BPE.  Training (iterative
+# argmax-merge, not SQL-expressible) runs once offline and is pinned by
+# tests/test_bpe.py; the deterministic greedy ENCODE over this table is
+# the registry-checked stage, with an exact recursive-CTE oracle.
+BPE_FROZEN_MERGES: "list[tuple[str, str]]" = [
+    ('e', 'r'),
+    ('e', '</w>'),
+    ('t', '</w>'),
+    ('o', 'r'),
+    ('n', '</w>'),
+    ('o', 'w'),
+    ('ow', '</w>'),
+    ('er', '</w>'),
+    ('l', 'u'),
+    ('i', 'n'),
+    ('a', 's'),
+    ('y', '</w>'),
+    ('a', 'r'),
+    ('p', 'ar'),
+    ('g', '</w>'),
+    ('a', '</w>'),
+    ('a', 't'),
+    ('h', '</w>'),
+    ('s', 't'),
+    ('d', 'er</w>'),
+    ('or', 'der</w>'),
+    ('d', 'ow</w>'),
+    ('in', 'dow</w>'),
+    ('w', 'indow</w>'),
+    ('par', 't</w>'),
+    ('or', 't</w>'),
+    ('s', 'ort</w>'),
+    ('c', 'o'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n</w>'),
+    ('p', '</w>'),
+    ('u', 'p</w>'),
+    ('as', 't</w>'),
+    ('f', 'ast</w>'),
+    ('er', 'g'),
+    ('erg', 'e</w>'),
+    ('m', 'erge</w>'),
+    ('a', 'lu'),
+    ('alu', 'e</w>'),
+    ('v', 'alue</w>'),
+    ('a', 'n</w>'),
+    ('c', 'an</w>'),
+    ('s', 'can</w>'),
+    ('e', 'y</w>'),
+    ('k', 'ey</w>'),
+    ('g', 'r'),
+    ('gr', 'o'),
+    ('gro', 'up</w>'),
+    ('a', 'g'),
+    ('ag', 'g</w>'),
+    ('i', 'n</w>'),
+    ('j', 'o'),
+    ('jo', 'in</w>'),
+    ('in', 'e</w>'),
+    ('l', 'ine</w>'),
+    ('b', 'i'),
+    ('bi', 'g</w>'),
+    ('er', 'y</w>'),
+    ('q', 'u'),
+    ('qu', 'ery</w>'),
+    ('r', 'ow</w>'),
+    ('as', 'h</w>'),
+    ('at', 'a</w>'),
+    ('d', 'ata</w>'),
+    ('h', 'ash</w>'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er</w>'),
+    ('a', 'm'),
+    ('am', '</w>'),
+    ('e', 'am</w>'),
+    ('r', 'eam</w>'),
+    ('st', 'ream</w>'),
+    ('l', 'ow</w>'),
+    ('s', 'low</w>'),
+    ('a', 'l'),
+    ('al', 'l'),
+    ('all', '</w>'),
+    ('m', 'all</w>'),
+    ('s', 'mall</w>'),
+    ('c', 't'),
+    ('ct', 'or'),
+    ('ctor', '</w>'),
+    ('e', 'ctor</w>'),
+    ('v', 'ector</w>'),
+    ('at', 'c'),
+    ('atc', 'h</w>'),
+    ('b', 'atch</w>'),
+    ('a', 'b'),
+    ('ab', 'l'),
+    ('abl', 'e</w>'),
+    ('k', '</w>'),
+    ('par', 'k</w>'),
+    ('s', 'park</w>'),
+    ('t', 'able</w>'),
+    ('c', 'u'),
+    ('cu', 'st'),
+    ('cust', 'o'),
+]
 
-    docs = _read(spark, sf_dir, "documents")
-    merges = bpe_train_merges(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        num_merges=BPE_MERGES,
-        max_words=BPE_MAX_WORDS,
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE encode over the FROZEN merge table (operators/bpe.py
+    bpe_encode, Arrow-batched): per odd-doc_id document, the full piece
+    sequence (space-joined — pieces never contain whitespace) and the
+    piece count.  Value-hash pins the exact encode, not just counts.
+    Successor of the rows-only bpe_token_stats (VERDICT r7 item 4):
+    with training frozen offline, the checked stage is deterministic
+    and the DuckDB oracle replays the merge loop as a recursive CTE."""
+    from hermes_spark.operators import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    enc = bpe_encode(docs, list(BPE_FROZEN_MERGES))
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.concat_ws(" ", "pieces").alias("pieces_str"),
     )
-    return bpe_token_counts(docs.filter(F.col("doc_id") % 2 == 1), merges)
+
+
+def _sql_bpe_encode_stats() -> str:
+    """Recursive-CTE greedy BPE encode: per distinct word, start from
+    characters + '</w>' and repeatedly merge the FIRST lowest-rank
+    adjacent pair (list_position returns the first min index — the same
+    tie-break as _encode_word's strict-< scan), until no pair has a
+    rank.  Fuzz-verified against operators/bpe.py::_encode_word."""
+    big = 999_999_999
+    assert len(BPE_FROZEN_MERGES) < big
+    vals = ", ".join(
+        "('{}','{}',{})".format(a.replace("'", "''"), b.replace("'", "''"), r)
+        for r, (a, b) in enumerate(BPE_FROZEN_MERGES)
+    )
+    # Python-ASCII \s (the encode kernel's word splitter, re.ASCII)
+    ws = r"[ \t\n\f\r\x0b]"
+    return rf"""
+WITH RECURSIVE
+ranks AS (SELECT * FROM (VALUES {vals}) t(a, b, r)),
+rmap AS (SELECT map(list(a || ' ' || b), list(r)) AS m FROM ranks),
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{ws}+'),
+                     w -> w <> '') AS lst
+  FROM documents WHERE doc_id % 2 = 1
+),
+toks AS (
+  SELECT doc_id, u.i AS pos, u.w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(lst) + 1),
+                  i -> struct_pack(i := i, w := lst[i]))) AS u
+    FROM docs
+  )
+),
+words AS (SELECT DISTINCT word FROM toks),
+base AS (
+  SELECT word, list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+  FROM words
+),
+enc AS (
+  SELECT word, syms FROM base
+  UNION ALL
+  SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+  FROM (
+    SELECT word, syms,
+           list_transform(range(1, len(syms)),
+                          i -> coalesce(m[syms[i] || ' ' || syms[i+1]][1],
+                                        {big})) AS rk
+    FROM enc, rmap WHERE len(syms) > 1
+  ), LATERAL (SELECT list_position(rk, list_min(rk)) AS bi)
+  WHERE list_min(rk) < {big}
+),
+done AS (
+  SELECT word, syms FROM enc, rmap
+  WHERE len(syms) = 1 OR list_min(
+      list_transform(range(1, len(syms)),
+                     i -> coalesce(m[syms[i] || ' ' || syms[i+1]][1],
+                                   {big}))) = {big}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         sum(len(d.syms))::BIGINT AS n_pieces,
+         string_agg(array_to_string(d.syms, ' '), ' ' ORDER BY t.pos)
+           AS pieces_str
+  FROM toks t JOIN done d USING (word)
+  GROUP BY 1
+)
+SELECT doc_id,
+       coalesce(p.n_pieces, 0) AS n_pieces,
+       coalesce(p.pieces_str, '') AS pieces_str
+FROM docs LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 CMIP_DEPTH = 3
@@ -5541,7 +5720,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_ivf": q_retrieval_eval_ivf,
         "edit_near_pairs": q_edit_near_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
-        "bpe_token_stats": q_bpe_token_stats,
+        "bpe_encode_stats": q_bpe_encode_stats,
         "chat_stats_docs": q_chat_stats_docs,
         "clean_text_docs": q_clean_text_docs,
         "join_size_cms": q_join_size_cms,
@@ -6590,26 +6769,26 @@ GROUP BY p_brand
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r7 window (tools/rotate_window.py): never-checked queries first
-    # (newest registration first — bloom_engage_cms is new this round),
-    # then the most-stale greens.
-    "bloom_engage_cms", "gopher_repetition", "dedup_keep_best",
-    "join_size_cms", "clean_text_docs", "chat_stats_docs",
-    "bpe_token_stats", "lm_perplexity_buckets", "edit_near_pairs",
-    "retrieval_eval_ivf", "logreg_quality_train", "hybrid_rrf_topk",
-    "epoch_mix_docs", "c4_line_stats", "gopher_quality",
-    "bloom_join_parts", "cms_heavy_users",
-    "pagerank_links", "link_degrees", "events_ewma",
-    "pmi_collocations", "scd2_lookup_orders", "incremental_rollup",
-    "data_quality_orders", "ivf_rescore_topk", "event_transitions",
-    "events_grouping_sets", "length_deciles", "embedding_dim_profile",
-    "embedding_standardize", "lang_confusion", "strip_html_docs",
-    "weighted_sample_docs", "events_mad_outliers", "events_distinct_users",
-    "events_value_histogram", "events_winsorized", "linkage_scores",
-    "scd2_history", "cdc_latest", "events_anomalies",
-    "sample_per_group", "char_entropy", "token_entropy",
-    "link_stats", "rebalance_mix", "sq8_quantize",
-    "sq8_topk", "ivf_sq8_topk", "topk_ngrams",
+    # r8 window (tools/rotate_window.py): bpe_encode_stats needs its
+    # first green row; then the stalest-verified greens (r5-era
+    # families: compare modes, TPC-H long tail, tfidf/lm text ops).
+    "bpe_encode_stats", "ngram_novelty", "quality_classifier",
+    "random_projection", "dsir_weights", "temperature_mix",
+    "semantic_decontaminate", "duplicate_spans", "span_dedup_stats",
+    "hard_negatives", "funnel_counts", "cohort_retention",
+    "split_assign", "compare_diff", "compare_metrics",
+    "source_cap_docs", "quality_gate_docs", "oov_rate_docs",
+    "training_order_docs", "jaccard_pairs_exact", "events_collapsed_runs",
+    "events_psi_drift", "dup_rate_by_source", "containment_pairs",
+    "kmeans_ivf_topk", "pq_topk", "mmr_select",
+    "minhash_lsh_pairs", "dedup_duplicate_keys", "except_distinct",
+    "key_hash_md5", "sort_aligned_projection", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
+    "q18_large_orders", "q14_promo_share", "customer_running_totals",
+    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "lang_id", "tfidf_topk_terms", "unigram_logprob",
+    "vocab_top_terms", "bigram_logprob", "text_hash_buckets",
+    "blocking_pairs", "text_stats",
 ]
 
 
@@ -6637,6 +6816,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _sql_hybrid_rrf(),
         "logreg_quality_train": _sql_logreg_quality_train(),
         "retrieval_eval_ivf": _sql_retrieval_eval_ivf(),
+        "bpe_encode_stats": _sql_bpe_encode_stats(),
         "edit_near_pairs": _sql_edit_near_pairs(),
         "lm_perplexity_buckets": _sql_lm_perplexity_buckets(),
         "chat_stats_docs": _sql_chat_stats_docs(),

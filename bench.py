@@ -171,7 +171,7 @@ BENCH_QUERIES = {
     "lm_perplexity_buckets": lambda s, d: _materialize(
         entry.q_lm_perplexity_buckets(s, d)
     ),
-    "bpe_token_stats": lambda s, d: _materialize(entry.q_bpe_token_stats(s, d)),
+    "bpe_encode_stats": lambda s, d: _materialize(entry.q_bpe_encode_stats(s, d)),
     "chat_stats_docs": lambda s, d: _materialize(entry.q_chat_stats_docs(s, d)),
     "clean_text_docs": lambda s, d: _materialize(entry.q_clean_text_docs(s, d)),
     "join_size_cms": lambda s, d: _materialize(entry.q_join_size_cms(s, d)),

@@ -239,6 +239,7 @@ def gopher_repetition_flags(
     max_dup_para_char_frac: float = 0.20,
     top_ngram_max: "dict[int, float] | None" = None,
     dup_ngram_max: "dict[int, float] | None" = None,
+    engine: str = "vector",
 ) -> DataFrame:
     r"""Gopher repetition-rule metrics + the overall ``keep`` flag.
 
@@ -387,7 +388,167 @@ def gopher_repetition_flags(
                         out[f"__dup{n}"].append(dup)
             yield pd.DataFrame(out)
 
-    pre = src.mapInPandas(stats, schema=schema)
+    def stats_vector(batches):
+        """Vectorized twin of ``stats`` (property-tested bit-identical,
+        tests/test_gopher_repetition.py): tokenization and the small
+        line/paragraph counters stay per-doc Python, but gram counting
+        — the O(|ns| × tokens) hot loop — runs batch-wide in numpy.
+        Tokens map to integer ids once per batch; for each n, every
+        doc's n-windows become rows of one (doc, id×n) matrix and ONE
+        structured np.unique counts all grams of the whole batch
+        (C-speed sort) instead of ~|docs| Python Counters.  The
+        top-gram tie-break (min joined string among max-count grams)
+        needs string order, so only docs whose tied grams differ in
+        char length fall back to a Python argmin — measured rare."""
+        import re as _re
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        ws = _re.compile(r"\s+", _re.ASCII)
+        para_re = _re.compile(r"\n\s*\n", _re.ASCII)
+        _WS = " \t\n\r\x0b\x0c"
+
+        def group_stats(items):
+            c = Counter(items)
+            chars_all = sum(len(g) * k for g, k in c.items())
+            chars_dup = sum(len(g) * k for g, k in c.items() if k >= 2)
+            return len(items), len(c), chars_all, chars_dup
+
+        for b in batches:
+            ndocs = len(b)
+            if ndocs == 0:
+                continue
+            out = {f.name: [] for f in fields}
+            vocab: dict = {}
+            ids_parts, len_parts = [], []
+            doc_nt = np.empty(ndocs, dtype=np.int64)
+            for r, (id_, t) in enumerate(zip(b["__id"], b["__t"])):
+                t = "" if t is None else str(t)
+                toks = [w for w in ws.split(t.lower().strip(" ")) if w != ""]
+                lines = [
+                    l2 for l2 in (l.strip(_WS) for l in t.split("\n"))
+                    if l2 != ""
+                ]
+                paras = [
+                    p2 for p2 in (p.strip(_WS) for p in para_re.split(t))
+                    if p2 != ""
+                ]
+                out["__id"].append(id_)
+                tok_chars = sum(len(w) for w in toks)
+                if toks:
+                    tok_chars += len(toks) - 1
+                out["__tok_chars"].append(tok_chars)
+                for fam, items in (("l", lines), ("p", paras)):
+                    tot, uniq, call, cdup = group_stats(items)
+                    out[f"__{fam}_tot"].append(tot)
+                    out[f"__{fam}_uniq"].append(uniq)
+                    out[f"__{fam}_chars_all"].append(call)
+                    out[f"__{fam}_chars_dup"].append(cdup)
+                doc_nt[r] = len(toks)
+                ids_parts.append(
+                    np.fromiter(
+                        (vocab.setdefault(w, len(vocab)) for w in toks),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                )
+                len_parts.append(
+                    np.fromiter(
+                        (len(w) for w in toks), dtype=np.int64, count=len(toks)
+                    )
+                )
+            flat = (
+                np.concatenate(ids_parts)
+                if ids_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            tlens = (
+                np.concatenate(len_parts)
+                if len_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), doc_nt)
+            cs = np.concatenate(([0], np.cumsum(tlens)))
+            id2tok = list(vocab)  # insertion order == id order
+            total = len(flat)
+
+            topvals = {n: np.zeros(ndocs, dtype=np.int64) for n in top_ns}
+            dupvals = {n: np.zeros(ndocs, dtype=np.int64) for n in dup_ns}
+            for n in all_ns:
+                if total < n:
+                    continue
+                starts = np.nonzero(doc_of[: total - n + 1] == doc_of[n - 1 :])[0]
+                if len(starts) == 0:
+                    continue
+                M = np.empty((len(starts), n + 1), dtype=np.int64)
+                M[:, 0] = doc_of[starts]
+                M[:, 1:] = np.lib.stride_tricks.sliding_window_view(flat, n)[
+                    starts
+                ]
+                v = np.ascontiguousarray(M).view(
+                    [("", np.int64)] * (n + 1)
+                ).ravel()
+                _, first_idx, counts = np.unique(
+                    v, return_index=True, return_counts=True
+                )
+                docs_u = M[first_idx, 0]
+                s_u = starts[first_idx]
+                charlen = cs[s_u + n] - cs[s_u] + (n - 1)
+                if n in dup_set:
+                    mask = counts >= 2
+                    if mask.any():
+                        dv = dupvals[n]
+                        np.add.at(dv, docs_u[mask], charlen[mask] * counts[mask])
+                if n in top_set:
+                    best = np.zeros(ndocs, dtype=np.int64)
+                    np.maximum.at(best, docs_u, counts)
+                    tie = counts == best[docs_u]
+                    td, tl = docs_u[tie], charlen[tie]
+                    mn = np.full(ndocs, np.iinfo(np.int64).max, dtype=np.int64)
+                    mx = np.zeros(ndocs, dtype=np.int64)
+                    np.minimum.at(mn, td, tl)
+                    np.maximum.at(mx, td, tl)
+                    have = best > 0
+                    tv = topvals[n]
+                    clear = have & (mn == mx)  # ties agree on char length
+                    tv[clear] = best[clear] * mn[clear]
+                    amb = np.nonzero(have & (mn != mx))[0]
+                    if len(amb):
+                        # rare: max-count grams of one doc differ in
+                        # length — resolve the min-JOINED-STRING
+                        # tie-break exactly, reconstructing only those
+                        # docs' tied grams
+                        amb_set = set(amb.tolist())
+                        rows_idx = np.nonzero(tie)[0]
+                        cand: dict = {}
+                        for ri in rows_idx:
+                            d = int(docs_u[ri])
+                            if d not in amb_set:
+                                continue
+                            s = int(s_u[ri])
+                            g = " ".join(
+                                id2tok[int(x)] for x in flat[s : s + n]
+                            )
+                            prev = cand.get(d)
+                            if prev is None or g < prev:
+                                cand[d] = g
+                        for d, g in cand.items():
+                            tv[d] = int(best[d]) * len(g)
+            for n in top_ns:
+                out[f"__top{n}"] = topvals[n]
+            for n in dup_ns:
+                out[f"__dup{n}"] = dupvals[n]
+            yield pd.DataFrame(out)
+
+    if engine == "vector":
+        kern = stats_vector
+    elif engine == "counter":
+        kern = stats
+    else:
+        raise ValueError(f"engine must be 'vector' or 'counter', got {engine!r}")
+    pre = src.mapInPandas(kern, schema=schema)
 
     def _frac(num: str, den: str) -> Column:
         return F.when(F.col(den) <= 0, F.lit(0.0)).otherwise(

@@ -832,13 +832,24 @@ def bloom_join_decision(
             low_sample=n < 1000,
         )
     if row_bytes is None:
-        try:
-            from ..plans import input_size_bytes
-
-            disk = input_size_bytes(big)
-            row_bytes = disk * inflation / big_rows if (disk and big_rows) else 100.0
-        except Exception:
+        # the disk-size fallback divides by big_rows; in sampled mode
+        # big_rows is itself the n/sample_fraction extrapolation, so a
+        # thin sample (low_sample) skews bytes/row as much as it skews
+        # selectivity — fall back to the documented default instead of
+        # compounding one noisy estimate with another
+        if result.get("low_sample"):
             row_bytes = 100.0
+            result["row_bytes_defaulted"] = True
+        else:
+            try:
+                from ..plans import input_size_bytes
+
+                disk = input_size_bytes(big)
+                row_bytes = (
+                    disk * inflation / big_rows if (disk and big_rows) else 100.0
+                )
+            except Exception:
+                row_bytes = 100.0
     saved = (1.0 - selectivity) * row_bytes * shuffle_cost_ns_per_byte
     result.update(
         engage=saved > probe_cost_ns_per_row,

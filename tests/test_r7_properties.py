@@ -147,3 +147,67 @@ def test_dedup_keep_by_is_argmax_then_min_id(spark, quals):
     best = max(quals)
     want_id = min(i for i, q in enumerate(quals) if q == best)
     assert kept[0].doc_id == want_id and kept[0].dup_count == len(quals)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@_settings
+def test_repetition_engines_bit_identical(spark, texts):
+    """The r8 vectorized gram kernel must equal the retained Counter
+    kernel on every column, bit for bit."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    vec = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition_flags(
+            df, "doc_id", "text", engine="vector"
+        ).collect()
+    }
+    cnt = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition_flags(
+            df, "doc_id", "text", engine="counter"
+        ).collect()
+    }
+    assert vec == cnt
+
+
+def test_repetition_engines_ambiguous_topgram_tie(spark):
+    """Tied max-count grams with DIFFERENT char lengths force the
+    vector kernel's string-argmin fallback: 'aa bb' (len 5) and 'c dd'
+    (len 4) both appear twice; the min joined string 'aa bb' must win
+    exactly as the Counter path computes it."""
+    text = "aa bb z1 aa bb z2 c dd z3 c dd"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vec = gopher_repetition_flags(df, "doc_id", "text", engine="vector").collect()[0]
+    cnt = gopher_repetition_flags(df, "doc_id", "text", engine="counter").collect()[0]
+    assert vec.asDict() == cnt.asDict()
+    # 2-gram: ('aa','bb') and ('c','dd') both occur 2x; min string is
+    # 'aa bb' (len 5): top share = 2*5 / 30 joined chars
+    assert abs(vec["top_2gram_char_frac"] - round(10 / 30, 6)) < 1e-9
+
+
+def test_repetition_rejects_unknown_engine(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="engine"):
+        gopher_repetition_flags(df, "doc_id", "text", engine="nope")
+
+
+def test_bloom_decision_low_sample_defaults_row_bytes(spark, sf_dir):
+    """A thin sample (low_sample) must NOT feed the disk-size row_bytes
+    fallback: big_rows is itself extrapolated from the same thin sample,
+    so bytes/row would compound two noisy estimates.  The decision then
+    uses the documented 100-byte default and says so."""
+    big = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = spark.createDataFrame([(i,) for i in range(5)], "l_partkey long")
+    thin = bloom_join_decision(
+        big, small, "l_partkey", sample_fraction=0.001
+    )
+    assert thin["low_sample"] is True
+    assert thin["row_bytes_defaulted"] is True
+    assert thin["row_bytes"] == 100.0
+    fat = bloom_join_decision(
+        big, small, "l_partkey", sample_fraction=1.0
+    )
+    assert fat["low_sample"] is False
+    assert "row_bytes_defaulted" not in fat
+    # the fat sample reads real bytes/row off the scan relation
+    assert fat["row_bytes"] != 100.0
