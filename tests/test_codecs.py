@@ -274,3 +274,107 @@ def test_png_filters_rgb_random_roundtrip():
            + chunk(b"IDAT", zlib.compress(bytes(raw)))
            + chunk(b"IEND", b""))
     np.testing.assert_array_equal(decode_png(png)["pixels"], px)
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG (r8)
+# --------------------------------------------------------------------------
+
+def _gradient_rgb(h, w):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([
+        (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+        (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+        ((xx + yy) * 255 // max(w + h - 2, 1)).astype(np.uint8),
+    ], axis=2)
+
+
+def test_jpeg_roundtrip_444_near_lossless():
+    from hermes_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert (out["width"], out["height"], out["channels"]) == (56, 40, 3)
+    assert np.abs(out["pixels"].astype(int) - img.astype(int)).max() <= 12
+    assert abs(out["mean_intensity"] - img.mean()) < 3
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    from hermes_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert out["pixels"].shape == (40, 56, 3)
+    # chroma halved: looser bound, still recognizably the same image
+    assert np.abs(out["pixels"].astype(int) - img.astype(int)).max() <= 40
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    from hermes_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    g = (np.arange(40)[:, None] * np.ones(56)[None, :] * 6).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out["channels"] == 1
+    assert np.abs(out["pixels"][:, :, 0].astype(int) - g.astype(int)).max() <= 8
+    for hh, ww in [(1, 1), (7, 9), (17, 23), (8, 8)]:
+        im = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        o = decode_jpeg(encode_jpeg(im, quality=90, subsample=True))
+        assert (o["height"], o["width"]) == (hh, ww)
+
+
+def test_jpeg_restart_markers_bit_identical():
+    from hermes_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    im = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(im, quality=90, subsample=True))["pixels"]
+    for ri in (1, 2, 5):
+        rst = decode_jpeg(
+            encode_jpeg(im, quality=90, subsample=True, restart_interval=ri)
+        )["pixels"]
+        assert np.array_equal(base, rst), ri
+
+
+def test_jpeg_corruption_detected():
+    from hermes_spark.operators.codecs import (
+        MediaDecodeError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(_gradient_rgb(16, 16))
+    for bad in (b"", b"\xff\xd8\x00\x00", b"not a jpeg", good[:40]):
+        with pytest.raises(MediaDecodeError):
+            decode_jpeg(bad)
+
+
+def test_mixed_png_jpeg_decode_through_mapinpandas(spark):
+    """decode_image dispatches on signature, so one binary column can
+    mix Common-Crawl-style JPEG payloads with PNGs; undecodable bytes
+    isolate per item."""
+    from hermes_spark.operators import extract_image_features
+    from hermes_spark.operators.codecs import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    rows, expected = [], {}
+    for i in range(12):
+        h, w = 8 + i % 5, 6 + i % 7
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            rows.append((i, bytearray(encode_png(px))))
+            expected[i] = (w, h, float(px.mean()), 0.0)
+        else:
+            rows.append((i, bytearray(encode_jpeg(px, quality=90))))
+            expected[i] = (w, h, float(px.mean()), 8.0)  # lossy tolerance
+    rows.append((99, bytearray(b"neither format")))
+    df = spark.createDataFrame(rows, "media_id int, data binary").repartition(3)
+    feats = {r.media_id: r for r in extract_image_features(
+        df, "media_id", "data"
+    ).collect()}
+    assert len(feats) == 13
+    for i, (w, h, mean, tol) in expected.items():
+        assert feats[i].decode_error is None, feats[i]
+        assert (feats[i].width, feats[i].height) == (w, h)
+        assert abs(feats[i].mean_intensity - mean) <= tol + 1e-9
+    assert feats[99].decode_error is not None

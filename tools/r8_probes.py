@@ -40,6 +40,11 @@ def get_spark():
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # text corpora are CPU-bound per byte (shingle/hash lambdas run
+        # ~100x slower per byte than a columnar scan): 128MB splits
+        # starve a 32-core box on a ~500MB corpus.  16MB splits keep
+        # every core busy; on a real cluster the file count does this.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "48g")
