@@ -239,7 +239,7 @@ def gopher_repetition_flags(
     max_dup_para_char_frac: float = 0.20,
     top_ngram_max: "dict[int, float] | None" = None,
     dup_ngram_max: "dict[int, float] | None" = None,
-    engine: str = "vector",
+    engine: str = "counter",
 ) -> DataFrame:
     r"""Gopher repetition-rule metrics + the overall ``keep`` flag.
 
@@ -360,12 +360,45 @@ def gopher_repetition_flags(
                     out[f"__{fam}_uniq"].append(uniq)
                     out[f"__{fam}_chars_all"].append(call)
                     out[f"__{fam}_chars_dup"].append(cdup)
-                for n in all_ns:
-                    grams = Counter(
-                        tuple(toks[i:i + n])
-                        for i in range(len(toks) - n + 1)
-                    )
-                    if n in top_set:
+                nt = len(toks)
+                # top_{n}gram rules (r8 adaptive fast path): when no
+                # 2-gram repeats, NO longer gram repeats either (a
+                # repeated n+1-gram contains a repeated n-gram), so for
+                # every top n the value is 1 × len(min joined string) —
+                # computed as a min over slices of the joined text, no
+                # Counter per n and no per-gram " ".join
+                g2 = None
+                if top_ns and top_ns[0] == 2:
+                    g2 = Counter(tuple(toks[i : i + 2]) for i in range(nt - 1))
+                if (
+                    g2 is not None
+                    and (not g2 or max(g2.values()) <= 1)
+                    and set(top_ns) <= {2, 3, 4}
+                ):
+                    joined = " ".join(toks)
+                    ol = [0] * (nt + 1)
+                    acc = 0
+                    for j, w in enumerate(toks):
+                        acc += len(w) + 1
+                        ol[j + 1] = acc
+                    for n in top_ns:
+                        m = nt - n + 1
+                        if m > 0:
+                            top = min(
+                                joined[ol[i] : ol[i + n] - 1] for i in range(m)
+                            )
+                            out[f"__top{n}"].append(len(top))
+                        else:
+                            out[f"__top{n}"].append(0)
+                else:
+                    for n in top_ns:
+                        grams = (
+                            g2
+                            if n == 2 and g2 is not None
+                            else Counter(
+                                tuple(toks[i : i + n]) for i in range(nt - n + 1)
+                            )
+                        )
                         if grams:
                             best = max(grams.values())
                             # tie-break on the JOINED string (token-tuple
@@ -379,27 +412,41 @@ def gopher_repetition_flags(
                             out[f"__top{n}"].append(best * len(top))
                         else:
                             out[f"__top{n}"].append(0)
-                    if n in dup_set:
-                        dup = sum(
-                            (sum(len(w) for w in g) + n - 1) * k
-                            for g, k in grams.items()
-                            if k >= 2
-                        )
-                        out[f"__dup{n}"].append(dup)
+                # dup_{n}gram rules, ascending n with the monotonic skip:
+                # once no n-gram reaches count 2, every larger n is 0
+                exhausted = False
+                for n in dup_ns:
+                    if exhausted:
+                        out[f"__dup{n}"].append(0)
+                        continue
+                    grams = Counter(
+                        tuple(toks[i : i + n]) for i in range(nt - n + 1)
+                    )
+                    if not grams or max(grams.values()) < 2:
+                        exhausted = True
+                        out[f"__dup{n}"].append(0)
+                        continue
+                    dup = sum(
+                        (sum(len(w) for w in g) + n - 1) * k
+                        for g, k in grams.items()
+                        if k >= 2
+                    )
+                    out[f"__dup{n}"].append(dup)
             yield pd.DataFrame(out)
 
     def stats_vector(batches):
-        """Vectorized twin of ``stats`` (property-tested bit-identical,
-        tests/test_gopher_repetition.py): tokenization and the small
-        line/paragraph counters stay per-doc Python, but gram counting
-        — the O(|ns| × tokens) hot loop — runs batch-wide in numpy.
-        Tokens map to integer ids once per batch; for each n, every
-        doc's n-windows become rows of one (doc, id×n) matrix and ONE
-        structured np.unique counts all grams of the whole batch
-        (C-speed sort) instead of ~|docs| Python Counters.  The
-        top-gram tie-break (min joined string among max-count grams)
-        needs string order, so only docs whose tied grams differ in
-        char length fall back to a Python argmin — measured rare."""
+        """Batch-vectorized twin of ``stats`` (property-tested
+        bit-identical): tokenization and the small line/paragraph
+        counters stay per-doc Python; gram counting runs batch-wide in
+        numpy via dense length-doubling gram ids + one plain-int64
+        np.unique per n.  MEASURED SLOWER than the adaptive Counter
+        engine on the 1M-doc Zipf probe (40.2 s vs 21.4 s before the
+        counter fast paths; see BASELINE.md r8): the top-gram tie-break
+        (min JOINED STRING among max-count grams) degenerates when no
+        gram repeats — every gram ties, so the string argmin falls back
+        to Python for nearly every doc, erasing the numpy win.  Kept as
+        the cross-checking reference/second implementation; ``counter``
+        is the default."""
         import re as _re
         from collections import Counter
 
@@ -476,25 +523,47 @@ def gopher_repetition_flags(
 
             topvals = {n: np.zeros(ndocs, dtype=np.int64) for n in top_ns}
             dupvals = {n: np.zeros(ndocs, dtype=np.int64) for n in dup_ns}
+            # Dense gram ids by length-doubling: lid[L][i] identifies the
+            # L-token window starting at flat position i (ids equal ⟺
+            # windows equal, within the batch).  Each level is ONE plain
+            # int64 np.unique over (left_id << 31 | right_id) — measured
+            # ~17x faster than a structured-dtype unique over the raw
+            # (doc, id×n) rows, which in turn lost to the per-doc Counter
+            # path (the r8 first cut, 168 s vs 25 s per 1M docs — both
+            # probed; see BASELINE.md).  Cross-doc windows get ids too
+            # but are never selected: a fully-in-doc window's halves are
+            # in-doc by containment.  Dense ids and doc indexes are both
+            # < 2^31, so every packed key fits int64.
+            lid = {1: flat}
+
+            def _level(L: int):
+                got = lid.get(L)
+                if got is not None:
+                    return got
+                a_len = L // 2
+                b_len = L - a_len
+                a, b = _level(a_len), _level(b_len)
+                m = total - L + 1
+                if m <= 0:
+                    lid[L] = np.empty(0, dtype=np.int64)
+                    return lid[L]
+                key = (a[:m] << 31) | b[a_len : a_len + m]
+                _, inv = np.unique(key, return_inverse=True)
+                lid[L] = inv.astype(np.int64, copy=False)
+                return lid[L]
+
             for n in all_ns:
                 if total < n:
                     continue
                 starts = np.nonzero(doc_of[: total - n + 1] == doc_of[n - 1 :])[0]
                 if len(starts) == 0:
                     continue
-                M = np.empty((len(starts), n + 1), dtype=np.int64)
-                M[:, 0] = doc_of[starts]
-                M[:, 1:] = np.lib.stride_tricks.sliding_window_view(flat, n)[
-                    starts
-                ]
-                v = np.ascontiguousarray(M).view(
-                    [("", np.int64)] * (n + 1)
-                ).ravel()
+                key = (doc_of[starts] << 31) | _level(n)[starts]
                 _, first_idx, counts = np.unique(
-                    v, return_index=True, return_counts=True
+                    key, return_index=True, return_counts=True
                 )
-                docs_u = M[first_idx, 0]
                 s_u = starts[first_idx]
+                docs_u = doc_of[s_u]
                 charlen = cs[s_u + n] - cs[s_u] + (n - 1)
                 if n in dup_set:
                     mask = counts >= 2

@@ -214,9 +214,73 @@ def probe_funnel_5m(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_repetition_1m(spark) -> None:
+    """Vector vs Counter gram kernels at 1M docs (VERDICT r7 item 7:
+    done = >=2x, bit-identical flags)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import gopher_repetition_flags
+    from hermes_spark.synth import zipf_documents
+
+    n = int(os.environ.get("REP_DOCS", "1000000"))
+    work = "/tmp/r8_rep1m"
+    synth = zipf_documents(
+        spark, n, vocab_size=30_000, doc_len=80, seed=23,
+        near_dup_every=50, partitions=128,
+    ).select("doc_id", F.concat(F.col("text"), F.lit(".")).alias("text"))
+    synth.write.mode("overwrite").parquet(f"{work}/raw")
+    docs = spark.read.parquet(f"{work}/raw")
+    docs.count()
+    keeps = {}
+    for engine in ("counter", "vector"):
+        t0 = time.time()
+        flags = gopher_repetition_flags(docs, "doc_id", "text", engine=engine)
+        keeps[engine] = flags.filter(F.col("keep")).count()
+        out({"probe": "repetition_1m", "engine": engine, "docs": n,
+             "keeps": keeps[engine], "wall": round(time.time() - t0, 1)})
+    assert keeps["counter"] == keeps["vector"], keeps
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def probe_bloom_sampled_60m(spark) -> None:
+    """Cost of bloom_join_decision's SAMPLED mode at 60M rows (VERDICT
+    r7 item 8: the CMS mode is measured; tabulate the sampled-bitmap
+    scan cost and the plain-join yardstick)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import bloom_join_decision
+
+    n = int(os.environ.get("BLOOM_ROWS", "60000000"))
+    work = "/tmp/r8_bloom60m"
+    spark.range(0, n, 1, 128).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        (F.col("id") * 17 % 997).alias("payload"),
+    ).write.mode("overwrite").parquet(f"{work}/big")
+    big = spark.read.parquet(f"{work}/big")
+    small = spark.range(0, 10_000).select((F.col("id") * 100).alias("k"))
+    small.count()
+
+    t0 = time.time()
+    d = bloom_join_decision(big, small, "k", sample_fraction=0.001,
+                            portable=False)
+    out({"probe": "bloom_sampled_60m", "mode": d["mode"],
+         "decision_wall": round(time.time() - t0, 1),
+         "sampled_rows": d.get("sampled_rows"),
+         "low_sample": d.get("low_sample"),
+         "selectivity_est": d["selectivity_est"],
+         "engage_local": d["engage"]})
+    t0 = time.time()
+    plain = big.join(small, "k").count()
+    out({"probe": "bloom_sampled_60m", "plain_join_rows": plain,
+         "plain_join_wall": round(time.time() - t0, 1)})
+    shutil.rmtree(work, ignore_errors=True)
+
+
 PROBES = {
     "minhash_1m": probe_minhash_1m,
     "funnel_5m": probe_funnel_5m,
+    "repetition_1m": probe_repetition_1m,
+    "bloom_sampled_60m": probe_bloom_sampled_60m,
 }
 
 
