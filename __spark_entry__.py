@@ -4263,6 +4263,125 @@ FROM documents
 """
 
 
+# Deterministic page shell for the main-content extraction query: a
+# link-farm nav, a short heading, the doc text as the content block,
+# and a link-heavy footer + script/comment noise.  The operator must
+# keep exactly the content paragraph (when it clears min_words) and
+# drop the chrome — the same shell is rebuilt in the oracle.
+# No single quotes (both engines inline it as a string literal).
+MAIN_WRAP_PRE = (
+    '<html><head><title>Doc</title><style>p {margin: 0;}</style></head>'
+    '<body><nav><a href="/">Home</a> <a href="/about">About us</a> '
+    '<a href="/contact">Contact the sales team</a></nav>'
+    "<h1>Entry</h1><p>"
+)
+MAIN_WRAP_POST = (
+    '</p><div class="footer"><a href="/privacy">Privacy policy</a> '
+    '<a href="/terms">Terms</a> <a href="/contact">Contact</a> '
+    "(c) 2026 Example Corp</div>"
+    "<script>var nav = 1;</script><!-- built --></body></html>"
+)
+
+
+def q_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate removal (jusText-style main-content
+    extraction, `operators/maincontent.py`): every doc wrapped in a
+    deterministic HTML shell (nav link-farm + heading + content
+    paragraph + link-heavy footer), segmented into blocks, blocks kept
+    by (words >= 5, link density <= 0.25, stopword frac >= 0) and the
+    page digested to block counts + the extracted text's (len, md5).
+
+    Zero-shuffle map stage (pure higher-order array expressions); the
+    0.25 threshold is binary-exact so double (Spark) and decimal
+    (DuckDB) arithmetic agree on the keep boundary.
+    """
+    from hermes_spark.operators import extract_main_text
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(MAIN_WRAP_PRE), F.col("text"), F.lit(MAIN_WRAP_POST)
+        ).alias("html"),
+    )
+    out = extract_main_text(
+        docs, "doc_id", "html",
+        min_words=5, max_link_density=0.25, min_stopword_frac=0.0,
+    )
+    return out.select(
+        "doc_id", "n_blocks", "n_kept", "main_words",
+        F.length("main_text").cast("long").alias("main_len"),
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+def _sql_main_content() -> str:
+    from hermes_spark.functions.text import _HTML_ENTITIES
+    from hermes_spark.operators.maincontent import (
+        _ANCHOR, _BLOCK_SPLIT, _STOP_PAT, _TAG, _WORD, _WS,
+    )
+
+    clean = f"regexp_replace(b, '{_TAG}', ' ', 'g')"
+    for entity, repl in _HTML_ENTITIES:
+        repl_sql = repl.replace("'", "''")
+        clean = f"replace({clean}, '{entity}', '{repl_sql}')"
+    clean = f"trim(regexp_replace({clean}, '{_WS}+', ' ', 'g'))"
+    anchor_words = (
+        "len(regexp_extract_all(regexp_replace(coalesce(array_to_string("
+        f"regexp_extract_all(b, '{_ANCHOR}', 1), ' '), ''), '{_TAG}', ' ', "
+        f"'g'), '{_WORD}'))"
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(
+      '{MAIN_WRAP_PRE}' || text || '{MAIN_WRAP_POST}',
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS page
+  FROM documents
+),
+blk AS (
+  SELECT doc_id,
+    list_transform(
+      regexp_split_to_array(page, '{_BLOCK_SPLIT}'),
+      b -> struct_pack(text := {clean}, anchor_words := {anchor_words})
+    ) AS s1
+  FROM pre
+),
+sc AS (
+  SELECT doc_id,
+    list_transform(s1, s -> struct_pack(
+      text := s.text,
+      words := len(regexp_extract_all(s.text, '{_WORD}')),
+      anchor_words := s.anchor_words,
+      stop_words := len(regexp_extract_all(lower(s.text), '{_STOP_PAT}'))
+    )) AS s2
+  FROM blk
+),
+ag AS (
+  SELECT doc_id, s2,
+    list_filter(s2, s -> s.words >= 5
+      AND CAST(s.anchor_words AS DOUBLE) <= 0.25 * CAST(s.words AS DOUBLE)
+      AND CAST(s.stop_words AS DOUBLE) >= 0.0 * CAST(s.words AS DOUBLE)
+    ) AS kept
+  FROM sc
+),
+fin AS (
+  SELECT doc_id, s2, kept,
+    coalesce(array_to_string(list_transform(kept, s -> s.text), chr(10)), '')
+      AS main_text
+  FROM ag
+)
+SELECT doc_id,
+  len(list_filter(s2, s -> s.words >= 1))::BIGINT AS n_blocks,
+  len(kept)::BIGINT AS n_kept,
+  len(regexp_extract_all(main_text, '{_WORD}'))::BIGINT AS main_words,
+  length(main_text)::BIGINT AS main_len,
+  md5(main_text) AS main_md5
+FROM fin
+"""
+
+
 _SQL_EMBED_DIM_PROFILE = """
 WITH e AS (
   SELECT unnest(embedding) AS xf, unnest(range(0, len(embedding))) AS pos
@@ -5743,6 +5862,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "lang_confusion": q_lang_confusion,
         "strip_html_docs": q_strip_html_docs,
+        "main_content_docs": q_main_content_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mad_outliers": q_events_mad_outliers,
         "events_distinct_users": q_events_distinct_users,
@@ -6933,6 +7053,7 @@ FROM events GROUP BY 1
         "embedding_standardize": _SQL_EMBED_STANDARDIZE,
         "lang_confusion": _sql_lang_confusion(),
         "strip_html_docs": _sql_strip_html(),
+        "main_content_docs": _sql_main_content(),
         "weighted_sample_docs": _sql_weighted_sample(),
         "events_mad_outliers": _sql_events_mad_outliers(),
         "events_distinct_users": _SQL_EVENTS_DISTINCT_USERS,

@@ -1,0 +1,198 @@
+"""Block-level boilerplate removal (main-content extraction) for
+crawled HTML.
+
+``strip_html`` (functions/text.py) flattens a whole page to text —
+good enough for WET-style payloads, but raw WARC HTML then drags every
+navigation bar, cookie banner, and footer link-farm into the training
+corpus.  The standard fix (jusText, Kohlschuetter et al.'s
+boilerplate detection, trafilatura) classifies *blocks*, not pages:
+split the DOM into block-level segments and keep the ones that look
+like prose (enough words, low link density, stopword-bearing), drop
+the ones that look like chrome (short, link-dense).
+
+This is the deterministic, regex-segmented version of that idea — the
+honest scan-side approximation in the same spirit as ``strip_html``
+(no DOM parse; RE2-compatible patterns, so a SQL oracle reproduces the
+output byte-for-byte).  Per block we score:
+
+* ``words``       — whitespace-token count of the tag-stripped,
+                    entity-decoded, whitespace-collapsed block text;
+* ``anchor_words``— tokens inside ``<a ...>...</a>`` spans (link text);
+* ``stop_words``  — occurrences of the 8-word Gopher stopword set.
+
+A block is *content* iff::
+
+    words >= min_words
+    AND anchor_words <= max_link_density * words
+    AND stop_words  >= min_stopword_frac * words
+
+and the page's ``main_text`` is the kept blocks joined with a newline.
+
+Scale design: pure per-row array/higher-order expressions — ZERO
+shuffle, no UDF, no state.  Higher-order lambdas evaluate interpreted,
+but the per-element unit here is a *block* (tens per page), not a
+character or gram, so the interpreted overhead is negligible next to
+the regex scans, which run in the JVM either way.  At 100 TB this is a
+map-only stage that fuses with the WARC scan.
+
+Reference for the pipeline position: WET extraction in Common-Crawl
+pipelines (the reference repo has no crawl operators; this is part of
+the training-data extension surface, SURVEY.md §2-ext).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _HTML_ENTITIES
+from .gopher import GOPHER_STOPWORDS
+
+#: Tags treated as block boundaries when segmenting a page.  Inline
+#: markup (a, span, b, i, em, strong, img, ...) stays INSIDE a block —
+#: that is what makes link-density per block meaningful.
+BLOCK_TAGS = (
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "thead", "tbody", "tr", "td", "th", "article", "section",
+    "aside", "header", "footer", "nav", "blockquote", "pre", "br",
+    "hr", "form", "main", "figure", "figcaption", "dl", "dt", "dd",
+)
+
+_BLOCK_SPLIT = r"(?i)</?(?:" + "|".join(BLOCK_TAGS) + r")\b[^>]*>"
+_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+_TAG = r"(?s)<[^>]+>"
+#: explicit whitespace class — Java's \s includes \x0b, RE2's does not,
+#: so both the operator and its SQL oracle spell the class out (same
+#: lesson as the repetition-metrics oracle, SURVEY §8.7).
+_WS = r"[ \t\n\f\r\x0b]"
+_WORD = r"[^ \t\n\f\r\x0b]+"
+
+#: Same 8-word list as the Gopher gate — one stopword vocabulary across
+#: the package (operators/gopher.py:GOPHER_STOPWORDS).
+_STOP_PAT = r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
+
+
+def _clean_block(b: Column) -> Column:
+    """Tag-strip + entity-decode + whitespace-collapse one raw block
+    (script/style were removed page-wide before segmentation)."""
+    out = F.regexp_replace(b, _TAG, " ")
+    for entity, repl in _HTML_ENTITIES:
+        out = F.regexp_replace(out, entity, repl)
+    return F.trim(F.regexp_replace(out, _WS + "+", " "))
+
+
+def _word_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(_WORD), 0))
+
+
+def page_blocks(html: Column) -> Column:
+    """``array<struct<text,words,anchor_words,stop_words>>`` of scored
+    block segments for one page (empty segments score words=0)."""
+    pre = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    pre = F.regexp_replace(pre, r"(?is)<style[^>]*>.*?</style>", " ")
+    pre = F.regexp_replace(pre, r"(?s)<!--.*?-->", " ")
+    raw = F.split(pre, _BLOCK_SPLIT)
+    # two-stage transform: anchors need the RAW block (tags intact),
+    # words/stopwords need the CLEANED text — compute each once.
+    staged = F.transform(
+        raw,
+        lambda b: F.struct(
+            _clean_block(b).alias("text"),
+            _word_count(
+                F.regexp_replace(
+                    F.array_join(
+                        F.regexp_extract_all(b, F.lit(_ANCHOR), 1), " "
+                    ),
+                    _TAG,
+                    " ",
+                )
+            ).alias("anchor_words"),
+        ),
+    )
+    return F.transform(
+        staged,
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            _word_count(s["text"]).alias("words"),
+            s["anchor_words"].alias("anchor_words"),
+            F.size(
+                F.regexp_extract_all(F.lower(s["text"]), F.lit(_STOP_PAT), 0)
+            ).alias("stop_words"),
+        ),
+    )
+
+
+def main_text_column(
+    html: Column,
+    *,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+    min_stopword_frac: float = 0.0,
+) -> Column:
+    """The extracted main text of one HTML page, as a Column (kept
+    blocks joined with ``\\n``).  See module docstring for the rule."""
+    kept = F.filter(
+        page_blocks(html),
+        lambda s: (s["words"] >= F.lit(min_words))
+        & (
+            s["anchor_words"].cast("double")
+            <= F.lit(float(max_link_density)) * s["words"].cast("double")
+        )
+        & (
+            s["stop_words"].cast("double")
+            >= F.lit(float(min_stopword_frac)) * s["words"].cast("double")
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+
+
+def extract_main_text(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    *,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+    min_stopword_frac: float = 0.0,
+    out_col: str = "main_text",
+    keep_columns: Optional[list] = None,
+) -> DataFrame:
+    """Main-content extraction over a page frame.
+
+    Returns ``id_col`` (+ ``keep_columns``), the extracted ``out_col``,
+    and per-page block accounting:
+
+    * ``n_blocks`` — segments with at least one word,
+    * ``n_kept``   — segments classified as content,
+    * ``main_words`` — word count of the extracted text.
+
+    Zero-shuffle map stage; compose upstream of the C4/Gopher gates in
+    a WARC pipeline (``sources/warc.py`` reads, this extracts, the
+    gates filter).
+    """
+    blocks = page_blocks(F.col(html_col))
+    kept = F.filter(
+        blocks,
+        lambda s: (s["words"] >= F.lit(min_words))
+        & (
+            s["anchor_words"].cast("double")
+            <= F.lit(float(max_link_density)) * s["words"].cast("double")
+        )
+        & (
+            s["stop_words"].cast("double")
+            >= F.lit(float(min_stopword_frac)) * s["words"].cast("double")
+        ),
+    )
+    main = F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+    cols = [id_col] + list(keep_columns or [])
+    return df.select(
+        *cols,
+        main.alias(out_col),
+        F.size(F.filter(blocks, lambda s: s["words"] >= 1))
+        .cast("long")
+        .alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        _word_count(main).cast("long").alias("main_words"),
+    )
