@@ -4382,6 +4382,96 @@ FROM fin
 """
 
 
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents wrapped as pages with deterministic outlinks: two
+    identical content links (multiplicity!) to ``www.site{id%7}
+    .example.com`` with tracking + unsorted params, one single-quoted
+    uppercase-HREF link to ``cdn{id%3}.example.net:8080``, plus the doc
+    text as noise.  The oracle predicts the resulting edges in closed
+    form from the same id arithmetic — an independent derivation that
+    pins extraction + canonicalization end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    site = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&b=2&a=1"),
+    )
+    cdn = F.concat(
+        F.lit("http://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.net:8080/asset.js"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'), site, F.lit('">x</a><p>'),
+        F.col("text"),
+        F.lit('</p><A HREF="'), site, F.lit('">again</A>'),
+        F.lit("<a href='"), cdn, F.lit("'>z</a></body></html>"),
+    )
+    src = F.concat(
+        F.lit("host"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org"),
+    )
+    return docs.select(
+        "doc_id", src.alias("src_host"), html.alias("html")
+    )
+
+
+def q_outlinks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized outlink extraction (`operators/weblinks.py`): one
+    row per (page, href target), targets normalized with canonical_url
+    (scheme/fragment dropped, www. and tracking params stripped,
+    surviving query params sorted, non-default port kept).  Zero
+    shuffle — scan-side regexp + explode."""
+    from hermes_spark.operators import extract_outlinks
+
+    pages = _linked_pages(spark, sf_dir)
+    return extract_outlinks(pages, "doc_id", "html").select(
+        "doc_id", "target"
+    )
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web graph (`operators/weblinks.py`): outlinks
+    canonicalized, reduced to (src_host, dst_host, n_links) with
+    parallel edges weighted — ONE map-side-combined groupBy; feeds
+    pagerank/degree_stats."""
+    from hermes_spark.operators import host_link_graph
+
+    pages = _linked_pages(spark, sf_dir)
+    return host_link_graph(pages, "src_host", "html")
+
+
+_SQL_OUTLINKS_DOCS = """
+WITH site AS (
+  SELECT doc_id,
+         'site' || (doc_id % 7)::VARCHAR || '.example.com/page/'
+           || doc_id::VARCHAR || '?a=1&b=2' AS target
+  FROM documents
+)
+SELECT doc_id, target FROM site
+UNION ALL
+SELECT doc_id, target FROM site
+UNION ALL
+SELECT doc_id,
+       'cdn' || (doc_id % 3)::VARCHAR || '.example.net:8080/asset.js'
+FROM documents
+"""
+
+_SQL_HOST_LINK_GRAPH = """
+WITH l AS (
+  SELECT 'host' || (doc_id % 5)::VARCHAR || '.example.org' AS src_host,
+         'site' || (doc_id % 7)::VARCHAR || '.example.com' AS dst_host,
+         2 AS n
+  FROM documents
+  UNION ALL
+  SELECT 'host' || (doc_id % 5)::VARCHAR || '.example.org',
+         'cdn' || (doc_id % 3)::VARCHAR || '.example.net:8080', 1
+  FROM documents
+)
+SELECT src_host, dst_host, sum(n)::BIGINT AS n_links
+FROM l GROUP BY src_host, dst_host
+"""
+
+
 _SQL_EMBED_DIM_PROFILE = """
 WITH e AS (
   SELECT unnest(embedding) AS xf, unnest(range(0, len(embedding))) AS pos
@@ -5863,6 +5953,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "strip_html_docs": q_strip_html_docs,
         "main_content_docs": q_main_content_docs,
+        "outlinks_docs": q_outlinks_docs,
+        "host_link_graph": q_host_link_graph,
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mad_outliers": q_events_mad_outliers,
         "events_distinct_users": q_events_distinct_users,
@@ -7054,6 +7146,8 @@ FROM events GROUP BY 1
         "lang_confusion": _sql_lang_confusion(),
         "strip_html_docs": _sql_strip_html(),
         "main_content_docs": _sql_main_content(),
+        "outlinks_docs": _SQL_OUTLINKS_DOCS,
+        "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "weighted_sample_docs": _sql_weighted_sample(),
         "events_mad_outliers": _sql_events_mad_outliers(),
         "events_distinct_users": _SQL_EVENTS_DISTINCT_USERS,
