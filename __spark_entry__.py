@@ -573,6 +573,49 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot exact dedup (`operators/dedup.py:
+    exact_dedup_incremental`): the even-id half of the dup-planted
+    corpus stands in for the previously-accepted snapshot (persisted
+    as a distinct-fingerprint store), the odd-id half is the new
+    batch.  In-batch winners follow exact_dedup (min id), then
+    store-known fingerprints drop out.  One window exchange + one
+    fingerprint-only anti-join."""
+    from hermes_spark.operators import exact_dedup_incremental, fingerprint_store
+
+    docs = _docs_with_dups(spark, sf_dir)
+    store = fingerprint_store(
+        docs.filter(F.col("doc_id") % 2 == 0), text_col="text"
+    )
+    out = exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id",
+        text_col="text", store=store,
+    )
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        "fingerprint",
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    return f"""
+WITH docs2 AS ({_DOCS_WITH_DUPS_SQL}),
+fp AS (SELECT *, {_NORM_FP_SQL} AS __fp FROM docs2),
+store AS (SELECT DISTINCT __fp FROM fp WHERE doc_id % 2 = 0),
+newb AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+keep AS (
+  SELECT __fp, min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM newb GROUP BY __fp
+)
+SELECT n.doc_id, n.lang, n.source, k.dup_count::BIGINT AS dup_count,
+       n.__fp AS fingerprint
+FROM newb n
+JOIN keep k ON n.__fp = k.__fp AND n.doc_id = k.doc_id
+WHERE n.__fp NOT IN (SELECT __fp FROM store)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir)
     out = duplicate_clusters(docs, "doc_id", "text")
@@ -6078,6 +6121,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "token_chunks": q_token_chunks,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_incremental_docs": q_dedup_incremental_docs,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "source_overlap": q_source_overlap,
         "length_curriculum": q_length_curriculum,
@@ -7082,6 +7126,7 @@ SELECT (props::JSON ->> 'k')::BIGINT AS k, count(*)::BIGINT AS n_events
 FROM events GROUP BY 1
 """,
         "dedup_exact_docs": _sql_dedup_exact(),
+        "dedup_incremental_docs": _sql_dedup_incremental(),
         "dedup_clusters": _sql_dedup_clusters(),
         "minhash_lsh_pairs": _sql_minhash(),
         "ngram_jaccard_pairs": _sql_ngram_jaccard(),

@@ -70,12 +70,7 @@ def exact_dedup(
     "keep the best copy, not the first copy" policy curation pipelines
     want when duplicates differ in metadata quality.
     """
-    if text_col is not None:
-        key = doc_fingerprint(F.col(text_col))
-    elif subset:
-        key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in subset]))
-    else:
-        key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]))
+    key = _dedup_key(df, text_col, subset)
 
     # Single hash-partitioned window over the fingerprint: one shuffle,
     # no re-join of the (potentially wide) payload columns.  At 100 TB the
@@ -103,6 +98,95 @@ def exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__q", "__rn")
     )
+
+
+def _dedup_key(df: DataFrame, text_col, subset) -> Column:
+    """The exact-dup group key shared by the batch and incremental
+    paths: normalized-text fingerprint, subset md5, or whole-row md5."""
+    if text_col is not None:
+        return doc_fingerprint(F.col(text_col))
+    if subset:
+        return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in subset]))
+    return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]))
+
+
+def fingerprint_store(
+    df: DataFrame,
+    text_col: Optional[str] = None,
+    subset: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Distinct exact-dup fingerprints of a corpus — the persisted
+    state of :func:`exact_dedup_incremental`.  One column
+    (``fingerprint``), one distinct shuffle; at 100 TB this is the
+    compact artifact (16 bytes/distinct doc) each snapshot run writes
+    and the next run reads."""
+    return df.select(
+        _dedup_key(df, text_col, subset).alias("fingerprint")
+    ).distinct()
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: Optional[str] = None,
+    subset: Optional[Sequence[str]] = None,
+    store: Optional[DataFrame] = None,
+    keep_by: Optional[Column] = None,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against itself AND a prior
+    fingerprint store — the snapshot-over-snapshot dedup every rolling
+    crawl/corpus build needs (CommonCrawl monthly snapshots repeat
+    ~50-70% of their URLs' content; re-deduping the union from scratch
+    each month is quadratic waste).
+
+    Semantics: in-batch winners follow :func:`exact_dedup` exactly
+    (min-id, or max-``keep_by`` ties-to-min-id), then any winner whose
+    fingerprint is already in ``store`` (a ``fingerprint`` column —
+    see :func:`fingerprint_store`) is dropped.  Returns the surviving
+    rows (original schema + ``dup_count`` within the batch +
+    ``fingerprint``); append the survivors' fingerprints to the store
+    for the next batch::
+
+        out = exact_dedup_incremental(batch, "id", "text", store=store)
+        new_store = store.unionByName(out.select("fingerprint")).distinct()
+
+    Dataflow: the same single fingerprint-keyed window exchange as
+    ``exact_dedup``, plus ONE left-anti join against the store (hash
+    key, no payload on the store side).  The store side ships 16-byte
+    fingerprints only; for heavily-skewed rescans, wrap the anti-join
+    with ``bloom_prefilter_join`` (operators/sketch.py) to prefilter
+    scan-side.
+
+    The near-dup counterpart (MinHash signature store, shared with the
+    streaming path) is :func:`dedup_against`; run this exact pass
+    first — it is an order of magnitude cheaper per byte.
+    """
+    from pyspark.sql.window import Window
+
+    batch = new_df.withColumn("__fp", _dedup_key(new_df, text_col, subset))
+    w = Window.partitionBy("__fp")
+    if keep_by is None:
+        winners = (
+            batch.withColumn("__min_id", F.min(id_col).over(w))
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .filter(F.col(id_col) == F.col("__min_id"))
+            .drop("__min_id")
+        )
+    else:
+        wo = w.orderBy(F.desc("__q"), F.asc(id_col))
+        winners = (
+            batch.withColumn("__q", keep_by)
+            .withColumn("__rn", F.row_number().over(wo))
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__q", "__rn")
+        )
+    if store is not None:
+        seen = store.select(F.col("fingerprint").alias("__seen_fp"))
+        winners = winners.join(
+            seen, winners["__fp"] == seen["__seen_fp"], "left_anti"
+        )
+    return winners.withColumnRenamed("__fp", "fingerprint")
 
 
 def duplicate_clusters(

@@ -571,3 +571,57 @@ def test_minhash_rejects_unknown_engine(spark, documents):
         minhash_lsh_pairs(
             documents, "doc_id", "text", pair_engine="nope"
         )
+
+
+def test_exact_dedup_incremental(spark):
+    from hermes_spark.operators import exact_dedup_incremental, fingerprint_store
+
+    # snapshot 1: docs 1 + 5 accepted
+    snap1 = docs(spark).filter(F.col("doc_id").isin(1, 5))
+    store = fingerprint_store(snap1, text_col="text")
+    # snapshot 2: 2/3 normalize to snap1's doc 1 (store knockout),
+    # 4 is new; in-batch the batch has no exact dups
+    batch = docs(spark).filter(F.col("doc_id").isin(2, 3, 4))
+    out = exact_dedup_incremental(batch, "doc_id", text_col="text", store=store)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {4}
+    assert rows[4]["dup_count"] == 1
+    assert "fingerprint" in out.columns
+
+    # store round-trip: appending survivors makes a rerun emit nothing
+    store2 = store.unionByName(out.select("fingerprint")).distinct()
+    again = exact_dedup_incremental(batch, "doc_id", text_col="text", store=store2)
+    assert again.count() == 0
+
+
+def test_exact_dedup_incremental_in_batch_and_keep_by(spark):
+    from hermes_spark.operators import exact_dedup_incremental
+
+    # no store: behaves like exact_dedup (min id, in-batch counts)
+    out = exact_dedup_incremental(docs(spark), "doc_id", text_col="text")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows == {1: 3, 4: 1, 5: 1}
+    # keep_by: highest doc_id wins its group instead
+    best = exact_dedup_incremental(
+        docs(spark), "doc_id", text_col="text", keep_by=F.col("doc_id")
+    )
+    assert {r["doc_id"] for r in best.collect()} == {3, 4, 5}
+
+
+def test_exact_dedup_incremental_matches_batch_union(spark):
+    """Incremental over two snapshots keeps exactly the union-batch
+    winners that landed in snapshot order (store-first wins)."""
+    from hermes_spark.operators import exact_dedup_incremental, fingerprint_store
+
+    all_docs = docs(spark)
+    snap1 = all_docs.filter(F.col("doc_id") <= 2)
+    snap2 = all_docs.filter(F.col("doc_id") > 2)
+    store = fingerprint_store(snap1, text_col="text")
+    survivors2 = exact_dedup_incremental(
+        snap2, "doc_id", text_col="text", store=store
+    )
+    union_winners = exact_dedup(all_docs, "doc_id", text_col="text")
+    # every incremental survivor's fingerprint group also surfaces a
+    # winner in the from-scratch union dedup
+    assert {r["doc_id"] for r in survivors2.collect()} == {4, 5}
+    assert {r["doc_id"] for r in union_winners.collect()} == {1, 4, 5}
