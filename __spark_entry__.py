@@ -7025,10 +7025,17 @@ GROUP BY p_brand
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r8 window (tools/rotate_window.py): bpe_encode_stats needs its
-    # first green row; then the stalest-verified greens (r5-era
-    # families: compare modes, TPC-H long tail, tfidf/lm text ops).
-    "bpe_encode_stats", "ngram_novelty", "quality_classifier",
+    # r8 window (tools/rotate_window.py): the four round-8
+    # registrations + bpe_encode_stats need their first green driver
+    # row; then the stalest-verified greens (r5-era families: compare
+    # modes, TPC-H long tail, tfidf/lm text ops).  The five tail
+    # entries this pushed below the fold (vocab_top_terms,
+    # bigram_logprob, text_hash_buckets, blocking_pairs, text_stats)
+    # ride the saturation excuse: values-checked in the current
+    # LOCAL_CHECK.json recording.
+    "main_content_docs", "outlinks_docs", "host_link_graph",
+    "dedup_incremental_docs", "bpe_encode_stats",
+    "ngram_novelty", "quality_classifier",
     "random_projection", "dsir_weights", "temperature_mix",
     "semantic_decontaminate", "duplicate_spans", "span_dedup_stats",
     "hard_negatives", "funnel_counts", "cohort_retention",
@@ -7043,8 +7050,7 @@ _WINDOW_ORDER = [
     "q18_large_orders", "q14_promo_share", "customer_running_totals",
     "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
     "lang_id", "tfidf_topk_terms", "unigram_logprob",
-    "vocab_top_terms", "bigram_logprob", "text_hash_buckets",
-    "blocking_pairs", "text_stats",
+    "bigram_logprob",
 ]
 
 

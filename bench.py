@@ -177,6 +177,13 @@ BENCH_QUERIES = {
     "join_size_cms": lambda s, d: _materialize(entry.q_join_size_cms(s, d)),
     "gopher_repetition": lambda s, d: _materialize(entry.q_gopher_repetition(s, d)),
     "dedup_keep_best": lambda s, d: _materialize(entry.q_dedup_keep_best(s, d)),
+    # round 8: crawl-ingestion front of the funnel (block-level
+    # main-content extraction, web-graph edges) + incremental dedup
+    "main_content_docs": lambda s, d: _materialize(entry.q_main_content_docs(s, d)),
+    "host_link_graph": lambda s, d: _materialize(entry.q_host_link_graph(s, d)),
+    "dedup_incremental_docs": lambda s, d: _materialize(
+        entry.q_dedup_incremental_docs(s, d)
+    ),
 }
 
 # Output-bound section (round-6 bench hygiene): queries whose wall time

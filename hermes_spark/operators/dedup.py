@@ -231,6 +231,14 @@ def minhash_lsh_pairs(
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
 
+    # large-but-narrow inputs (AQE-coalesced intermediate writes: few
+    # single-row-group files) starve the CPU-bound shingle/hash scan —
+    # measured 6.9x on the 5M-doc funnel (BASELINE.md round 8).  The
+    # guard engages only on provably-narrow >=256MB file inputs.
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
+
     # two-step projection: base hashes land in their own column so the
     # md5-per-shingle work runs exactly once per document (Catalyst's
     # CollapseProject keeps projections separate when an alias is
@@ -493,10 +501,15 @@ def _grouped_bucket_pairs_arrow(
     the O(k²) intra-bucket work runs as numpy integer comparisons
     (~ns/pair) instead of interpreted ``zip_with`` lambdas over the
     signature (~310 ns/element × num_hashes per pair; see BASELINE.md
-    "Gopher repetition" for the interpreter measurement).  On Zipf-head
-    corpora where moderate (sub-cap) buckets dominate pair volume, this
-    is the difference between pair generation being 82% of a curation
-    funnel's wall and it being noise (measured, BASELINE.md §funnel).
+    "Gopher repetition" for the interpreter measurement).  Honest
+    scoreboard (BASELINE.md round 8): on the funnel corpus the two
+    engines TIE — its banded buckets imply only ~204M candidate pairs
+    at 5M docs, so the stage is signature-scan-bound and the r7
+    "superlinear pair generation" wall was actually input-layout
+    starvation (fixed by ``plans.rebalance_for_cpu`` below).  The
+    kernel is kept as insurance for genuinely pair-dense corpora
+    (boilerplate mega-clusters under a high cap), where per-pair cost
+    does dominate.
 
     ``min_est`` pushes the caller's own est_jaccard threshold into the
     kernel (with a 1e-6 margin so 6-dp rounding can never flip a

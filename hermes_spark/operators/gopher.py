@@ -309,6 +309,13 @@ def gopher_repetition_flags(
     fields += [StructField(f"__top{n}", LongType()) for n in top_ns]
     fields += [StructField(f"__dup{n}", LongType()) for n in dup_ns]
     schema = StructType(fields)
+    # large-but-narrow inputs (AQE-coalesced intermediate writes)
+    # starve this CPU-bound kernel — stats-gated widen, no-op on test
+    # frames and wide scans (the zero-shuffle plan contract holds for
+    # every well-partitioned input; see plans.rebalance_for_cpu)
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
 
     def stats(batches):

@@ -9,6 +9,7 @@ the 100 TB posture fails CI instead of a production run.
 
 from hermes_spark.plans.inspect import (
     input_size_bytes,
+    rebalance_for_cpu,
     suggest_shuffle_partitions,
     count_exchanges,
     explain_formatted,
@@ -20,6 +21,7 @@ from hermes_spark.plans.inspect import (
 
 __all__ = [
     "input_size_bytes",
+    "rebalance_for_cpu",
     "suggest_shuffle_partitions",
     "count_exchanges",
     "explain_formatted",

@@ -91,6 +91,54 @@ def input_size_bytes(df: DataFrame) -> int:
     return total
 
 
+def rebalance_for_cpu(
+    df: DataFrame,
+    *,
+    min_bytes: int = 256 * 1024 * 1024,
+    factor: int = 2,
+) -> DataFrame:
+    """Widen a large-but-narrow input ahead of a CPU-bound per-row
+    stage (shingling, signature hashing, Arrow kernels).
+
+    Text stages burn ~100x more CPU per byte than a columnar scan, and
+    an AQE-coalesced intermediate write (a window or join output lands
+    as a few large parquet files, each ONE row group) cannot be split
+    back up by ``maxPartitionBytes`` — byte-range splits below
+    row-group granularity produce empty tasks, so the effective scan
+    parallelism is the FILE count.  Measured on the 5M-doc curation
+    funnel (BASELINE.md round 8): the MinHash stage read 3,322 s from
+    an AQE-coalesced exact-dedup output vs 482 s from the same rows
+    written 128 files wide — 6.9x, two rounds in a row, misattributed
+    to pair volume until decomposed.
+
+    Engages ONLY when the input is big enough to matter AND its
+    effective scan parallelism (min of planned partitions and input
+    file count — a single-row-group file is ONE task no matter how
+    it's split) is under ``factor``x the session's core count: coarse
+    tasks can't load-balance, so even 45 tasks on 32 cores ran the
+    measured 1.9x slower than 128 (wave quantization + size skew).
+    In-memory test frames (no input files) and wide production scans
+    pass through untouched, so zero-shuffle plan contracts stay
+    intact; when it does engage, one round-robin exchange of the
+    projected columns buys every core back.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        cores = sc.defaultParallelism
+        files = df.inputFiles()
+        if not files:
+            return df
+        parallelism = min(df.rdd.getNumPartitions(), len(files))
+        if parallelism >= cores * factor:
+            return df
+        if input_size_bytes(df) < min_bytes:
+            return df
+    except Exception:
+        # stats unavailable (exotic source/plan): never block the query
+        return df
+    return df.repartition(cores * factor)
+
+
 def suggest_shuffle_partitions(
     df: DataFrame,
     target_partition_bytes: int = 128 * 1024 * 1024,

@@ -349,3 +349,30 @@ def test_minhash_mega_cluster_collapse_adds_no_exchange(spark, sf_dir):
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     assert count_exchanges(pairs) <= 2, plan_operators(pairs)
     assert not any("Join" in op for op in plan_operators(pairs))
+
+
+def test_rebalance_for_cpu_no_ops(spark, sf_dir, tmp_path):
+    from hermes_spark.plans import rebalance_for_cpu
+
+    # in-memory frame: no input files -> untouched (same plan object)
+    mem = spark.createDataFrame([(1, "x")], "id int, text string")
+    assert rebalance_for_cpu(mem) is mem
+    # small file input: under min_bytes -> untouched (this is every
+    # test fixture and sf0.001/sf0.01 table in the suite)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rebalance_for_cpu(docs) is docs
+
+
+def test_rebalance_for_cpu_engages_on_narrow_large(spark, sf_dir, tmp_path):
+    from hermes_spark.plans import count_exchanges, rebalance_for_cpu
+
+    narrow_path = str(tmp_path / "narrow")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.coalesce(1).write.parquet(narrow_path)
+    narrow = spark.read.parquet(narrow_path)
+    # min_bytes lowered to simulate a large narrow input
+    out = rebalance_for_cpu(narrow, min_bytes=1)
+    cores = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == cores * 2
+    assert count_exchanges(out) >= 1  # the widening exchange is present
+    assert out.count() == narrow.count()

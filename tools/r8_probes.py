@@ -276,11 +276,57 @@ def probe_bloom_sampled_60m(spark) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_maincontent_1m(spark) -> None:
+    """extract_main_text throughput at 1M HTML-wrapped docs (round 8:
+    the crawl-ingestion stage ahead of the C4/Gopher gates)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import extract_main_text
+    from hermes_spark.synth import zipf_documents
+
+    n = int(os.environ.get("MC_DOCS", "1000000"))
+    work = "/tmp/r8_mc1m"
+    pre = (
+        '<html><head><style>p{x}</style></head><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About us</a> '
+        '<a href="/c">Contact the sales team</a></nav><h1>Doc</h1><p>'
+    )
+    post = (
+        '</p><div><a href="/p">Privacy policy</a> <a href="/t">Terms</a> '
+        '<a href="/c">Contact</a> legal</div>'
+        "<script>var x=1;</script></body></html>"
+    )
+    synth = zipf_documents(
+        spark, n, vocab_size=30_000, doc_len=80, seed=23, partitions=128
+    ).select(
+        "doc_id",
+        F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("html"),
+    )
+    synth.write.mode("overwrite").parquet(f"{work}/raw")
+    pages = spark.read.parquet(f"{work}/raw")
+    pages.count()
+    t0 = time.time()
+    out = extract_main_text(pages, "doc_id", "html")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("main_words").alias("words"),
+    ).collect()[0]
+    wall = time.time() - t0
+    out_row = {"probe": "maincontent_1m", "docs": int(agg["n"]),
+               "kept_blocks": int(agg["kept"]), "words": int(agg["words"]),
+               "wall": round(wall, 1),
+               "docs_per_s": round(agg["n"] / wall)}
+    out(out_row)
+    shutil.rmtree(work, ignore_errors=True)
+
+
 PROBES = {
     "minhash_1m": probe_minhash_1m,
     "funnel_5m": probe_funnel_5m,
     "repetition_1m": probe_repetition_1m,
     "bloom_sampled_60m": probe_bloom_sampled_60m,
+    "maincontent_1m": probe_maincontent_1m,
 }
 
 
