@@ -256,18 +256,35 @@ def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def http_response_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def http_response_text(
+    df: DataFrame, payload_col: str = "payload", extractor: str = "strip"
+) -> DataFrame:
     """Turn raw WARC ``response`` payloads (HTTP envelope + HTML body)
     into ``(status_code, http_content_type, text)`` columns — the raw-
     crawl twin of :func:`wet_text`.
 
     The HTTP envelope is split at the first blank line with pure string
     expressions (no http library), the body is UTF-8-sanitized and
-    HTML-stripped (``functions.text.strip_html``), and the result pipes
-    into the same curation gates as WET text.  Non-HTTP payloads yield
-    a null status and the whole sanitized payload as text.
+    converted to text, and the result pipes into the same curation
+    gates as WET text.  Non-HTTP payloads yield a null status and the
+    whole sanitized payload as text.
+
+    ``extractor`` picks the markup-to-text strategy:
+
+    * ``"strip"`` (default) — ``functions.text.strip_html``: the whole
+      page flattened, WET-equivalent (navigation/footer chrome stays
+      in, to be caught by downstream line/rule gates);
+    * ``"main"`` — ``operators.maincontent.main_text_column``:
+      jusText-style block classification, chrome dropped at the source
+      (the higher-precision choice for training-corpus builds).
+
+    Both are zero-shuffle scan expressions.
     """
     from ..functions.text import strip_html
+    from ..operators.maincontent import main_text_column
+
+    if extractor not in ("strip", "main"):
+        raise ValueError(f"extractor must be 'strip' or 'main', got {extractor!r}")
 
     s = F.expr(f"make_valid_utf8(CAST({payload_col} AS STRING))")
     # lenient servers emit LF-only headers (seen in real crawls): use
@@ -292,5 +309,8 @@ def http_response_text(df: DataFrame, payload_col: str = "payload") -> DataFrame
             "http_content_type",
             F.when(ctype != "", F.trim(ctype)),
         )
-        .withColumn("text", strip_html(body))
+        .withColumn(
+            "text",
+            strip_html(body) if extractor == "strip" else main_text_column(body),
+        )
     )

@@ -287,3 +287,34 @@ def test_shard_size_guard_on_real_read(spark, tmp_path):
     p.write_bytes(gzip.compress(SHARD))
     assert read_warc(spark, str(tmp_path)).count() > 0          # guard on
     assert read_warc(spark, str(tmp_path), check_sizes=False).count() > 0
+
+
+def test_http_response_text_main_extractor(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"\r\n"
+        b'<html><body><nav><a href="/">Home</a> <a href="/a">About us</a> '
+        b'<a href="/c">Contact the sales team</a></nav>'
+        b"<p>The real article body has plenty of words and it reads like "
+        b"prose that a curation pipeline wants to keep.</p>"
+        b'<footer><a href="/p">Privacy policy</a> <a href="/t">Terms</a> '
+        b"<a>Contact</a> chrome</footer></body></html>"
+    )
+    shard = _record("response", "http://page.example/", http)
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(shard))
+    pages = read_warc(spark, str(tmp_path), types=("response",))
+    main = http_response_text(pages, extractor="main").collect()[0]
+    strip = http_response_text(pages, extractor="strip").collect()[0]
+    # main extraction drops the nav/footer chrome, strip keeps it
+    assert main["text"].startswith("The real article body")
+    assert "Home" not in main["text"] and "Privacy" not in main["text"]
+    assert "Home" in strip["text"] and "Privacy policy" in strip["text"]
+    assert main["status_code"] == 200
+
+    import pytest
+
+    with pytest.raises(ValueError, match="extractor"):
+        http_response_text(pages, extractor="nope")

@@ -306,18 +306,17 @@ def probe_maincontent_1m(spark) -> None:
     pages = spark.read.parquet(f"{work}/raw")
     pages.count()
     t0 = time.time()
-    out = extract_main_text(pages, "doc_id", "html")
-    agg = out.agg(
+    extracted = extract_main_text(pages, "doc_id", "html")
+    agg = extracted.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_kept").alias("kept"),
         F.sum("main_words").alias("words"),
     ).collect()[0]
     wall = time.time() - t0
-    out_row = {"probe": "maincontent_1m", "docs": int(agg["n"]),
-               "kept_blocks": int(agg["kept"]), "words": int(agg["words"]),
-               "wall": round(wall, 1),
-               "docs_per_s": round(agg["n"] / wall)}
-    out(out_row)
+    out({"probe": "maincontent_1m", "docs": int(agg["n"]),
+         "kept_blocks": int(agg["kept"]), "words": int(agg["words"]),
+         "wall": round(wall, 1),
+         "docs_per_s": round(agg["n"] / wall)})
     shutil.rmtree(work, ignore_errors=True)
 
 
