@@ -35,8 +35,10 @@ Scale design (100 TB target corpus, bounded model):
   with training data (bounded by min(tokens, (V+1)^2) distinct pairs);
   scoring joins it on ``(prev, cur)``, broadcast when it fits
   (``broadcast_model=True``), hash-join otherwise.
-* Per-frame work: one token-order shuffle on the doc key (the ``lag``
-  window), map-side-combined count aggregations, one final per-doc
+* Per-frame work: bigram adjacency is built scan-side from the token
+  array (``zip_with`` of the array and its shift — no token-stream
+  window shuffle; round 8 removed the old posexplode→lag exchange),
+  then map-side-combined count aggregations and one final per-doc
   aggregation. No driver-side collection anywhere.
 * ``perplexity_ntile`` ranks with a GLOBAL window — exact and
   engine-stable, but single-partition in the ranking stage: use it for
@@ -83,28 +85,56 @@ class NgramLM:
     n_vocab: int
 
 
-def _mapped_tokens(df: DataFrame, id_col: str, text_col: str,
-                   vocab: DataFrame) -> DataFrame:
-    """Ordered per-doc tokens with out-of-vocab terms collapsed to
-    ``<unk>`` — vocab join is always a broadcast."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
-    ).filter(F.col("term") != "")
-    v = F.broadcast(vocab.select("term", F.lit(True).alias("__in_v")))
-    return toks.join(v, on="term", how="left").select(
-        "doc_id",
-        "pos",
-        F.when(F.col("__in_v"), F.col("term")).otherwise(F.lit(UNK)).alias("term"),
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str,
+                 vocab: DataFrame) -> DataFrame:
+    """``(doc_id, prev, cur)`` bigram rows with out-of-vocab terms
+    collapsed to ``<unk>``.
+
+    Adjacency is built SCAN-SIDE from the token array (``zip_with``
+    over the array and its shift — ``slice(1..n-1)`` paired with
+    ``slice(2..n)``), so no window shuffle of the exploded token
+    stream ever happens: the original posexplode→lag formulation
+    exchanged and sorted every token (~160 rows/doc) once per action,
+    which at 5M docs was an ~800M-row exchange repeated by each
+    consumer action (quantile, count, write).  The vocab collapse then
+    joins the exploded PAIRS against the broadcast vocab once per side.
+    Bigram multiset, counts, and the int64-quantized per-doc sums are
+    identical — order was only ever needed to find neighbors.
+    """
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != ""
     )
-
-
-def _doc_bigrams(mapped: DataFrame) -> DataFrame:
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+    )
+    bg = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select(
+        "doc_id",
+        F.col("bg.p").alias("prev_raw"),
+        F.col("bg.c").alias("cur_raw"),
+    )
+    vp = F.broadcast(
+        vocab.select(F.col("term").alias("prev_raw"), F.lit(True).alias("__pv"))
+    )
+    vc = F.broadcast(
+        vocab.select(F.col("term").alias("cur_raw"), F.lit(True).alias("__cv"))
+    )
     return (
-        mapped.withColumn("prev", F.lag("term").over(w))
-        .filter(F.col("prev").isNotNull())
-        .select("doc_id", "prev", F.col("term").alias("cur"))
+        bg.join(vp, on="prev_raw", how="left")
+        .join(vc, on="cur_raw", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("__pv"), F.col("prev_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("prev"),
+            F.when(F.col("__cv"), F.col("cur_raw"))
+            .otherwise(F.lit(UNK))
+            .alias("cur"),
+        )
     )
 
 
@@ -120,6 +150,9 @@ def lm_train(
     with OOV collapsed) — cache the input upstream if it is expensive
     to rescan. Vocab ties break on term asc, so the model is fully
     deterministic."""
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
     raw = df.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
@@ -131,7 +164,7 @@ def lm_train(
         .select("term")
     )
     n_vocab = vocab.count()
-    bg = _doc_bigrams(_mapped_tokens(df, id_col, text_col, vocab))
+    bg = _doc_bigrams(df, id_col, text_col, vocab)
     bigram_counts = bg.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -159,8 +192,13 @@ def lm_score(
     ``exp``. Docs with fewer than two tokens have no bigrams and are
     omitted. ``k_num/k_den`` is the add-k smoothing constant as an
     exact integer fraction (default 1/2, Jeffreys)."""
+    # tokenize+explode runs in the SAME stage as the input scan, so an
+    # AQE-coalesced narrow input starves it (see plans.rebalance_for_cpu)
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
     types = lm.n_vocab + 1  # vocab plus <unk>
-    bg = _doc_bigrams(_mapped_tokens(df, id_col, text_col, lm.vocab))
+    bg = _doc_bigrams(df, id_col, text_col, lm.vocab)
     bc = lm.bigram_counts
     if broadcast_model:
         bc = F.broadcast(bc)

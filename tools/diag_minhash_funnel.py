@@ -218,8 +218,34 @@ def probe_layout(spark) -> None:
              "pairs": n_pairs, "minhash_wall": round(time.time() - t0, 1)})
 
 
+def probe_lm_layout(spark) -> None:
+    """The funnel's LM-filter stage from a narrow (45-file,
+    AQE-coalesced-shaped) vs wide (128-file) input — validates the
+    rebalance_for_cpu guard on lm_train/lm_score (round 8)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import lm_score, lm_train
+
+    n = int(os.environ.get("STAGE_DOCS", "5000000"))
+    docs = corpus(spark, n)
+    work = f"/tmp/diag_minhash_{n}"
+    docs.coalesce(45).write.mode("overwrite").parquet(f"{work}/narrow45")
+    docs.repartition(128).write.mode("overwrite").parquet(f"{work}/wide128")
+    for variant in ("narrow45", "wide128"):
+        d = spark.read.parquet(f"{work}/{variant}")
+        d.count()
+        t0 = time.time()
+        lm = lm_train(d.filter(F.col("doc_id") % 10 == 0), vocab_size=20_000)
+        scored = lm_score(d, lm, broadcast_model=True)
+        cut = scored.approxQuantile("avg_logprob", [0.2], 0.01)[0]
+        kept = scored.filter(F.col("avg_logprob") >= cut).count()
+        out({"probe": "lm_layout", "variant": variant, "docs": n,
+             "kept": kept, "wall": round(time.time() - t0, 1)})
+
+
 PROBES = {"hist": probe_hist, "stages": probe_stages,
-          "replica": probe_replica, "layout": probe_layout}
+          "replica": probe_replica, "layout": probe_layout,
+          "lm_layout": probe_lm_layout}
 
 
 def main() -> int:
