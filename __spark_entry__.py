@@ -7025,32 +7025,33 @@ GROUP BY p_brand
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r8 window (tools/rotate_window.py): the four round-8
-    # registrations + bpe_encode_stats need their first green driver
-    # row; then the stalest-verified greens (r5-era families: compare
-    # modes, TPC-H long tail, tfidf/lm text ops).  The five tail
-    # entries this pushed below the fold (vocab_top_terms,
-    # bigram_logprob, text_hash_buckets, blocking_pairs, text_stats)
-    # ride the saturation excuse: values-checked in the current
-    # LOCAL_CHECK.json recording.
-    "main_content_docs", "outlinks_docs", "host_link_graph",
-    "dedup_incremental_docs", "bpe_encode_stats",
-    "ngram_novelty", "quality_classifier",
-    "random_projection", "dsir_weights", "temperature_mix",
-    "semantic_decontaminate", "duplicate_spans", "span_dedup_stats",
-    "hard_negatives", "funnel_counts", "cohort_retention",
-    "split_assign", "compare_diff", "compare_metrics",
-    "source_cap_docs", "quality_gate_docs", "oov_rate_docs",
-    "training_order_docs", "jaccard_pairs_exact", "events_collapsed_runs",
-    "events_psi_drift", "dup_rate_by_source", "containment_pairs",
-    "kmeans_ivf_topk", "pq_topk", "mmr_select",
-    "minhash_lsh_pairs", "dedup_duplicate_keys", "except_distinct",
-    "key_hash_md5", "sort_aligned_projection", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
-    "q18_large_orders", "q14_promo_share", "customer_running_totals",
-    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
-    "lang_id", "tfidf_topk_terms", "unigram_logprob",
-    "bigram_logprob",
+    # r9 window (tools/rotate_window.py): the 19 r5-stale queries the
+    # round-8 verdict flags (incl. four §2 parity rows: flatten_nested,
+    # except_all, compare_metrics_nokeys, compare_cherry_pick) front-
+    # loaded, then the next-stalest greens (sketch/events families,
+    # TPC-H long tail).  All 168 registered queries hold a green driver
+    # row; the below-fold overflow rides the saturation excuse with a
+    # values-checked LOCAL_CHECK.json recording at the current round —
+    # and tools/rotate_window.py now gates that the excused set is
+    # disjoint round-over-round.
+    "vocab_top_terms", "text_hash_buckets", "blocking_pairs",
+    "text_stats", "ann_cosine_topk", "ann_cosine_topk_vec",
+    "ivf_assign", "embedding_near_dup", "ivf_topk",
+    "flatten_nested", "near_dup_components", "except_all",
+    "compare_metrics_nokeys", "compare_cherry_pick",
+    "near_dup_components_star", "q6_forecast_revenue",
+    "topk_orders_per_customer", "docs_quality_filter",
+    "curation_pipeline", "hll_distinct_orders", "kmv_flag_overlap",
+    "events_value_quantiles", "simhash_near_dups", "events_hourly_rollup",
+    "events_json_extract", "sessionize_events", "windowed_rollup",
+    "events_sliding_rollup", "events_cube", "events_pivot",
+    "user_session_stats", "asof_join_rates", "events_quantiles",
+    "gapfill_rollup", "range_join_windows", "stratified_sample",
+    "scrub_pii", "repetition_ratio", "strip_boilerplate",
+    "events_user_skew", "events_profile", "q2_min_cost_supplier",
+    "q4_priority_exists", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_late_shipments",
+    "q13_order_distribution", "q15_top_supplier",
 ]
 
 

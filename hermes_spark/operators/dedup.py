@@ -163,6 +163,14 @@ def exact_dedup_incremental(
     """
     from pyspark.sql.window import Window
 
+    # output columns are part of the contract — an input batch that
+    # already carries them would be silently shadowed (r8 advisory)
+    clash = {"fingerprint", "dup_count", "__fp"} & set(new_df.columns)
+    if clash:
+        raise ValueError(
+            "exact_dedup_incremental writes reserved columns "
+            f"{sorted(clash)} — rename them on the input batch first"
+        )
     batch = new_df.withColumn("__fp", _dedup_key(new_df, text_col, subset))
     w = Window.partitionBy("__fp")
     if keep_by is None:
@@ -203,6 +211,89 @@ def duplicate_clusters(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    portable: bool = True,
+    seed: int = 42,
+    sig_engine: str = "arrow",
+) -> DataFrame:
+    """``(__id, __sig array<bigint>)`` MinHash signatures — the shared
+    front half of every MinHash consumer (LSH pairs, signature stores,
+    incremental dedup).
+
+    ``sig_engine="arrow"`` (default) computes shingles, base hashes and
+    permutation minima in one Arrow-batched numpy kernel
+    (``functions/sigkernel.py``); ``"expr"`` is the all-JVM Column
+    expression path.  Both are bit-identical (property-tested) — the
+    kernel exists because the round-9 decomposition showed the
+    expression path's wall is ~97% interpreted higher-order lambdas
+    (34.6 s of shingle ``transform`` + several times that in the 32
+    ``array_min`` transforms against a 1.0 s scan at 500k docs; see
+    ``tools/diag_minhash_funnel.py sigdecomp``), not hashing.
+
+    Scale: embarrassingly parallel scan stage either way, zero shuffle;
+    ``plans.rebalance_for_cpu`` upstream keeps cores fed on narrow
+    inputs.  Callers needing streaming frames use ``"expr"`` (Arrow
+    kernels are fine in streaming too, but the expression path keeps
+    the stateful plans inspectable).
+    """
+    if sig_engine == "expr":
+        # two-step projection: base hashes land in their own column so
+        # the md5/xxhash-per-shingle work runs exactly once per document
+        # (Catalyst's CollapseProject keeps projections separate when an
+        # alias is referenced many times by non-cheap expressions)
+        hashed = df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                shingles(F.col(text_col), n=shingle_n),
+                lambda s: base_hash31(s, portable=portable, seed=seed),
+            ).alias("__hs"),
+        )
+        return hashed.select(
+            "__id",
+            minhash_signature_from_hashes(
+                F.col("__hs"), num_hashes, seed=seed
+            ).alias("__sig"),
+        )
+    if sig_engine != "arrow":
+        raise ValueError(
+            f"sig_engine must be 'arrow' or 'expr', got {sig_engine!r}"
+        )
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions.sigkernel import signatures_from_arrow
+
+    out_schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType),
+            StructField("__sig", ArrayType(LongType())),
+        ]
+    )
+    narrow = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+
+    # mapInArrow, not mapInPandas: the kernel shingles ASCII rows
+    # DIRECTLY off the Arrow string buffers (no Python string / pandas
+    # materialization either way) and emits the signature ListArray
+    # from one numpy matrix — the pandas round-trip measured ~10x the
+    # kernel's own cost at 500k docs
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            sigs = signatures_from_arrow(
+                batch.column(1), shingle_n, num_hashes, portable, seed
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), sigs], ["__id", "__sig"]
+            )
+
+    return narrow.mapInArrow(kernel, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -214,6 +305,7 @@ def minhash_lsh_pairs(
     portable: bool = True,
     max_bucket_size: int = 1000,
     pair_engine: str = "arrow",
+    sig_engine: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -224,9 +316,12 @@ def minhash_lsh_pairs(
     ``pair_engine`` picks how intra-bucket pairs are generated after the
     one gather shuffle — ``"arrow"`` (default; numpy kernel, ~100×
     cheaper per pair, pushes ``min_jaccard`` into the kernel) or
-    ``"expr"`` (pure Column expressions).  Both produce bit-identical
-    results (property-tested); the expression path remains as the
-    all-JVM reference implementation.
+    ``"expr"`` (pure Column expressions).  ``sig_engine`` picks the
+    signature front half the same way (see :func:`minhash_signatures`
+    — the r9 Arrow kernel removes the interpreted shingle/permutation
+    lambdas that were ~97% of the stage wall).  All four combinations
+    produce bit-identical results (property-tested); the expression
+    paths remain as the all-JVM reference implementation.
     """
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
@@ -239,20 +334,9 @@ def minhash_lsh_pairs(
 
     df = rebalance_for_cpu(df)
 
-    # two-step projection: base hashes land in their own column so the
-    # md5-per-shingle work runs exactly once per document (Catalyst's
-    # CollapseProject keeps projections separate when an alias is
-    # referenced many times by non-cheap expressions)
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            shingles(F.col(text_col), n=shingle_n),
-            lambda s: base_hash31(s, portable=portable),
-        ).alias("__hs"),
-    )
-    sigs = hashed.select(
-        "__id",
-        minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+    sigs = minhash_signatures(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        portable=portable, sig_engine=sig_engine,
     )
 
     buckets = sigs.select(
@@ -1256,16 +1340,9 @@ def dedup_against(
     if keep_policy not in ("component", "greedy"):
         raise ValueError(f"keep_policy must be 'component' or 'greedy', got {keep_policy!r}")
     rows_per_band = num_hashes // num_bands
-    hashed = new_docs.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            shingles(F.col(text_col)),
-            lambda s: base_hash31(s, portable=portable),
-        ).alias("__hs"),
-    )
-    banded = hashed.select(
-        "__id",
-        minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+    banded = minhash_signatures(
+        new_docs, id_col, text_col, shingle_n=3, num_hashes=num_hashes,
+        portable=portable,
     ).select(
         "__id",
         "__sig",

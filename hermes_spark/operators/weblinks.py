@@ -7,26 +7,49 @@ edges, and at 100 TB the edges come straight out of the page scan —
 there is no separate "graph ETL".  This module turns a page frame into
 that edge list with pure expressions:
 
-1. ``outlinks``        — every ``href="..."`` target of a page, as an
-                         array column (document order, absolute
-                         http(s) URLs only — crawls resolve relative
-                         links against the fetch URL before this point,
-                         or simply skip them for host-graph purposes);
-2. ``host_link_graph`` — aggregated ``(src_host, dst_host, n_links)``
+1. ``outlinks``        — every visible ``href`` attribute value of a
+                         page, in true document order, all three HTML
+                         value forms (double-quoted, single-quoted,
+                         unquoted); ``<script>``/``<style>``/comment
+                         spans are stripped first so JS string literals
+                         and commented-out markup never count as links,
+                         and the attribute name is anchored so
+                         ``data-href=`` does not match;
+2. ``resolve_href``    — RFC-3986-style reference resolution as a pure
+                         expression: absolute / protocol-relative /
+                         root-relative / relative (with bounded
+                         ``../`` collapsing), non-http(s) schemes and
+                         fragment-only refs dropped;
+3. ``base_href``       — the page's ``<base href>`` target (overrides
+                         the fetch URL as the resolution base);
+4. ``host_link_graph`` — aggregated ``(src_host, dst_host, n_links)``
                          edges, link targets canonicalized with
                          ``canonical_url`` (tracking params dropped,
                          ``www.`` folded) so byte-distinct URLs of one
-                         resource don't inflate edge weights.
+                         resource don't inflate edge weights.  Relative
+                         links resolve to the page's own host (or its
+                         ``<base>``/page URL when provided), so
+                         intra-site links are counted, not dropped.
 
 Self-loops (links within ``src_host``) are kept — callers filter them
 when ranking cross-site authority; they carry real signal for
 navigation-template detection.
 
-Scale design: extraction is a zero-shuffle scan expression; the edge
-aggregation is ONE groupBy over (src_host, dst_host) with map-side
-partial aggregation, and the output is host-cardinality (millions),
-not page-cardinality (billions).  Feeds ``operators.graph.pagerank`` /
-``degree_stats`` directly.
+Scale design: extraction and resolution are zero-shuffle scan
+expressions; the edge aggregation is ONE groupBy over
+(src_host, dst_host) with map-side partial aggregation, and the output
+is host-cardinality (millions), not page-cardinality (billions).
+Feeds ``operators.graph.pagerank`` / ``degree_stats`` directly.
+
+Documented recall/precision boundaries (real crawls are adversarial):
+
+* ``../`` chains deeper than ``_DOT_LEVELS`` (4) and dot-segments
+  inside query strings are left uncollapsed — the URL is still
+  returned, just unnormalized.
+* a RELATIVE ``<base href>`` is ignored (the page URL wins); the HTML
+  spec resolves it against the fetch URL, which needs two passes.
+* hrefs synthesized by JavaScript at render time are invisible to any
+  static extractor.
 """
 
 from __future__ import annotations
@@ -36,28 +59,133 @@ from pyspark.sql import functions as F
 
 from ..functions.text import canonical_url
 
-#: href attribute with an absolute http(s) target, either quote style.
-#: Group 1/2: the URL (double-/single-quoted).  Lazy parsing of broken
-#: markup is deliberate — crawls are full of it, and a missing close
-#: quote must not swallow the rest of the page.
 #: explicit whitespace class (Java \s includes \x0b, RE2 \s does not —
-#: the oracle shares this pattern byte-for-byte)
+#: oracle re-implementations share this pattern byte-for-byte)
 _WS = r"[ \t\n\f\r\x0b]"
-_HREF = (
-    r"(?is)\bhref" + _WS + r"*=" + _WS
-    + r"""*(?:"(https?://[^"]+)"|'(https?://[^']+)')"""
+_WSC = " \t\n\f\r\x0b"
+
+#: one href attribute, matched WHOLE (group 0) so one extraction pass
+#: preserves true document order across the three value forms.  The
+#: lookbehind anchors the attribute name: ``data-href=`` / ``xhref=``
+#: do not match.  Lazy parsing of broken markup is deliberate — crawls
+#: are full of it, and a missing close quote must not swallow the rest
+#: of the page (the quoted alternatives stop at the next quote, the
+#: unquoted one at whitespace/``>``).
+_HREF_ATTR = (
+    r"(?is)(?<![\w\-])href" + _WS + "*=" + _WS
+    + r"""*(?:"[^"]*"|'[^']*'|[^"'>""" + _WSC + r"][^>" + _WSC + r"]*)"
+)
+
+#: spans whose content must never produce links: scripts (JS string
+#: literals), styles (url() refs), HTML comments.  Same patterns as
+#: operators/maincontent.py's pre-segmentation strip.
+_STRIP_SPANS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
 )
 
 
+def _visible_markup(html: Column) -> Column:
+    for pat in _STRIP_SPANS:
+        html = F.regexp_replace(html, pat, " ")
+    return html
+
+
+def _attr_value(m: Column) -> Column:
+    """The value of a full ``href=...`` attribute match: strip the
+    name/equals prefix, then unwrap whichever quote style matched."""
+    v = F.regexp_replace(m, r"(?is)^href" + _WS + "*=" + _WS + "*", "")
+    return (
+        F.when(v.startswith('"'), F.regexp_extract(v, r'^"([^"]*)', 1))
+        .when(v.startswith("'"), F.regexp_extract(v, r"^'([^']*)", 1))
+        .otherwise(v)
+    )
+
+
 def outlinks(html: Column) -> Column:
-    """``array<string>`` of the page's absolute http(s) link targets,
-    in document order (duplicates kept — multiplicity is the edge
-    weight)."""
-    dq = F.regexp_extract_all(html, F.lit(_HREF), 1)
-    sq = F.regexp_extract_all(html, F.lit(_HREF), 2)
-    # the alternation leaves the non-matching quote style's group
-    # empty; drop the empties and keep document order within each style
-    return F.filter(F.concat(dq, sq), lambda u: u != "")
+    """``array<string>`` of the page's raw ``href`` targets, in true
+    document order (duplicates kept — multiplicity is the edge weight).
+
+    Values are returned exactly as written (absolute, relative,
+    ``mailto:``, ...): pair with :func:`resolve_href` to absolutize, or
+    filter ``rlike('(?i)^https?://')`` for the absolute-only subset.
+    Script/style/comment spans never contribute; empty values drop.
+    """
+    ms = F.regexp_extract_all(_visible_markup(html), F.lit(_HREF_ATTR), 0)
+    return F.filter(F.transform(ms, _attr_value), lambda u: u != "")
+
+
+def base_href(html: Column) -> Column:
+    """The page's first ``<base ... href=...>`` target, or null.
+
+    Only an ABSOLUTE http(s) base is honored (see module docstring);
+    anything else returns null so callers fall back to the page URL.
+    """
+    tag = F.regexp_extract(_visible_markup(html), r"(?is)<base[^>]+>", 0)
+    v = _attr_value(F.regexp_extract(tag, _HREF_ATTR, 0))
+    return F.when(v.rlike(r"(?i)^https?://"), v)
+
+
+#: bounded ``segment/../`` collapsing depth — covers every sane page;
+#: deeper chains stay uncollapsed (documented boundary).
+_DOT_LEVELS = 4
+
+
+def _collapse_dots(path: Column) -> Column:
+    """Dot-segment removal (RFC 3986 §5.2.4) on the PATH part of a
+    string that starts with ``/``; the first ``?``/``#`` and everything
+    after it pass through untouched."""
+    head = F.regexp_extract(path, r"^([^?#]*)", 1)
+    tail = F.substring(path, F.length(head) + 1, 1 << 30)
+    p = F.regexp_replace(head, r"/\.(?=/)", "")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(_DOT_LEVELS):
+        p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/")
+        p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\.$", "/")
+    # `..` above the root is removed, per the RFC
+    p = F.regexp_replace(p, r"^(?:/\.\.(?=/|$))+", "")
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    return F.concat(p, tail)
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Absolutize one ``href`` value against an absolute http(s) base
+    URL — null when the reference is not a followable http(s) link
+    (other schemes, fragment-only, empty) or the base is unusable.
+
+    Pure expressions, zero shuffle; the resolved URL feeds
+    ``canonical_url`` / ``host_link_graph`` directly.
+    """
+    h = F.trim(href)
+    scheme = F.regexp_extract(base, r"(?i)^(https?):", 1)
+    origin = F.regexp_extract(base, r"(?i)^(https?://[^/?#]+)", 1)
+    bpath = F.regexp_extract(base, r"(?i)^https?://[^/?#]+([^?#]*)", 1)
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    null = F.lit(None).cast("string")
+    return (
+        F.when(origin == "", null)
+        .when(h == "", null)
+        .when(h.rlike(r"(?i)^https?://"), h)
+        .when(h.rlike(r"(?i)^[a-z][a-z0-9+.\-]*:"), null)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("#"), null)
+        .when(h.startswith("?"), F.concat(origin, bpath, h))
+        .when(h.startswith("/"), F.concat(origin, _collapse_dots(h)))
+        .otherwise(F.concat(origin, _collapse_dots(F.concat(bdir, h))))
+    )
+
+
+def resolved_outlinks(html: Column, page_url: Column) -> Column:
+    """``array<string>`` of absolutized link targets in document order:
+    :func:`outlinks` resolved against ``<base href>`` when the page has
+    one, else ``page_url``.  Non-followable refs drop out."""
+    base = F.coalesce(base_href(html), page_url)
+    return F.filter(
+        F.transform(outlinks(html), lambda h: resolve_href(base, h)),
+        lambda u: u.isNotNull(),
+    )
 
 
 def extract_outlinks(
@@ -65,45 +193,73 @@ def extract_outlinks(
     id_col: str,
     html_col: str,
     *,
+    page_url_col: "str | None" = None,
     canonicalize: bool = True,
     out_col: str = "target",
 ) -> DataFrame:
     """One row per (page, link target): ``(id_col, out_col)``.
 
-    With ``canonicalize=True`` targets are normalized dedup keys
-    (``canonical_url``: host without www, no tracking params, sorted
-    query, no scheme/fragment); unparseable URLs drop out.  Zero
-    shuffle — explode is a scan-side generator.
+    With ``page_url_col`` every href (relative included) is resolved
+    against the page's ``<base href>``-or-fetch URL; without it only
+    absolute http(s) targets survive (host-graph floor — cross-host
+    links are overwhelmingly absolute).  With ``canonicalize=True``
+    targets are normalized dedup keys (``canonical_url``: host without
+    www, no tracking params, sorted query, no scheme/fragment);
+    unparseable URLs drop out.  Zero shuffle — explode is a scan-side
+    generator.
     """
-    links = df.select(
-        F.col(id_col), F.explode(outlinks(F.col(html_col))).alias("__raw")
-    )
+    if page_url_col is not None:
+        links = resolved_outlinks(F.col(html_col), F.col(page_url_col))
+    else:
+        links = F.filter(
+            outlinks(F.col(html_col)), lambda u: u.rlike(r"(?i)^https?://")
+        )
+    rows = df.select(F.col(id_col), F.explode(links).alias("__raw"))
     target = canonical_url(F.col("__raw")) if canonicalize else F.col("__raw")
-    return links.select(
-        id_col, target.alias(out_col)
-    ).filter(F.col(out_col).isNotNull())
+    return rows.select(id_col, target.alias(out_col)).filter(
+        F.col(out_col).isNotNull()
+    )
 
 
 def host_link_graph(
     df: DataFrame,
     src_host_col: str,
     html_col: str,
+    *,
+    page_url_col: "str | None" = None,
 ) -> DataFrame:
     """Aggregated host-level edges ``(src_host, dst_host, n_links)``.
 
     ``src_host_col`` is the page's own host (crawl metadata — WARC
     records carry it; ``canonical_url`` of the fetch URL yields it).
-    ``n_links`` counts every href occurrence, so parallel edges from
-    one page weight the edge — the input PageRank and link-farm
-    heuristics expect.  ONE shuffle (the groupBy), map-side combined.
+    Relative links RESOLVE instead of dropping: against
+    ``page_url_col`` (or the page's ``<base href>``) when given, else
+    against a synthetic ``https://<src_host>/`` base — either way an
+    intra-site link lands on the page's own host, so same-host edge
+    weights are no longer undercounted (pre-r9 behavior dropped every
+    relative link).  ``n_links`` counts every href occurrence, so
+    parallel edges from one page weight the edge — what PageRank and
+    link-farm heuristics expect.  ONE shuffle (the groupBy), map-side
+    combined.
     """
+    page_url = (
+        F.col(page_url_col)
+        if page_url_col is not None
+        else F.concat(F.lit("https://"), F.col(src_host_col), F.lit("/"))
+    )
     # canonical_url output starts with the (lowercased, www-stripped)
     # host; the first /?# ends it.  A non-default port stays — distinct
     # origins are distinct graph nodes.
     dst_host = F.regexp_extract(F.col("__t"), r"^([^/?#]+)", 1)
-    exploded = df.select(
-        F.col(src_host_col).alias("src_host"),
-        F.explode(outlinks(F.col(html_col))).alias("__raw"),
+    # two-step select: defining an alias named like src_host_col in the
+    # same list that references it would make Spark read the second
+    # reference as a lateral column alias (unsupported with generators)
+    linked = df.select(
+        F.col(src_host_col).alias("__src"),
+        resolved_outlinks(F.col(html_col), page_url).alias("__links"),
+    )
+    exploded = linked.select(
+        F.col("__src").alias("src_host"), F.explode("__links").alias("__raw")
     ).select(
         "src_host", canonical_url(F.col("__raw")).alias("__t")
     ).filter(F.col("__t").isNotNull())

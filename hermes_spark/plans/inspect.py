@@ -96,6 +96,7 @@ def rebalance_for_cpu(
     *,
     min_bytes: int = 256 * 1024 * 1024,
     factor: int = 2,
+    target_partition_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Widen a large-but-narrow input ahead of a CPU-bound per-row
     stage (shingling, signature hashing, Arrow kernels).
@@ -131,12 +132,18 @@ def rebalance_for_cpu(
         parallelism = min(df.rdd.getNumPartitions(), len(files))
         if parallelism >= cores * factor:
             return df
-        if input_size_bytes(df) < min_bytes:
+        size = input_size_bytes(df)
+        if size < min_bytes:
             return df
     except Exception:
         # stats unavailable (exotic source/plan): never block the query
         return df
-    return df.repartition(cores * factor)
+    # partition count scales with size: a very large narrow input (e.g.
+    # hundreds of GB in a handful of single-row-group files) must not
+    # land as multi-GB shuffle partitions just because the core count is
+    # small — cap each widened partition near target_partition_bytes
+    target = max(cores * factor, -(-size // target_partition_bytes))
+    return df.repartition(target)
 
 
 def suggest_shuffle_partitions(

@@ -45,6 +45,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def repeat_excuses(excused: list, ledger: dict, latest: int) -> list:
+    """Queries riding the saturation excuse two rounds in a row.
+
+    ``ledger`` maps ``"r<N>"`` (driver round) to the list of queries
+    excused at that round; the one-round-only contract means the
+    current round's excused set must be disjoint from last round's.
+    """
+    prev = set(ledger.get(f"r{latest - 1}", []))
+    return [q for q in excused if q in prev]
+
+
 def main() -> int:
     import __spark_entry__ as entry
 
@@ -128,6 +139,25 @@ def main() -> int:
             )
 
         excused = [q for q in stale if locally_covered(q)][:allowed]
+        # round-over-round disjointness: a query may ride the saturation
+        # excuse at most once in a row — if it was excused last round it
+        # MUST rotate into the window this round, so local-check coverage
+        # can never quietly become permanent for any query.  The ledger
+        # lives in WINDOW_EXCUSED.json keyed by driver round.
+        ledger = {}
+        try:
+            ledger = json.load(open("WINDOW_EXCUSED.json"))
+        except Exception:
+            pass
+        repeat = repeat_excuses(excused, ledger, latest)
+        if repeat:
+            print(
+                f"\nGATE FAIL: {len(repeat)} queries would ride the "
+                f"saturation excuse two rounds in a row: {', '.join(repeat)}"
+                "\nrotate them into the top-50 window — the excuse is "
+                "one-round-only by contract."
+            )
+            return 1
         if excused:
             print(
                 f"\ngate: {len(excused)} below-fold queries (of {allowed} "
@@ -135,6 +165,9 @@ def main() -> int:
                 f"50-slot window) pass only by recorded local oracle check: "
                 f"{', '.join(excused)}"
             )
+        ledger[f"r{latest}"] = sorted(excused)
+        with open("WINDOW_EXCUSED.json", "w") as fh:
+            json.dump(ledger, fh, indent=1, sort_keys=True)
         stale = [q for q in stale if q not in excused]
         if stale:
             print(
