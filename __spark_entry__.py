@@ -4429,58 +4429,93 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents wrapped as pages with deterministic outlinks: two
     identical content links (multiplicity!) to ``www.site{id%7}
     .example.com`` with tracking + unsorted params, one single-quoted
-    uppercase-HREF link to ``cdn{id%3}.example.net:8080``, plus the doc
-    text as noise.  The oracle predicts the resulting edges in closed
-    form from the same id arithmetic — an independent derivation that
-    pins extraction + canonicalization end-to-end."""
+    uppercase-HREF link to ``cdn{id%3}.example.net:8080``, one UNQUOTED
+    href to ``un{id%2}.example.com``, one root-relative and one
+    ``../``-relative link (resolved against the page URL, or the
+    ``<base href>`` that pages with ``id%4==0`` carry), plus traps that
+    must yield nothing: a link inside ``<script>``, one inside an HTML
+    comment, a ``data-href`` attribute, a fragment-only and a
+    ``mailto:`` ref — with the doc text as noise.  The oracle predicts
+    the resulting edges in closed form from the same id arithmetic —
+    an independent derivation that pins extraction + resolution +
+    canonicalization end-to-end (`operators/weblinks.py`)."""
     docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
     site = F.concat(
         F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+        F.lit(".example.com/page/"), sid,
         F.lit("?utm_source=feed&b=2&a=1"),
     )
     cdn = F.concat(
         F.lit("http://cdn"), (F.col("doc_id") % 3).cast("string"),
         F.lit(".example.net:8080/asset.js"),
     )
+    unq = F.concat(
+        F.lit("https://un"), (F.col("doc_id") % 2).cast("string"),
+        F.lit(".example.com/u?z=9&utm_campaign=x"),
+    )
+    base_tag = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('<base href="https://www.baseb.example.net/dir/sub/">'),
+    ).otherwise(F.lit(""))
     html = F.concat(
-        F.lit('<html><body><a href="'), site, F.lit('">x</a><p>'),
+        F.lit("<html><head>"), base_tag,
+        F.lit('<script>var x="https://evil.example.com/1";</script>'),
+        F.lit('</head><body><a href="'), site, F.lit('">x</a><p>'),
         F.col("text"),
         F.lit('</p><A HREF="'), site, F.lit('">again</A>'),
-        F.lit("<a href='"), cdn, F.lit("'>z</a></body></html>"),
+        F.lit("<a href='"), cdn, F.lit("'>z</a>"),
+        F.lit("<a href="), unq, F.lit(">u</a>"),
+        F.lit('<a href="/root/r'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('">r</a>'),
+        F.lit("<a href='../up/"), (F.col("doc_id") % 2).cast("string"),
+        F.lit(".html'>up</a>"),
+        F.lit('<!-- <a href="https://ghost.example.com/g">dead</a> -->'),
+        F.lit('<div data-href="https://datahref.example.com/d">n</div>'),
+        F.lit('<a href="#frag">f</a><a href="mailto:a@b.c">m</a>'),
+        F.lit("</body></html>"),
     )
     src = F.concat(
         F.lit("host"), (F.col("doc_id") % 5).cast("string"),
         F.lit(".example.org"),
     )
+    page_url = F.concat(
+        F.lit("https://"), src, F.lit("/a/b/page"), sid, F.lit(".html")
+    )
     return docs.select(
-        "doc_id", src.alias("src_host"), html.alias("html")
+        "doc_id", src.alias("src_host"), page_url.alias("page_url"),
+        html.alias("html"),
     )
 
 
 def q_outlinks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalized outlink extraction (`operators/weblinks.py`): one
-    row per (page, href target), targets normalized with canonical_url
-    (scheme/fragment dropped, www. and tracking params stripped,
-    surviving query params sorted, non-default port kept).  Zero
-    shuffle — scan-side regexp + explode."""
+    """Canonicalized, RESOLVED outlink extraction
+    (`operators/weblinks.py`): one row per (page, href target) in all
+    three attribute forms, relative links resolved against the page's
+    ``<base href>``-or-URL, script/comment/data-href traps dropped,
+    targets normalized with canonical_url (scheme/fragment dropped,
+    www. and tracking params stripped, surviving query params sorted,
+    non-default port kept).  Zero shuffle — scan-side regexp +
+    explode."""
     from hermes_spark.operators import extract_outlinks
 
     pages = _linked_pages(spark, sf_dir)
-    return extract_outlinks(pages, "doc_id", "html").select(
-        "doc_id", "target"
-    )
+    return extract_outlinks(
+        pages, "doc_id", "html", page_url_col="page_url"
+    ).select("doc_id", "target")
 
 
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web graph (`operators/weblinks.py`): outlinks
+    resolved (relative links land on the <base>/page host) and
     canonicalized, reduced to (src_host, dst_host, n_links) with
     parallel edges weighted — ONE map-side-combined groupBy; feeds
     pagerank/degree_stats."""
     from hermes_spark.operators import host_link_graph
 
     pages = _linked_pages(spark, sf_dir)
-    return host_link_graph(pages, "src_host", "html")
+    return host_link_graph(pages, "src_host", "html",
+                           page_url_col="page_url")
 
 
 _SQL_OUTLINKS_DOCS = """
@@ -4488,6 +4523,14 @@ WITH site AS (
   SELECT doc_id,
          'site' || (doc_id % 7)::VARCHAR || '.example.com/page/'
            || doc_id::VARCHAR || '?a=1&b=2' AS target
+  FROM documents
+),
+relhost AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'baseb.example.net'
+              ELSE 'host' || (doc_id % 5)::VARCHAR || '.example.org'
+         END AS h,
+         CASE WHEN doc_id % 4 = 0 THEN '/dir/up/' ELSE '/a/up/' END AS updir
   FROM documents
 )
 SELECT doc_id, target FROM site
@@ -4497,6 +4540,13 @@ UNION ALL
 SELECT doc_id,
        'cdn' || (doc_id % 3)::VARCHAR || '.example.net:8080/asset.js'
 FROM documents
+UNION ALL
+SELECT doc_id, 'un' || (doc_id % 2)::VARCHAR || '.example.com/u?z=9'
+FROM documents
+UNION ALL
+SELECT doc_id, h || '/root/r' || (doc_id % 3)::VARCHAR FROM relhost
+UNION ALL
+SELECT doc_id, h || updir || (doc_id % 2)::VARCHAR || '.html' FROM relhost
 """
 
 _SQL_HOST_LINK_GRAPH = """
@@ -4508,6 +4558,16 @@ WITH l AS (
   UNION ALL
   SELECT 'host' || (doc_id % 5)::VARCHAR || '.example.org',
          'cdn' || (doc_id % 3)::VARCHAR || '.example.net:8080', 1
+  FROM documents
+  UNION ALL
+  SELECT 'host' || (doc_id % 5)::VARCHAR || '.example.org',
+         'un' || (doc_id % 2)::VARCHAR || '.example.com', 1
+  FROM documents
+  UNION ALL
+  SELECT 'host' || (doc_id % 5)::VARCHAR || '.example.org',
+         CASE WHEN doc_id % 4 = 0 THEN 'baseb.example.net'
+              ELSE 'host' || (doc_id % 5)::VARCHAR || '.example.org'
+         END, 2
   FROM documents
 )
 SELECT src_host, dst_host, sum(n)::BIGINT AS n_links

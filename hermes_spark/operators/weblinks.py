@@ -112,7 +112,12 @@ def outlinks(html: Column) -> Column:
     filter ``rlike('(?i)^https?://')`` for the absolute-only subset.
     Script/style/comment spans never contribute; empty values drop.
     """
-    ms = F.regexp_extract_all(_visible_markup(html), F.lit(_HREF_ATTR), 0)
+    # <base> is resolution metadata, not a link — its href must not
+    # count as an outlink (use base_href to read it)
+    src = F.regexp_replace(
+        _visible_markup(html), r"(?is)<base[^>]*>", " "
+    )
+    ms = F.regexp_extract_all(src, F.lit(_HREF_ATTR), 0)
     return F.filter(F.transform(ms, _attr_value), lambda u: u != "")
 
 

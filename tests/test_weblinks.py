@@ -66,11 +66,9 @@ def test_outlinks_strips_and_unquoted(spark):
         .select(outlinks(F.col("html")).alias("l"))
         .collect()[0]["l"]
     )
-    # script/style/comment spans and data-href never contribute; the
-    # <base href> tag's own attribute IS an href match (callers use
-    # base_href to treat it as the base, not a link) — so drop it here
+    # script/style/comment spans, data-href and the <base> tag's own
+    # href (resolution metadata, not a link) never contribute
     assert raw == [
-        "https://www.Base.example.net/dir/sub/",
         "https://unquoted.example.com/u?z=9",
         "../up/one.html",
         "/rooted/r.html",
@@ -119,15 +117,12 @@ def test_extract_outlinks_resolved_vs_absolute_only(spark):
     pages = _frame(spark, [(1, MESSY)]).withColumn(
         "page_url", F.lit("https://www.Host.example.org/a/b/page.html")
     )
-    # absolute-only floor (no page_url): unquoted + the base tag value
+    # absolute-only floor (no page_url): just the unquoted absolute
     abs_only = {
         r["target"]
         for r in extract_outlinks(pages, "doc_id", "html").collect()
     }
-    assert abs_only == {
-        "base.example.net/dir/sub",
-        "unquoted.example.com/u?z=9",
-    }
+    assert abs_only == {"unquoted.example.com/u?z=9"}
     # resolved: relative links land on the BASE TAG host (it overrides
     # the page URL), protocol-relative keeps the base scheme
     resolved = sorted(
@@ -138,7 +133,6 @@ def test_extract_outlinks_resolved_vs_absolute_only(spark):
     )
     assert resolved == sorted(
         [
-            "base.example.net/dir/sub",
             "unquoted.example.com/u?z=9",
             "base.example.net/dir/up/one.html",
             "base.example.net/rooted/r.html",
