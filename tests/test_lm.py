@@ -91,10 +91,33 @@ def test_partitioning_invariance(spark, lm_and_scored):
 def test_score_plan_broadcasts_model(spark, lm_and_scored):
     lm, _, _ = lm_and_scored
     target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    # join engine (the any-size-model path): vocab map join,
+    # bigram-count model join, context join — all broadcast
     plan = (
-        lm_score(target, lm, broadcast_model=True)
+        lm_score(target, lm, broadcast_model=True, score_engine="join")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # vocab map join, bigram-count model join, context join: all broadcast
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_score_arrow_engine_zero_shuffle(spark, lm_and_scored):
+    from hermes_spark.plans import count_exchanges
+
+    lm, _, _ = lm_and_scored
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    # broadcast_model=True now routes auto -> arrow: model ships as a
+    # broadcast variable, scoring is one scan stage, zero shuffles
+    arrow = lm_score(target, lm, broadcast_model=True)
+    assert count_exchanges(arrow) == 0
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    join_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_score(target, lm, score_engine="join").collect()
+    }
+    arrow_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in arrow.collect()
+    }
+    assert join_rows == arrow_rows
