@@ -14,7 +14,17 @@ Stages (each a zero- or one-shuffle pass):
 
 Usage (from the repo root):
 
-    python examples/wet_pipeline.py [n_shards]
+    python examples/wet_pipeline.py [n_shards] [--raw]
+
+``--raw`` starts one step earlier in the crawl lifecycle: RAW WARC
+``response`` shards (HTML body behind an HTTP envelope, the format
+crawlers actually write) instead of pre-extracted WET text.  Stage 1
+becomes ``read_warc`` + ``http_response_text(extractor="main")`` —
+HTTP split, charset sanitation, and jusText-style main-content
+extraction fused into the same one-task-per-shard scan — and the
+chrome (nav/footer/cookie banners) never reaches the gates at all.
+Every stage after that is IDENTICAL to the WET path, which is the
+point: the engine ingests either crawl format into one pipeline.
 """
 
 import gzip
@@ -36,6 +46,7 @@ from hermes_spark.operators import (
     plan_epochs,
 )
 from hermes_spark.sources import read_warc, wet_text
+from hermes_spark.sources.warc import http_response_text
 from hermes_spark.sources.io import write_training_shards
 
 
@@ -73,8 +84,55 @@ def synthesize_shards(root: str, n_shards: int) -> None:
             f.write(b"".join(gzip.compress(r) for r in recs))
 
 
+def _response_record(uri: str, html: str) -> bytes:
+    body = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + html
+    ).encode()
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uri}>\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def synthesize_raw_shards(root: str, n_shards: int) -> None:
+    """The same fake crawl as :func:`synthesize_shards`, one lifecycle
+    step earlier: full HTML pages (chrome included) behind HTTP
+    envelopes in WARC ``response`` records."""
+    nav = '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>'
+    footer = ('<div><a href="/p">Privacy policy</a> We use cookies, '
+              "see our cookie policy.</div>")
+    for s in range(n_shards):
+        recs = []
+        for j in range(200):
+            src = "blog" if (s * 200 + j) % 4 else "wiki"
+            if j % 10 == 0:  # mirrored syndicated page: exact duplicate
+                body = (
+                    f"<p>The {src} syndicated article is byte-identical on "
+                    "every mirror.</p><p>It keeps the same second sentence "
+                    f"on all of the {src} mirrors.</p>"
+                )
+            else:
+                body = (
+                    f"<p>The {src} article {s}-{j} has a first good sentence "
+                    "of the usual kind.</p><p>It also has that second "
+                    f"sentence to keep the word count of doc {j} healthy.</p>"
+                )
+            html = f"<html><body>{nav}{body}{footer}</body></html>"
+            recs.append(
+                _response_record(f"http://{src}.example/{s}/{j}", html)
+            )
+        with open(f"{root}/shard-{s:05d}.warc.gz", "wb") as f:
+            f.write(b"".join(gzip.compress(r) for r in recs))
+
+
 def main() -> int:
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    raw = "--raw" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_shards = int(args[0]) if args else 4
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("wet-pipeline-example")
@@ -85,14 +143,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="wet_pipeline_")
     try:
-        synthesize_shards(root, n_shards)
-
-        docs = wet_text(read_warc(spark, root, types=("conversion",))).select(
-            F.col("record_id").alias("doc_id"),
-            F.regexp_extract("target_uri", r"http://(\w+)\.", 1).alias("source"),
-            "text",
-        )
-        print(f"ingested: {docs.count()} records from {n_shards} shards")
+        if raw:
+            synthesize_raw_shards(root, n_shards)
+            recs = read_warc(spark, root, types=("response",))
+            docs = http_response_text(recs, extractor="main").select(
+                F.col("record_id").alias("doc_id"),
+                F.regexp_extract("target_uri", r"http://(\w+)\.", 1).alias("source"),
+                "text",
+            )
+            print(f"ingested (raw WARC, main-content extracted): "
+                  f"{docs.count()} records from {n_shards} shards")
+        else:
+            synthesize_shards(root, n_shards)
+            docs = wet_text(read_warc(spark, root, types=("conversion",))).select(
+                F.col("record_id").alias("doc_id"),
+                F.regexp_extract("target_uri", r"http://(\w+)\.", 1).alias("source"),
+                "text",
+            )
+            print(f"ingested: {docs.count()} records from {n_shards} shards")
 
         cleaned = c4_clean(docs, "doc_id", "text", min_line_words=4)
         print(f"after c4_clean: {cleaned.count()} docs "
