@@ -1962,27 +1962,67 @@ GROUP BY n_name
 
 
 def _sql_lang_id() -> str:
+    """Mirror of functions.text.lang_id's two-tier cascade, regenerated
+    from the same LANG_MARKERS / SCRIPT_CLASSES tables.  Arithmetic
+    shapes match the Spark expressions exactly (same counts, same
+    denominator, same association) so borderline doubles branch the
+    same way in both engines."""
+    from hermes_spark.functions.text import (
+        EXPLICIT_WS,
+        FA_ONLY_CHARS,
+        RU_ONLY_CHARS,
+        SCRIPT_CLASSES,
+        SCRIPT_MIN_RATIO,
+        UK_ONLY_CHARS,
+    )
+
     langs = sorted(LANG_MARKERS)
-    ratio = {}
+    ratio_defs = []
     for lang in langs:
         markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-        ratio[lang] = (
+        ratio_defs.append(
             f"(len(list_filter(toks, t -> t IN ({markers})))::DOUBLE"
-            f" / greatest(len(toks), 1))"
+            f" / greatest(len(toks), 1)) AS r_{lang}"
         )
-    branches = []
-    for lang in langs:
-        conds = [f"{ratio[lang]} >= 0.05"]
-        for other in langs:
-            if other == lang:
-                continue
-            op = ">" if other < lang else ">="
-            conds.append(f"{ratio[lang]} {op} {ratio[other]}")
-        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    cnt_defs = [
+        f"len(regexp_extract_all(t, '{cls}')) AS c_{name}"
+        for name, cls in SCRIPT_CLASSES.items()
+    ]
+    gx = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    latin_hits = " ".join(
+        f"WHEN r_{lang} = gx THEN '{lang}'" for lang in langs
+    )
+    latin = f"CASE WHEN gx >= 0.05 THEN CASE {latin_hits} END ELSE 'und' END"
+    s = SCRIPT_MIN_RATIO
+    case = f"""CASE
+  WHEN c_hangul::DOUBLE / ns >= {s} THEN 'ko'
+  WHEN (c_han + c_kana)::DOUBLE / ns >= {s} AND c_kana > 0 THEN 'ja'
+  WHEN c_han::DOUBLE / ns >= {s} THEN 'zh'
+  WHEN c_cyr::DOUBLE / ns >= {s} THEN
+    CASE WHEN len(regexp_extract_all(lower(t), '{UK_ONLY_CHARS}'))
+            > len(regexp_extract_all(lower(t), '{RU_ONLY_CHARS}'))
+         THEN 'uk' ELSE 'ru' END
+  WHEN c_arab::DOUBLE / ns >= {s} THEN
+    CASE WHEN len(regexp_extract_all(lower(t), '{FA_ONLY_CHARS}')) > 0
+         THEN 'fa' ELSE 'ar' END
+  WHEN c_heb::DOUBLE / ns >= {s} THEN 'he'
+  WHEN c_grek::DOUBLE / ns >= {s} THEN 'el'
+  WHEN c_deva::DOUBLE / ns >= {s} THEN 'hi'
+  WHEN c_thai::DOUBLE / ns >= {s} THEN 'th'
+  ELSE {latin}
+END"""
     return f"""
-WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
-SELECT doc_id, {case} AS lang_guess FROM tok
+WITH base AS (
+  SELECT doc_id, trim(text) AS t, {_TOKENS_SQL} AS toks,
+         greatest(length(regexp_replace(trim(text), '{EXPLICIT_WS}+', '', 'g')), 1) AS ns
+  FROM documents
+), m AS (
+  SELECT doc_id, t, ns, {", ".join(ratio_defs)}, {", ".join(cnt_defs)}
+  FROM base
+), g AS (
+  SELECT *, {gx} AS gx FROM m
+)
+SELECT doc_id, {case} AS lang_guess FROM g
 """
 
 

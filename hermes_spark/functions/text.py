@@ -4,8 +4,10 @@ All pure Column expressions (JVM-side, vectorizable, no Python UDFs) and
 all reproducible in ANSI SQL so each operator has a DuckDB oracle:
 
 * ``tokens`` / ``token_count`` — whitespace tokenization
-* ``lang_id`` — stopword-ratio n-gram-free heuristic over a fixed
-  per-language marker list (deterministic, portable)
+* ``lang_id`` — two-tier heuristic: Unicode-script detection for
+  non-Latin languages, then marker-word ratios over fixed
+  per-language lists for Latin scripts (30 languages, deterministic,
+  portable — no model download, no UDF)
 * ``quality_score`` — length / punctuation / stopword-ratio composite
 * ``doc_fingerprint`` — md5 of whitespace-normalized lowercased text
 """
@@ -15,17 +17,87 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Fixed marker vocabularies. Deliberately tiny: the point is a
-# deterministic, engine-portable heuristic, not linguistic accuracy.
+# Fixed marker vocabularies (function words from public frequency
+# lists). Deterministic and engine-portable by design: the SQL oracle
+# regenerates the exact same cascade from these tables.  Lists stay
+# small and lean DISTINCTIVE (accented/unique function words) so close
+# language pairs (es/ca, da/no) separate on more than shared Romance/
+# Scandinavian cores; da vs no remains the known-hard pair (their
+# function words genuinely overlap — ties resolve to 'da' by code
+# order, documented precision boundary).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
-    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
-    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
-    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
-    "it": ("il", "la", "di", "che", "e", "un", "una", "per"),
-    "pt": ("o", "a", "de", "que", "e", "um", "uma", "para"),
-    "nl": ("de", "het", "een", "van", "en", "is", "niet", "dat"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that",
+           "it", "was", "for", "with", "they", "this", "not"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+           "mit", "den", "von", "auf", "sich", "auch", "eine"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que",
+           "des", "dans", "pour", "qui", "pas", "sur", "avec"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que",
+           "las", "por", "con", "para", "su", "como", "pero"),
+    "it": ("il", "la", "di", "che", "e", "un", "una", "per",
+           "non", "sono", "con", "del", "si", "come", "anche"),
+    "pt": ("o", "a", "de", "que", "e", "um", "uma", "para",
+           "não", "com", "os", "do", "da", "em", "se"),
+    "nl": ("de", "het", "een", "van", "en", "is", "niet", "dat",
+           "op", "te", "zijn", "voor", "met", "ook", "maar"),
+    "sv": ("och", "att", "det", "som", "är", "på", "av", "för",
+           "inte", "med", "den", "till", "har", "om", "så"),
+    "da": ("og", "det", "er", "til", "af", "ikke", "der", "på",
+           "som", "jeg", "hvad", "hvor", "også", "være", "kan"),
+    "no": ("og", "det", "er", "til", "av", "ikke", "som", "på",
+           "jeg", "hva", "hvor", "også", "være", "kan", "fra"),
+    "fi": ("ja", "on", "ei", "että", "se", "hän", "oli", "mutta",
+           "kun", "niin", "joka", "myös", "tämä", "ovat", "jos"),
+    "pl": ("i", "w", "nie", "na", "się", "jest", "z", "do",
+           "że", "to", "po", "ale", "jak", "co", "tak"),
+    "cs": ("a", "je", "se", "na", "není", "to", "že", "s",
+           "do", "ale", "jako", "pro", "za", "byl", "jsem"),
+    "ro": ("și", "de", "în", "la", "cu", "este", "nu", "pe",
+           "un", "o", "că", "se", "din", "mai", "sunt"),
+    "tr": ("ve", "bir", "bu", "için", "de", "da", "ile", "çok",
+           "daha", "ama", "gibi", "en", "ne", "var", "olarak"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "ke", "ada"),
+    "vi": ("và", "của", "là", "có", "không", "được", "trong", "cho",
+           "người", "này", "với", "các", "một", "đã", "khi"),
+    "hu": ("a", "az", "és", "nem", "hogy", "is", "egy", "van",
+           "de", "el", "meg", "már", "csak", "mint", "volt"),
+    "ca": ("i", "és", "amb", "els", "això", "també", "dels", "més",
+           "però", "com", "per", "una", "aquest", "són", "ha"),
 }
+
+#: Unicode script character classes as LITERAL ranges — portable
+#: between Java regex (Spark) and RE2 (DuckDB), unlike \p{Script=...}
+#: whose spelling differs per engine.  Tier 1 of :func:`lang_id`: a
+#: dominant non-Latin script decides the language before any
+#: tokenization (marker words cannot exist for unsegmented scripts).
+SCRIPT_CLASSES: dict[str, str] = {
+    "hangul": "[가-힣ᄀ-ᇿ㄰-㆏]",
+    "kana": "[぀-ゟ゠-ヿ]",
+    "han": "[一-鿿㐀-䶿]",
+    "cyr": "[Ѐ-ӿ]",
+    "arab": "[؀-ۿݐ-ݿ]",
+    "heb": "[֐-׿]",
+    "grek": "[Ͱ-Ͽ]",
+    "deva": "[ऀ-ॿ]",
+    "thai": "[฀-๿]",
+}
+
+#: within-script discriminators: letters (near-)unique to one language
+#: of a shared script.  Cyrillic: і/ї/є/ґ exist in Ukrainian but not
+#: Russian; ы/э/ъ/ё exist in Russian but not Ukrainian.  Arabic script:
+#: پ/چ/ژ/گ are Persian-only additions.  bg/sr fold into 'ru' and ur
+#: into 'ar'/'fa' — the documented one-level-deeper precision boundary.
+UK_ONLY_CHARS = "[іїєґ]"
+RU_ONLY_CHARS = "[ыэъё]"
+FA_ONLY_CHARS = "[پچژگ]"
+
+#: a script must cover this fraction of non-whitespace chars to decide
+SCRIPT_MIN_RATIO = 0.30
+
+#: explicit whitespace class — Java \s and RE2 \s disagree on \x0b, so
+#: oracle-mirrored expressions never use the shorthand
+EXPLICIT_WS = "[ \t\n\f\r\x0b]"
 
 ENGLISH_STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -79,31 +151,90 @@ def _marker_ratio(toks: Column, markers: tuple[str, ...]) -> Column:
     return in_list / F.greatest(F.size(toks), F.lit(1))
 
 
-def lang_id(col: Column, min_ratio: float = 0.05) -> Column:
-    """Best-scoring language code by marker-word ratio, or ``'und'``.
+def lang_id(
+    col: Column,
+    min_ratio: float = 0.05,
+    script_min_ratio: float = SCRIPT_MIN_RATIO,
+) -> Column:
+    """Two-tier language identification, pure expressions (no model,
+    no UDF), 30 languages, or ``'und'``.
 
-    Ties break by language-code order (deterministic). The same CASE
-    cascade is expressible in SQL — see ``oracle`` helpers in
-    ``__spark_entry__``.
+    Tier 1 — Unicode script: when a non-Latin script covers
+    ``script_min_ratio`` of the non-whitespace characters, the script
+    decides (unsegmented scripts have no marker words to count).
+    Hangul → ko; Han+Kana with any Kana → ja, Han alone → zh (Japanese
+    prose always mixes kana in; Chinese never does); Cyrillic → uk/ru
+    by each language's unique letters; Arabic script → fa when
+    Persian-only letters appear, else ar; Hebrew/Greek/Devanagari/Thai
+    are one-language scripts here.
+
+    Tier 2 — Latin: highest marker-word ratio over
+    :data:`LANG_MARKERS` wins, gated at ``min_ratio``; ties break by
+    language-code order (deterministic).  The max-then-first-match
+    cascade is O(languages) expression size — each ratio is computed
+    once and compared against the shared ``greatest(...)``.
+
+    Both tiers are the exact CASE cascade the DuckDB oracle
+    regenerates from the same tables (``_sql_lang_id`` in
+    ``__spark_entry__``); arithmetic shapes are kept identical (counts
+    divided by the same denominator, same association) so borderline
+    doubles compare the same way in both engines.
     """
-    toks = F.transform(tokens(F.lower(col)), lambda t: t)
+    text = F.trim(col)
+    lowered = F.lower(text)
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(text, EXPLICIT_WS + "+", "")), F.lit(1)
+    )
+
+    def cnt(cls: str, src: Column = text) -> Column:
+        return F.size(F.regexp_extract_all(src, F.lit(cls), 0))
+
+    c = {name: cnt(cls) for name, cls in SCRIPT_CLASSES.items()}
+    sigma = F.lit(float(script_min_ratio))
+
+    # tier 2 first (the otherwise-branch of the script cascade)
+    toks = tokens(lowered)
     ratios = {lang: _marker_ratio(toks, m) for lang, m in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)
-    best = None
-    for lang in langs:
-        r = ratios[lang]
-        cond = r >= F.lit(min_ratio)
-        for other in langs:
-            if other == lang:
-                continue
-            if other < lang:
-                # earlier language wins ties -> this one must be strictly better
-                cond = cond & (r > ratios[other])
-            else:
-                cond = cond & (r >= ratios[other])
-        branch = F.when(cond, F.lit(lang))
-        best = branch if best is None else best.when(cond, F.lit(lang))
-    return best.otherwise(F.lit("und"))
+    gmax = F.greatest(*[ratios[lang] for lang in langs])
+    latin = None
+    for lang in langs:  # first match in code order = tie-break
+        hit = ratios[lang] == gmax
+        latin = (
+            F.when(hit, F.lit(lang))
+            if latin is None
+            else latin.when(hit, F.lit(lang))
+        )
+    latin = F.when(
+        gmax >= F.lit(float(min_ratio)), latin.otherwise(F.lit("und"))
+    ).otherwise(F.lit("und"))
+
+    return (
+        F.when(c["hangul"] / nonspace >= sigma, F.lit("ko"))
+        .when(
+            ((c["han"] + c["kana"]) / nonspace >= sigma) & (c["kana"] > 0),
+            F.lit("ja"),
+        )
+        .when(c["han"] / nonspace >= sigma, F.lit("zh"))
+        .when(
+            c["cyr"] / nonspace >= sigma,
+            F.when(
+                cnt(UK_ONLY_CHARS, lowered) > cnt(RU_ONLY_CHARS, lowered),
+                F.lit("uk"),
+            ).otherwise(F.lit("ru")),
+        )
+        .when(
+            c["arab"] / nonspace >= sigma,
+            F.when(cnt(FA_ONLY_CHARS, lowered) > 0, F.lit("fa")).otherwise(
+                F.lit("ar")
+            ),
+        )
+        .when(c["heb"] / nonspace >= sigma, F.lit("he"))
+        .when(c["grek"] / nonspace >= sigma, F.lit("el"))
+        .when(c["deva"] / nonspace >= sigma, F.lit("hi"))
+        .when(c["thai"] / nonspace >= sigma, F.lit("th"))
+        .otherwise(latin)
+    )
 
 
 def quality_score(col: Column) -> Column:

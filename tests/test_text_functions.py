@@ -55,6 +55,71 @@ def test_lang_id(spark):
     assert out == ["en", "de", "fr", "und"]
 
 
+def test_lang_id_30_languages(spark):
+    """One sentence per supported language, incl. the hard pairs:
+    da/no (overlapping function words, distinctive af/av + hvad/hva),
+    ru/uk (shared Cyrillic, unique letters), zh/ja (kana presence),
+    ar/fa (Persian-only letters)."""
+    samples = [
+        ("en", "the cat and the dog is in the house that they have"),
+        ("de", "der Hund und die Katze ist nicht da und auch nicht zu sehen"),
+        ("fr", "le chat et la maison est une belle chose pour les gens qui"),
+        ("es", "el perro y los gatos es una cosa que pasa por la casa pero"),
+        ("it", "il cane e il gatto che corre per la casa non sono anche qui"),
+        ("pt", "o cão e o gato que não para de correr em uma casa para se"),
+        ("nl", "de hond en het huis is een ding van de kat dat niet zijn"),
+        ("sv", "och det är som att det inte går att säga på av för med den"),
+        ("da", "og det er ikke til at sige hvad der sker på hvor jeg kan"),
+        ("no", "og det er ikke til å si hva som skjer på hvor jeg kan fra"),
+        ("fi", "ja se on että hän ei ole mutta kun niin joka myös tämä"),
+        ("pl", "i w nie na się jest z do że to po ale jak co tak"),
+        ("cs", "a je se na není to že s do ale jako pro za byl jsem"),
+        ("ro", "și de în la cu este nu pe un o că se din mai sunt"),
+        ("tr", "ve bir bu için de ile çok daha ama gibi en ne var"),
+        ("id", "yang dan di itu dengan untuk tidak ini dari dalam akan pada"),
+        ("vi", "và của là có không được trong cho người này với các một đã"),
+        ("hu", "a az és nem hogy is egy van de el meg már csak mint volt"),
+        ("ca", "i és amb els això també dels més però com per una aquest són"),
+        ("ru", "это было на самом деле тяжёлый день и мы не знали что делать"),
+        ("uk", "це був дійсно важкий день і ми не знали що робити далі"),
+        ("zh", "今天天气很好我们决定去公园散步然后吃午饭"),
+        ("ja", "今日は天気がいいので公園へ散歩に行きました"),
+        ("ko", "오늘은 날씨가 좋아서 공원에 산책하러 갔습니다"),
+        ("ar", "كان يوما جميلا وذهبنا الى الحديقة لنمشي قليلا"),
+        ("fa", "امروز هوا خوب بود و ما به پارک رفتیم تا کمی قدم بزنیم"),
+        ("he", "היום היה יום יפה והלכנו לפארק לטייל קצת"),
+        ("el", "σήμερα ήταν μια όμορφη μέρα και πήγαμε στο πάρκο"),
+        ("hi", "आज मौसम बहुत अच्छा था और हम पार्क में टहलने गए"),
+        ("th", "วันนี้อากาศดีมากเราเลยไปเดินเล่นที่สวนสาธารณะ"),
+        ("und", "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, t string")
+    rows = df.select("lang", lang_id(F.col("t")).alias("g")).collect()
+    wrong = [(r["lang"], r["g"]) for r in rows if r["lang"] != r["g"]]
+    assert not wrong, wrong
+
+
+def test_lang_id_script_edge_cases(spark):
+    from hermes_spark.functions.text import lang_id as lid
+
+    df = spark.createDataFrame(
+        [
+            # mixed script below the 30% bar falls through to Latin
+            ("mostly english text with one word 日本 inside it and the rest", "en"),
+            # empty / whitespace-only
+            ("", "und"),
+            ("   \t\n", "und"),
+            # kana alone (no han) still counts toward the CJK group -> ja
+            ("こんにちはせかいきょうはいいてんきですね", "ja"),
+        ],
+        "t string, want string",
+    )
+    rows = df.select("want", lid(F.col("t")).alias("g")).collect()
+    assert all(r["want"] == r["g"] for r in rows), [
+        (r["want"], r["g"]) for r in rows
+    ]
+
+
 def test_quality_score_bounds(spark, documents):
     out = documents.select(quality_score(F.col("text")).alias("q"))
     row = out.agg(F.min("q"), F.max("q")).collect()[0]
