@@ -203,3 +203,104 @@ def test_plan_shapes(spark, sf_dir):
     # ONE shuffle for the edge aggregation (AQE may plan it as a single
     # exchange pair; assert no more than the groupBy's)
     assert count_exchanges(host_link_graph(docs, "src_host", "html")) == 1
+
+
+MESSY_PAGES = [
+    # absolute, relative, dot-segments, base href, unquoted
+    (1, "a.example", "https://a.example/d/p1.html",
+     '<base href="https://base.example/sub/dir/">'
+     '<a href="https://x.example/1">x</a><a href="../up.html">u</a>'
+     '<a href="/root.html">r</a><a href=rel/page.html>q</a>'),
+    # traps: script/comment/data-href/mailto/fragment/other scheme
+    (2, "b.example", "https://b.example/",
+     '<script>var u="https://evil.example/";</script>'
+     '<!-- <a href="https://ghost.example/">g</a> -->'
+     '<a data-href="https://no.example/">n</a>'
+     '<a href="mailto:x@y.z">m</a><a href="#top">t</a>'
+     '<a href="javascript:void(0)">j</a><a href="https://ok.example/k">k</a>'),
+    # URI reject set: spaces, bad %, pipes, brackets in path
+    (3, "c.example", "https://c.example/",
+     '<a href="https://sp.example/a b">s</a>'
+     '<a href="https://pc.example/100%">p</a>'
+     '<a href="https://pi.example/x|y">i</a>'
+     '<a href="https://br.example/a[1]">b</a>'
+     '<a href="https://good.example/%2Fok">g</a>'),
+    # authority forms: userinfo, default/explicit ports, WWW, IPv6
+    (4, "d.example", "https://d.example/",
+     '<a href="https://user:p@host.example:8080/x">u</a>'
+     '<a href="https://host.example:443/y">v</a>'
+     '<a href="HTTPS://WWW.Host.Example/z">w</a>'
+     '<a href="https://[::1]:8080/q">6</a>'
+     '<a href="//proto.example/pr">pr</a>'),
+    # relative base (ignored), ?query ref, deep ../ chain, single quotes
+    (5, "e.example", "https://e.example/a/b/c/d/e.html",
+     "<base href='/relative/ignored/'>"
+     "<a href='?q=1'>q</a><a href='../../../../up4.html'>u</a>"
+     "<a href='../../../../../up5.html'>x</a>"),
+    # null / empty / whitespace href values, broken markup
+    (6, "f.example", "https://f.example/", '<a href="">e</a><a href=" ">w</a>'
+     '<a href="   https://pad.example/t">p</a><a href="broken'),
+    (7, "g.example", None, '<a href="/only-relative">r</a>'),
+    (8, None, "https://h.example/", '<a href="https://x.example/">x</a>'),
+    (9, "i.example", "https://i.example/", None),
+    # non-ASCII host and path (accepted above U+00A0)
+    (10, "j.example", "https://j.example/",
+     '<a href="https://höst.example/x">h</a>'
+     '<a href="https://ok.example/päth">p</a>'),
+]
+
+
+def test_host_graph_arrow_matches_expr(spark):
+    df = spark.createDataFrame(
+        MESSY_PAGES, "doc_id long, src_host string, page_url string, html string"
+    )
+    for kwargs in ({}, {"page_url_col": "page_url"}):
+        expr = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_link_graph(
+                df, "src_host", "html", engine="expr", **kwargs
+            ).collect()
+        }
+        arrow = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_link_graph(
+                df, "src_host", "html", engine="arrow", **kwargs
+            ).collect()
+        }
+        assert arrow == expr, (kwargs, arrow, expr)
+        assert expr, "fixture produced no edges — traps swallowed everything"
+
+
+def test_host_graph_arrow_matches_expr_fuzz(spark):
+    """Random pages assembled from href-shaped fragments — both engines
+    must agree edge-for-edge."""
+    import random
+
+    rng = random.Random(77)
+    frags = [
+        '<a href="https://s{n}.example/p{m}">l</a>',
+        '<a href="/p{m}">r</a>', "<a href=../u{m}>d</a>",
+        '<a href="//s{n}.example/pp">pr</a>', '<a href="#f{m}">f</a>',
+        '<a href="mailto:a@b{m}.c">m</a>', '<script>x="https://e{n}.ex/"</script>',
+        '<base href="https://b{n}.example/d{m}/">', '<a href="?x={m}">q</a>',
+        '<a href="https://bad{n}.example/sp ace">s</a>',
+        '<a href="https://p{n}.example:8080/x">8</a>',
+    ]
+    rows = []
+    for i in range(60):
+        body = "".join(
+            rng.choice(frags).format(n=rng.randint(1, 5), m=rng.randint(1, 9))
+            for _ in range(rng.randint(1, 12))
+        )
+        rows.append((i, f"s{rng.randint(1, 5)}.example",
+                     f"https://s{rng.randint(1, 5)}.example/a/b.html",
+                     f"<html><body>{body}</body></html>"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, src_host string, page_url string, html string"
+    )
+    for kwargs in ({}, {"page_url_col": "page_url"}):
+        expr = sorted(map(tuple, host_link_graph(
+            df, "src_host", "html", engine="expr", **kwargs).collect()))
+        arrow = sorted(map(tuple, host_link_graph(
+            df, "src_host", "html", engine="arrow", **kwargs).collect()))
+        assert arrow == expr, kwargs
