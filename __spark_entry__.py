@@ -4753,25 +4753,35 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as old-state + new-batch merged partial aggregates (split
     at a ts cutoff) — must equal the direct full recompute the oracle
     does."""
-    from hermes_spark.incremental import (
-        finalize_rollup,
-        merge_rollup_states,
-        rollup_state,
-    )
+    from hermes_spark.incremental import merge_rollup_states, rollup_state
 
+    # Per-row quantization to integer "micros" (1e-4 grid) makes every
+    # aggregate EXACT integer arithmetic: sums are order-independent,
+    # so the incremental merge and the oracle's direct recompute agree
+    # bit-for-bit with NO final rounding step.  (Two prior forms failed
+    # at 4dp boundaries: round(raw_sum/n) flipped when the engines'
+    # FP summation orders differed by ~1e-10, and round(rounded_sum/n)
+    # made ties SYSTEMATIC — grid-number quotients land exactly on
+    # .00005, where Spark's exact-decimal HALF_UP and DuckDB's
+    # scaled-FP round disagree.  Integer quotients have no rounding
+    # step to disagree on.)
     events = _read_events(spark, sf_dir).select(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("bucket"),
-        F.col("value").cast("double").alias("value"),
+        F.round(F.col("value").cast("double") * 10000).cast("long").alias("value"),
     )
     cutoff = F.lit(INCR_ROLLUP_CUTOFF).cast("timestamp_ntz")
     keys = ["event_type", "bucket"]
     old_state = rollup_state(events.filter(F.col("bucket") < cutoff), keys, "value")
     new_batch = rollup_state(events.filter(F.col("bucket") >= cutoff), keys, "value")
-    final = finalize_rollup(merge_rollup_states([old_state, new_batch], keys))
-    # Drop the raw (unrounded) running sum: FP summation order differs
-    # between engines, so the oracle compares only the rounded outputs.
-    return final.drop("sum_v")
+    merged = merge_rollup_states([old_state, new_batch], keys)
+    return merged.select(
+        "event_type", "bucket", "n",
+        (F.col("min_v") / 10000.0).alias("min_v"),
+        (F.col("max_v") / 10000.0).alias("max_v"),
+        (F.col("sum_v") / 10000.0).alias("sum_v_rounded"),
+        (F.col("sum_v") / (10000.0 * F.col("n"))).alias("avg_v"),
+    )
 
 
 DQ_PRICE_HI = 300000.0
@@ -4907,12 +4917,16 @@ FROM facts f LEFT JOIN h
 
 
 _SQL_INCREMENTAL_ROLLUP = """
-SELECT event_type, date_trunc('day', ts) AS bucket,
-       count(value)::BIGINT AS n,
-       min(value) AS min_v, max(value) AS max_v,
-       round(sum(value), 4) AS sum_v_rounded,
-       round(sum(value) / count(value), 4) AS avg_v
-FROM events GROUP BY 1, 2
+WITH q AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(round(value::DOUBLE * 10000, 0) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, bucket, count(v)::BIGINT AS n,
+       min(v) / 10000.0 AS min_v, max(v) / 10000.0 AS max_v,
+       sum(v) / 10000.0 AS sum_v_rounded,
+       sum(v) / (10000.0 * count(v)) AS avg_v
+FROM q GROUP BY 1, 2
 """
 
 
