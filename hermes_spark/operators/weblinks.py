@@ -302,14 +302,24 @@ def _py_canonical_host(p: dict, url: str) -> "str | None":
         o = ord(ch)
         if o < 0x20 or 0x7F <= o <= 0xA0 or ch in _URI_BAD:
             return None
-    if p["auth_v6"].match(auth):
-        if "[" in url[m.end(1):] or "]" in url[m.end(1):]:
-            return None
-    else:
-        if "[" in url or "]" in url:
-            return None
-        if not p["auth_reg"].match(auth):
-            return None
+    # java.net.URI falls back to REGISTRY-based authority parsing when
+    # the server-based (host:port) parse fails, and registry authorities
+    # accept multi-colon/multi-@/non-numeric-port garbage verbatim
+    # ('https://!;b:(:8080/x' -> authority '!;b:(:8080', empirically
+    # pinned).  So there is NO structural authority check — only the
+    # char screen above plus three structural rules, each pinned
+    # against try_parse_url: at most one '#' (a '#' inside the
+    # fragment rejects), brackets legal in QUERY/FRAGMENT but not in
+    # path/authority (IPv6 authority literals excepted), and
+    # %-escapes well-formed everywhere.
+    if url.count("#") > 1:
+        return None
+    qpos = url.find("?")
+    fpos = url.find("#")
+    cut = min(x for x in (qpos, fpos, len(url)) if x != -1)
+    head_start = m.end(1) if p["auth_v6"].match(auth) else 0
+    if "[" in url[head_start:cut] or "]" in url[head_start:cut]:
+        return None
     if p["pct"].search(url):
         return None
     a = auth.lower()

@@ -304,3 +304,49 @@ def test_host_graph_arrow_matches_expr_fuzz(spark):
         arrow = sorted(map(tuple, host_link_graph(
             df, "src_host", "html", engine="arrow", **kwargs).collect()))
         assert arrow == expr, kwargs
+
+
+def test_host_graph_arrow_matches_expr_hostile_fuzz(spark):
+    """Hostile-charset fuzz (URI delims, controls, C1/NBSP, brackets,
+    bad %-escapes, multi-#, unicode) — found and pinned three real
+    boundary rules of try_parse_url during round 9: registry-based
+    authority fallback (multi-colon/@ garbage accepted), at most one
+    '#', and brackets legal in query/fragment but not path/authority."""
+    import random
+
+    rng = random.Random(123)
+    pool = list("abcz09-._~:/?#[]@!$&'()*+,;=% \t<>{}|\\^`\"") + [
+        "\x7f", "\x85", "\xa0", "é", "中", "%2F", "%zz", "..", "../",
+        "//", "https://", "http://", "HTTPS://", ":8080", ":443",
+        "www.", "#f", "?q=1", "mailto:", "javascript:", "[::1]",
+        "user:p@",
+    ]
+
+    def rand_href(r):
+        return "".join(r.choice(pool) for _ in range(r.randint(1, 18)))
+
+    rows = []
+    for i in range(150):
+        links = "".join(
+            f'<a href="{rand_href(rng)}">x</a>'
+            for _ in range(rng.randint(1, 6))
+        )
+        if rng.random() < 0.3:
+            links = f'<base href="{rand_href(rng)}">' + links
+        if rng.random() < 0.3:
+            links += ("<a href="
+                      + rand_href(rng).replace(" ", "").replace("\t", "")
+                      + ">u</a>")
+        rows.append((i, f"s{rng.randint(1, 3)}.example",
+                     f"https://s{rng.randint(1, 3)}.example/a/b.html",
+                     f"<html><body>{links}</body></html>"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, src_host string, page_url string, html string"
+    )
+    for kwargs in ({}, {"page_url_col": "page_url"}):
+        expr = sorted(map(tuple, host_link_graph(
+            df, "src_host", "html", engine="expr", **kwargs).collect()))
+        arrow = sorted(map(tuple, host_link_graph(
+            df, "src_host", "html", engine="arrow", **kwargs).collect()))
+        assert arrow == expr, kwargs
+        assert expr  # traps must not have swallowed everything
