@@ -251,7 +251,6 @@ def _py_link_patterns():
         "auth_v6": re.compile(
             r"^(?:[^@]*@)?\[[0-9A-Fa-f:.]+\](?::[0-9]*)?$"
         ),
-        "auth_reg": re.compile(r"^(?:[^@]*@)?[^@:\[\]]*(?::[0-9]*)?$"),
         "pct": re.compile(r"%(?![0-9A-Fa-f]{2})"),
         "head": re.compile(r"^([^?#]*)"),
         "dot_cur": re.compile(r"/\.(?=/)"),
