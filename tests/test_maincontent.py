@@ -106,3 +106,54 @@ def test_zero_shuffle_plan(spark, sf_dir):
     out = extract_main_text(docs, "doc_id", "html")
     assert count_exchanges(out) == 0
     assert not any("Join" in op or "Window" in op for op in plan_operators(out))
+
+
+def test_arrow_matches_expr_messy(spark):
+    """Engine equivalence on adversarial markup: unclosed tags, nested
+    anchors, entity edge order (&amp;lt;), \x0b whitespace, unicode,
+    empty/whitespace pages, case-mixed block tags, null."""
+    rows = [
+        (1, PAGE),
+        (2, None),
+        (3, ""),
+        (4, "   \t\n"),
+        (5, "<P>Upper case block tags with the usual words to pass"
+            " the gate of five</p><BR>short"),
+        (6, "<p>&amp;lt; stays literal &nbsp; and &quot;quoted&quot;"
+            " with plenty of the usual words</p>"),
+        (7, "<div><a href='/x'>nested <b>bold</b> anchor words here"
+            "</a> plus some of the free text around it to dilute</div>"),
+        (8, "<p>unclosed paragraph with words that keep the block alive"
+            " and the classifier content"),
+        (9, "<p>vert\x0btab\x0bwhitespace and the words to pass the"
+            " minimum of five</p>"),
+        (10, "<p>中文内容 mixed with the english words of the gate</p>"),
+        (11, "<p>" + "w " * 300 + "</p>" * 5),
+        (12, "no block tags at all just a bare text run with the words"),
+    ]
+    df = _frame(spark, rows)
+    a = extract_main_text(df, "doc_id", "html", engine="arrow").toPandas()
+    e = extract_main_text(df, "doc_id", "html", engine="expr").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    e = e.sort_values("doc_id").reset_index(drop=True)
+    assert a.astype(str).equals(e.astype(str))
+
+
+def test_arrow_matches_expr_fuzz(spark):
+    import random
+
+    rng = random.Random(42)
+    frag = ["<p>", "</p>", "<div>", "</div>", "<br>", "<li>", "<a href='/x'>",
+            "</a>", "&amp;", "&lt;", "&nbsp;", "the ", "of ", "and ", "zq ",
+            "word ", "\t", "\x0b", "é ", "中 ", "<script>x</script>",
+            "<!-- c -->", "<P CLASS='y'>", "<TD>", "x<y ", "a>b "]
+    rows = [
+        (i, "".join(rng.choice(frag) for _ in range(rng.randint(3, 60))))
+        for i in range(200)
+    ]
+    df = _frame(spark, rows)
+    a = extract_main_text(df, "doc_id", "html", engine="arrow").toPandas()
+    e = extract_main_text(df, "doc_id", "html", engine="expr").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    e = e.sort_values("doc_id").reset_index(drop=True)
+    assert a.astype(str).equals(e.astype(str))

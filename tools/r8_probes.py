@@ -306,7 +306,8 @@ def probe_maincontent_1m(spark) -> None:
     pages = spark.read.parquet(f"{work}/raw")
     pages.count()
     t0 = time.time()
-    extracted = extract_main_text(pages, "doc_id", "html")
+    engine = os.environ.get("MC_ENGINE", "arrow")
+    extracted = extract_main_text(pages, "doc_id", "html", engine=engine)
     agg = extracted.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_kept").alias("kept"),
