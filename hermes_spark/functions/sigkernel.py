@@ -248,6 +248,50 @@ def _pack_codes(
     return code_all[starts_b], m
 
 
+def _pack_codes_cp(
+    cps: np.ndarray, row_starts: np.ndarray, row_lens: np.ndarray,
+    shingle_n: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Codepoint twin of :func:`_pack_codes` for the non-ASCII lane:
+    ``cps`` is a flat uint32 CODEPOINT buffer (UTF-32 units, one per
+    character), so the per-shingle pack shifts 21 bits per char
+    (codepoints < 0x110000 < 2^21).  Requires ``shingle_n <= 3``
+    (3 x 21 = 63 bits keeps codes positive int64); larger shingles on
+    non-ASCII text stay on the dict-interned scalar lane."""
+    m = row_lens - (shingle_n - 1)
+    n_sh = int(m.sum())
+    idx_t = np.int32 if len(cps) < (1 << 31) else np.int64
+    within = np.arange(n_sh, dtype=idx_t)
+    first = np.zeros(len(row_starts), dtype=idx_t)
+    if len(row_starts) > 1:
+        np.cumsum(m[:-1], out=first[1:])
+    within -= np.repeat(first, m.astype(idx_t))
+    starts_b = np.repeat(row_starts.astype(idx_t), m.astype(idx_t)) + within
+    n_codes = len(cps) - shingle_n + 1
+    code_all = cps[:n_codes].astype(np.int64)
+    for k in range(1, shingle_n):
+        code_all <<= np.int64(21)
+        code_all |= cps[k: n_codes + k]
+    return code_all[starts_b], m
+
+
+def _hash31_of_cp_codes(
+    uniq_codes: np.ndarray, shingle_n: int, portable: bool, seed: int
+) -> np.ndarray:
+    """``base_hash31`` of 21-bit-packed codepoint shingle codes: unpack
+    the DISTINCT codes back to characters (every code is exactly
+    ``shingle_n`` chars — no leading-zero ambiguity) and reuse the
+    string hasher, which encodes UTF-8 and groups by byte length."""
+    u = len(uniq_codes)
+    cps = np.empty((u, shingle_n), dtype=np.uint32)
+    for k in range(shingle_n):
+        cps[:, shingle_n - 1 - k] = (
+            (uniq_codes >> np.int64(21 * k)) & np.int64(0x1FFFFF)
+        ).astype(np.uint32)
+    strings = ["".join(map(chr, row)) for row in cps.tolist()]
+    return hash31_np(strings, portable, seed)
+
+
 def _sigs_from_codes(
     codes: np.ndarray,
     m: np.ndarray,
@@ -255,6 +299,7 @@ def _sigs_from_codes(
     num_hashes: int,
     portable: bool,
     seed: int,
+    hash_of_codes=None,
 ) -> np.ndarray:
     """(rows, num_hashes) signature matrix from packed shingle codes.
 
@@ -295,7 +340,7 @@ def _sigs_from_codes(
         # measured 14x per-op slowdown under 32-way concurrency)
         uniqc, inv = np.unique(codes[s0:s1], return_inverse=True)
         inv = inv.astype(np.int32, copy=False)
-        h31u = _hash31_of_codes(
+        h31u = (hash_of_codes or _hash31_of_codes)(
             uniqc.astype(np.int64), shingle_n, portable, seed
         )
         bv = buf[: s1 - s0]
@@ -360,21 +405,34 @@ def signatures_for_texts(
     an all-null array, preserved so unions with expression-built
     signature stores stay consistent).
 
-    Two lanes, merged in input order: ASCII docs longer than the
-    shingle go through the fully-vectorized sliding-window lane
-    (:func:`_ascii_trigram_hashes` — no Python per shingle); everything
-    else (non-ASCII, short, null) through a dict-interned scalar lane.
-    Signature minima are per-doc, so lane assignment cannot change the
-    result (property-tested against the expression path either way).
+    Three lanes, merged in input order: ASCII docs longer than the
+    shingle go through the fully-vectorized byte sliding-window lane
+    (one byte per char — no Python per shingle); non-ASCII docs with
+    ``shingle_n <= 3`` through the CODEPOINT lane (round 10: one
+    ``utf-32-le`` encode per row, then the same vectorized
+    pack/dedup/hash/min pipeline over 21-bit-packed codepoints — the
+    pre-r10 dict-interned path forfeited the kernel's win exactly on
+    multilingual corpora); the rest (short, null, non-ASCII with
+    shingle_n > 3) through the dict-interned scalar lane.  Signature
+    minima are per-doc, so lane assignment cannot change the result
+    (property-tested against the expression path all three ways).
     """
     ascii_i: list = []
     ascii_bufs: list = []
+    cp_i: list = []
+    cp_bufs: list = []
     other_i: list = []
-    vectorizable = shingle_n <= 8  # packed codes fit uint64
+    vectorizable = shingle_n <= 8  # packed byte codes fit int64
+    cp_vectorizable = shingle_n <= 3  # 21-bit codepoints fit int64
     for d, t in enumerate(texts):
-        if vectorizable and t is not None and len(t) > shingle_n and t.isascii():
+        if t is None or len(t) <= shingle_n:
+            other_i.append(d)
+        elif vectorizable and t.isascii():
             ascii_i.append(d)
             ascii_bufs.append(t.encode("ascii"))
+        elif cp_vectorizable:
+            cp_i.append(d)
+            cp_bufs.append(t.encode("utf-32-le"))
         else:
             other_i.append(d)
 
@@ -390,6 +448,24 @@ def signatures_for_texts(
         codes, m = _pack_codes(data, row_starts, lens, shingle_n)
         sig = _sigs_from_codes(codes, m, shingle_n, num_hashes, portable, seed)
         for row, d in enumerate(ascii_i):
+            out[d] = sig[row].tolist()
+
+    if cp_bufs:
+        # utf-32-le units ARE codepoints: 4 bytes/char, so char count =
+        # byte count / 4 and the flat buffer concatenates row spans
+        lens = np.fromiter(
+            (len(b) >> 2 for b in cp_bufs), dtype=np.int64, count=len(cp_bufs)
+        )
+        row_starts = np.zeros(len(cp_bufs), dtype=np.int64)
+        if len(cp_bufs) > 1:
+            np.cumsum(lens[:-1], out=row_starts[1:])
+        cps = np.frombuffer(b"".join(cp_bufs), dtype="<u4")
+        codes, m = _pack_codes_cp(cps, row_starts, lens, shingle_n)
+        sig = _sigs_from_codes(
+            codes, m, shingle_n, num_hashes, portable, seed,
+            hash_of_codes=_hash31_of_cp_codes,
+        )
+        for row, d in enumerate(cp_i):
             out[d] = sig[row].tolist()
 
     if other_i:

@@ -424,11 +424,17 @@ def strip_html(col: Column) -> Column:
     A regex strip, not a DOM parse — the honest scan-side approximation
     (boilerplate/link-density operators downstream handle what a parser
     would have classified structurally). Patterns are RE2-compatible (no
-    backreferences), so a SQL oracle reproduces the output byte-for-byte
-    and the same expression runs in any engine Spark pushes it to.
+    backreferences) and avoid ``(?i)`` (Java/RE2 disagree on exotic case
+    folds — see operators/maincontent._ci), so a SQL oracle reproduces
+    the output byte-for-byte and the same expression runs in any engine
+    Spark pushes it to.
     """
-    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
-    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(
+        col, r"(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>", " "
+    )
+    out = F.regexp_replace(
+        out, r"(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>", " "
+    )
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for entity, repl in _HTML_ENTITIES:
         out = F.regexp_replace(out, entity, repl)

@@ -256,6 +256,22 @@ def _score_arrow(
         ctx_arr[ccp["prev"].map(vidx).fillna(unk_id).to_numpy(np.int64)] = (
             ccp["ctx_cnt"].to_numpy(np.int64)
         )
+    # The docstring's "operands stay far under 2^53" exactness claim,
+    # CHECKED at model-freeze time (cheap driver-side max over the
+    # broadcast tables): kden*cnt+knum and kden*ctx+knum*types must
+    # both be exactly representable in float64, else int64/int64
+    # division silently stops being the correctly-rounded true ratio
+    # and the arrow engine drifts from the expression/oracle engines.
+    _max_operand = k_den * max(
+        int(bg_cnts.max()) if len(bg_cnts) else 0, int(ctx_arr.max())
+    ) + max(k_num, k_num * types)
+    if _max_operand >= 1 << 53:
+        raise ValueError(
+            f"lm arrow scorer: smoothing operand reaches {_max_operand} "
+            ">= 2^53, so float64 division would no longer be exact; "
+            "use score_engine='join' (exact fraction join path) or "
+            "reduce k_den"
+        )
     vocab_b = sc.broadcast(vidx)
     tables_b = sc.broadcast((bg_keys, bg_cnts, ctx_arr))
 

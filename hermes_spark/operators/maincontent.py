@@ -60,9 +60,33 @@ BLOCK_TAGS = (
     "hr", "form", "main", "figure", "figcaption", "dl", "dt", "dd",
 )
 
-_BLOCK_SPLIT = r"(?i)</?(?:" + "|".join(BLOCK_TAGS) + r")\b[^>]*>"
-_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+def _ci(s: str) -> str:
+    """Spell out ASCII case-insensitivity as explicit ``[xX]`` classes.
+
+    ``(?i)`` is a cross-engine trap (pinned empirically, round 10):
+    Java folds via simple ``toLowerCase`` (KELVIN SIGN U+212A matches
+    ``k``, but LATIN SMALL LONG S U+017F does NOT match ``s``), Python
+    folds full-Unicode (both match) or, under ``re.ASCII``, neither,
+    and RE2 (the DuckDB oracle) folds full-Unicode.  Explicit classes
+    fold nothing beyond ASCII in ALL THREE engines."""
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in s)
+
+
+#: NOTE on ``\b`` (pinned empirically, round 10): Java's ``\b`` is
+#: Unicode-aware even though its ``\w`` is ASCII — ``<pé>`` does NOT
+#: split (é is a word char to ``\b``), nor does ``the中`` end a word.
+#: Python's DEFAULT (Unicode) ``\b`` matches this behavior (verified
+#: for é/CJK/ſ/ZWJ; combining marks are the one known residual: word
+#: chars to Java, non-word to Python — no fixture exercises them), so
+#: mirrors of ``\b`` patterns must NOT compile with ``re.ASCII``.
+#: RE2's ``\b`` is ASCII — the DuckDB oracle diverges on non-ASCII
+#: chars adjacent to tag names, which the oracle corpus never contains.
+_BLOCK_SPLIT = r"</?(?:" + "|".join(_ci(t) for t in BLOCK_TAGS) + r")\b[^>]*>"
+_ANCHOR = r"(?s)<[aA]\b[^>]*>(.*?)</[aA]>"
 _TAG = r"(?s)<[^>]+>"
+_SCRIPT_SPAN = r"(?s)<" + _ci("script") + r"[^>]*>.*?</" + _ci("script") + r">"
+_STYLE_SPAN = r"(?s)<" + _ci("style") + r"[^>]*>.*?</" + _ci("style") + r">"
+_COMMENT_SPAN = r"(?s)<!--.*?-->"
 #: explicit whitespace class — Java's \s includes \x0b, RE2's does not,
 #: so both the operator and its SQL oracle spell the class out (same
 #: lesson as the repetition-metrics oracle, SURVEY §8.7).
@@ -90,9 +114,9 @@ def _word_count(text: Column) -> Column:
 def page_blocks(html: Column) -> Column:
     """``array<struct<text,words,anchor_words,stop_words>>`` of scored
     block segments for one page (empty segments score words=0)."""
-    pre = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
-    pre = F.regexp_replace(pre, r"(?is)<style[^>]*>.*?</style>", " ")
-    pre = F.regexp_replace(pre, r"(?s)<!--.*?-->", " ")
+    pre = F.regexp_replace(html, _SCRIPT_SPAN, " ")
+    pre = F.regexp_replace(pre, _STYLE_SPAN, " ")
+    pre = F.regexp_replace(pre, _COMMENT_SPAN, " ")
     raw = F.split(pre, _BLOCK_SPLIT)
     # two-stage transform: anchors need the RAW block (tags intact),
     # words/stopwords need the CLEANED text — compute each once.
@@ -150,23 +174,26 @@ def main_text_column(
 
 def _py_mc_patterns():
     """Python ``re`` mirrors of the segmentation patterns.  Dialect
-    notes (same pinning discipline as the weblinks kernel): the
-    stopword ``\\b`` compiles with ``re.ASCII`` because Java's ``\\w``
-    is ASCII and Python's is Unicode; the whitespace classes are
-    already explicit; Spark ``split`` keeps leading/trailing empties
-    exactly like ``re.split``; Spark ``trim`` strips 0x20 only."""
+    notes (same pinning discipline as the weblinks kernel): case
+    insensitivity is spelled out as explicit classes (see ``_ci``), so
+    no ``(?i)`` anywhere; ``\\b`` mirrors compile WITHOUT ``re.ASCII``
+    because Java's ``\\b`` is Unicode-aware (see the ``_BLOCK_SPLIT``
+    note — this includes the stopword pattern: Java finds no ``the``
+    in ``theſe``); the whitespace classes are already explicit; Spark
+    ``split`` keeps leading/trailing empties exactly like ``re.split``;
+    Spark ``trim`` strips 0x20 only."""
     import re
 
     return {
-        "script": re.compile(r"(?is)<script[^>]*>.*?</script>"),
-        "style": re.compile(r"(?is)<style[^>]*>.*?</style>"),
-        "comment": re.compile(r"(?s)<!--.*?-->"),
+        "script": re.compile(_SCRIPT_SPAN),
+        "style": re.compile(_STYLE_SPAN),
+        "comment": re.compile(_COMMENT_SPAN),
         "block": re.compile(_BLOCK_SPLIT),
         "anchor": re.compile(_ANCHOR),
         "tag": re.compile(_TAG),
         "ws": re.compile(_WS + "+"),
         "word": re.compile(_WORD),
-        "stop": re.compile(_STOP_PAT, re.ASCII),
+        "stop": re.compile(_STOP_PAT),
     }
 
 
@@ -234,15 +261,18 @@ def extract_main_text(
     * ``n_kept``   — segments classified as content,
     * ``main_words`` — word count of the extracted text.
 
-    Zero-shuffle map stage; compose upstream of the C4/Gopher gates in
-    a WARC pipeline (``sources/warc.py`` reads, this extracts, the
-    gates filter).
+    Compose upstream of the C4/Gopher gates in a WARC pipeline
+    (``sources/warc.py`` reads, this extracts, the gates filter).
 
+    ``engine="expr"`` is a zero-shuffle map stage of pure higher-order
+    array expressions — the path the SQL oracle mirrors directly.
     ``engine="arrow"`` (default) runs the segmentation + scoring in a
-    Python-regex ``mapInPandas`` kernel, property-tested output-
-    identical to ``engine="expr"`` (the pure-expression path that the
-    SQL oracle mirrors); the kernel input is widened with
-    ``rebalance_for_cpu`` like every other CPU-bound kernel.
+    Python-regex ``mapInPandas`` kernel whose input is widened with
+    ``rebalance_for_cpu`` like every other CPU-bound kernel — on large
+    narrow inputs (>=256 MB) that inserts ONE round-robin exchange, so
+    the default path is not literally zero-shuffle; it is pinned to the
+    oracle-checked expression path by the property/fuzz equivalence
+    tests (tests/test_maincontent.py), one hop rather than directly.
     """
     if engine not in ("arrow", "expr"):
         raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")

@@ -35,11 +35,17 @@ Self-loops (links within ``src_host``) are kept — callers filter them
 when ranking cross-site authority; they carry real signal for
 navigation-template detection.
 
-Scale design: extraction and resolution are zero-shuffle scan
-expressions; the edge aggregation is ONE groupBy over
-(src_host, dst_host) with map-side partial aggregation, and the output
-is host-cardinality (millions), not page-cardinality (billions).
-Feeds ``operators.graph.pagerank`` / ``degree_stats`` directly.
+Scale design: with ``engine="expr"`` extraction and resolution are
+zero-shuffle scan expressions; the default ``engine="arrow"`` kernel
+adds ONE round-robin exchange on large narrow inputs (its
+``rebalance_for_cpu`` widening) and pre-counts (src, dst) pairs per
+batch so less data reaches the aggregation.  Either way the edge
+aggregation is ONE groupBy over (src_host, dst_host) with map-side
+partial aggregation, and the output is host-cardinality (millions),
+not page-cardinality (billions).  The SQL oracle mirrors the expr
+path; the arrow kernel is pinned to it by property/fuzz equivalence
+tests.  Feeds ``operators.graph.pagerank`` / ``degree_stats``
+directly.
 
 Documented recall/precision boundaries (real crawls are adversarial):
 
@@ -79,9 +85,16 @@ _HREF_ATTR = (
 #: spans whose content must never produce links: scripts (JS string
 #: literals), styles (url() refs), HTML comments.  Same patterns as
 #: operators/maincontent.py's pre-segmentation strip.
+#: explicit case classes instead of (?i) — Java/Python/RE2 disagree on
+#: exotic case folding (U+212A/U+017F; pinned in maincontent._ci) and
+#: these patterns are mirrored in all three engines.
+_SCRIPT_CI = "[sS][cC][rR][iI][pP][tT]"
+_STYLE_CI = "[sS][tT][yY][lL][eE]"
+_BASE_CI = "[bB][aA][sS][eE]"
+_HTTPS_CI = "[hH][tT][tT][pP][sS]?"
 _STRIP_SPANS = (
-    r"(?is)<script[^>]*>.*?</script>",
-    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<" + _SCRIPT_CI + r"[^>]*>.*?</" + _SCRIPT_CI + r">",
+    r"(?s)<" + _STYLE_CI + r"[^>]*>.*?</" + _STYLE_CI + r">",
     r"(?s)<!--.*?-->",
 )
 
@@ -115,7 +128,7 @@ def outlinks(html: Column) -> Column:
     # <base> is resolution metadata, not a link — its href must not
     # count as an outlink (use base_href to read it)
     src = F.regexp_replace(
-        _visible_markup(html), r"(?is)<base[^>]*>", " "
+        _visible_markup(html), r"(?s)<" + _BASE_CI + r"[^>]*>", " "
     )
     ms = F.regexp_extract_all(src, F.lit(_HREF_ATTR), 0)
     return F.filter(F.transform(ms, _attr_value), lambda u: u != "")
@@ -127,9 +140,9 @@ def base_href(html: Column) -> Column:
     Only an ABSOLUTE http(s) base is honored (see module docstring);
     anything else returns null so callers fall back to the page URL.
     """
-    tag = F.regexp_extract(_visible_markup(html), r"(?is)<base[^>]+>", 0)
+    tag = F.regexp_extract(_visible_markup(html), r"(?s)<" + _BASE_CI + r"[^>]+>", 0)
     v = _attr_value(F.regexp_extract(tag, _HREF_ATTR, 0))
-    return F.when(v.rlike(r"(?i)^https?://"), v)
+    return F.when(v.rlike(r"^" + _HTTPS_CI + "://"), v)
 
 
 #: bounded ``segment/../`` collapsing depth — covers every sane page;
@@ -163,17 +176,17 @@ def resolve_href(base: Column, href: Column) -> Column:
     ``canonical_url`` / ``host_link_graph`` directly.
     """
     h = F.trim(href)
-    scheme = F.regexp_extract(base, r"(?i)^(https?):", 1)
-    origin = F.regexp_extract(base, r"(?i)^(https?://[^/?#]+)", 1)
-    bpath = F.regexp_extract(base, r"(?i)^https?://[^/?#]+([^?#]*)", 1)
+    scheme = F.regexp_extract(base, r"^(" + _HTTPS_CI + "):", 1)
+    origin = F.regexp_extract(base, r"^(" + _HTTPS_CI + "://[^/?#]+)", 1)
+    bpath = F.regexp_extract(base, r"^" + _HTTPS_CI + "://[^/?#]+([^?#]*)", 1)
     bdir = F.regexp_replace(bpath, r"[^/]*$", "")
     bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
     null = F.lit(None).cast("string")
     return (
         F.when(origin == "", null)
         .when(h == "", null)
-        .when(h.rlike(r"(?i)^https?://"), h)
-        .when(h.rlike(r"(?i)^[a-z][a-z0-9+.\-]*:"), null)
+        .when(h.rlike(r"^" + _HTTPS_CI + "://"), h)
+        .when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"), null)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("#"), null)
         .when(h.startswith("?"), F.concat(origin, bpath, h))
@@ -217,7 +230,7 @@ def extract_outlinks(
         links = resolved_outlinks(F.col(html_col), F.col(page_url_col))
     else:
         links = F.filter(
-            outlinks(F.col(html_col)), lambda u: u.rlike(r"(?i)^https?://")
+            outlinks(F.col(html_col)), lambda u: u.rlike(r"^" + _HTTPS_CI + "://")
         )
     rows = df.select(F.col(id_col), F.explode(links).alias("__raw"))
     target = canonical_url(F.col("__raw")) if canonicalize else F.col("__raw")
@@ -229,25 +242,33 @@ def extract_outlinks(
 def _py_link_patterns():
     """Python ``re`` mirrors of the module's extraction patterns.
 
-    The Java patterns port verbatim except ``\\w``: Java's is ASCII,
-    Python's is Unicode — compiled with ``re.ASCII`` to match.  The
-    explicit ``_WS`` classes are already dialect-portable by design.
+    Case insensitivity is spelled out as explicit classes in the
+    SHARED constants (Java/Python/RE2 disagree on exotic folds — Java
+    (?i) is simple-toLowerCase, so U+212A KELVIN matches ``k`` but
+    U+017F ``ſ`` does not match ``s``; Python folds full-Unicode or,
+    under re.ASCII, neither; pinned round 10), so the patterns port
+    byte-for-byte.  The remaining flagged mirrors are ``href``/
+    ``href_prefix``: their ``\\w`` lookbehind and ``(?i)`` cover ASCII
+    letters only, which ``re.ASCII`` pins (note ``\\b`` would be the
+    OPPOSITE call — Java's ``\\b`` is Unicode-aware — but no ``\\b``
+    appears here).  The explicit ``_WS`` classes are already
+    dialect-portable by design.
     """
     import re
 
     return {
         "strip": [re.compile(p) for p in _STRIP_SPANS],
-        "base_tag": re.compile(r"(?is)<base[^>]+>"),
-        "base_rm": re.compile(r"(?is)<base[^>]*>"),
+        "base_tag": re.compile(r"(?s)<" + _BASE_CI + r"[^>]+>"),
+        "base_rm": re.compile(r"(?s)<" + _BASE_CI + r"[^>]*>"),
         "href": re.compile(_HREF_ATTR, re.ASCII),
         "href_prefix": re.compile(
             r"(?is)^href" + _WS + "*=" + _WS + "*", re.ASCII
         ),
-        "abs": re.compile(r"(?i)^https?://"),
-        "scheme": re.compile(r"(?i)^[a-z][a-z0-9+.\-]*:"),
-        "b_origin": re.compile(r"(?i)^(https?)://([^/?#]+)"),
-        "b_path": re.compile(r"(?i)^https?://[^/?#]+([^?#]*)"),
-        "authority": re.compile(r"(?i)^https?://([^/?#]*)"),
+        "abs": re.compile(r"^" + _HTTPS_CI + "://"),
+        "scheme": re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"),
+        "b_origin": re.compile(r"^(" + _HTTPS_CI + ")://([^/?#]+)"),
+        "b_path": re.compile(r"^" + _HTTPS_CI + "://[^/?#]+([^?#]*)"),
+        "authority": re.compile(r"^" + _HTTPS_CI + "://([^/?#]*)"),
         "auth_v6": re.compile(
             r"^(?:[^@]*@)?\[[0-9A-Fa-f:.]+\](?::[0-9]*)?$"
         ),
@@ -267,8 +288,22 @@ def _py_link_patterns():
 
 #: characters java.net.URI rejects anywhere in a URL (empirically
 #: pinned against Spark's try_parse_url: space, the RFC "delims"/
-#: "unwise" sets, controls, DEL..NBSP; chars ABOVE U+00A0 are accepted)
+#: "unwise" sets, controls, DEL..NBSP; chars ABOVE U+00A0 are accepted
+#: EXCEPT the space separators below)
 _URI_BAD = set(' "<>{}|\\^`')
+
+#: non-ASCII space separators above U+00A0 that java.net.URI also
+#: rejects, via Character.isSpaceChar (Unicode Zs/Zl/Zp) — OGHAM SPACE
+#: MARK, EN QUAD..HAIR SPACE, LINE/PARAGRAPH SEPARATOR, NARROW NBSP,
+#: MEDIUM MATHEMATICAL SPACE, IDEOGRAPHIC SPACE.  Frozen code-point
+#: list (their Zs/Zl/Zp membership is stable across Unicode versions)
+#: rather than unicodedata.category, so the kernel cannot drift from
+#: the JVM if Python's Unicode tables move.  Pinned empirically: Cf
+#: chars (e.g. ZWSP U+200B) and unassigned code points are ACCEPTED by
+#: try_parse_url, so only these fifteen reject.
+_URI_SPACE_HI = frozenset(
+    [0x1680, *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
 
 
 def _py_collapse_dots(p: "re.Pattern | dict", path: str) -> str:
@@ -299,7 +334,7 @@ def _py_canonical_host(p: dict, url: str) -> "str | None":
         return None
     for ch in url:
         o = ord(ch)
-        if o < 0x20 or 0x7F <= o <= 0xA0 or ch in _URI_BAD:
+        if o < 0x20 or 0x7F <= o <= 0xA0 or ch in _URI_BAD or o in _URI_SPACE_HI:
             return None
     # java.net.URI falls back to REGISTRY-based authority parsing when
     # the server-based (host:port) parse fails, and registry authorities

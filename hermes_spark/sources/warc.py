@@ -257,7 +257,10 @@ def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def http_response_text(
-    df: DataFrame, payload_col: str = "payload", extractor: str = "strip"
+    df: DataFrame,
+    payload_col: str = "payload",
+    extractor: str = "strip",
+    keep_body: bool = False,
 ) -> DataFrame:
     """Turn raw WARC ``response`` payloads (HTTP envelope + HTML body)
     into ``(status_code, http_content_type, text)`` columns — the raw-
@@ -279,6 +282,11 @@ def http_response_text(
       (the higher-precision choice for training-corpus builds).
 
     Both are zero-shuffle scan expressions.
+
+    ``keep_body=True`` additionally retains the sanitized HTML body as
+    an ``html`` column — feed it to ``operators.weblinks`` (outlink /
+    host-graph extraction for an authority prior) without re-parsing
+    the WARC bytes.
     """
     from ..functions.text import strip_html
     from ..operators.maincontent import main_text_column
@@ -299,7 +307,7 @@ def http_response_text(
     body = F.when(sep > 0, F.substring(s, (sep + width).cast("int"), F.length(s))).otherwise(s)
     status = F.regexp_extract(header, r"^HTTP/[0-9.]+ (\d{3})", 1)
     ctype = F.lower(F.regexp_extract(header, r"(?i)content-type:\s*([^;\r\n]+)", 1))
-    return (
+    out = (
         df.withColumn(
             "status_code",
             F.when(status != "", status.cast("int")),
@@ -314,3 +322,6 @@ def http_response_text(
             strip_html(body) if extractor == "strip" else main_text_column(body),
         )
     )
+    if keep_body:
+        out = out.withColumn("html", body)
+    return out

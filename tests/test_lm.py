@@ -121,3 +121,19 @@ def test_score_arrow_engine_zero_shuffle(spark, lm_and_scored):
         for r in arrow.collect()
     }
     assert join_rows == arrow_rows
+
+
+def test_arrow_exactness_guard_trips_past_2_53(spark, lm_and_scored):
+    # the arrow scorer's int64 smoothing operands must stay under 2^53
+    # for float64 division to be the exact rounded ratio; a k_den that
+    # blows the bound must fail loudly at model-freeze, not drift
+    lm, _, _ = lm_and_scored
+    target = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="2\\^53"):
+        lm_score(
+            target, lm, broadcast_model=True, k_num=1, k_den=1 << 53
+        ).collect()
+    # and the join engine (exact big-int fractions) still accepts it
+    assert lm_score(
+        target, lm, score_engine="join", k_num=1, k_den=1 << 53
+    ).count() == 1

@@ -146,7 +146,12 @@ def test_arrow_matches_expr_fuzz(spark):
     frag = ["<p>", "</p>", "<div>", "</div>", "<br>", "<li>", "<a href='/x'>",
             "</a>", "&amp;", "&lt;", "&nbsp;", "the ", "of ", "and ", "zq ",
             "word ", "\t", "\x0b", "é ", "中 ", "<script>x</script>",
-            "<!-- c -->", "<P CLASS='y'>", "<TD>", "x<y ", "a>b "]
+            "<!-- c -->", "<P CLASS='y'>", "<TD>", "x<y ", "a>b ",
+            # non-ASCII case-fold/word chars adjacent to tag names: pins
+            # the re.ASCII mirrors (Unicode (?i) would fold U+017F
+            # 'ſ'->'s' / U+212A 'K'->'k', Unicode \b would break at é)
+            "<aé x>", "<ſcript>y</ſcript>", "<K>", "<pé>z</pé> ",
+            "theſe ", "K "]
     rows = [
         (i, "".join(rng.choice(frag) for _ in range(rng.randint(3, 60))))
         for i in range(200)

@@ -86,6 +86,11 @@ MIXED = [
     "", "a", "ab", "abc", "abcd", None, "hello world hello world",
     "日本語のテキストです", "€uro sign and emoji 🙂", "aaaaaaaaaaaa",
     "x" * 100, "tab\tnewline\nmix", "  spaces  ", "abc" * 50, "ÅÉÎ",
+    # round-10 codepoint-lane pins: Cyrillic, CJK-only, exotic case
+    # chars, combining marks, astral-plane run (every branch of the
+    # 21-bit pack + utf-8 re-encode in _hash31_of_cp_codes)
+    "привет мир привет мир", "中文中文中文中文", "ſKſKſK",
+    "áb́ćd", "🙂🙃🙂🙃🙂", "й" * 50,
 ]
 
 

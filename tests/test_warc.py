@@ -220,6 +220,29 @@ def test_http_response_text(spark, tmp_path):
     assert "script" not in out["text"] and "<p>" not in out["text"]
 
 
+def test_http_response_text_keep_body(spark, tmp_path):
+    from hermes_spark.sources.warc import http_response_text
+
+    html = (
+        b"<html><body><p>Body text.</p>"
+        b'<a href="https://other.example/x">link</a></body></html>'
+    )
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    shard = _record("response", "http://page.example/", http)
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(shard))
+    out = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",)), keep_body=True
+    ).collect()[0]
+    # the html column is the raw (sanitized) body — feeds weblinks
+    assert out["html"] == html.decode()
+    assert "Body text." in out["text"] and "<p>" not in out["text"]
+    # default keeps the narrow schema
+    cols = http_response_text(
+        read_warc(spark, str(tmp_path), types=("response",))
+    ).columns
+    assert "html" not in cols
+
+
 def test_http_response_text_non_http_payload(spark, tmp_path):
     from hermes_spark.sources.warc import http_response_text
 

@@ -320,6 +320,11 @@ def test_host_graph_arrow_matches_expr_hostile_fuzz(spark):
         "//", "https://", "http://", "HTTPS://", ":8080", ":443",
         "www.", "#f", "?q=1", "mailto:", "javascript:", "[::1]",
         "user:p@",
+        # Zs/Zl/Zp space separators above U+00A0 (Character.isSpaceChar
+        # rejects; Cf chars like ZWSP are accepted) — pins the
+        # round-10 _URI_SPACE_HI screen
+        "\u1680", "\u2000", "\u2005", "\u200a", "\u2028", "\u2029",
+        "\u202f", "\u205f", "\u3000", "\u200b",
     ]
 
     def rand_href(r):

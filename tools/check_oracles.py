@@ -98,6 +98,13 @@ def _record_results(results: dict, sf_dir: str) -> None:
         data = json.load(open(path))
     except Exception:
         data = {}
+    # purge verdicts for deregistered queries so the ledger always
+    # matches the live registry (round-9 verdict: stale bpe_token_stats
+    # entry survived its deregistration)
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    data = {k: v for k, v in data.items() if k in registered}
     rnd = _latest_driver_round()
     for name, (ok, values_checked) in results.items():
         data[name] = {
@@ -115,7 +122,9 @@ def _record_results(results: dict, sf_dir: str) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--record"]
     record = "--record" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    # default sf0.01: the documented Tier-B scale (SURVEY §8.6) — the
+    # round-9 verdict flagged a silent sf0.001 downgrade here.
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     import __spark_entry__ as entry

@@ -364,9 +364,10 @@ def probe_pagerank_1m(spark) -> None:
 def probe_warc_full_funnel_1m(spark) -> None:
     """The COMPLETE pipeline from raw crawl bytes to packed training
     shards — every stage a user of the engine would run, composed once:
-    WARC parse -> main extraction -> clean+C4 -> Gopher -> exact dedup
-    -> MinHash near-dup dedup -> LM perplexity filter -> epoch mix ->
-    sequence packing."""
+    WARC parse -> main extraction -> host graph + PageRank authority
+    prior (round 10) -> clean+C4 -> Gopher -> exact dedup with
+    keep_by=host_rank -> MinHash near-dup dedup -> LM perplexity filter
+    -> epoch mix -> sequence packing."""
     from pyspark.sql import functions as F
 
     from hermes_spark.functions.clean import clean_text
@@ -381,6 +382,8 @@ def probe_warc_full_funnel_1m(spark) -> None:
         minhash_lsh_pairs,
         pack_sequences,
     )
+    from hermes_spark.operators.graph import pagerank
+    from hermes_spark.operators.weblinks import host_link_graph
     from hermes_spark.sources.warc import http_response_text, read_warc
 
     shards = ensure_corpus(spark)
@@ -395,14 +398,44 @@ def probe_warc_full_funnel_1m(spark) -> None:
     try:
         t0 = time.time()
         recs = read_warc(spark, shards, types=("response",))
-        docs = http_response_text(recs, extractor="main").select(
+        docs = http_response_text(
+            recs, extractor="main", keep_body=True
+        ).select(
             F.monotonically_increasing_id().alias("doc_id"),
             F.col("target_uri").alias("url"),
+            "html",
             "text",
         )
         docs.write.mode("overwrite").parquet(f"{work}/parsed")
         docs = spark.read.parquet(f"{work}/parsed")
         stage("warc_parse+extract_main", time.time() - t0, docs.count())
+
+        # round-10: link-authority prior (examples/quality_prior.py at
+        # 1M pages) — host graph from the kept html, 10 PageRank
+        # iterations; ranks are host-cardinality (tiny, broadcastable)
+        t0 = time.time()
+        pages = docs.select(
+            "doc_id", "url", "html",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias(
+                "src_host"
+            ),
+        )
+        edges = host_link_graph(
+            pages, "src_host", "html", page_url_col="url"
+        )
+        ranks = pagerank(
+            edges.select(
+                F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"),
+            ),
+            iterations=10,
+        ).select(
+            F.col("node").alias("src_host"), F.col("rank").alias("host_rank")
+        )
+        ranks.write.mode("overwrite").parquet(f"{work}/ranks")
+        ranks = spark.read.parquet(f"{work}/ranks")
+        stage("host_graph+pagerank", time.time() - t0, ranks.count())
+        docs = docs.select("doc_id", "url", "text")
 
         # Materialize the cleaned text BEFORE the Gopher gate: the gate
         # references the text column once per rule, and without a
@@ -411,8 +444,11 @@ def probe_warc_full_funnel_1m(spark) -> None:
         # — expression trees don't CSE across a filter's rule columns).
         t0 = time.time()
         c4d = c4_clean(
-            docs.select("doc_id", clean_text(F.col("text")).alias("text")),
+            docs.select(
+                "doc_id", "url", clean_text(F.col("text")).alias("text")
+            ),
             "doc_id", "text",
+            keep_cols=("url",),  # the keep_by stage re-derives src_host
         )
         c4d.write.mode("overwrite").parquet(f"{work}/c4")
         c4d = spark.read.parquet(f"{work}/c4")
@@ -424,11 +460,21 @@ def probe_warc_full_funnel_1m(spark) -> None:
         gated = spark.read.parquet(f"{work}/gated")
         stage("clean+c4+gopher", time.time() - t0, gated.count())
 
+        # round-10: the dedup keeps each duplicate group's copy from
+        # the most AUTHORITATIVE host (keep_by=host_rank, broadcast
+        # join against the host-cardinality rank frame) — the
+        # canonical-origin-wins policy of examples/quality_prior.py,
+        # costed composed at 1M pages
         t0 = time.time()
-        deduped = exact_dedup(gated, "doc_id", "text")
+        with_rank = gated.withColumn(
+            "src_host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        ).join(F.broadcast(ranks), "src_host", "left")
+        deduped = exact_dedup(
+            with_rank, "doc_id", "text", keep_by=F.col("host_rank")
+        ).select("doc_id", "text")
         deduped.write.mode("overwrite").parquet(f"{work}/dedup")
         deduped = spark.read.parquet(f"{work}/dedup")
-        stage("exact_dedup", time.time() - t0, deduped.count())
+        stage("exact_dedup_keep_by_rank", time.time() - t0, deduped.count())
 
         t0 = time.time()
         pairs = minhash_lsh_pairs(
@@ -447,7 +493,13 @@ def probe_warc_full_funnel_1m(spark) -> None:
         lm = lm_train(
             neared.filter(F.col("doc_id") % 10 == 0), vocab_size=20_000
         )
-        scored = lm_score(neared, lm, broadcast_model=True)
+        # materialize (doc_id, avg_logprob) before the quantile — the
+        # TUNING.md barrier rule (round 10): two actions over a lazy
+        # scored frame re-run the scoring scan twice otherwise
+        lm_score(neared, lm, broadcast_model=True).select(
+            "doc_id", "avg_logprob"
+        ).write.mode("overwrite").parquet(f"{work}/scored")
+        scored = spark.read.parquet(f"{work}/scored")
         cut = scored.approxQuantile("avg_logprob", [0.2], 0.01)[0]
         kept_ids = scored.filter(F.col("avg_logprob") >= cut).select("doc_id")
         kept = neared.join(kept_ids, "doc_id").select("doc_id", "text")

@@ -15,23 +15,31 @@ Usage: python tools/rotate_window.py [--gate]   (from the repo root)
 The output is advisory — apply it by reordering ``queries()`` in
 ``__spark_entry__.py`` (keep the NOTE comment there in sync).
 
-``--gate`` (used by tools/run_gates.sh) exits non-zero when a
-registered query is sitting BELOW the 50-entry checked window while
-either (a) it has never had a green driver row, or (b) its last green
-row is 2+ rounds old — i.e. a round is about to end with a query that
-can silently stay unverified.
+``--gate`` (used by tools/run_gates.sh) exits non-zero when
 
-Window-saturation exception: when more queries need the window than it
-has slots (never-green + stale > 50 — either many new registrations in
-one round, or steadily more than the 150-query rotation capacity), the
-overflow is arithmetically unavoidable.  The gate then excuses AT MOST
-``max(0, pressure - 50)`` below-fold queries — loudly, never silently —
-and only those holding a values-checked green verdict in
-LOCAL_CHECK.json (``tools/check_oracles.py --record``) recorded at the
-CURRENT driver round.  The cap means a local check can never excuse a
-query that rotation could have fit; the stalest-first ranking cycles
-which queries overflow, so every query is still driver-verified at
-least every ``ceil(registered/50)`` rounds.
+(a) a registered query sits BELOW the 50-entry checked window while
+    either never driver-green or 3+ rounds stale (the bound matches
+    the 150-query/50-slot rotation arithmetic: the window the driver
+    checks is the same ordering the gate inspects, so in steady state
+    the below-fold always holds the two cohorts green at ``latest``
+    and ``latest-1`` — never older than the bound, and a 2-round bound
+    would be structurally unsatisfiable); or
+(b) ANY below-fold query lacks a same-round sf0.01 local green in
+    LOCAL_CHECK.json (``tools/check_oracles.py --record`` at the
+    default sf0.01) — values-checked when the query has an oracle.
+    This is the round-10 policy amendment (SURVEY §8.6): the looser
+    driver-round bound is paid for with a mandatory every-round local
+    oracle re-verification of everything the driver window skips.
+
+Window-saturation exception (for the staleness check only): when more
+queries need the window than it has slots (never-green + stale > 50 —
+many new registrations in one round, or growth past the 150-query
+rotation capacity), the overflow is arithmetically unavoidable.  The
+gate then excuses AT MOST ``max(0, pressure - 50)`` below-fold queries
+— loudly, never silently, never the same query two rounds in a row —
+and only those holding a values-checked green local verdict recorded
+at the current driver round.  The cap means a local check can never
+excuse a query that rotation could have fit.
 """
 
 from __future__ import annotations
@@ -114,7 +122,7 @@ def main() -> int:
         stale = [
             q
             for q in below_fold
-            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
+            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 3
         ]
         # saturation escape hatch, capped at the ARITHMETICALLY
         # unavoidable overflow: with P queries needing the window
@@ -126,17 +134,38 @@ def main() -> int:
         pressure = [
             q
             for q in registered
-            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 2
+            if last_green.get(q, -1) < 0 or last_green[q] <= latest - 3
         ]
         allowed = max(0, len(pressure) - 50)
 
         def locally_covered(q: str) -> bool:
+            # "same-round": recorded since the previous driver
+            # CORRECTNESS landed — during round N the latest file is
+            # r(N-1), so a recording made this round carries
+            # driver_round_at_check >= latest-1 at the post-round gate.
             rec = local_check.get(q, {})
+            values_ok = rec.get("values_checked") or q not in oracles
             return bool(
                 rec.get("ok")
-                and rec.get("values_checked")
-                and rec.get("driver_round_at_check", -1) >= latest
+                and values_ok
+                and "sf0.01" in str(rec.get("sf_dir", ""))
+                and rec.get("driver_round_at_check", -1) >= latest - 1
             )
+
+        # round-10 mandatory Tier-B check: EVERY below-fold query needs
+        # a same-round sf0.01 local green, stale or not.
+        uncovered = [q for q in below_fold if not locally_covered(q)]
+        if uncovered:
+            print(
+                f"\nGATE FAIL: {len(uncovered)} below-fold queries lack a "
+                "same-round sf0.01 values-checked local green in "
+                "LOCAL_CHECK.json (run tools/check_oracles.py --record):"
+            )
+            for q in uncovered[:20]:
+                print(f"  {q}")
+            if len(uncovered) > 20:
+                print(f"  ... and {len(uncovered) - 20} more")
+            return 1
 
         excused = [q for q in stale if locally_covered(q)][:allowed]
         # round-over-round disjointness: a query may ride the saturation
@@ -172,14 +201,17 @@ def main() -> int:
         if stale:
             print(
                 f"\nGATE FAIL: {len(stale)} below-fold queries are unverified "
-                f"or stale (last green <= r{latest - 2}):"
+                f"or stale (last green <= r{latest - 3}):"
             )
             for q in stale:
                 when = last_green.get(q, -1)
                 print(f"  {q}  (last green: {'never' if when < 0 else f'r{when}'})")
             print("rotate them into the top-50 window before the round ends.")
             return 1
-        print("\ngate: window OK — every below-fold query green within 2 rounds")
+        print(
+            "\ngate: window OK — every below-fold query driver-green within "
+            "3 rounds AND locally sf0.01-green this round"
+        )
     return 0
 
 
