@@ -731,16 +731,6 @@ def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_curriculum(docs, "doc_id", "text")
 
 
-def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 3-per-source sample of the documents corpus."""
-    from hermes_spark.operators.sampling import sample_per_group
-
-    docs = _read(spark, sf_dir, "documents")
-    return sample_per_group(docs, "doc_id", "source", k=3).select(
-        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
-    )
-
-
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -831,17 +821,6 @@ def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="op",
         tiebreak=["o_orderkey"],
     )
-
-
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 validity intervals over the orders change log (a 200-key
-    slice keeps the result bounded)."""
-    from hermes_spark.operators.cdc import scd2_history
-
-    changes = _orders_changelog(spark, sf_dir).filter(
-        F.col("o_custkey") < 200
-    ).drop("op")
-    return scd2_history(changes, ["o_custkey"], "ts")
 
 
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,25 +1576,6 @@ GROUP BY e.event_type
 """
 
 
-def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width 10-bin histogram of event values over [0, 100]."""
-    from hermes_spark.operators import histogram
-
-    events = _read_events(spark, sf_dir)
-    return histogram(events, "value", bins=10, lo=0.0, hi=100.0)
-
-
-_SQL_EVENTS_HISTOGRAM = """
-WITH b AS (
-  SELECT least(greatest(floor((value - 0.0) / 10.0), 0), 9)::BIGINT AS bucket
-  FROM events
-)
-SELECT bucket, round(0.0 + bucket * 10.0, 6) AS lo,
-       round(0.0 + (bucket + 1) * 10.0, 6) AS hi, count(*)::BIGINT AS cnt
-FROM b GROUP BY bucket ORDER BY bucket
-"""
-
-
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text bytes stand in for media
     binaries (no codec libs in this environment), metadata attach +
@@ -1861,15 +1821,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- non-SQL-expressible (rows-only check): approximate variants ------------
-
-
-def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
-    out = lsh_cosine_topk(emb, queries, k=ANN_K, num_planes=6, dim=EMBED_DIM)
-    return out.select(
-        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
-    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2280,25 +2231,6 @@ SELECT o_custkey, ts, o_orderkey, o_totalprice, op
 FROM r WHERE rn = 1 AND op != 'D'
 """
 
-_SQL_SCD2 = """
-WITH log AS (
-  SELECT o_custkey, o_orderdate::TIMESTAMP AS ts, o_orderkey, o_totalprice
-  FROM orders WHERE o_custkey < 200
-),
-c AS (
-  SELECT o_custkey, ts, o_orderkey, o_totalprice FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY o_custkey, ts
-      ORDER BY ts DESC, o_orderkey DESC, o_totalprice DESC) AS rn
-    FROM log) WHERE rn = 1
-)
-SELECT o_custkey, ts, o_orderkey, o_totalprice, ts AS valid_from,
-       lead(ts) OVER w AS valid_to,
-       (lead(ts) OVER w IS NULL) AS is_current
-FROM c
-WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
-"""
-
 
 def _sql_bm25() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -2360,19 +2292,6 @@ FROM a JOIN c USING (u) GROUP BY 1, 2
 """
 
 
-def _sql_sample_per_group() -> str:
-    bucket = _dhash("'pergroup:' || doc_id::VARCHAR") + " % 10000"
-    return f"""
-WITH ranked AS (
-  SELECT doc_id, source,
-         row_number() OVER (PARTITION BY source ORDER BY ({bucket}), doc_id) AS sample_rank
-  FROM documents
-)
-SELECT doc_id, source, sample_rank::BIGINT AS sample_rank
-FROM ranked WHERE sample_rank <= 3
-"""
-
-
 def _sql_multimodal_image_features() -> str:
     # byte i (1-based) of the UTF-8 blob, via its hex dump
     byte_i = "('0x' || substring(hx, 2*i-1, 2))::BIGINT"
@@ -2422,53 +2341,6 @@ comp AS (
 )
 SELECT vec_id FROM sub
 WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != component)
-"""
-
-
-def _sql_lsh_cosine_topk(num_planes: int = 6) -> str:
-    # Mirrors operators/similarity.py:_hyperplane_sign — component j of
-    # plane p is +1/-1 from the top-60-bit md5 of "plane{p}:{j}", so the
-    # whole LSH (signature, multi-probe, rank) is engine-portable.
-    def dot(p: int, vec: str) -> str:
-        w = (
-            f"CASE WHEN ('0x' || substring(md5('plane{p}:' || (j-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0 "
-            f"THEN 1.0 ELSE -1.0 END"
-        )
-        return (
-            f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), "
-            f"j -> CAST({vec}[j] AS DOUBLE) * {w}))"
-        )
-
-    def bucket(vec: str) -> str:
-        return " + ".join(
-            f"CASE WHEN {dot(p, vec)} >= 0 THEN {1 << (num_planes - 1 - p)} ELSE 0 END"
-            for p in range(num_planes)
-        )
-
-    cos = _cosine_sql("p.qvec", "c.embedding")
-    return f"""
-WITH sigs AS (
-  SELECT vec_id, embedding, ({bucket('embedding')}) AS bucket FROM embeddings
-),
-q AS (
-  SELECT vec_id AS query_id, embedding AS qvec, bucket AS sig
-  FROM sigs WHERE vec_id < {ANN_QUERIES}
-),
-probes AS (
-  SELECT query_id, qvec,
-         unnest([sig] || list_transform(range(0, {num_planes}), x -> xor(sig, 1 << x))) AS bucket
-  FROM q
-),
-scored AS (
-  SELECT p.query_id, c.vec_id, {cos} AS cosine
-  FROM probes p JOIN sigs c USING (bucket)
-),
-ranked AS (
-  SELECT query_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= {ANN_K}
 """
 
 
@@ -2892,17 +2764,6 @@ WHERE {cos} >= {NEAR_DUP_MIN_COSINE}
 
 WINNOW_K = 8
 WINNOW_W = 4
-
-
-def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (SIGMOD'03) fingerprint rows for a 200-doc slice —
-    the selected (position, hash) pairs per document."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    from hermes_spark.operators import winnow_fingerprints
-
-    return winnow_fingerprints(
-        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W, portable=True
-    )
 
 
 def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3499,24 +3360,6 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
-def _sql_topk_ngrams() -> str:
-    return f"""
-WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
-grams AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM tok),
-counted AS (
-  SELECT gram, count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS total_count
-  FROM grams GROUP BY gram
-),
-ranked AS (
-  SELECT gram, doc_freq, total_count,
-         row_number() OVER (ORDER BY total_count DESC, gram) AS rank
-  FROM counted
-)
-SELECT gram, doc_freq, total_count, rank::BIGINT AS rank
-FROM ranked WHERE rank <= {NGRAM_TOPK}
-"""
-
-
 def _sql_ngram_novelty() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
@@ -3902,16 +3745,6 @@ codes AS (
 )"""
 
 
-def _sql_sq8_quantize() -> str:
-    return f"""
-WITH {_sql_sq8_codes_cte()}
-SELECT vec_id,
-       list_sum(list_transform(codes, c -> c::BIGINT))::BIGINT AS code_sum,
-       md5(array_to_string(codes, ',')) AS code_md5
-FROM codes
-"""
-
-
 def _sql_sq8_topk() -> str:
     dot = (
         f"list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
@@ -4129,29 +3962,6 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS rollup: exact per-(type, day), per-type, and grand
-    totals in one pass — the subset of the cube a dashboard actually
-    reads, without paying for the full lattice."""
-    events = _read_events(spark, sf_dir)
-    events.select(
-        "event_type",
-        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
-        "value",
-    ).createOrReplaceTempView("__events_gs")
-    return spark.sql(
-        """
-        SELECT event_type, day, count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
-        FROM __events_gs
-        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
-        """
-    ).select(
-        "event_type", "day", F.col("n_events").cast("long").alias("n_events"),
-        "sum_value",
-    )
-
-
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length deciles (ntile) — the binning a
     length-balanced sampler draws from. Ties broken by doc_id so the
@@ -4201,40 +4011,8 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID confusion matrix: labeled lang vs n-gram-marker
-    prediction — the standing eval for the lang_id heuristic."""
-    docs = _read(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", lang_id(F.col("text")).alias("lang_guess"))
-        .groupBy("lang", "lang_guess")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
 WSAMPLE_N = 100
 MAD_K = 3.0
-
-
-def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-user counts per event type (Spark plans multiple
-    COUNT(DISTINCT) via Expand + two-phase aggregation — the classic
-    high-cardinality distinct shape; approx_count_distinct is the
-    sketch alternative when exactness can be traded for one pass)."""
-    events = _read_events(spark, sf_dir)
-    return events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct("user_id").alias("n_users"),
-        F.count_distinct(F.date_trunc("day", F.col("ts"))).alias("n_active_days"),
-    )
-
-
-_SQL_EVENTS_DISTINCT_USERS = """
-SELECT event_type, count(*)::BIGINT AS n_events,
-       count(DISTINCT user_id)::BIGINT AS n_users,
-       count(DISTINCT date_trunc('day', ts))::BIGINT AS n_active_days
-FROM events GROUP BY event_type
-"""
 
 
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4617,20 +4395,6 @@ FROM l GROUP BY src_host, dst_host
 """
 
 
-_SQL_EMBED_DIM_PROFILE = """
-WITH e AS (
-  SELECT unnest(embedding) AS xf, unnest(range(0, len(embedding))) AS pos
-  FROM embeddings
-),
-c AS (SELECT pos, CAST(xf AS DOUBLE) AS x FROM e)
-SELECT pos::BIGINT AS pos, count(*)::BIGINT AS n,
-       round(avg(x), 6) AS mean,
-       round(stddev_samp(x), 6) AS std,
-       round(min(x), 6) AS min_x,
-       round(max(x), 6) AS max_x
-FROM c GROUP BY pos
-"""
-
 _SQL_EMBED_STANDARDIZE = """
 WITH e AS (
   SELECT vec_id, unnest(embedding) AS xf,
@@ -4649,15 +4413,6 @@ FROM z GROUP BY vec_id
 """
 
 
-def _sql_lang_confusion() -> str:
-    return f"""
-WITH preds AS ({_sql_lang_id()})
-SELECT d.lang, p.lang_guess, count(*)::BIGINT AS n_docs
-FROM documents d JOIN preds p ON p.doc_id = d.doc_id
-GROUP BY d.lang, p.lang_guess
-"""
-
-
 _SQL_EVENT_TRANSITIONS = """
 WITH seq AS (
   SELECT user_id, event_type,
@@ -4670,12 +4425,6 @@ FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
 
-_SQL_EVENTS_GROUPING_SETS = """
-SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS sum_value
-FROM events
-GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
-"""
 
 _SQL_LENGTH_DECILES = """
 WITH d AS (
@@ -6231,7 +5980,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-
 # ---------------------------------------------------------------------------
 # round-5 extension queries: per-source caps / percentile gating /
 # deterministic training order (operators/sampling.py), OOV rate
@@ -6473,7 +6221,6 @@ WHERE r.new_run = 1
 """
 
 
-
 PSI_BINS = 10
 PSI_LO = 0.0
 PSI_HI = 100.0
@@ -6701,39 +6448,6 @@ SELECT l_returnflag, used_registers,
                   * ln(CAST({float(m)!r} AS DOUBLE) / CAST(v AS DOUBLE))
              ELSE raw END, 4) AS distinct_est
 FROM est
-"""
-
-
-def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy hitters: users with estimated event count >= 80.
-    The sketch state is <= d*w = 3072 cells regardless of user count;
-    estimates only overestimate, so recall of true heavy users is 1."""
-    from hermes_spark.operators.sketch import cms_heavy_hitters
-
-    ev = _read_events(spark, sf_dir)
-    return cms_heavy_hitters(
-        ev, "user_id", CMS_THRESHOLD, depth=CMS_DEPTH, width=CMS_WIDTH
-    )
-
-
-def _sql_cms_heavy_users() -> str:
-    d, w, t = CMS_DEPTH, CMS_WIDTH, CMS_THRESHOLD
-    hash_b = (
-        "('0x' || substring(md5('cms' || r || '|' || CAST(user_id AS VARCHAR)), 1, 15))"
-        f"::BIGINT % {w}"
-    )
-    return f"""
-WITH vals AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
-rows_r AS (SELECT unnest(range({d})) AS r),
-cells AS (SELECT r, {hash_b} AS b FROM vals CROSS JOIN rows_r),
-state AS (SELECT r, b, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
-cand AS (SELECT DISTINCT user_id FROM vals),
-cand_cells AS (SELECT user_id, r, {hash_b} AS b FROM cand CROSS JOIN rows_r),
-est AS (
-  SELECT user_id, min(coalesce(cnt, 0))::BIGINT AS est_count
-  FROM cand_cells LEFT JOIN state USING (r, b) GROUP BY 1
-)
-SELECT user_id, est_count FROM est WHERE est_count >= {t}
 """
 
 

@@ -197,17 +197,27 @@ def _py_mc_patterns():
     }
 
 
-def _py_score_block(p: dict, b: str):
+def _py_score_block(p: dict, b: str, need_stop: bool = True):
     """(text, words, anchor_words, stop_words) for one raw block —
-    mirrors ``page_blocks``'s per-element structs."""
-    anchor_text = p["tag"].sub(" ", " ".join(p["anchor"].findall(b)))
-    anchor_words = len(p["word"].findall(anchor_text))
-    text = p["tag"].sub(" ", b)
-    for entity, repl in _HTML_ENTITIES:
-        text = text.replace(entity, repl)
+    mirrors ``page_blocks``'s per-element structs.
+
+    Substring guards skip regex/replace passes that cannot match
+    (``<a`` for anchors, ``<`` for tags, ``&`` for entities) — exact
+    no-ops, pinned by the engine-equivalence fuzz; ``need_stop=False``
+    skips the stopword count when the caller's gate ignores it
+    (``min_stopword_frac <= 0`` accepts any count >= 0)."""
+    if "<a" in b or "<A" in b:
+        anchor_text = p["tag"].sub(" ", " ".join(p["anchor"].findall(b)))
+        anchor_words = len(p["word"].findall(anchor_text))
+    else:
+        anchor_words = 0
+    text = p["tag"].sub(" ", b) if "<" in b else b
+    if "&" in text:
+        for entity, repl in _HTML_ENTITIES:
+            text = text.replace(entity, repl)
     text = p["ws"].sub(" ", text).strip(" ")
     words = len(p["word"].findall(text))
-    stop_words = len(p["stop"].findall(text.lower()))
+    stop_words = len(p["stop"].findall(text.lower())) if need_stop else 0
     return text, words, anchor_words, stop_words
 
 
@@ -225,8 +235,11 @@ def _py_page_main(
     pre = p["comment"].sub(" ", pre)
     kept_texts = []
     n_blocks = n_kept = 0
+    need_stop = min_stopword_frac > 0
     for b in p["block"].split(pre):
-        text, words, anchor_words, stop_words = _py_score_block(p, b)
+        text, words, anchor_words, stop_words = _py_score_block(
+            p, b, need_stop
+        )
         if words >= 1:
             n_blocks += 1
         if (
