@@ -11,9 +11,15 @@
   fresh-layout runs at fixed 128-file layout.
 * ``sig_nonascii``    — MinHash signature throughput on a non-ASCII
   (Cyrillic-mapped) 1M-doc corpus vs the same-shape ASCII corpus
-  (VERDICT r9 item 4).
+  (VERDICT r9 item 4: exercises the round-10 codepoint lane).
+* ``maincontent_rich`` — extract_main_text on realistic ~49-block
+  pages, both engines (VERDICT r9 item 7).
+* ``stream_wet_1m``   — the streaming raw-WARC path at 1M pages:
+  drop-zone WET shards through ``curated_wet_stream`` in 50-shard
+  micro-batches; per-batch walls + checkpoint footprint (VERDICT r9
+  item 6).
 
-Usage: python tools/r10_probes.py [lm_decomp] [repetition_ab] [sig_nonascii]
+Usage: python tools/r10_probes.py [probe ...]   (default: lm_decomp)
 """
 
 from __future__ import annotations
@@ -84,13 +90,22 @@ def probe_lm_decomp(spark) -> None:
 
     # funnel-shaped input: the near-dedup stage's output layout (a
     # keep_by window write lands AQE-coalesced; r9 measured ~45 files)
+    # plus a wide-128 copy — the same-session layout A/B the funnel's
+    # 2-3x run-to-run noise cannot provide
     if not os.path.exists(f"{work}/neared/_SUCCESS"):
         docs.coalesce(45).write.mode("overwrite").parquet(f"{work}/neared")
+    if not os.path.exists(f"{work}/wide128/_SUCCESS"):
+        docs.repartition(128).write.mode("overwrite").parquet(
+            f"{work}/wide128"
+        )
     neared = spark.read.parquet(f"{work}/neared")
     neared.count()  # warm file cache
+    spark.read.parquet(f"{work}/wide128").count()
 
     try:
-        for variant in ("as-written", "materialized"):
+        for variant in ("as-written", "materialized", "materialized-wide128"):
+            if variant == "materialized-wide128":
+                neared = spark.read.parquet(f"{work}/wide128")
             steps = []
 
             def step(name, t0):
@@ -104,7 +119,7 @@ def probe_lm_decomp(spark) -> None:
             )
             t0 = step("train", t0)
             scored = lm_score(neared, lm, broadcast_model=True)
-            if variant == "materialized":
+            if variant.startswith("materialized"):
                 scored.select("doc_id", "avg_logprob").write.mode(
                     "overwrite"
                 ).parquet(f"{work}/scored")

@@ -155,7 +155,11 @@ def probe_funnel_5m(spark) -> None:
         deduped = exact_dedup(
             rep, "doc_id", "text", keep_by=F.length("text")
         )
-        deduped.write.mode("overwrite").parquet(f"{work}/dedup")
+        # window/join outputs land AQE-coalesced (a handful of coarse
+        # single-row-group files); write them WIDE so the next
+        # CPU-bound stage scans at full core count instead of paying
+        # a recovery exchange (docs/TUNING.md, round-10 lm_decomp)
+        deduped.repartition(128).write.mode("overwrite").parquet(f"{work}/dedup")
         deduped = spark.read.parquet(f"{work}/dedup")
         stage("exact_dedup", time.time() - t0, deduped.count())
 
@@ -169,7 +173,7 @@ def probe_funnel_5m(spark) -> None:
             deduped, "doc_id", pairs, algorithm="auto",
             keep_by=F.length("text"),
         )
-        neared.write.mode("overwrite").parquet(f"{work}/neardedup")
+        neared.repartition(128).write.mode("overwrite").parquet(f"{work}/neardedup")
         neared = spark.read.parquet(f"{work}/neardedup")
         stage("minhash_dedup", time.time() - t0, neared.count())
 

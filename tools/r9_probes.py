@@ -276,7 +276,11 @@ def probe_warc_funnel_1m(spark) -> None:
         # deterministic keep_by, like crawl dedup keeps canonical URLs)
         t0 = time.time()
         deduped = exact_dedup(gated, "doc_id", "text")
-        deduped.write.mode("overwrite").parquet(f"{work}/dedup")
+        # window/join outputs land AQE-coalesced (a handful of coarse
+        # single-row-group files); write them WIDE so the next
+        # CPU-bound stage scans at full core count instead of paying
+        # a recovery exchange (docs/TUNING.md, round-10 lm_decomp)
+        deduped.repartition(128).write.mode("overwrite").parquet(f"{work}/dedup")
         deduped = spark.read.parquet(f"{work}/dedup")
         stage("exact_dedup", time.time() - t0, deduped.count())
 
@@ -472,7 +476,11 @@ def probe_warc_full_funnel_1m(spark) -> None:
         deduped = exact_dedup(
             with_rank, "doc_id", "text", keep_by=F.col("host_rank")
         ).select("doc_id", "text")
-        deduped.write.mode("overwrite").parquet(f"{work}/dedup")
+        # window/join outputs land AQE-coalesced (a handful of coarse
+        # single-row-group files); write them WIDE so the next
+        # CPU-bound stage scans at full core count instead of paying
+        # a recovery exchange (docs/TUNING.md, round-10 lm_decomp)
+        deduped.repartition(128).write.mode("overwrite").parquet(f"{work}/dedup")
         deduped = spark.read.parquet(f"{work}/dedup")
         stage("exact_dedup_keep_by_rank", time.time() - t0, deduped.count())
 
@@ -485,7 +493,7 @@ def probe_warc_full_funnel_1m(spark) -> None:
             deduped, "doc_id", pairs, algorithm="auto",
             keep_by=F.length("text"),
         )
-        neared.write.mode("overwrite").parquet(f"{work}/neardedup")
+        neared.repartition(128).write.mode("overwrite").parquet(f"{work}/neardedup")
         neared = spark.read.parquet(f"{work}/neardedup")
         stage("minhash_dedup", time.time() - t0, neared.count())
 
