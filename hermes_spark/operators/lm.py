@@ -432,6 +432,50 @@ def lm_score(
     )
 
 
+def lm_quantile_filter(
+    df: DataFrame,
+    lm: NgramLM,
+    keep_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    relative_error: float = 0.01,
+    **score_kwargs,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of ``df`` by LM score — the standard
+    perplexity-filter stage, with the scoring scan run EXACTLY ONCE.
+
+    The naive composition (``scored = lm_score(df, lm)`` then
+    ``approxQuantile`` for the cutoff then ``filter``+join) executes
+    the CPU-bound scoring scan once per action — measured as the
+    entire 194-vs-143 s funnel gap at 5M docs (BASELINE.md round 10;
+    docs/TUNING.md "score-then-threshold" rule).  Here the tiny
+    ``(id, avg_logprob)`` frame is eagerly ``localCheckpoint``-ed
+    first, so both the quantile and the filter read ~16 bytes/doc of
+    materialized state.  Docs with no bigrams (under two tokens) score
+    as null and are dropped, matching ``lm_score``'s omission.
+
+    The cutoff is an ``approxQuantile`` at ``1 - keep_frac`` with
+    ``relative_error`` — the kept fraction is approximate in the same
+    way every production perplexity filter's is.  Extra ``lm_score``
+    options (``k_num``/``k_den``/``broadcast_model``/``score_engine``)
+    pass through."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    scored = lm_score(
+        df, lm, id_col=id_col, text_col=text_col, **score_kwargs
+    ).select(id_col, "avg_logprob").localCheckpoint()
+    if keep_frac == 1.0:
+        kept_ids = scored.select(id_col)
+    else:
+        cut = scored.approxQuantile(
+            "avg_logprob", [1.0 - keep_frac], relative_error
+        )[0]
+        kept_ids = scored.filter(
+            F.col("avg_logprob") >= F.lit(cut)
+        ).select(id_col)
+    return df.join(kept_ids, id_col)
+
+
 def perplexity_ntile(
     scored: DataFrame,
     parts: int = 3,

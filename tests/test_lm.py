@@ -137,3 +137,28 @@ def test_arrow_exactness_guard_trips_past_2_53(spark, lm_and_scored):
     assert lm_score(
         target, lm, score_engine="join", k_num=1, k_den=1 << 53
     ).count() == 1
+
+
+def test_lm_quantile_filter_single_scan(spark, lm_and_scored):
+    from hermes_spark.operators import lm_quantile_filter
+
+    lm, _, _ = lm_and_scored
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    kept = lm_quantile_filter(
+        target, lm, keep_frac=0.5, broadcast_model=True
+    )
+    # 3 scoreable docs (1, 3, 5); the median cutoff keeps the two at
+    # or above it, so the all-OOV doc 3 (worst score) drops and the
+    # short/blank docs are omitted entirely
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [1, 5]
+    # keep_frac=1.0 keeps every scoreable doc, no quantile needed
+    all_ids = sorted(
+        r.doc_id
+        for r in lm_quantile_filter(target, lm, keep_frac=1.0).collect()
+    )
+    assert all_ids == [1, 3, 5]
+    # original columns survive the id join
+    assert set(kept.columns) == {"doc_id", "text"}
+    with pytest.raises(ValueError, match="keep_frac"):
+        lm_quantile_filter(target, lm, keep_frac=0.0)

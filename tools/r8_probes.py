@@ -97,7 +97,7 @@ def probe_funnel_5m(spark) -> None:
         fuzzy_dedup_keep_one,
         gopher_filter,
         gopher_repetition_filter,
-        lm_score,
+        lm_quantile_filter,
         lm_train,
         minhash_lsh_pairs,
         pack_sequences,
@@ -177,24 +177,19 @@ def probe_funnel_5m(spark) -> None:
         neared = spark.read.parquet(f"{work}/neardedup")
         stage("minhash_dedup", time.time() - t0, neared.count())
 
-        # 6. LM perplexity filter: train on 10%, keep the best 80%.
-        # The (doc_id, avg_logprob) frame is MATERIALIZED before the
-        # quantile (docs/TUNING.md barrier rule, round 10): the
-        # quantile pass and the filter pass are two actions over the
-        # lazy scored frame, and without the barrier each one re-runs
-        # the full CPU-bound scoring scan (measured: the r9 194 s
-        # in-funnel vs 143 s isolated gap was exactly this).
+        # 6. LM perplexity filter: train on 10%, keep the best 80% via
+        # lm_quantile_filter — the operator materializes the tiny
+        # (doc_id, avg_logprob) frame before the quantile so the
+        # CPU-bound scoring scan runs ONCE (docs/TUNING.md rule; the
+        # r9 194 s in-funnel vs 143 s isolated gap was the naive
+        # two-action pattern re-scoring the corpus per action).
         t0 = time.time()
         lm = lm_train(
             neared.filter(F.col("doc_id") % 10 == 0), vocab_size=20_000
         )
-        lm_score(neared, lm, broadcast_model=True).select(
-            "doc_id", "avg_logprob"
-        ).write.mode("overwrite").parquet(f"{work}/scored")
-        scored = spark.read.parquet(f"{work}/scored")
-        cut = scored.approxQuantile("avg_logprob", [0.2], 0.01)[0]
-        kept_ids = scored.filter(F.col("avg_logprob") >= cut).select("doc_id")
-        kept = neared.join(kept_ids, "doc_id").select("doc_id", "text")
+        kept = lm_quantile_filter(
+            neared, lm, keep_frac=0.8, broadcast_model=True
+        ).select("doc_id", "text")
         kept.write.mode("overwrite").parquet(f"{work}/lm")
         kept = spark.read.parquet(f"{work}/lm")
         stage("lm_filter", time.time() - t0, kept.count())

@@ -381,7 +381,7 @@ def probe_warc_full_funnel_1m(spark) -> None:
         exact_dedup,
         fuzzy_dedup_keep_one,
         gopher_filter,
-        lm_score,
+        lm_quantile_filter,
         lm_train,
         minhash_lsh_pairs,
         pack_sequences,
@@ -501,16 +501,12 @@ def probe_warc_full_funnel_1m(spark) -> None:
         lm = lm_train(
             neared.filter(F.col("doc_id") % 10 == 0), vocab_size=20_000
         )
-        # materialize (doc_id, avg_logprob) before the quantile — the
-        # TUNING.md barrier rule (round 10): two actions over a lazy
-        # scored frame re-run the scoring scan twice otherwise
-        lm_score(neared, lm, broadcast_model=True).select(
-            "doc_id", "avg_logprob"
-        ).write.mode("overwrite").parquet(f"{work}/scored")
-        scored = spark.read.parquet(f"{work}/scored")
-        cut = scored.approxQuantile("avg_logprob", [0.2], 0.01)[0]
-        kept_ids = scored.filter(F.col("avg_logprob") >= cut).select("doc_id")
-        kept = neared.join(kept_ids, "doc_id").select("doc_id", "text")
+        # lm_quantile_filter materializes (doc_id, avg_logprob) before
+        # the quantile — the TUNING.md barrier rule (round 10): the
+        # naive two-action pattern re-runs the scoring scan per action
+        kept = lm_quantile_filter(
+            neared, lm, keep_frac=0.8, broadcast_model=True
+        ).select("doc_id", "text")
         kept.write.mode("overwrite").parquet(f"{work}/lm")
         kept = spark.read.parquet(f"{work}/lm")
         stage("lm_filter", time.time() - t0, kept.count())
