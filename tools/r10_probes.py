@@ -450,12 +450,151 @@ def probe_stream_wet_1m(spark) -> None:
          "ckpt_files": ckpt_files, "ckpt_bytes": ckpt_bytes})
 
 
+def probe_stream_dedup_1m(spark) -> None:
+    """STATEFUL streaming at scale: watermarked exact dedup over 1M
+    drop-zone pages — the 'watermarked state bounds' claim, evidenced.
+
+    Corpus: WET shards whose event times advance ~41 s/page (11.5 h of
+    event time across the stream) and where every 37th page replays the
+    previous page's text seconds later (a catchable duplicate).  The
+    stream runs ``stream_exact_dedup(ts_col=..., watermark='1 hour')``
+    in 50-shard micro-batches; per batch the state store's
+    ``numRowsTotal`` must PLATEAU near the ~1-hour window (~87k rows),
+    not grow toward 1M — eviction working is the whole point."""
+    import glob as _glob
+    import gzip
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.sources.warc import stream_warc, wet_text
+    from hermes_spark.streaming.dedup import stream_exact_dedup
+
+    def _vocab():
+        rng = random.Random(99)
+        words = ["the", "of", "and", "to", "in", "is", "that", "for",
+                 "with", "was"]
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        while len(words) < 5000:
+            k = rng.randint(2, 11)
+            words.append("".join(rng.choice(letters) for _ in range(k)))
+        cum, total = [], 0.0
+        for r in range(1, len(words) + 1):
+            total += 1.0 / r
+            cum.append(total)
+        return words, cum
+
+    n_pages = int(os.environ.get("WET_PAGES", "1000000"))
+    per_shard = 1000
+    work = "/tmp/r10_stream_dedup"
+    shards_dir = f"{work}/dropzone"
+    marker = f"{work}/.complete-{n_pages}"
+
+    def page_text(page_id: int, words, cum) -> str:
+        rng = random.Random(page_id * 2 + 1)
+        paras = []
+        for _ in range(rng.randint(3, 7)):
+            k = rng.randint(25, 70)
+            toks = rng.choices(words, cum_weights=cum, k=k)
+            toks[0] = toks[0].capitalize()
+            paras.append(" ".join(toks) + ".")
+        return "\n".join(paras)
+
+    def shard_bytes(shard_id: int, words, cum) -> bytes:
+        import datetime
+
+        base = datetime.datetime(2026, 8, 16, 0, 0, 0)
+        recs = []
+        for j in range(per_shard):
+            page_id = shard_id * per_shard + j
+            # duplicate of the PREVIOUS page, arriving ~41 s later —
+            # well inside the 1-hour watermark, so it must be dropped
+            body_id = (
+                page_id - 1
+                if (page_id % 37 == 36 and page_id > 0)
+                else page_id
+            )
+            text = page_text(body_id, words, cum)
+            ts = base + datetime.timedelta(seconds=page_id * 41.4 // 1)
+            payload = text.encode()
+            head = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:wetd-{page_id}>\r\n"
+                f"WARC-Target-URI: https://site.example/p/{page_id}\r\n"
+                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"Content-Type: text/plain\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            recs.append(gzip.compress(head + payload + b"\r\n\r\n"))
+        return b"".join(recs)
+
+    if not os.path.exists(marker):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(shards_dir, exist_ok=True)
+        n_shards = (n_pages + per_shard - 1) // per_shard
+
+        def write_shards(it):
+            words, cum = _vocab()
+            for row in it:
+                sid = row.id
+                with open(
+                    f"{shards_dir}/shard-{sid:05d}.warc.gz", "wb"
+                ) as f:
+                    f.write(shard_bytes(sid, words, cum))
+
+        t0 = time.time()
+        spark.range(0, n_shards, 1, n_shards).foreachPartition(write_shards)
+        out({"probe": "stream_dedup_corpus", "pages": n_pages,
+             "shards": n_shards, "wall": round(time.time() - t0, 1)})
+        open(marker, "w").close()
+
+    sink = f"{work}/deduped"
+    ckpt = f"{work}/ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    records = stream_warc(
+        spark, shards_dir, types=("conversion",), max_files_per_trigger=50
+    )
+    docs = wet_text(records).select(
+        F.col("record_id").alias("doc_id"),
+        F.to_timestamp("warc_date").alias("event_ts"),
+        "text",
+    )
+    deduped = stream_exact_dedup(
+        docs, text_col="text", ts_col="event_ts", watermark="1 hour"
+    )
+    t0 = time.time()
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    for p in (q.recentProgress or []):
+        sops = p.get("stateOperators") or []
+        srows = sum(s.get("numRowsTotal", 0) for s in sops)
+        out({"probe": "stream_dedup_1m_batch", "batch": p["batchId"],
+             "ms": p["batchDuration"], "state_rows": srows,
+             "state_mem_bytes": sum(
+                 s.get("memoryUsedBytes", 0) for s in sops)})
+    kept = spark.read.parquet(sink).count()
+    out({"probe": "stream_dedup_1m", "pages": n_pages, "kept": kept,
+         "dups_dropped": n_pages - kept,
+         "expected_dups": n_pages // 37,
+         "total_wall": round(wall, 1),
+         "pages_per_s": round(n_pages / wall)})
+
+
 PROBES = {
     "lm_decomp": probe_lm_decomp,
     "repetition_ab": probe_repetition_ab,
     "sig_nonascii": probe_sig_nonascii,
     "maincontent_rich": probe_maincontent_rich,
     "stream_wet_1m": probe_stream_wet_1m,
+    "stream_dedup_1m": probe_stream_dedup_1m,
 }
 
 
