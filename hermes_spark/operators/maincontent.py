@@ -73,16 +73,59 @@ def _ci(s: str) -> str:
 
 
 #: NOTE on ``\b`` (pinned empirically, round 10): Java's ``\b`` is
-#: Unicode-aware even though its ``\w`` is ASCII — ``<pé>`` does NOT
-#: split (é is a word char to ``\b``), nor does ``the中`` end a word.
-#: Python's DEFAULT (Unicode) ``\b`` matches this behavior (verified
-#: for é/CJK/ſ/ZWJ; combining marks are the one known residual: word
-#: chars to Java, non-word to Python — no fixture exercises them), so
-#: mirrors of ``\b`` patterns must NOT compile with ``re.ASCII``.
-#: RE2's ``\b`` is ASCII — the DuckDB oracle diverges on non-ASCII
-#: chars adjacent to tag names, which the oracle corpus never contains.
+#: Unicode-aware even though its ``\w`` is ASCII.  Its word set
+#: (OpenJDK ``Pattern.Bound``, verified char-by-char through Spark) is
+#: ``'_' | isLetterOrDigit`` (Lu/Ll/Lt/Lm/Lo/Nd) PLUS a non-spacing
+#: mark following a base character — so ``<pé>``/``<p&#x301;>`` do NOT
+#: split, while ``<p²>`` (No) DOES.  Python's ``\w`` disagrees both
+#: ways (marks out, No/Nl in), so the mirrors replace ``\b`` with
+#: explicit lookarounds over :func:`_java_wordish_class` instead of
+#: using either ``\b`` dialect.  (Residual: a mark NOT following a
+#: base char is non-word to Java, word to the mirror class —
+#: degenerate text, excluded from the fuzz pools.)  RE2's ``\b`` is
+#: ASCII — the DuckDB oracle diverges on non-ASCII chars adjacent to
+#: tag names, which the oracle corpus never contains.
 _BLOCK_SPLIT = r"</?(?:" + "|".join(_ci(t) for t in BLOCK_TAGS) + r")\b[^>]*>"
 _ANCHOR = r"(?s)<[aA]\b[^>]*>(.*?)</[aA]>"
+
+_JAVA_WORDISH = None  # lazily-built char-class body, cached per process
+
+
+def _java_wordish_class() -> str:
+    """Regex character-class BODY matching Java ``\\b``'s word set:
+    ``_``, Unicode letters (Lu/Ll/Lt/Lm/Lo), decimal digits (Nd), and
+    non-spacing marks (Mn; see the ``\\b`` note above for the
+    base-char caveat).  Built once per process from Python's Unicode
+    tables (~0.5 s), then cached — the tables match the JVM's for
+    every code point the fuzz pools pin."""
+    global _JAVA_WORDISH
+    if _JAVA_WORDISH is None:
+        import unicodedata
+
+        cats = {"Lu", "Ll", "Lt", "Lm", "Lo", "Nd", "Mn"}
+        parts = ["_"]
+        start = None
+        prev = None
+        for cp in range(0x110000):
+            w = (
+                not 0xD800 <= cp <= 0xDFFF
+                and unicodedata.category(chr(cp)) in cats
+            )
+            if w and start is None:
+                start = cp
+            elif not w and start is not None:
+                parts.append(
+                    f"\\U{start:08x}-\\U{prev:08x}"
+                    if prev > start
+                    else f"\\U{start:08x}"
+                )
+                start = None
+            if w:
+                prev = cp
+        if start is not None:
+            parts.append(f"\\U{start:08x}-\\U{prev:08x}")
+        _JAVA_WORDISH = "".join(parts)
+    return _JAVA_WORDISH
 _TAG = r"(?s)<[^>]+>"
 _SCRIPT_SPAN = r"(?s)<" + _ci("script") + r"[^>]*>.*?</" + _ci("script") + r">"
 _STYLE_SPAN = r"(?s)<" + _ci("style") + r"[^>]*>.*?</" + _ci("style") + r">"
@@ -176,24 +219,33 @@ def _py_mc_patterns():
     """Python ``re`` mirrors of the segmentation patterns.  Dialect
     notes (same pinning discipline as the weblinks kernel): case
     insensitivity is spelled out as explicit classes (see ``_ci``), so
-    no ``(?i)`` anywhere; ``\\b`` mirrors compile WITHOUT ``re.ASCII``
-    because Java's ``\\b`` is Unicode-aware (see the ``_BLOCK_SPLIT``
-    note — this includes the stopword pattern: Java finds no ``the``
-    in ``theſe``); the whitespace classes are already explicit; Spark
+    no ``(?i)`` anywhere; ``\\b`` is replaced by explicit lookarounds
+    over Java's empirically-pinned word set (``_java_wordish_class`` —
+    NEITHER Python's Unicode ``\\b`` nor ``re.ASCII`` matches Java:
+    marks vs No/Nl split the dialects; this includes the stopword
+    pattern: Java finds no ``the`` in ``theſe`` or ``thé`` but does in
+    ``the²``); the whitespace classes are already explicit; Spark
     ``split`` keeps leading/trailing empties exactly like ``re.split``;
     Spark ``trim`` strips 0x20 only."""
     import re
 
+    w = _java_wordish_class()
+    nw = f"(?![{w}])"
     return {
         "script": re.compile(_SCRIPT_SPAN),
         "style": re.compile(_STYLE_SPAN),
         "comment": re.compile(_COMMENT_SPAN),
-        "block": re.compile(_BLOCK_SPLIT),
-        "anchor": re.compile(_ANCHOR),
+        # \b here always sits after an ASCII tag-name letter (a word
+        # char), so boundary <=> next char is NOT Java-word
+        "block": re.compile(_BLOCK_SPLIT.replace(r"\b", nw)),
+        "anchor": re.compile(_ANCHOR.replace(r"\b", nw)),
         "tag": re.compile(_TAG),
         "ws": re.compile(_WS + "+"),
         "word": re.compile(_WORD),
-        "stop": re.compile(_STOP_PAT),
+        # leading \b: previous char not Java-word; trailing: next not
+        "stop": re.compile(
+            f"(?<![{w}])(?:" + "|".join(GOPHER_STOPWORDS) + f"){nw}"
+        ),
     }
 
 

@@ -151,7 +151,15 @@ def test_arrow_matches_expr_fuzz(spark):
             # the re.ASCII mirrors (Unicode (?i) would fold U+017F
             # 'ſ'->'s' / U+212A 'K'->'k', Unicode \b would break at é)
             "<aé x>", "<ſcript>y</ſcript>", "<K>", "<pé>z</pé> ",
-            "theſe ", "K "]
+            "theſe ", "K ",
+            # Java-\\b word-set pins (round 10): combining marks are
+            # word chars to Java (<p+U+0301> must NOT split; Python \\w
+            # disagrees), No/Nl are NOT (<p\xb2>/the\xb2 DO bound;
+            # Python \\w disagrees the other way)
+            "<p\u0301>z</p\u0301> ", "<p\u0591>q</p\u0591> ",
+            "<p\xb2>r</p\xb2> ", "the\xb2 ", "the\u0301 ",
+            "the\u216b ", "<ScRiPt>w</sCrIpT>", "<sTyLe>v</StYlE>",
+            "<a\u200b href='/y'>m</a>"]
     rows = [
         (i, "".join(rng.choice(frag) for _ in range(rng.randint(3, 60))))
         for i in range(200)
