@@ -95,6 +95,55 @@ FA_ONLY_CHARS = "[پچژگ]"
 #: a script must cover this fraction of non-whitespace chars to decide
 SCRIPT_MIN_RATIO = 0.30
 
+#: Scripts written WITHOUT word-separating whitespace (round 11).  A
+#: Chinese/Japanese/Thai page whitespace-tokenizes to ~1 giant token,
+#: so every word-based quality rule (Gopher min_words / mean word
+#: length, C4 words-per-line) gates such corpora to near-zero — the
+#: word PROXY must switch per script.  Han + Hiragana/Katakana count
+#: ~2 chars per word (the conventional CJK figure); Thai ~4.  Hangul
+#: is space-segmented (Korean writes with spaces) and stays on the
+#: whitespace path.  Literal ranges, portable Java/RE2/Python.
+HAN_KANA_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿ]"
+THAI_LETTER_CLASS = "[ก-ฺเ-ๅ]"  # letters/vowels only, not ๐-๙ digits
+UNSEGMENTED_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿก-ฺเ-ๅ]"
+
+#: chars-per-word divisors for the unsegmented word proxy
+HAN_KANA_CHARS_PER_WORD = 2
+THAI_CHARS_PER_WORD = 4
+
+#: High-frequency function particles per unsegmented script — the
+#: analogue of GOPHER_STOPWORDS' "is this natural language" check.
+#: Substring presence (no tokenization possible); zh: genitive 的,
+#: aspect 了, copula 是, locative 在, conjunction 和; ja: case markers
+#: の/は/を/に/が; th: relativizer ที่, genitive ของ, conjunction และ,
+#: locative ใน, perfective ได้.
+UNSEGMENTED_PARTICLES: tuple[str, ...] = (
+    "的", "了", "是", "在", "和",
+    "の", "は", "を", "に", "が",
+    "ที่", "ของ", "และ", "ใน", "ได้",
+)
+
+
+def unsegmented_char_counts(col: Column) -> tuple[Column, Column]:
+    """``(han_kana_chars, thai_letter_chars)`` counts for a text column
+    — the inputs to the unsegmented word proxy.  Pure expressions,
+    both engines count code points identically on these BMP ranges."""
+    hk = F.size(F.regexp_extract_all(col, F.lit(HAN_KANA_CLASS), 0))
+    th = F.size(F.regexp_extract_all(col, F.lit(THAI_LETTER_CLASS), 0))
+    return hk.cast("long"), th.cast("long")
+
+
+def unsegmented_ratio(col: Column) -> Column:
+    """Fraction of non-whitespace characters in an unsegmented script
+    (Han/Kana/Thai letters), 6-dp rounded.  ``>= SCRIPT_MIN_RATIO``
+    is the document-level "switch the word proxy" test used by the
+    script-aware Gopher/C4 gates."""
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(col, EXPLICIT_WS + "+", "")), F.lit(1)
+    )
+    n = F.size(F.regexp_extract_all(col, F.lit(UNSEGMENTED_CLASS), 0))
+    return F.round(n.cast("double") / nonspace.cast("double"), 6)
+
 #: explicit whitespace class — Java \s and RE2 \s disagree on \x0b, so
 #: oracle-mirrored expressions never use the shorthand
 EXPLICIT_WS = "[ \t\n\f\r\x0b]"

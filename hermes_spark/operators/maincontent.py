@@ -63,12 +63,14 @@ BLOCK_TAGS = (
 def _ci(s: str) -> str:
     """Spell out ASCII case-insensitivity as explicit ``[xX]`` classes.
 
-    ``(?i)`` is a cross-engine trap (pinned empirically, round 10):
-    Java folds via simple ``toLowerCase`` (KELVIN SIGN U+212A matches
-    ``k``, but LATIN SMALL LONG S U+017F does NOT match ``s``), Python
-    folds full-Unicode (both match) or, under ``re.ASCII``, neither,
-    and RE2 (the DuckDB oracle) folds full-Unicode.  Explicit classes
-    fold nothing beyond ASCII in ALL THREE engines."""
+    ``(?i)`` is a cross-engine trap (re-pinned empirically, round 11 —
+    the round-10 note here had it wrong): Java's plain ``(?i)`` folds
+    US-ASCII ONLY (KELVIN SIGN U+212A does NOT match ``k``; Unicode
+    folding needs ``(?iu)``), while Python's ``(?i)`` folds
+    full-Unicode (U+212A matches ``k``, U+017F ``ſ`` matches ``s``) —
+    or, under ``re.ASCII``, neither — and RE2 (the DuckDB oracle)
+    folds full-Unicode.  Explicit classes fold nothing beyond ASCII in
+    ALL THREE engines, which is why we spell them out."""
     return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in s)
 
 

@@ -243,15 +243,16 @@ def _py_link_patterns():
     """Python ``re`` mirrors of the module's extraction patterns.
 
     Case insensitivity is spelled out as explicit classes in the
-    SHARED constants (Java/Python/RE2 disagree on exotic folds — Java
-    (?i) is simple-toLowerCase, so U+212A KELVIN matches ``k`` but
-    U+017F ``ſ`` does not match ``s``; Python folds full-Unicode or,
-    under re.ASCII, neither; pinned round 10), so the patterns port
+    SHARED constants (Java/Python/RE2 disagree on exotic folds — Java's
+    plain (?i) folds US-ASCII ONLY (re-pinned round 11: U+212A KELVIN
+    does NOT match ``k`` without (?iu)); Python (?i) folds full-Unicode
+    (U+212A and U+017F both fold) or, under re.ASCII, ASCII only;
+    RE2/DuckDB folds full-Unicode), so the patterns port
     byte-for-byte.  The remaining flagged mirrors are ``href``/
     ``href_prefix``: their ``\\w`` lookbehind and ``(?i)`` cover ASCII
-    letters only, which ``re.ASCII`` pins (note ``\\b`` would be the
-    OPPOSITE call — Java's ``\\b`` is Unicode-aware — but no ``\\b``
-    appears here).  The explicit ``_WS`` classes are already
+    letters only in Java, which ``re.ASCII`` pins exactly (note
+    ``\\b`` would be the OPPOSITE call — Java's ``\\b`` is
+    Unicode-aware — but no ``\\b`` appears here).  The explicit ``_WS`` classes are already
     dialect-portable by design.
     """
     import re
