@@ -58,8 +58,13 @@ from ..functions.text import tokens
 
 __all__ = [
     "NgramLM",
+    "LangNgramLM",
     "lm_train",
     "lm_score",
+    "lm_quantile_filter",
+    "lm_train_by_lang",
+    "lm_score_by_lang",
+    "lm_quantile_filter_by_lang",
     "perplexity_ntile",
     "bucket_by_bounds",
     "UNK",
@@ -178,6 +183,91 @@ def lm_train(
 _JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
+def _freeze_model_tables(vocab_terms, bcp, ccp, n_vocab, k_num, k_den):
+    """Freeze one model's DataFrame tables into the numpy probe tables
+    the arrow kernel broadcasts: ``(vidx, bg_keys, bg_cnts, ctx_arr,
+    types)``.  ``vocab_terms`` is the collected term list, ``bcp`` /
+    ``ccp`` the bigram/context-count pandas frames.  Shared by the
+    single-model and per-language scorers so the arithmetic (dense-id
+    mapping, sorted key array, 2^53 exactness assertion) cannot drift
+    between them."""
+    import numpy as np
+
+    types = n_vocab + 1
+    vocab_sorted = sorted(vocab_terms)
+    vidx = {t: i for i, t in enumerate(vocab_sorted)}
+    unk_id = vidx.get(UNK, len(vocab_sorted))
+    if len(bcp):
+        pi = bcp["prev"].map(vidx).fillna(unk_id).to_numpy(np.int64)
+        ci = bcp["cur"].map(vidx).fillna(unk_id).to_numpy(np.int64)
+        keys = pi * np.int64(types) + ci
+        order = np.argsort(keys, kind="stable")
+        bg_keys = keys[order]
+        bg_cnts = bcp["cnt"].to_numpy(np.int64)[order]
+    else:
+        bg_keys = np.zeros(0, np.int64)
+        bg_cnts = np.zeros(0, np.int64)
+    ctx_arr = np.zeros(types, dtype=np.int64)
+    if len(ccp):
+        ctx_arr[ccp["prev"].map(vidx).fillna(unk_id).to_numpy(np.int64)] = (
+            ccp["ctx_cnt"].to_numpy(np.int64)
+        )
+    _max_operand = k_den * max(
+        int(bg_cnts.max()) if len(bg_cnts) else 0, int(ctx_arr.max())
+    ) + max(k_num, k_num * types)
+    if _max_operand >= 1 << 53:
+        raise ValueError(
+            f"lm arrow scorer: smoothing operand reaches {_max_operand} "
+            ">= 2^53, so float64 division would no longer be exact; "
+            "use score_engine='join' (exact fraction join path) or "
+            "reduce k_den"
+        )
+    return vidx, unk_id, bg_keys, bg_cnts, ctx_arr, types
+
+
+def _score_token_lists(toklists, vmap, unk, bgk, bgc, ctx_tab, types,
+                       knum, kden, ktypes):
+    """Vectorized per-doc scoring over already-tokenized docs under one
+    frozen model — the exact r10 arrow-kernel arithmetic (dense-id
+    lookup, searchsorted bigram probe, 1e-6 HALF-AWAY term grid, int64
+    sums).  Returns ``(n_bigrams int64[], avg_logprob float64[])``.
+    Module-level so the single-model and per-language kernels share it
+    bit-for-bit."""
+    import numpy as np
+
+    typ64 = np.int64(types)
+    n_keys = len(bgk)
+    lens = np.fromiter((len(t) for t in toklists), np.int64, len(toklists))
+    flat = np.fromiter(
+        (vmap.get(t, unk) for ts in toklists for t in ts),
+        np.int64,
+        int(lens.sum()),
+    )
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    adj = flat[:-1] * typ64 + flat[1:]
+    if n_keys:
+        pos = np.searchsorted(bgk, adj)
+        posc = np.minimum(pos, n_keys - 1)
+        cnt = np.where((pos < n_keys) & (bgk[posc] == adj), bgc[posc], 0)
+    else:
+        cnt = np.zeros(len(adj), np.int64)
+    ctx = ctx_tab[flat[:-1]]
+    x = np.log((kden * cnt + knum) / (kden * ctx + ktypes)) * _SCALE
+    # HALF_UP (away from zero); x <= 0 always (p <= 1)
+    q = np.where(x < 0, -np.floor(-x + 0.5), 0.0)
+    q[starts[1:-1] - 1] = 0.0  # doc-boundary crossings
+    s = np.add.reduceat(q, starts[:-1])
+    n = (lens - 1).astype(np.float64)
+    avg = s / (_SCALE * n)
+    r = np.where(
+        avg < 0,
+        np.floor(-avg * 1e6 + 0.5) / -1e6,
+        np.floor(avg * 1e6 + 0.5) / 1e6,
+    )
+    return (lens - 1).astype(np.int64), r
+
+
 def _score_arrow(
     df: DataFrame,
     lm: NgramLM,
@@ -222,8 +312,6 @@ def _score_arrow(
     """
     import re
 
-    import numpy as np
-
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
@@ -232,46 +320,20 @@ def _score_arrow(
 
     sc = df.sparkSession.sparkContext
     types = lm.n_vocab + 1
-    # Freeze terms to dense ids.  A corpus token that literally equals
-    # the UNK marker is indistinguishable from OOV in the string
-    # engines; mapping OOV to the vocab id of the marker (when present)
-    # preserves that exact behavior.
-    vocab_terms = sorted(r["term"] for r in lm.vocab.collect())
-    vidx = {t: i for i, t in enumerate(vocab_terms)}
-    unk_id = vidx.get(UNK, len(vocab_terms))
-    bcp = lm.bigram_counts.toPandas()
-    if len(bcp):
-        pi = bcp["prev"].map(vidx).fillna(unk_id).to_numpy(np.int64)
-        ci = bcp["cur"].map(vidx).fillna(unk_id).to_numpy(np.int64)
-        keys = pi * np.int64(types) + ci
-        order = np.argsort(keys, kind="stable")
-        bg_keys = keys[order]
-        bg_cnts = bcp["cnt"].to_numpy(np.int64)[order]
-    else:
-        bg_keys = np.zeros(0, np.int64)
-        bg_cnts = np.zeros(0, np.int64)
-    ccp = lm.context_counts.toPandas()
-    ctx_arr = np.zeros(types, dtype=np.int64)
-    if len(ccp):
-        ctx_arr[ccp["prev"].map(vidx).fillna(unk_id).to_numpy(np.int64)] = (
-            ccp["ctx_cnt"].to_numpy(np.int64)
-        )
-    # The docstring's "operands stay far under 2^53" exactness claim,
-    # CHECKED at model-freeze time (cheap driver-side max over the
-    # broadcast tables): kden*cnt+knum and kden*ctx+knum*types must
-    # both be exactly representable in float64, else int64/int64
-    # division silently stops being the correctly-rounded true ratio
-    # and the arrow engine drifts from the expression/oracle engines.
-    _max_operand = k_den * max(
-        int(bg_cnts.max()) if len(bg_cnts) else 0, int(ctx_arr.max())
-    ) + max(k_num, k_num * types)
-    if _max_operand >= 1 << 53:
-        raise ValueError(
-            f"lm arrow scorer: smoothing operand reaches {_max_operand} "
-            ">= 2^53, so float64 division would no longer be exact; "
-            "use score_engine='join' (exact fraction join path) or "
-            "reduce k_den"
-        )
+    # Freeze terms to dense ids (shared _freeze_model_tables: a corpus
+    # token that literally equals the UNK marker is indistinguishable
+    # from OOV in the string engines; mapping OOV to the vocab id of
+    # the marker when present preserves that exact behavior).  The
+    # "operands stay far under 2^53" exactness claim is CHECKED at
+    # freeze time inside the helper — else int64/int64 division
+    # silently stops being the correctly-rounded true ratio and the
+    # arrow engine drifts from the expression/oracle engines.
+    vidx, unk_id, bg_keys, bg_cnts, ctx_arr, types = _freeze_model_tables(
+        [r["term"] for r in lm.vocab.collect()],
+        lm.bigram_counts.toPandas(),
+        lm.context_counts.toPandas(),
+        lm.n_vocab, k_num, k_den,
+    )
     vocab_b = sc.broadcast(vidx)
     tables_b = sc.broadcast((bg_keys, bg_cnts, ctx_arr))
 
@@ -287,16 +349,14 @@ def _score_arrow(
     narrow = rebalance_for_cpu(df).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
-    scale = _SCALE
     knum, kden, ktypes = k_num, k_den, k_num * types
-    typ64 = np.int64(types)
+    typs = types
 
     def kernel(batches):
         import pandas as pd
 
         vmap = vocab_b.value
         bgk, bgc, ctx_tab = tables_b.value
-        n_keys = len(bgk)
         unk = unk_id
         for pdf in batches:
             out_ids, toklists = [], []
@@ -312,46 +372,12 @@ def _score_arrow(
                 toklists.append(toks)
             if not out_ids:
                 continue
-            lens = np.fromiter(
-                (len(t) for t in toklists), np.int64, len(toklists)
-            )
-            flat = np.fromiter(
-                (vmap.get(t, unk) for ts in toklists for t in ts),
-                np.int64,
-                int(lens.sum()),
-            )
-            starts = np.zeros(len(lens) + 1, np.int64)
-            np.cumsum(lens, out=starts[1:])
-            adj = flat[:-1] * typ64 + flat[1:]
-            if n_keys:
-                pos = np.searchsorted(bgk, adj)
-                posc = np.minimum(pos, n_keys - 1)
-                cnt = np.where(
-                    (pos < n_keys) & (bgk[posc] == adj), bgc[posc], 0
-                )
-            else:
-                cnt = np.zeros(len(adj), np.int64)
-            ctx = ctx_tab[flat[:-1]]
-            x = np.log(
-                (kden * cnt + knum) / (kden * ctx + ktypes)
-            ) * scale
-            # HALF_UP (away from zero); x <= 0 always (p <= 1)
-            q = np.where(x < 0, -np.floor(-x + 0.5), 0.0)
-            q[starts[1:-1] - 1] = 0.0  # doc-boundary crossings
-            s = np.add.reduceat(q, starts[:-1])
-            n = (lens - 1).astype(np.float64)
-            avg = s / (scale * n)
-            r = np.where(
-                avg < 0,
-                np.floor(-avg * 1e6 + 0.5) / -1e6,
-                np.floor(avg * 1e6 + 0.5) / 1e6,
+            nbg, r = _score_token_lists(
+                toklists, vmap, unk, bgk, bgc, ctx_tab, typs,
+                knum, kden, ktypes,
             )
             yield pd.DataFrame(
-                {
-                    id_col: out_ids,
-                    "n_bigrams": (lens - 1).astype(np.int64),
-                    "avg_logprob": r,
-                }
+                {id_col: out_ids, "n_bigrams": nbg, "avg_logprob": r}
             )
 
     return narrow.mapInPandas(kernel, out_schema)
@@ -481,22 +507,337 @@ def lm_quantile_filter(
     return df.join(kept_ids, id_col)
 
 
+@dataclass(frozen=True)
+class LangNgramLM:
+    """Per-language capped-vocab bigram models in ONE set of keyed
+    frames (round 11 — CCNet's actual design ships per-language models
+    and cutoffs; a single LM over a multilingual corpus conflates
+    language ID with quality).
+
+    ``vocab``: ``(lang, term)`` — top ``vocab_size`` terms PER
+    language.  ``bigram_counts``: ``(lang, prev, cur, cnt)``.
+    ``context_counts``: ``(lang, prev, ctx_cnt)`` — ≤ L×(V+1) rows.
+    ``n_vocab``: ``(lang, n_vocab)`` — L rows, always broadcast.
+    Everything stays bounded by L×V model rows, so the whole model
+    still broadcasts exactly like the single-language one."""
+
+    vocab: DataFrame
+    bigram_counts: DataFrame
+    context_counts: DataFrame
+    n_vocab: DataFrame
+
+
+def _doc_bigrams_by_lang(df: DataFrame, id_col: str, text_col: str,
+                         lang_col: str, vocab: DataFrame) -> DataFrame:
+    """``(doc_id, lang, prev, cur)`` — :func:`_doc_bigrams` with the
+    language carried through and the OOV collapse joined on
+    ``(lang, term)`` so each document is mapped under ITS language's
+    vocabulary.  Same scan-side zip_with adjacency, no window."""
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+    )
+    bg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(pairs).alias("bg"),
+    ).select(
+        "doc_id", "lang",
+        F.col("bg.p").alias("prev_raw"),
+        F.col("bg.c").alias("cur_raw"),
+    )
+    vp = F.broadcast(vocab.select(
+        F.col("lang"), F.col("term").alias("prev_raw"),
+        F.lit(True).alias("__pv"),
+    ))
+    vc = F.broadcast(vocab.select(
+        F.col("lang"), F.col("term").alias("cur_raw"),
+        F.lit(True).alias("__cv"),
+    ))
+    return (
+        bg.join(vp, on=["lang", "prev_raw"], how="left")
+        .join(vc, on=["lang", "cur_raw"], how="left")
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("__pv"), F.col("prev_raw"))
+            .otherwise(F.lit(UNK)).alias("prev"),
+            F.when(F.col("__cv"), F.col("cur_raw"))
+            .otherwise(F.lit(UNK)).alias("cur"),
+        )
+    )
+
+
+def lm_train_by_lang(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 50_000,
+) -> LangNgramLM:
+    """Train one bigram LM per language partition of ``df``.
+
+    Identical semantics to running :func:`lm_train` once per language
+    slice (property-tested), in ONE pass: per-language vocab selection
+    is a ``row_number`` over ``(lang)`` partitions (count desc, term
+    asc tie-break — the per-lang window shuffles the bounded
+    ``(lang, term, cnt)`` aggregate, not the token stream), then one
+    bigram/context count aggregation keyed by lang."""
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
+    raw = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = raw.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    vocab = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= vocab_size)
+        .select("lang", "term")
+    )
+    n_vocab = vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
+    )
+    bg = _doc_bigrams_by_lang(df, id_col, text_col, lang_col, vocab)
+    bigram_counts = bg.groupBy("lang", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    context_counts = bg.groupBy("lang", "prev").agg(
+        F.count(F.lit(1)).alias("ctx_cnt")
+    )
+    return LangNgramLM(vocab, bigram_counts, context_counts, n_vocab)
+
+
+def _score_arrow_by_lang(
+    df: DataFrame,
+    lm: LangNgramLM,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    k_num: int,
+    k_den: int,
+) -> DataFrame:
+    """Zero-shuffle per-language scoring: ALL language models freeze to
+    numpy tables driver-side (dict lang -> tables, still ~L×V ints on
+    the wire), broadcast once, and each batch is scored per present
+    language with the shared :func:`_score_token_lists` kernel — same
+    1e-6 grid, same exactness assertion per language.  Docs whose
+    language has no model are omitted (mirrors the join engine's inner
+    ``n_vocab`` join)."""
+    import re
+    from collections import defaultdict
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..plans import rebalance_for_cpu
+
+    sc = df.sparkSession.sparkContext
+    nv = {r["lang"]: int(r["n_vocab"]) for r in lm.n_vocab.collect()}
+    terms_by_lang = defaultdict(list)
+    for r in lm.vocab.collect():
+        terms_by_lang[r["lang"]].append(r["term"])
+    bcp_all = lm.bigram_counts.toPandas()
+    ccp_all = lm.context_counts.toPandas()
+    tables = {}
+    for lang, n_vocab in nv.items():
+        vidx, unk_id, bg_keys, bg_cnts, ctx_arr, types = (
+            _freeze_model_tables(
+                terms_by_lang.get(lang, []),
+                bcp_all[bcp_all["lang"] == lang],
+                ccp_all[ccp_all["lang"] == lang],
+                n_vocab, k_num, k_den,
+            )
+        )
+        tables[lang] = (vidx, unk_id, bg_keys, bg_cnts, ctx_arr, types)
+    tables_b = sc.broadcast(tables)
+
+    ws = re.compile(_JAVA_WS)
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("lang", StringType()),
+        StructField("n_bigrams", LongType()),
+        StructField("avg_logprob", DoubleType()),
+    ])
+    narrow = rebalance_for_cpu(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        F.col(text_col).alias("__t"),
+    )
+    knum, kden = k_num, k_den
+
+    def kernel(batches):
+        import pandas as pd
+
+        tab = tables_b.value
+        for pdf in batches:
+            per_lang = {}
+            for did, lang, txt in zip(pdf["__id"], pdf["__lang"], pdf["__t"]):
+                if txt is None or lang not in tab:
+                    continue
+                toks = [
+                    t for t in ws.split(str(txt).lower().strip(" ")) if t
+                ]
+                if len(toks) < 2:
+                    continue
+                ids, tls = per_lang.setdefault(lang, ([], []))
+                ids.append(did)
+                tls.append(toks)
+            for lang in sorted(per_lang):
+                ids, tls = per_lang[lang]
+                vmap, unk, bgk, bgc, ctx_tab, types = tab[lang]
+                nbg, r = _score_token_lists(
+                    tls, vmap, unk, bgk, bgc, ctx_tab, types,
+                    knum, kden, knum * types,
+                )
+                yield pd.DataFrame({
+                    id_col: ids,
+                    "lang": lang,
+                    "n_bigrams": nbg,
+                    "avg_logprob": r,
+                })
+
+    return narrow.mapInPandas(kernel, out_schema)
+
+
+def lm_score_by_lang(
+    df: DataFrame,
+    lm: LangNgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k_num: int = 1,
+    k_den: int = 2,
+    broadcast_model: bool = False,
+    score_engine: str = "auto",
+) -> DataFrame:
+    """Score each document under ITS language's model.
+
+    Returns ``(doc_id, lang, n_bigrams, avg_logprob)``.  Documents
+    whose language has no trained model are OMITTED (explicit: scoring
+    French under a Chinese model is the exact conflation this operator
+    exists to prevent), as are docs with fewer than two tokens.
+    Engines as in :func:`lm_score`; both produce identical rows
+    (property-tested, and each language slice matches the
+    single-language :func:`lm_score` bit-for-bit)."""
+    if score_engine == "auto":
+        score_engine = "arrow" if broadcast_model else "join"
+    if score_engine == "arrow":
+        return _score_arrow_by_lang(
+            df, lm, id_col, text_col, lang_col, k_num, k_den
+        )
+    if score_engine != "join":
+        raise ValueError(
+            f"score_engine must be 'auto', 'arrow' or 'join', got {score_engine!r}"
+        )
+    from ..plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df)
+    bg = _doc_bigrams_by_lang(df, id_col, text_col, lang_col, lm.vocab)
+    bc = lm.bigram_counts
+    if broadcast_model:
+        bc = F.broadcast(bc)
+    scored = (
+        bg.join(bc, on=["lang", "prev", "cur"], how="left")
+        .join(F.broadcast(lm.context_counts), on=["lang", "prev"], how="left")
+        .join(F.broadcast(lm.n_vocab), on="lang", how="inner")
+        .select(
+            "doc_id", "lang",
+            (
+                (
+                    F.lit(k_den) * F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.lit(k_num)
+                ).cast("double")
+                / (
+                    F.lit(k_den) * F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                    + F.lit(k_num) * (F.col("n_vocab") + 1)
+                ).cast("double")
+            ).alias("p"),
+        )
+    )
+    term = F.round(F.log(F.col("p")) * F.lit(_SCALE)).cast("long")
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(term) / (F.lit(_SCALE) * F.count(F.lit(1))), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def lm_quantile_filter_by_lang(
+    df: DataFrame,
+    lm: LangNgramLM,
+    keep_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    accuracy: int = 10_000,
+    **score_kwargs,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of EACH LANGUAGE by LM score — the
+    per-language perplexity filter CCNet actually ships (one cutoff per
+    language, so a high-resource language's score distribution never
+    starves a low-resource one).
+
+    One scoring scan (localCheckpointed ~24 B/doc score frame, same
+    rule as :func:`lm_quantile_filter`), then per-language cutoffs via
+    a ``percentile_approx`` GROUP BY — L rows, broadcast back onto the
+    score frame.  Unscoreable docs (no model for their language, <2
+    tokens) are dropped; an entirely unscoreable input yields an empty
+    frame (no crash)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    scored = lm_score_by_lang(
+        df, lm, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        **score_kwargs,
+    ).select(id_col, "lang", "avg_logprob").localCheckpoint()
+    if keep_frac == 1.0:
+        kept_ids = scored.select(id_col)
+    else:
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "avg_logprob", F.lit(1.0 - keep_frac), F.lit(accuracy)
+            ).alias("__cut")
+        )
+        kept_ids = (
+            scored.join(F.broadcast(cuts), "lang")
+            .filter(F.col("avg_logprob") >= F.col("__cut"))
+            .select(id_col)
+        )
+    return df.join(kept_ids, id_col)
+
+
 def perplexity_ntile(
     scored: DataFrame,
     parts: int = 3,
     labels: tuple = ("head", "middle", "tail"),
     id_col: str = "doc_id",
+    by: tuple = (),
 ) -> DataFrame:
     """CCNet-style equal-count buckets: rank by ``avg_logprob`` desc
     (i.e. perplexity asc) with ``doc_id`` tie-break, ``ntile(parts)``,
     label bucket 1..parts (``head`` = most reference-like).
 
-    Exact and engine-stable (the ordering key is the already-rounded
-    output value), but the ranking stage is a global window — use
-    :func:`bucket_by_bounds` at scale."""
+    ``by`` partitions the ranking (e.g. ``("lang",)`` buckets each
+    language against its own distribution — pair with
+    :func:`lm_score_by_lang`).  Exact and engine-stable (the ordering
+    key is the already-rounded output value), but an empty ``by`` is a
+    global window — use :func:`bucket_by_bounds` at scale."""
     if len(labels) != parts:
         raise ValueError(f"need {parts} labels, got {len(labels)}")
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
     tile = F.ntile(parts).over(w)
     label = F.element_at(
         F.array(*[F.lit(x) for x in labels]), tile
