@@ -5892,8 +5892,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_select": q_mmr_select,
         "temperature_mix": q_temperature_mix,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "duplicate_spans": q_duplicate_spans,
-        "span_dedup_stats": q_span_dedup_stats,
+        # round-11 merge: duplicate_spans + span_dedup_stats (one
+        # shared-gram CTE pins both shapes)
+        "span_dedup_combined": q_span_dedup_combined,
         "hard_negatives": q_hard_negatives,
         # -- implementation changed this round -> re-verify
         "funnel_counts": q_funnel_counts,
@@ -5926,9 +5927,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  text_hash_buckets, blocking_pairs, text_stats + the five
         #  ANN/IVF entries displaced by the 11 new round-4b queries are
         #  all green r1 with unchanged code)
-        "unigram_logprob": q_unigram_logprob,
+        # round-11 merge: unigram_logprob + bigram_logprob
+        "ngram_logprobs": q_ngram_logprobs,
         "vocab_top_terms": q_vocab_top_terms,
-        "bigram_logprob": q_bigram_logprob,
+        # round-11 additions: script-aware gates + per-language LM
+        "cjk_quality_gates": q_cjk_quality_gates,
+        "lm_by_lang_buckets": q_lm_by_lang_buckets,
         "text_hash_buckets": q_text_hash_buckets,
         "blocking_pairs": q_blocking_pairs,
         "text_stats": q_text_stats,
@@ -6978,6 +6982,378 @@ USING (doc_id)
 """
 
 
+def q_ngram_logprobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram AND bigram corpus-LM quality proxies in one row (round-11
+    merge of the former unigram_logprob/bigram_logprob registry entries;
+    single-token docs have no bigram side and keep nulls there)."""
+    u = q_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("avg_logprob").alias("uni_avg_logprob")
+    )
+    b = q_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_bigrams", F.col("avg_logprob").alias("bi_avg_logprob")
+    )
+    return u.join(b, "doc_id", "left")
+
+
+def _sql_ngram_logprobs() -> str:
+    return f"""
+SELECT doc_id, u.n_tokens, u.avg_logprob AS uni_avg_logprob,
+       b.n_bigrams, b.avg_logprob AS bi_avg_logprob
+FROM ({_sql_unigram_logprob()}) u LEFT JOIN ({_sql_bigram_logprob()}) b
+USING (doc_id)
+"""
+
+
+def q_span_dedup_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level duplicate spans AND per-document span exposure in one
+    frame (round-11 merge of duplicate_spans/span_dedup_stats — both
+    ride the same shared-gram CTE): ``kind='span'`` rows carry
+    ``(a=id_a, b=id_b, v1=start_a, v2=start_b, v3=span_tokens)``;
+    ``kind='doc'`` rows carry ``(a=doc_id, v1=n_tokens, v2=dup_spans,
+    v3=dup_span_tokens, v4=max_span)``."""
+    s = q_duplicate_spans(spark, sf_dir).select(
+        F.lit("span").alias("kind"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        F.col("start_a").alias("v1"),
+        F.col("start_b").alias("v2"),
+        F.col("span_tokens").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    )
+    d = q_span_dedup_stats(spark, sf_dir).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("n_tokens").alias("v1"),
+        F.col("dup_spans").alias("v2"),
+        F.col("dup_span_tokens").alias("v3"),
+        F.col("max_span").alias("v4"),
+    )
+    return s.unionByName(d)
+
+
+def _sql_span_dedup_combined() -> str:
+    return f"""
+SELECT 'span' AS kind, id_a::BIGINT AS a, id_b::BIGINT AS b,
+       start_a AS v1, start_b AS v2, span_tokens AS v3,
+       NULL::BIGINT AS v4
+FROM ({_sql_duplicate_spans()})
+UNION ALL
+SELECT 'doc' AS kind, doc_id::BIGINT AS a, NULL::BIGINT AS b,
+       n_tokens AS v1, dup_spans AS v2, dup_span_tokens AS v3,
+       max_span AS v4
+FROM ({_sql_span_dedup_stats()})
+"""
+
+
+# --- round-11: script-aware quality gates over a deterministically
+# re-scripted corpus (the testdata text is all-ASCII, so zh-tagged docs
+# are translated char-for-char into Han, fr-tagged into Hiragana,
+# es-tagged into Thai — translate() deletes the space, producing
+# genuinely unsegmented text; en/de stay Latin as the byte-identity
+# control).  26-char alphabets include the function particles the
+# script-aware stopword check looks for.
+_CJK_LATIN = "abcdefghijklmnopqrstuvwxyz "
+_CJK_HAN = "的一是了在和不人有上中大来国个到说们为子与就那要下出"
+_CJK_KANA = "のはをにがたなかでしてもこれそあうえきくけさすせつと"
+_CJK_THAI = "กขคงจชซดตทนบปผพฟมยรลวสหอะเ"
+_CJK_BREAK_AT = 60  # newline injected after this many chars (2 lines)
+
+
+def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    body = (
+        F.when(F.col("lang") == "zh", F.translate(low, _CJK_LATIN, _CJK_HAN))
+        .when(F.col("lang") == "fr", F.translate(low, _CJK_LATIN, _CJK_KANA))
+        .when(
+            F.col("lang") == "es",
+            F.concat(F.translate(low, _CJK_LATIN, _CJK_THAI), F.lit("ที่ของ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    text = F.concat(
+        F.substring(body, 1, _CJK_BREAK_AT),
+        F.lit("\n"),
+        F.substring(body, _CJK_BREAK_AT + 1, 1_000_000),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.when(F.col("lang").isin("zh", "fr"), F.lit("。")).otherwise(
+                F.lit(".")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "lang", text.alias("text"))
+
+
+def q_cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware Gopher gate metrics AND C4 line survival over the
+    re-scripted corpus (operators/gopher.py::_script_metrics_from,
+    operators/c4.py script_aware line rules): Han/Kana/Thai docs are
+    judged by the character word proxy, Latin docs byte-identically to
+    the plain gates — the round-10 verdict's #1 gap, oracle-paired."""
+    from hermes_spark.operators.c4 import c4_line_stats
+    from hermes_spark.operators.gopher import gopher_quality_flags
+
+    corpus = _cjk_corpus(spark, sf_dir)
+    g = gopher_quality_flags(
+        corpus, "doc_id", "text",
+        min_words=GOPHER_MIN_WORDS, min_stopwords=1, script_aware=True,
+    )
+    c = c4_line_stats(corpus, "doc_id", "text", script_aware=True)
+    lang = corpus.select("doc_id", "lang")
+    return lang.join(g, "doc_id").join(c, "doc_id")
+
+
+def _sql_cjk_quality_gates() -> str:
+    from hermes_spark.functions.text import (
+        HAN_KANA_CLASS,
+        THAI_LETTER_CLASS,
+        UNSEGMENTED_CLASS,
+        UNSEGMENTED_PARTICLES,
+    )
+    from hermes_spark.operators.c4 import C4_LINE_MARKERS
+    from hermes_spark.operators.gopher import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    particles = " + ".join(
+        f"contains(text, '{p}')::BIGINT" for p in UNSEGMENTED_PARTICLES
+    )
+    marker_sql = " OR ".join(
+        f"contains(lower(trim(l)), '{m}')" for m in C4_LINE_MARKERS
+    )
+    ws = "[ \\t\\n\\f\\r\\x0b]+"
+    terminal = "'[.!?\"' || chr(39) || ']$'"
+    # per-line script-aware keep rule (mirror of c4._keep_line with
+    # script_aware=True; min_line_words=3, Thai length clause max(3,5)=5)
+    hk_l = f"len(regexp_extract_all(trim(l), '{HAN_KANA_CLASS}', 0))"
+    th_l = f"len(regexp_extract_all(trim(l), '{THAI_LETTER_CLASS}', 0))"
+    units_l = f"CAST(floor(({hk_l} * 2 + {th_l}) / 4) AS BIGINT)"
+    keep_line = f"""l -> CASE
+      WHEN len(regexp_extract_all(trim(l), '{UNSEGMENTED_CLASS}', 0))::DOUBLE
+           / greatest(length(regexp_replace(trim(l), '{ws}', '', 'g')), 1)::DOUBLE
+           >= 0.3
+      THEN (regexp_matches(trim(l), {terminal})
+            OR regexp_matches(trim(l), '[。！？…」』]$')
+            OR ({th_l} > {hk_l} AND {units_l} >= 5))
+           AND {units_l} >= 3 AND NOT ({marker_sql})
+      ELSE regexp_matches(trim(l), {terminal})
+           AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+           AND NOT ({marker_sql})
+      END"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS lt, text AS orig FROM documents
+), scripted AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'zh' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_HAN}')
+              WHEN lang = 'fr' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_KANA}')
+              WHEN lang = 'es' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_THAI}') || 'ที่ของ'
+              ELSE orig END AS b
+  FROM base
+), corpus AS (
+  SELECT doc_id, lang,
+         substr(b, 1, {_CJK_BREAK_AT}) || chr(10) || substr(b, {_CJK_BREAK_AT + 1}, 1000000)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN CASE WHEN lang IN ('zh', 'fr') THEN '。' ELSE '.' END
+                 ELSE '' END AS text
+  FROM scripted
+), feats AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM corpus
+), m AS (
+  SELECT doc_id, lang, text, lines,
+         len(toks)::BIGINT AS n_words_ws,
+         greatest(len(toks), 1)::DOUBLE AS nw,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE AS tok_chars,
+         (length(text) - length(regexp_replace(text, '#', '', 'g'))
+          + len(regexp_extract_all(text, '\\.{{3}}|…', 0)))::BIGINT AS n_symbols,
+         greatest(len(lines), 1)::DOUBLE AS n_lines,
+         len(list_filter(lines, l -> starts_with(trim(l), '- ')
+                                  OR starts_with(trim(l), '* ')
+                                  OR starts_with(trim(l), '•')))::DOUBLE AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.{{3}}|…)$')))::DOUBLE AS n_ell,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS n_alpha,
+         len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
+                                       t -> list_contains([{stop_list}], t))))::BIGINT AS n_stop_ws,
+         len(regexp_extract_all(text, '{HAN_KANA_CLASS}', 0))::BIGINT AS hk,
+         len(regexp_extract_all(text, '{THAI_LETTER_CLASS}', 0))::BIGINT AS th,
+         len(regexp_extract_all(text, '[A-Za-z]', 0))::BIGINT AS al,
+         len(regexp_extract_all(text, '{UNSEGMENTED_CLASS}', 0))::BIGINT AS unseg_n,
+         greatest(length(regexp_replace(text, '{ws}', '', 'g')), 1)::BIGINT AS nonspace,
+         ({particles})::BIGINT AS n_particles
+  FROM feats
+), sm AS (
+  SELECT doc_id, lang,
+         round(unseg_n::DOUBLE / nonspace::DOUBLE, 6) >= 0.3 AS unsegmented,
+         CAST(floor((hk * 2 + th + al * 2) / 4) AS BIGINT) AS n_units,
+         (hk + th + al)::BIGINT AS letter_chars,
+         n_words_ws, nw, tok_chars, n_symbols, n_lines, n_bullet, n_ell,
+         n_alpha, n_stop_ws, n_particles, nonspace
+  FROM m
+), r AS (
+  SELECT doc_id, lang, unsegmented,
+         CASE WHEN unsegmented THEN n_units ELSE n_words_ws END AS n_words,
+         CASE WHEN unsegmented
+              THEN round(letter_chars::DOUBLE / greatest(n_units, 1)::DOUBLE, 6)
+              ELSE round(tok_chars / nw, 6) END AS mean_word_len,
+         CASE WHEN unsegmented
+              THEN round(n_symbols::DOUBLE / greatest(n_units, 1)::DOUBLE, 6)
+              ELSE round(n_symbols::DOUBLE / nw, 6) END AS symbol_ratio,
+         round(n_bullet / n_lines, 6) AS bullet_ratio,
+         round(n_ell / n_lines, 6) AS ellipsis_ratio,
+         CASE WHEN unsegmented
+              THEN round(letter_chars::DOUBLE / nonspace::DOUBLE, 6)
+              ELSE round(n_alpha / nw, 6) END AS alpha_word_ratio,
+         CASE WHEN unsegmented THEN n_particles ELSE n_stop_ws END AS n_stopwords
+  FROM sm
+), g AS (
+  SELECT doc_id, lang, unsegmented, n_words, mean_word_len,
+         symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+         n_stopwords,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+          AND (unsegmented OR (mean_word_len >= 3.0 AND mean_word_len <= 10.0))
+          AND symbol_ratio <= 0.1
+          AND bullet_ratio <= 0.9
+          AND ellipsis_ratio <= 0.3
+          AND alpha_word_ratio >= 0.8
+          AND n_stopwords >= 1) AS keep
+  FROM r
+), c AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines_in,
+         len(list_filter(lines, {keep_line}))::BIGINT AS n_lines_kept,
+         (contains(lower(text), '{{') OR contains(lower(text), '}}')
+          OR contains(lower(text), 'lorem ipsum')) AS doc_poisoned
+  FROM feats
+)
+SELECT g.doc_id, g.lang, g.unsegmented, g.n_words, g.mean_word_len,
+       g.symbol_ratio, g.bullet_ratio, g.ellipsis_ratio,
+       g.alpha_word_ratio, g.n_stopwords, g.keep,
+       c.n_lines_in, c.n_lines_kept,
+       round(c.n_lines_kept::DOUBLE / greatest(c.n_lines_in, 1)::DOUBLE, 6) AS keep_ratio,
+       c.doc_poisoned
+FROM g JOIN c USING (doc_id)
+"""
+
+
+def q_lm_by_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CCNet filter (operators/lm.py round 11): train one
+    capped-vocab bigram LM per language on the even-doc_id half, score
+    the odd half under each doc's OWN language model (arrow engine —
+    broadcast per-lang numpy tables), bucket head/middle/tail WITHIN
+    each language.  Mirrors q_lm_perplexity_buckets with every stage
+    keyed by lang."""
+    from hermes_spark.operators import (
+        lm_score_by_lang, lm_train_by_lang, perplexity_ntile,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = lm_train_by_lang(
+        docs.filter(F.col("doc_id") % 2 == 0), vocab_size=LM_VOCAB
+    )
+    scored = lm_score_by_lang(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        lm,
+        k_num=LM_K_NUM,
+        k_den=LM_K_DEN,
+        broadcast_model=True,
+    )
+    return perplexity_ntile(scored, by=("lang",))
+
+
+def _sql_lm_by_lang_buckets() -> str:
+    """Per-language mirror of _sql_lm_perplexity_buckets: vocab
+    selection, OOV collapse, smoothing denominator (per-lang V+1) and
+    the ntile window all keyed by lang."""
+    return f"""
+WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+tg AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+trt AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM tr WHERE trim(lower(text)) <> ''
+),
+vocab AS (
+  SELECT lang, term FROM (
+    SELECT lang, term, count(*) AS cnt FROM trt WHERE term <> '' GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY cnt DESC, term ASC) <= {LM_VOCAB}
+),
+nv AS (SELECT lang, count(*) AS v FROM vocab GROUP BY 1),
+tr_toks AS (
+  SELECT doc_id, lang, unnest(lst) AS term,
+         unnest(range(1, len(lst) + 1)) AS pos
+  FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS lst
+    FROM tr WHERE trim(lower(text)) <> ''
+  )
+),
+tr_mapped AS (
+  SELECT t.doc_id, t.lang, t.pos,
+         CASE WHEN v.term IS NOT NULL THEN t.term ELSE '<unk>' END AS term
+  FROM tr_toks t LEFT JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+  WHERE t.term <> ''
+),
+tr_bg AS (
+  SELECT doc_id, lang, prev, cur FROM (
+    SELECT doc_id, lang,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           term AS cur
+    FROM tr_mapped
+  ) WHERE prev IS NOT NULL
+),
+bc AS (SELECT lang, prev, cur, count(*) AS cnt FROM tr_bg GROUP BY 1, 2, 3),
+cc AS (SELECT lang, prev, count(*) AS ctx_cnt FROM tr_bg GROUP BY 1, 2),
+tg_toks AS (
+  SELECT doc_id, lang, unnest(lst) AS term,
+         unnest(range(1, len(lst) + 1)) AS pos
+  FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS lst
+    FROM tg WHERE trim(lower(text)) <> ''
+  )
+),
+tg_mapped AS (
+  SELECT t.doc_id, t.lang, t.pos,
+         CASE WHEN v.term IS NOT NULL THEN t.term ELSE '<unk>' END AS term
+  FROM tg_toks t LEFT JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+  WHERE t.term <> ''
+),
+tg_bg AS (
+  SELECT doc_id, lang, prev, cur FROM (
+    SELECT doc_id, lang,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           term AS cur
+    FROM tg_mapped
+  ) WHERE prev IS NOT NULL
+),
+terms AS (
+  SELECT g.doc_id, g.lang,
+         CAST(round(ln(
+           ({LM_K_DEN} * coalesce(bc.cnt, 0) + {LM_K_NUM})::DOUBLE
+           / ({LM_K_DEN} * coalesce(cc.ctx_cnt, 0)
+              + {LM_K_NUM} * (nv.v + 1))::DOUBLE
+         ) * 1000000.0) AS BIGINT) AS t
+  FROM tg_bg g
+  LEFT JOIN bc ON g.lang = bc.lang AND g.prev = bc.prev AND g.cur = bc.cur
+  LEFT JOIN cc ON g.lang = cc.lang AND g.prev = cc.prev
+  JOIN nv ON g.lang = nv.lang
+),
+scored AS (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+         round(sum(t) / (1000000.0 * count(*)), 6) AS avg_logprob
+  FROM terms GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored
+"""
+
+
 # Round-6 oracle window (output of tools/rotate_window.py with
 # CORRECTNESS_r01..r05 present): every query has a green driver row, so
 # the window is pure staleness rotation — last-green r1/r2 entries
@@ -6997,32 +7373,34 @@ USING (doc_id)
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r10 window (tools/rotate_window.py + the round-10 consolidation):
-    # the registry shrank 168 -> 150 by merging near-duplicate rows, so
-    # the 50-slot window now cycles the whole registry in exactly 3
-    # rounds.  This window = the 6 never-checked merged entries + ALL
-    # 44 remaining r6/r7-stale queries — nothing below the fold is older
-    # than r8, satisfying the (amended, SURVEY §8.6) 3-round staleness
-    # bound with zero saturation excuses.
-    "entropy_stats", "events_hourly_signals", "events_robust_values",
-    "pagerank_degrees", "retrieval_fusion", "gopher_signals",
-    # r6-stale cohort
-    "q16_supplier_variety", "q17_small_qty_revenue",
-    "q19_disjunctive_join", "q20_bulk_suppliers", "q21_sole_return_blame",
-    "q22_idle_customers", "winnow_near_dups", "passage_dup_stats",
-    "decontaminate", "pack_sequences", "token_chunks", "dedup_exact_docs",
-    "source_overlap", "length_curriculum", "semantic_dedup",
-    "multimodal_image_features",
-    # r7-stale cohort
-    "bloom_join_parts", "c4_line_stats", "epoch_mix_docs",
-    "logreg_quality_train", "retrieval_eval_ivf", "edit_near_pairs",
-    "lm_perplexity_buckets", "chat_stats_docs", "clean_text_docs",
-    "join_size_cms", "bloom_engage_cms", "dedup_keep_best",
-    "pmi_collocations", "scd2_lookup_orders", "incremental_rollup",
-    "data_quality_orders", "ivf_rescore_topk", "event_transitions",
-    "length_deciles", "embedding_standardize", "strip_html_docs",
-    "weighted_sample_docs", "linkage_scores", "cdc_latest", "link_stats",
-    "rebalance_mix", "sq8_topk", "ivf_sq8_topk",
+    # r11 window (tools/rotate_window.py recommendation with the
+    # round-11 registry edits applied): the registry holds at exactly
+    # 150 — two NEW queries (cjk_quality_gates, lm_by_lang_buckets —
+    # this round's script-aware-gates and per-language-LM operators)
+    # balanced by two merges (duplicate_spans+span_dedup_stats ->
+    # span_dedup_combined; unigram_logprob+bigram_logprob ->
+    # ngram_logprobs).  The four never-checked entries lead; the rest
+    # is the recommended r8-stale cohort (the four replaced
+    # constituents were all in the recommendation, so the swap keeps
+    # the 3-round staleness bound intact).
+    "cjk_quality_gates", "lm_by_lang_buckets", "span_dedup_combined",
+    "ngram_logprobs",
+    # r8-stale cohort (rotate_window.py r11 recommendation)
+    "bpe_encode_stats", "main_content_docs", "outlinks_docs",
+    "host_link_graph", "source_cap_docs", "quality_gate_docs",
+    "oov_rate_docs", "training_order_docs", "jaccard_pairs_exact",
+    "events_collapsed_runs", "events_psi_drift", "dup_rate_by_source",
+    "containment_pairs", "kmeans_ivf_topk", "pq_topk", "ngram_novelty",
+    "quality_classifier", "random_projection", "dsir_weights",
+    "mmr_select", "temperature_mix", "semantic_decontaminate",
+    "hard_negatives", "funnel_counts", "cohort_retention", "split_assign",
+    "compare_diff", "compare_metrics", "minhash_lsh_pairs",
+    "dedup_duplicate_keys", "except_distinct", "key_hash_md5",
+    "sort_aligned_projection", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
+    "q18_large_orders", "q14_promo_share", "customer_running_totals",
+    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
+    "lang_id", "tfidf_topk_terms", "dedup_incremental_docs",
 ]
 
 
@@ -7144,8 +7522,7 @@ FROM events GROUP BY 1
         "dsir_weights": _sql_dsir_weights(),
         "temperature_mix": _sql_temperature_mix(),
         "semantic_decontaminate": _sql_semantic_decontaminate(),
-        "duplicate_spans": _sql_duplicate_spans(),
-        "span_dedup_stats": _sql_span_dedup_stats(),
+        "span_dedup_combined": _sql_span_dedup_combined(),
         "hard_negatives": _sql_hard_negatives(),
         "pmi_collocations": _sql_pmi_collocations(),
         "scd2_lookup_orders": _SQL_SCD2_LOOKUP,
@@ -7162,9 +7539,10 @@ FROM events GROUP BY 1
         "weighted_sample_docs": _sql_weighted_sample(),
         "lang_id": _sql_lang_id(),
         "tfidf_topk_terms": _sql_tfidf_topk_terms(),
-        "unigram_logprob": _sql_unigram_logprob(),
+        "ngram_logprobs": _sql_ngram_logprobs(),
+        "cjk_quality_gates": _sql_cjk_quality_gates(),
+        "lm_by_lang_buckets": _sql_lm_by_lang_buckets(),
         "vocab_top_terms": _sql_vocab_top_terms(),
-        "bigram_logprob": _sql_bigram_logprob(),
         "text_hash_buckets": _sql_text_hash_buckets(),
         "blocking_pairs": _sql_blocking_pairs(),
         "events_user_skew": _sql_events_user_skew(),

@@ -75,6 +75,14 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def _latest_driver_round() -> int:
+    """Latest CORRECTNESS_r{N}.json round ON DISK at check time.
+
+    INTENTIONALLY LAGGED: the builder records local checks DURING round
+    N, before the round-N driver artifacts exist, so verdicts carry
+    ``driver_round_at_check = N-1``.  The rotation gate's "same-round"
+    requirement is defined relative to this lagged convention — do NOT
+    "fix" this to N, or every recorded verdict would look one round
+    fresher than it is (round-10 verdict, watch item #3)."""
     import glob
     import re
 
