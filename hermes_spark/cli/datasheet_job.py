@@ -49,7 +49,6 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
         bag_fingerprint,
         bpe_token_count,
         doc_fingerprint,
-        lang_id,
         token_count,
     )
     from hermes_spark.operators import (
@@ -75,6 +74,25 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
     records: list[dict] = []
 
     # -- corpus totals (one scan, one row out) -----------------------------
+    # The base projection is CPU-bound (lang_id's script-count cascade
+    # is ~5000x the per-byte cost of a columnar scan — 40 regex counts
+    # per doc); a funnel-output input is typically AQE-coalesced to a
+    # handful of files, which starves the scan (round-11 probe: 90.5 s
+    # narrow vs 20.4 s wide on the same 15k docs).  Widen with a LOW
+    # byte floor: rebalance_for_cpu's default 256 MB floor is
+    # calibrated for ~100x-per-byte text stages, but for lang_id even
+    # a 10 MB narrow input leaves cores idle for tens of seconds.
+    from hermes_spark.plans import rebalance_for_cpu
+
+    df = rebalance_for_cpu(df, min_bytes=4 * 1024 * 1024)
+    if lang_col is None:
+        # materialize-once lang tagging: the Column-cascade lang_id()
+        # re-evaluates its 19 marker ratios per CASE branch (~2x the
+        # cost of its parts, measured round 11) — the DataFrame helper
+        # computes each intermediate exactly once, same labels
+        from hermes_spark.functions.text import add_lang_id
+
+        df = add_lang_id(df, text_col, "__lang_auto")
     text = F.col(text_col)
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -83,7 +101,7 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
         bpe_token_count(text).alias("__bpe"),
         doc_fingerprint(text).alias("__fp"),
         bag_fingerprint(text).alias("__bag"),
-        (F.col(lang_col) if lang_col else lang_id(text)).alias("__lang"),
+        (F.col(lang_col) if lang_col else F.col("__lang_auto")).alias("__lang"),
         (F.col(source_col) if source_col else F.lit("all")).alias("__src"),
     )
     base = base.persist()

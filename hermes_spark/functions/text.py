@@ -286,6 +286,97 @@ def lang_id(
     )
 
 
+def add_lang_id(
+    df,
+    text_col: str,
+    out_col: str = "lang",
+    min_ratio: float = 0.05,
+    script_min_ratio: float = SCRIPT_MIN_RATIO,
+):
+    """DataFrame-level :func:`lang_id`: same labels, materialize-once
+    plan (round 11).
+
+    The Column cascade re-evaluates each of the 19 marker-ratio
+    subtrees (token split + filter + isin) once inside ``greatest``
+    and once per CASE branch — ~40 evaluations of the token array per
+    document (measured 11.8 s vs the 5.3 s sum of its parts on 15k
+    docs).  Here the token array, script counts and ratios land in
+    prior projections and the cascade compares COLUMN REFS, so each
+    is computed exactly once.  Arithmetic shapes are identical to
+    :func:`lang_id` (property-tested label equality), so the same
+    DuckDB oracle covers both.  Returns ``df`` plus ``out_col``; all
+    other columns pass through.  Zero shuffles."""
+    text = F.trim(F.col(text_col))
+    lowered = F.lower(text)
+    names = list(df.columns)
+    p0 = df.select(
+        *[F.col(c) for c in names],
+        lowered.alias("__li_low"),
+        tokens(lowered).alias("__li_toks"),
+        F.greatest(
+            F.length(F.regexp_replace(text, EXPLICIT_WS + "+", "")), F.lit(1)
+        ).alias("__li_ns"),
+    )
+
+    def cnt(cls: str, src: Column) -> Column:
+        return F.size(F.regexp_extract_all(src, F.lit(cls), 0))
+
+    toks = F.col("__li_toks")
+    low = F.col("__li_low")
+    p1 = p0.select(
+        *[F.col(c) for c in names],
+        F.col("__li_ns"),
+        *[cnt(cls, text).alias(f"__li_c_{k}")
+          for k, cls in SCRIPT_CLASSES.items()],
+        cnt(UK_ONLY_CHARS, low).alias("__li_uk"),
+        cnt(RU_ONLY_CHARS, low).alias("__li_ru"),
+        cnt(FA_ONLY_CHARS, low).alias("__li_fa"),
+        *[_marker_ratio(toks, m).alias(f"__li_r_{lang}")
+          for lang, m in LANG_MARKERS.items()],
+    )
+
+    nonspace = F.col("__li_ns")
+    c = {k: F.col(f"__li_c_{k}") for k in SCRIPT_CLASSES}
+    ratios = {lang: F.col(f"__li_r_{lang}") for lang in LANG_MARKERS}
+    sigma = F.lit(float(script_min_ratio))
+    langs = sorted(LANG_MARKERS)
+    gmax = F.greatest(*[ratios[lang] for lang in langs])
+    latin = None
+    for lang in langs:
+        hit = ratios[lang] == gmax
+        latin = (
+            F.when(hit, F.lit(lang))
+            if latin is None
+            else latin.when(hit, F.lit(lang))
+        )
+    latin = F.when(
+        gmax >= F.lit(float(min_ratio)), latin.otherwise(F.lit("und"))
+    ).otherwise(F.lit("und"))
+    cascade = (
+        F.when(c["hangul"] / nonspace >= sigma, F.lit("ko"))
+        .when(
+            ((c["han"] + c["kana"]) / nonspace >= sigma) & (c["kana"] > 0),
+            F.lit("ja"),
+        )
+        .when(c["han"] / nonspace >= sigma, F.lit("zh"))
+        .when(
+            c["cyr"] / nonspace >= sigma,
+            F.when(F.col("__li_uk") > F.col("__li_ru"), F.lit("uk"))
+            .otherwise(F.lit("ru")),
+        )
+        .when(
+            c["arab"] / nonspace >= sigma,
+            F.when(F.col("__li_fa") > 0, F.lit("fa")).otherwise(F.lit("ar")),
+        )
+        .when(c["heb"] / nonspace >= sigma, F.lit("he"))
+        .when(c["grek"] / nonspace >= sigma, F.lit("el"))
+        .when(c["deva"] / nonspace >= sigma, F.lit("hi"))
+        .when(c["thai"] / nonspace >= sigma, F.lit("th"))
+        .otherwise(latin)
+    )
+    return p1.select(*[F.col(n) for n in names], cascade.alias(out_col))
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality score in [0, 1] (higher = better), rounded to 6dp.
 

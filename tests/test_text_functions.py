@@ -508,3 +508,38 @@ def test_luhn_null_is_false(spark):
     assert got[1] is False and got[2] is True
     # the negated filter keeps null-text rows instead of dropping them
     assert df.filter(~luhn_valid(F.col("t"))).count() == 1
+
+
+def test_add_lang_id_matches_column_lang_id(spark):
+    """The materialize-once DataFrame helper (round 11) must label
+    every document identically to the Column cascade — fuzzed over
+    mixed-script strings plus the 30-language sentences."""
+    import random
+
+    from hermes_spark.functions.text import add_lang_id
+    from hermes_spark.functions.text import lang_id as lid
+
+    rng = random.Random(11)
+    pieces = [
+        "the and of to", "der und die", "le la les et", "el los y",
+        "и в не на се", "这是一个中文句子", "これは日本語です",
+        "한국어 문장입니다", "ما هو هذا", "این چیست", "מה זה",
+        "τι είναι αυτό", "यह क्या है", "นี่คืออะไร", "і ї є ґ", "ы э ъ ё",
+        "xyzzy plugh", "", "   ", "a", "π", "\t\n",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(pieces) for _ in range(rng.randrange(1, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    col_out = {
+        r["i"]: r["g"] for r in df.select("i", lid(F.col("t")).alias("g")).collect()
+    }
+    frame_out = {
+        r["i"]: r["lang"]
+        for r in add_lang_id(df, "t", "lang").select("i", "lang").collect()
+    }
+    assert frame_out == col_out
+    # pass-through: original columns and row count intact
+    got = add_lang_id(df, "t", "lang")
+    assert got.columns == ["i", "t", "lang"] and got.count() == 60
