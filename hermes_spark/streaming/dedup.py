@@ -19,12 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.hashing import (
-    band_keys,
-    base_hash31,
-    minhash_signature_from_hashes,
-    shingles,
-)
+from ..functions.hashing import band_keys
 from ..functions.text import doc_fingerprint
 
 
@@ -62,6 +57,7 @@ def stream_minhash_dedup(
     min_jaccard: float = 0.7,
     max_bucket_size: int = 1000,
     on_batch: Optional[Callable[[DataFrame, int], None]] = None,
+    sig_engine: str = "arrow",
     **start_kwargs,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate dedup: drop any incoming document whose
@@ -70,9 +66,10 @@ def stream_minhash_dedup(
 
     Per micro-batch (``foreachBatch``):
 
-    1. signature + LSH band keys for every incoming doc (same
-       ``shingles -> base_hash31 -> minhash`` pipeline as the batch
-       :func:`~hermes_spark.operators.minhash_lsh_pairs`, so batch and
+    1. signature + LSH band keys for every incoming doc (the batch
+       operator's ``minhash_signatures`` front half — portable md5
+       hash family, ``sig_engine="arrow"`` kernel by default (round
+       11; ``"expr"`` keeps the all-JVM plan) — so batch and
        streaming agree on what counts as a near-dup);
     2. candidate join against the accepted-signature store at
        ``state_path`` on band key only — the join touches O(colliding
@@ -97,17 +94,23 @@ def stream_minhash_dedup(
     state_schema = "__band string, __id long, __sig array<bigint>"
 
     def sig_frame(df: DataFrame) -> DataFrame:
+        # shared signature front half (operators.dedup.minhash_signatures,
+        # portable md5 hash family): foreachBatch hands us a BATCH frame,
+        # so the Arrow kernel is usable and is the default — the round-11
+        # 1M-page probe measured the inlined expression path at 882
+        # pages/s with ~97% of the per-batch wall in interpreted
+        # higher-order lambdas (the same decomposition as the batch
+        # operator's r9 finding).  Both engines are bit-identical
+        # (property-tested), so the signature store stays valid across
+        # engine choices and batch/stream agreement is unchanged.
+        from ..operators.dedup import minhash_signatures
+
         rows_per_band = num_hashes // num_bands
-        hashed = df.select(
-            F.col(id_col).alias("__id"),
-            F.transform(
-                shingles(F.col(text_col), n=shingle_n),
-                lambda s: base_hash31(s, portable=True),
-            ).alias("__hs"),
-        )
-        sigs = hashed.select(
-            "__id",
-            minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"),
+        sigs = minhash_signatures(
+            df.select(F.col(id_col), F.col(text_col)),
+            id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes,
+            portable=True, sig_engine=sig_engine,
         )
         return sigs.select(
             "__id",
