@@ -19,7 +19,8 @@ sections built from the engine's existing operators:
 Usage::
 
     python -m hermes_spark.cli datasheet --format parquet --path /data/docs \\
-        --id-col doc_id --text-col text [--source-col source] [--lang-col lang]
+        --id-col doc_id --text-col text [--source-col source] \\
+        [--lang-col lang] [--script-aware true]
 
 Scale notes: the heavy signals (quality flags, fingerprints, token
 counts) all derive from ONE corpus scan each of which is a pure
@@ -41,7 +42,7 @@ from hermes_spark.exceptions import MissingArgumentException
 from hermes_spark.sources.io import load_dataframe
 from hermes_spark.sources.parameters import Parameters
 
-_RESERVED = ("id-col", "text-col", "source-col", "lang-col")
+_RESERVED = ("id-col", "text-col", "source-col", "lang-col", "script-aware")
 
 
 def run(spark: SparkSession, argv: list[str]) -> list[dict]:
@@ -63,6 +64,11 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
     text_col = options.get("text-col", "text")
     source_col = options.get("source-col")
     lang_col = options.get("lang-col")
+    # --script-aware true: judge Han/Kana/Thai documents by the char
+    # word proxy in the Gopher/C4 sections (round 11) — without it a
+    # multilingual corpus's card reports a bogus near-zero pass rate
+    # for its unsegmented-script share (the same trap the gates had)
+    script_aware = options.get("script-aware", "").lower() in ("true", "1")
     reader_opts = {k: v for k, v in options.items() if k not in _RESERVED}
     df = load_dataframe(spark, Parameters.validate_and_create(reader_opts))
     for required in (id_col, text_col, source_col, lang_col):
@@ -174,7 +180,9 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
         base.unpersist()
 
     # -- quality gates (second expression scan of the corpus) --------------
-    flags = gopher_quality_flags(df, id_col, text_col, min_stopwords=1)
+    flags = gopher_quality_flags(
+        df, id_col, text_col, min_stopwords=1, script_aware=script_aware
+    )
     rule_cols = [
         "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
         "ellipsis_ratio", "alpha_word_ratio", "n_stopwords",
@@ -191,7 +199,7 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
     })
 
     c4 = (
-        c4_line_stats(df, id_col, text_col)
+        c4_line_stats(df, id_col, text_col, script_aware=script_aware)
         .agg(
             F.round(F.avg("keep_ratio"), 4).alias("avg_line_keep_ratio"),
             F.round(

@@ -67,3 +67,26 @@ def test_datasheet_empty_corpus(spark, tmp_path):
     kinds = [r["report"] for r in recs]
     assert kinds[0] == "corpus" and recs[0]["n_docs"] == 0
     assert "empty" in kinds  # clean early return, no ZeroDivisionError
+
+
+def test_datasheet_script_aware_flag(spark, tmp_path):
+    """--script-aware true: the card's Gopher pass rate must count
+    fluent CJK docs as passes instead of reporting the bogus near-zero
+    rate the plain rules give unsegmented scripts."""
+    from hermes_spark.cli.datasheet_job import run
+
+    zh = "机器学习是人工智能的一个分支，它使计算机能够从数据中学习。" * 4
+    en = "the cat and the dog have fun with all of that stuff here. " * 5
+    df = spark.createDataFrame(
+        [(i, zh if i % 2 else en) for i in range(20)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    args = ["--format", "parquet", "--path", path,
+            "--id-col", "doc_id", "--text-col", "text"]
+    plain = {r["report"]: r for r in run(spark, args)}
+    aware = {r["report"]: r for r in run(spark, args + ["--script-aware", "true"])}
+    # min_words default 50: en docs ~55 words pass, zh pass only when
+    # the char proxy counts them
+    assert aware["gopher"]["pass_rate"] > plain["gopher"]["pass_rate"]
+    assert aware["gopher"]["pass_rate"] == 1.0
