@@ -133,6 +133,27 @@ def unsegmented_char_counts(col: Column) -> tuple[Column, Column]:
     return hk.cast("long"), th.cast("long")
 
 
+def word_units(col: Column) -> Column:
+    """Script-aware token-count proxy (round 11): whitespace tokens
+    PLUS the Han/Kana/Thai character word-equivalents
+    ``floor(han_kana/2 + thai/4)`` (exact integer arithmetic).
+
+    ``token_count`` sees an unsegmented-script document as ~1 token,
+    which silently breaks every budget keyed on it — ``pack_sequences``
+    overpacks CJK docs ~100x, ``length_curriculum`` bins them all as
+    tiny.  For pure-Latin text this is EXACTLY ``token_count`` (the
+    script counts are zero); for mixed text the unsegmented chars add
+    their word-equivalents on top of the whitespace tokens (a
+    space-delimited CJK run is counted once as a token and once as
+    units — an accepted upper-bias of the proxy, documented here).
+    SQL-portable: both engines compute the identical integer."""
+    hk, th = unsegmented_char_counts(col)
+    return (
+        token_count(col)
+        + F.floor((hk * F.lit(2) + th) / F.lit(4)).cast("long")
+    ).cast("long")
+
+
 def unsegmented_ratio(col: Column) -> Column:
     """Fraction of non-whitespace characters in an unsegmented script
     (Han/Kana/Thai letters), 6-dp rounded.  ``>= SCRIPT_MIN_RATIO``

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import token_count, tokens
+from ..functions.text import token_count, tokens, word_units
 
 
 def token_chunks(
@@ -91,6 +91,7 @@ def pack_sequences(
     budget: int = 2048,
     num_shards: int = 64,
     salt: str = "pack",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences.
 
@@ -101,14 +102,19 @@ def pack_sequences(
     ``(shard, seq_in_shard)`` is the stable global sequence id.
 
     Token counts come from ``token_count_col`` when given, else are
-    computed from ``text_col`` (whitespace tokens).
+    computed from ``text_col``: whitespace tokens by default, or the
+    script-aware ``word_units`` proxy with ``script_aware=True``
+    (round 11 — whitespace counting sees an unsegmented Han/Kana/Thai
+    document as ~1 token and overpacks it ~100x past the budget;
+    pure-Latin counts are identical either way).
     """
     if (text_col is None) == (token_count_col is None):
         raise ValueError("give exactly one of text_col / token_count_col")
     if token_count_col is not None:
         n_tok = F.col(token_count_col).cast("long")
     else:
-        n_tok = token_count(F.col(text_col))
+        counter = word_units if script_aware else token_count
+        n_tok = counter(F.col(text_col))
 
     shard = F.pmod(
         portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
@@ -161,6 +167,7 @@ def length_curriculum(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Curriculum bins by token count: per-document geometric length bin
     (``bin = floor(log2(tokens))``, so bins are [1,2), [2,4), [4,8)…)
@@ -173,8 +180,10 @@ def length_curriculum(
     every bucket shuffle-light at 100 TB: the bin id is a pure expression
     on the scan, and the aggregate is a ~dozens-row groupBy.  Returns
     ``(length_bin, n_docs, total_tokens, min_tokens, max_tokens)``.
+    ``script_aware=True`` bins by the ``word_units`` proxy instead
+    (unsegmented-script docs otherwise all land in the smallest bins).
     """
-    toks = token_count(F.col(text_col))
+    toks = (word_units if script_aware else token_count)(F.col(text_col))
     binned = df.select(
         F.col(id_col),
         toks.alias("__nt"),

@@ -35,9 +35,17 @@ def curated_wet_stream(
     max_payload: int = 1 << 20,
     glob: str | None = WARC_GLOB,
     max_files_per_trigger: int | None = None,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame ``(doc_id, target_uri, warc_date, text,
     n_lines_in, n_lines_kept)`` of cleaned, gate-passing WET documents.
+
+    ``script_aware=True`` switches the C4/Gopher gates to the
+    character word proxy for Han/Kana/Thai documents (round 11 — a
+    multilingual crawl is exactly where a streaming drop-zone shows
+    up; without the flag its unsegmented-script share gates to ~0%).
+    Latin documents are judged identically either way, and the gates
+    stay pure scan expressions, so the stream stays stateless.
 
     Attach any sink/trigger::
 
@@ -65,9 +73,11 @@ def curated_wet_stream(
         min_line_words=min_line_words,
         keep_cols=("target_uri", "warc_date"),  # a re-join would be a
         # stateful stream-stream join; carried through the projection
+        script_aware=script_aware,
     )
     return gopher_filter(
-        cleaned, "doc_id", "text", **(gopher_thresholds or {})
+        cleaned, "doc_id", "text", script_aware=script_aware,
+        **(gopher_thresholds or {})
     ).select(
         "doc_id", "target_uri", "warc_date", "text",
         "n_lines_in", "n_lines_kept",

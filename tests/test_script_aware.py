@@ -193,3 +193,64 @@ def test_c4_clean_script_aware_zero_shuffle(spark, sf_dir):
     out = c4_clean(docs, "doc_id", "text", script_aware=True)
     assert count_exchanges(out) == 0
     assert not any("Join" in op for op in plan_operators(out))
+
+
+def test_word_units_latin_identical_and_cjk_sane(spark):
+    from hermes_spark.functions.text import token_count, word_units
+
+    rows = [(1, "the cat sat on the mat"), (2, ""), (3, "  a  b  "),
+            (4, ZH), (5, TH), (6, "机器学习 is very cool")]
+    df = _frame(spark, rows)
+    got = {
+        r["doc_id"]: (r["tc"], r["wu"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("tc"),
+            word_units(F.col("text")).alias("wu"),
+        ).collect()
+    }
+    for i in (1, 2, 3):  # pure-Latin: identical
+        assert got[i][0] == got[i][1]
+    # unsegmented docs: ws counting sees ~1 token, units see the chars
+    assert got[4][0] <= 2 and got[4][1] >= 50
+    assert got[5][0] <= 8 and got[5][1] > got[5][0] * 5
+    assert got[6][1] > got[6][0]  # mixed: units add the Han chars
+
+
+def test_pack_sequences_script_aware_budget(spark):
+    """A CJK corpus packed with whitespace counting crams ~everything
+    into sequence 0 (each doc 'costs' 1 token); script-aware packing
+    respects the budget."""
+    from hermes_spark.operators import pack_sequences
+
+    rows = [(i, ZH) for i in range(40)]  # each ~100 word-units
+    df = _frame(spark, rows)
+    naive = pack_sequences(df, "doc_id", text_col="text", budget=256,
+                           num_shards=1)
+    aware = pack_sequences(df, "doc_id", text_col="text", budget=256,
+                           num_shards=1, script_aware=True)
+    n_seq_naive = naive.select("seq_in_shard").distinct().count()
+    n_seq_aware = aware.select("seq_in_shard").distinct().count()
+    assert n_seq_naive == 1          # 40 docs x "1 token" < 256
+    assert n_seq_aware >= 10         # ~76 units/doc, 256 budget
+    # Latin corpora: byte-identical either way
+    lat = [(i, EN_GOOD) for i in range(10)]
+    a = pack_sequences(_frame(spark, lat), "doc_id", text_col="text",
+                       budget=256, num_shards=2).collect()
+    b = pack_sequences(_frame(spark, lat), "doc_id", text_col="text",
+                       budget=256, num_shards=2, script_aware=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_length_curriculum_script_aware(spark):
+    from hermes_spark.operators import length_curriculum
+
+    rows = [(i, ZH) for i in range(10)] + [(100 + i, EN_GOOD) for i in range(10)]
+    df = _frame(spark, rows)
+    naive = {r["length_bin"]: r["n_docs"]
+             for r in length_curriculum(df, "doc_id").collect()}
+    aware = {r["length_bin"]: r["n_docs"]
+             for r in length_curriculum(df, "doc_id",
+                                        script_aware=True).collect()}
+    # naive: all CJK docs in bin 0 (1 "token"); aware: none there
+    assert naive.get(0, 0) == 10 and aware.get(0, 0) == 0

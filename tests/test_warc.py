@@ -341,3 +341,43 @@ def test_http_response_text_main_extractor(spark, tmp_path):
 
     with pytest.raises(ValueError, match="extractor"):
         http_response_text(pages, extractor="nope")
+
+
+def test_curated_wet_stream_script_aware(spark, tmp_path):
+    """A multilingual drop-zone: script_aware=True lets fluent zh pages
+    through the streaming gates; without it they gate to zero (the
+    round-11 trap, streaming edition)."""
+    from hermes_spark.streaming import curated_wet_stream
+
+    zh = (
+        "机器学习是人工智能的一个分支，它使计算机能够从数据中学习。\n"
+        "这些方法在图像识别和自然语言处理等领域得到了广泛的应用！\n"
+    ).encode()
+    en = (
+        "The article has a first good sentence with the usual words of that kind.\n"
+        "It has that second sentence to keep the word count of the page healthy.\n"
+    ).encode()
+    src = tmp_path / "drop"
+    src.mkdir()
+    shard = b"".join(
+        _record("conversion", f"http://s.example/{j}", zh if j % 2 else en)
+        for j in range(10)
+    )
+    (src / "a.wet.gz").write_bytes(gzip.compress(shard))
+
+    for aware, expect in ((False, 5), (True, 10)):
+        out = str(tmp_path / f"out{aware}")
+        q = (
+            curated_wet_stream(
+                spark, str(src),
+                gopher_thresholds={"min_words": 15, "min_stopwords": 1},
+                script_aware=aware,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{aware}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == expect, aware
