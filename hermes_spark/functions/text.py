@@ -154,6 +154,20 @@ def word_units(col: Column) -> Column:
     ).cast("long")
 
 
+def segment_unsegmented(col: Column) -> Column:
+    """Space-delimit every Han/Kana/Thai character so whitespace
+    tokenizers see PER-CHARACTER tokens — the standard char-level
+    fallback for unsegmented scripts (CCNet trains char-ish
+    SentencePiece models for zh/ja/th for the same reason).  Latin
+    text passes through byte-identical (no such chars).  Pure
+    expression, portable: Java/RE2 spell the group ref ``$1``/``\\1``
+    respectively, Python ``\\1`` — each engine's caller uses its own
+    spelling over the SAME literal char class."""
+    return F.regexp_replace(
+        col, "(" + UNSEGMENTED_CLASS + ")", " $1 "
+    )
+
+
 def unsegmented_ratio(col: Column) -> Column:
     """Fraction of non-whitespace characters in an unsegmented script
     (Han/Kana/Thai letters), 6-dp rounded.  ``>= SCRIPT_MIN_RATIO``

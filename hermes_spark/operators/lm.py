@@ -54,7 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import UNSEGMENTED_CLASS, segment_unsegmented, tokens
 
 __all__ = [
     "NgramLM",
@@ -91,7 +91,7 @@ class NgramLM:
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str,
-                 vocab: DataFrame) -> DataFrame:
+                 vocab: DataFrame, script_aware: bool = False) -> DataFrame:
     """``(doc_id, prev, cur)`` bigram rows with out-of-vocab terms
     collapsed to ``<unk>``.
 
@@ -106,9 +106,10 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str,
     Bigram multiset, counts, and the int64-quantized per-doc sums are
     identical — order was only ever needed to find neighbors.
     """
-    toks = F.filter(
-        tokens(F.lower(F.col(text_col))), lambda t: t != ""
-    )
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
+    toks = F.filter(tokens(low), lambda t: t != "")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice(toks, F.lit(1), n1),
@@ -148,18 +149,26 @@ def lm_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 50_000,
+    script_aware: bool = False,
 ) -> NgramLM:
     """Train the capped-vocab bigram LM on a reference corpus.
 
     Two passes over the token stream (vocab selection, then counting
     with OOV collapsed) — cache the input upstream if it is expensive
     to rescan. Vocab ties break on term asc, so the model is fully
-    deterministic."""
+    deterministic.  ``script_aware=True`` (round 11) segments
+    Han/Kana/Thai text per CHARACTER first (char-level modeling, the
+    standard fallback for unsegmented scripts) — without it such docs
+    whitespace-tokenize to <2 tokens and are unscoreable; train and
+    score must use the same setting."""
     from ..plans import rebalance_for_cpu
 
     df = rebalance_for_cpu(df)
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
     raw = df.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        F.explode(tokens(low)).alias("term")
     ).filter(F.col("term") != "")
     vocab = (
         raw.groupBy("term")
@@ -169,7 +178,7 @@ def lm_train(
         .select("term")
     )
     n_vocab = vocab.count()
-    bg = _doc_bigrams(df, id_col, text_col, vocab)
+    bg = _doc_bigrams(df, id_col, text_col, vocab, script_aware)
     bigram_counts = bg.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -275,6 +284,7 @@ def _score_arrow(
     text_col: str,
     k_num: int,
     k_den: int,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Zero-shuffle scoring: the bounded model (vocab + bigram +
     context counts — the user asserted it fits by broadcasting it)
@@ -338,6 +348,12 @@ def _score_arrow(
     tables_b = sc.broadcast((bg_keys, bg_cnts, ctx_arr))
 
     ws = re.compile(_JAVA_WS)
+    # mirror of segment_unsegmented: per-char spacing for Han/Kana/Thai
+    # (Python spells the group ref \1 where Java spells $1 — same
+    # literal class, same inserted 0x20 spaces)
+    unseg_re = (
+        re.compile("(" + UNSEGMENTED_CLASS + ")") if script_aware else None
+    )
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -363,9 +379,10 @@ def _score_arrow(
             for did, txt in zip(pdf["__id"], pdf["__t"]):
                 if txt is None:
                     continue
-                toks = [
-                    t for t in ws.split(str(txt).lower().strip(" ")) if t
-                ]
+                t2 = str(txt).lower()
+                if unseg_re is not None:
+                    t2 = unseg_re.sub(r" \1 ", t2)
+                toks = [t for t in ws.split(t2.strip(" ")) if t]
                 if len(toks) < 2:
                     continue
                 out_ids.append(did)
@@ -392,6 +409,7 @@ def lm_score(
     k_den: int = 2,
     broadcast_model: bool = False,
     score_engine: str = "auto",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Score a target corpus under a trained model.
 
@@ -415,7 +433,9 @@ def lm_score(
     if score_engine == "auto":
         score_engine = "arrow" if broadcast_model else "join"
     if score_engine == "arrow":
-        return _score_arrow(df, lm, id_col, text_col, k_num, k_den)
+        return _score_arrow(
+            df, lm, id_col, text_col, k_num, k_den, script_aware
+        )
     if score_engine != "join":
         raise ValueError(
             f"score_engine must be 'auto', 'arrow' or 'join', got {score_engine!r}"
@@ -426,7 +446,7 @@ def lm_score(
 
     df = rebalance_for_cpu(df)
     types = lm.n_vocab + 1  # vocab plus <unk>
-    bg = _doc_bigrams(df, id_col, text_col, lm.vocab)
+    bg = _doc_bigrams(df, id_col, text_col, lm.vocab, script_aware)
     bc = lm.bigram_counts
     if broadcast_model:
         bc = F.broadcast(bc)
@@ -528,14 +548,16 @@ class LangNgramLM:
 
 
 def _doc_bigrams_by_lang(df: DataFrame, id_col: str, text_col: str,
-                         lang_col: str, vocab: DataFrame) -> DataFrame:
+                         lang_col: str, vocab: DataFrame,
+                         script_aware: bool = False) -> DataFrame:
     """``(doc_id, lang, prev, cur)`` — :func:`_doc_bigrams` with the
     language carried through and the OOV collapse joined on
     ``(lang, term)`` so each document is mapped under ITS language's
     vocabulary.  Same scan-side zip_with adjacency, no window."""
-    toks = F.filter(
-        tokens(F.lower(F.col(text_col))), lambda t: t != ""
-    )
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
+    toks = F.filter(tokens(low), lambda t: t != "")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice(toks, F.lit(1), n1),
@@ -578,6 +600,7 @@ def lm_train_by_lang(
     text_col: str = "text",
     lang_col: str = "lang",
     vocab_size: int = 50_000,
+    script_aware: bool = False,
 ) -> LangNgramLM:
     """Train one bigram LM per language partition of ``df``.
 
@@ -590,9 +613,12 @@ def lm_train_by_lang(
     from ..plans import rebalance_for_cpu
 
     df = rebalance_for_cpu(df)
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
     raw = df.select(
         F.col(lang_col).alias("lang"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        F.explode(tokens(low)).alias("term"),
     ).filter(F.col("term") != "")
     counts = raw.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(
@@ -606,7 +632,9 @@ def lm_train_by_lang(
     n_vocab = vocab.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_vocab")
     )
-    bg = _doc_bigrams_by_lang(df, id_col, text_col, lang_col, vocab)
+    bg = _doc_bigrams_by_lang(
+        df, id_col, text_col, lang_col, vocab, script_aware
+    )
     bigram_counts = bg.groupBy("lang", "prev", "cur").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -624,6 +652,7 @@ def _score_arrow_by_lang(
     lang_col: str,
     k_num: int,
     k_den: int,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Zero-shuffle per-language scoring: ALL language models freeze to
     numpy tables driver-side (dict lang -> tables, still ~L×V ints on
@@ -662,6 +691,9 @@ def _score_arrow_by_lang(
     tables_b = sc.broadcast(tables)
 
     ws = re.compile(_JAVA_WS)
+    unseg_re = (
+        re.compile("(" + UNSEGMENTED_CLASS + ")") if script_aware else None
+    )
     id_type = df.schema[id_col].dataType
     out_schema = StructType([
         StructField(id_col, id_type),
@@ -685,9 +717,10 @@ def _score_arrow_by_lang(
             for did, lang, txt in zip(pdf["__id"], pdf["__lang"], pdf["__t"]):
                 if txt is None or lang not in tab:
                     continue
-                toks = [
-                    t for t in ws.split(str(txt).lower().strip(" ")) if t
-                ]
+                t2 = str(txt).lower()
+                if unseg_re is not None:
+                    t2 = unseg_re.sub(r" \1 ", t2)
+                toks = [t for t in ws.split(t2.strip(" ")) if t]
                 if len(toks) < 2:
                     continue
                 ids, tls = per_lang.setdefault(lang, ([], []))
@@ -720,6 +753,7 @@ def lm_score_by_lang(
     k_den: int = 2,
     broadcast_model: bool = False,
     score_engine: str = "auto",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Score each document under ITS language's model.
 
@@ -734,7 +768,7 @@ def lm_score_by_lang(
         score_engine = "arrow" if broadcast_model else "join"
     if score_engine == "arrow":
         return _score_arrow_by_lang(
-            df, lm, id_col, text_col, lang_col, k_num, k_den
+            df, lm, id_col, text_col, lang_col, k_num, k_den, script_aware
         )
     if score_engine != "join":
         raise ValueError(
@@ -743,7 +777,9 @@ def lm_score_by_lang(
     from ..plans import rebalance_for_cpu
 
     df = rebalance_for_cpu(df)
-    bg = _doc_bigrams_by_lang(df, id_col, text_col, lang_col, lm.vocab)
+    bg = _doc_bigrams_by_lang(
+        df, id_col, text_col, lang_col, lm.vocab, script_aware
+    )
     bc = lm.bigram_counts
     if broadcast_model:
         bc = F.broadcast(bc)

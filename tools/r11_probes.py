@@ -779,8 +779,154 @@ def probe_funnel_datasheet(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# -------------------------------------------------- multilingual_funnel
+
+def probe_multilingual_funnel(spark) -> None:
+    """The round-11 multilingual story composed END-TO-END at 1M docs:
+    a 70% Latin / 10% each Han/Kana/Thai corpus through the full
+    curation chain with every script-aware switch ON —
+    c4_clean(script_aware) -> gopher_filter(script_aware) -> MinHash
+    near-dup dedup (codepoint kernel lane) -> per-language LM quantile
+    filter -> pack_sequences(script_aware).  Records per-script
+    survival at each stage (the plain pipeline loses the entire CJK
+    share at the first gate) plus stage walls."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.text import add_lang_id
+    from hermes_spark.operators import (
+        c4_clean,
+        fuzzy_dedup_keep_one,
+        gopher_filter,
+        lm_quantile_filter_by_lang,
+        lm_train_by_lang,
+        minhash_lsh_pairs,
+        pack_sequences,
+    )
+
+    n = int(os.environ.get("STAGE_DOCS", "1000000"))
+    docs = zipf_corpus(spark, n)
+    work = f"/tmp/r11_mlfunnel_{n}"
+
+    if not os.path.exists(f"{work}/mixed/_SUCCESS"):
+        low = F.lower(F.col("text"))
+        script = (
+            F.when(F.col("doc_id") % 10 == 7, F.lit("han"))
+            .when(F.col("doc_id") % 10 == 8, F.lit("kana"))
+            .when(F.col("doc_id") % 10 == 9, F.lit("thai"))
+            .otherwise(F.lit("latin"))
+        )
+        # sentence terminators so the C4 line rule sees prose; spaces
+        # deleted for the unsegmented scripts (genuine CJK shape)
+        body = (
+            F.when(script == "han",
+                   F.concat(F.translate(low, _LATIN37, _HAN36), F.lit("。")))
+            .when(script == "kana",
+                  F.concat(F.translate(low, _LATIN37, _KANA36), F.lit("。")))
+            .when(script == "thai",
+                  F.concat(F.translate(low, _LATIN37, _THAI36),
+                           F.lit("ที่ของ")))
+            .otherwise(F.concat(F.col("text"), F.lit(".")))
+        )
+        docs.select(
+            "doc_id", script.alias("script"), body.alias("text")
+        ).repartition(128).write.mode("overwrite").parquet(f"{work}/mixed")
+    mixed = spark.read.parquet(f"{work}/mixed")
+    totals = {r["script"]: r["n"] for r in mixed.groupBy("script").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    stages = []
+
+    def stage(name, wall, df):
+        counts = {r["script"]: r["n"] for r in df.groupBy("script").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        stages.append({"stage": name, "wall": round(wall, 1),
+                       "by_script": counts})
+        out({"probe": "multilingual_funnel_stage", "stage": name,
+             "wall": round(wall, 1), "by_script": counts,
+             "survival": {k: round(counts.get(k, 0) / totals[k], 4)
+                          for k in sorted(totals)}})
+
+    try:
+        t0 = time.time()
+        cleaned = c4_clean(
+            mixed, "doc_id", "text", min_line_words=3,
+            keep_cols=("script",), script_aware=True,
+        )
+        gated = gopher_filter(
+            cleaned, "doc_id", "text", min_words=20, min_stopwords=0,
+            script_aware=True,
+        )
+        gated.repartition(128).write.mode("overwrite").parquet(f"{work}/gated")
+        gated = spark.read.parquet(f"{work}/gated")
+        stage("c4+gopher(script_aware)", time.time() - t0, gated)
+
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(
+            gated, "doc_id", "text", shingle_n=3, num_hashes=16,
+            num_bands=4, min_jaccard=0.7, portable=False,
+        )
+        deduped = fuzzy_dedup_keep_one(
+            gated, "doc_id", pairs, algorithm="auto",
+            keep_by=F.length("text"),
+        )
+        deduped.repartition(128).write.mode("overwrite").parquet(f"{work}/dedup")
+        deduped = spark.read.parquet(f"{work}/dedup")
+        stage("minhash_dedup(codepoint lane)", time.time() - t0, deduped)
+
+        t0 = time.time()
+        tagged = add_lang_id(deduped, "text", "lang")
+        lm = lm_train_by_lang(
+            tagged.filter(F.col("doc_id") % 7 == 0), vocab_size=20_000,
+            script_aware=True,  # char-level modeling for Han/Kana/Thai
+        )
+        kept = lm_quantile_filter_by_lang(
+            tagged, lm, keep_frac=0.8, broadcast_model=True,
+            score_engine="arrow", script_aware=True,
+        )
+        kept.repartition(128).write.mode("overwrite").parquet(f"{work}/lm")
+        kept = spark.read.parquet(f"{work}/lm")
+        stage("add_lang_id+lm_by_lang", time.time() - t0, kept)
+
+        t0 = time.time()
+        packed = pack_sequences(
+            kept, "doc_id", text_col="text", budget=512, num_shards=64,
+            script_aware=True,
+        )
+        packed.write.mode("overwrite").parquet(f"{work}/packed")
+        n_seqs = (
+            spark.read.parquet(f"{work}/packed")
+            .select("shard", "seq_in_shard").distinct().count()
+        )
+        stages.append({"stage": "pack(script_aware)",
+                       "wall": round(time.time() - t0, 1),
+                       "sequences": n_seqs})
+        out({"probe": "multilingual_funnel_stage",
+             "stage": "pack(script_aware)",
+             "wall": stages[-1]["wall"], "sequences": n_seqs})
+
+        # the counterfactual: the SAME corpus through the plain gates
+        t0 = time.time()
+        plain = gopher_filter(
+            c4_clean(mixed, "doc_id", "text", min_line_words=3,
+                     keep_cols=("script",)),
+            "doc_id", "text", min_words=20, min_stopwords=0,
+        )
+        counts = {r["script"]: r["n"] for r in plain.groupBy("script").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        out({"probe": "multilingual_funnel_plain_gates",
+             "wall": round(time.time() - t0, 1),
+             "survival": {k: round(counts.get(k, 0) / totals[k], 4)
+                          for k in sorted(totals)}})
+
+        total = round(sum(s["wall"] for s in stages), 1)
+        out({"probe": "multilingual_funnel", "docs": n, "stages": stages,
+             "total_wall": total, "docs_per_s": round(n / total)})
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 PROBES = {
     "bench_ab": probe_bench_ab,
+    "multilingual_funnel": probe_multilingual_funnel,
     "graph_decomp": probe_graph_decomp,
     "stream_minhash_1m": probe_stream_minhash_1m,
     "repetition_batch": probe_repetition_batch,
