@@ -420,6 +420,15 @@ def quality_score(col: Column) -> Column:
     * alpha ratio: alphabetic+space chars / total chars
     * stopword ratio clamped to [0, 0.5] then scaled to [0, 1]
     * mean token length in the sweet spot [3, 10] -> 1, else decays
+
+    ENGLISH-CENTRIC BY DESIGN (the stopword list and the [A-Za-z]
+    alpha class): a Han/Kana/Thai document bottoms out near ~0.3
+    regardless of fluency.  For multilingual corpora use the
+    script-aware hard gates (``gopher_filter(script_aware=True)``)
+    plus per-language LM scoring (``lm_score_by_lang(script_aware=
+    True)``) as the quality signal instead — a single cross-script
+    composite would conflate script with quality, which is exactly
+    what those operators exist to avoid.
     """
     text = F.trim(col)
     n_chars = F.length(text)

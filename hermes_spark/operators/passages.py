@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import segment_unsegmented, tokens, word_ngrams
 
 
 def passage_chunks(col: Column, window: int = 16) -> Column:
@@ -123,6 +123,7 @@ def decontaminate(
     n: int = 8,
     bench_text_col: str | None = None,
     broadcast: bool = True,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Flag corpus documents sharing any word ``n``-gram with the
     benchmark set.
@@ -144,6 +145,11 @@ def decontaminate(
     both sides exchange only 8-byte gram keys, never text, and Spark's
     AQE still downgrades to broadcast when the aggregated set turns out
     small. Results are identical either way.
+
+    ``script_aware=True`` (round 11) segments Han/Kana/Thai text per
+    character on BOTH sides, so contamination from unsegmented-script
+    benchmarks (a CJK eval suite) is caught as character n-grams —
+    without it such docs are one "word" and never match.
     """
     bench_text = bench_text_col or text_col
 
@@ -153,9 +159,12 @@ def decontaminate(
         # re-evaluates free variables — against a real column that is an
         # attribute read, against an inline expression it would re-run
         # the regex split per gram
+        low = F.lower(F.col(text))
+        if script_aware:
+            low = segment_unsegmented(low)
         toked = df.select(
             *[F.col(c) for c in keep],
-            tokens(F.lower(F.col(text))).alias("__toks"),
+            tokens(low).alias("__toks"),
         )
         return toked.select(
             *keep,

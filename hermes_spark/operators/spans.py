@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fast_hash64, portable_hash64
-from ..functions.text import tokens
+from ..functions.text import segment_unsegmented, tokens
 
 __all__ = ["gram_positions", "duplicate_spans", "span_dedup_stats"]
 
@@ -61,16 +61,21 @@ def gram_positions(
     text_col: str,
     n: int,
     portable: bool = True,
+    script_aware: bool = False,
 ) -> DataFrame:
     """``(id, pos, ghash)`` — hash of the ``n``-token window starting at
     0-based token position ``pos``. Documents shorter than ``n`` tokens
-    yield no rows."""
+    yield no rows.  ``script_aware=True`` (round 11) segments
+    Han/Kana/Thai text per character first, so substring dedup sees
+    character n-grams for unsegmented scripts — without it a CJK doc
+    is ONE token and produces no grams at all."""
     # materialize the token array first: the slice inside the per-gram
     # lambda references it as a free variable, and Spark inlines free
     # variables — a raw split(...) there would re-tokenize per gram
-    toked = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
-    )
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
+    toked = df.select(F.col(id_col), tokens(low).alias("__toks"))
     toks = F.col("__toks")
     n_tokens = F.size(toks)
     grams = F.transform(
@@ -95,9 +100,12 @@ def duplicate_spans(
     min_tokens: int = 8,
     portable: bool = True,
     max_docs_per_gram: int = 50,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Maximal verbatim token spans (≥ ``min_tokens``) shared between
-    document pairs.
+    document pairs.  ``script_aware`` as in :func:`gram_positions`
+    (token offsets then count each Han/Kana/Thai CHARACTER as one
+    token for unsegmented text).
 
     Returns ``(id_a, id_b, start_a, start_b, span_tokens)`` with
     ``id_a < id_b`` and 0-based token offsets; one row per maximal
@@ -111,7 +119,9 @@ def duplicate_spans(
     ~2^-60 per pair; at corpus scale verify hits downstream if exact
     guarantees are required (the reference-style rematerialize check).
     """
-    grams = gram_positions(df, id_col, text_col, min_tokens, portable)
+    grams = gram_positions(
+        df, id_col, text_col, min_tokens, portable, script_aware
+    )
     # Drop boilerplate grams BEFORE gathering: filtering after
     # collect_list would still build one aggregation buffer per hot
     # gram (a gram in millions of documents = an OOM-sized buffer).
@@ -176,6 +186,7 @@ def span_dedup_stats(
     min_tokens: int = 8,
     portable: bool = True,
     max_docs_per_gram: int = 50,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span exposure: how much of each document
     is covered by verbatim spans shared with ANY other document.
@@ -186,7 +197,8 @@ def span_dedup_stats(
     different diagonals each count — an upper bound on coverage).
     """
     spans = duplicate_spans(
-        df, id_col, text_col, min_tokens, portable, max_docs_per_gram
+        df, id_col, text_col, min_tokens, portable, max_docs_per_gram,
+        script_aware,
     )
     sides = spans.select(
         F.col("id_a").alias(id_col), F.col("span_tokens")
@@ -198,7 +210,10 @@ def span_dedup_stats(
     )
     lengths = df.select(
         F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tokens"),
+        F.size(tokens(
+            segment_unsegmented(F.lower(F.col(text_col))) if script_aware
+            else F.lower(F.col(text_col))
+        )).cast("long").alias("n_tokens"),
     )
     return lengths.join(per_doc, id_col, "left").select(
         id_col,

@@ -254,3 +254,61 @@ def test_length_curriculum_script_aware(spark):
                                         script_aware=True).collect()}
     # naive: all CJK docs in bin 0 (1 "token"); aware: none there
     assert naive.get(0, 0) == 10 and aware.get(0, 0) == 0
+
+
+def test_duplicate_spans_script_aware(spark):
+    """Two zh docs sharing a long verbatim run: plain span dedup sees
+    one giant token (no grams); script_aware finds the character-level
+    span with correct char offsets."""
+    from hermes_spark.operators import duplicate_spans, span_dedup_stats
+
+    shared = "机器学习是人工智能的一个重要分支领域"  # 18 chars
+    rows = [(1, "前言" + shared + "结语甲"), (2, "另外" + shared + "结尾乙丙")]
+    df = _frame(spark, rows)
+    assert duplicate_spans(df, "doc_id", "text", min_tokens=8).count() == 0
+    spans = duplicate_spans(
+        df, "doc_id", "text", min_tokens=8, script_aware=True
+    ).collect()
+    assert len(spans) == 1
+    sp = spans[0]
+    # both docs prefix 2 chars before the shared run; "结语/结尾" extends
+    # the match by one char ("结")
+    assert (sp["start_a"], sp["start_b"]) == (2, 2)
+    assert sp["span_tokens"] == len(shared) + 1
+    stats = {r["doc_id"]: r for r in span_dedup_stats(
+        df, "doc_id", "text", min_tokens=8, script_aware=True).collect()}
+    assert stats[1]["n_tokens"] == len(rows[0][1])  # char tokens
+    assert stats[1]["dup_span_tokens"] == len(shared) + 1
+
+
+def test_decontaminate_script_aware(spark):
+    """A zh benchmark passage contaminating a corpus doc: invisible to
+    word n-grams, caught at character level."""
+    from hermes_spark.operators import decontaminate
+
+    bench_text = "这个基准测试问题的标准答案是完全固定的内容"
+    corpus = _frame(spark, [
+        (1, "正文开头" + bench_text + "正文结尾"),
+        (2, "这是一篇完全无关的文档内容与基准毫无重叠之处"),
+        (3, EN_GOOD),
+    ])
+    bench = _frame(spark, [(100, bench_text)])
+    plain = {r["doc_id"]: r["contaminated"] for r in decontaminate(
+        corpus, bench, "doc_id", "text", n=8).collect()}
+    aware = {r["doc_id"]: r["contaminated"] for r in decontaminate(
+        corpus, bench, "doc_id", "text", n=8, script_aware=True).collect()}
+    assert plain == {1: False, 2: False, 3: False}  # the trap
+    assert aware == {1: True, 2: False, 3: False}
+
+
+def test_spans_latin_identical_both_modes(spark):
+    from hermes_spark.operators import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [(1, "intro " + shared + " outro"), (2, "alt " + shared + " end")]
+    df = _frame(spark, rows)
+    a = sorted(map(tuple, duplicate_spans(
+        df, "doc_id", "text", min_tokens=8).collect()))
+    b = sorted(map(tuple, duplicate_spans(
+        df, "doc_id", "text", min_tokens=8, script_aware=True).collect()))
+    assert a == b and len(a) == 1
