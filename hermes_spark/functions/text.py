@@ -216,7 +216,14 @@ def bpe_token_count(col: Column) -> Column:
     pre-tokenize into word/number/punct chunks with
     :data:`BPE_CHUNK_PATTERN`, then charge ``ceil(len/6)`` pieces per
     chunk — long words split into several subwords, as a real BPE would.
-    Deterministic and SQL-portable (oracle-checked)."""
+    Deterministic and SQL-portable (oracle-checked).
+
+    Known approximation (round 11): an unsegmented Han/Kana/Thai run
+    is ONE punct-class chunk charged len/6 pieces, while real BPEs
+    spend ~1-2 chars/token on CJK — an ~5-10x undercount for those
+    scripts.  For script-fair token BUDGETS use
+    :func:`word_units`; this estimate stays as the oracle-paired
+    English-calibrated corpus statistic."""
     chunks = F.regexp_extract_all(F.trim(col), F.lit(BPE_CHUNK_PATTERN), 0)
     pieces = F.transform(
         chunks,
