@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import token_count, word_units
 
 __all__ = [
     "turns_from_text",
@@ -61,7 +61,8 @@ def turns_from_text(
 
 
 def conversation_stats(
-    df: DataFrame, turns_col: str = "turns", id_col: str = "doc_id"
+    df: DataFrame, turns_col: str = "turns", id_col: str = "doc_id",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-conversation structural report:
 
@@ -70,7 +71,11 @@ def conversation_stats(
     well_formed)`` — ``alternates`` checks every adjacent pair changes
     role; ``assistant_share`` is assistant tokens / total (6 dp; 0.0
     for an empty conversation); ``well_formed`` is the conjunction the
-    SFT loader would gate on."""
+    SFT loader would gate on.  ``script_aware=True`` (round 11) counts
+    tokens with the :func:`~hermes_spark.functions.text.word_units`
+    proxy so Han/Kana/Thai turns contribute real weight to
+    ``assistant_share`` instead of ~1 token each; the structural flags
+    are token-free and identical either way."""
     t = F.col(turns_col)
     # both slices length size-1 (zip_with would null-pad a shorter side);
     # the greatest() floor only guards the n<=1 branch never taken below
@@ -94,7 +99,8 @@ def conversation_stats(
     nonempty = F.forall(
         t, lambda x: F.coalesce(F.trim(x["content"]) != "", F.lit(False))
     )
-    tok = lambda c: token_count(c)  # noqa: E731
+    counter = word_units if script_aware else token_count
+    tok = lambda c: counter(c)  # noqa: E731
     assistant_toks = F.aggregate(
         F.filter(t, lambda x: x["role"] == "assistant"),
         F.lit(0).cast("long"),

@@ -312,3 +312,18 @@ def test_spans_latin_identical_both_modes(spark):
     b = sorted(map(tuple, duplicate_spans(
         df, "doc_id", "text", min_tokens=8, script_aware=True).collect()))
     assert a == b and len(a) == 1
+
+
+def test_conversation_stats_script_aware(spark):
+    from hermes_spark.operators import conversation_stats, turns_from_text
+
+    df = _frame(
+        spark, [(1, "问题是什么呢。请详细解释这个概念的全部含义和应用")]
+    ).select(
+        "doc_id", turns_from_text(F.col("text"), sep="。").alias("turns")
+    )
+    plain = conversation_stats(df).collect()[0]
+    aware = conversation_stats(df, script_aware=True).collect()[0]
+    # structural flags identical; token weights become real
+    assert plain["n_turns"] == aware["n_turns"]
+    assert plain["total_tokens"] <= 2 and aware["total_tokens"] >= 10
