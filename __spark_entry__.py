@@ -1960,6 +1960,10 @@ def _sql_lang_id() -> str:
   WHEN c_grek::DOUBLE / ns >= {s} THEN 'el'
   WHEN c_deva::DOUBLE / ns >= {s} THEN 'hi'
   WHEN c_thai::DOUBLE / ns >= {s} THEN 'th'
+  WHEN c_khmer::DOUBLE / ns >= {s} THEN 'km'
+  WHEN c_lao::DOUBLE / ns >= {s} THEN 'lo'
+  WHEN c_mymr::DOUBLE / ns >= {s} THEN 'my'
+  WHEN c_tibt::DOUBLE / ns >= {s} THEN 'bo'
   ELSE {latin}
 END"""
     return f"""
@@ -7046,42 +7050,74 @@ FROM ({_sql_span_dedup_stats()})
 """
 
 
-# --- round-11: script-aware quality gates over a deterministically
-# re-scripted corpus (the testdata text is all-ASCII, so zh-tagged docs
-# are translated char-for-char into Han, fr-tagged into Hiragana,
-# es-tagged into Thai — translate() deletes the space, producing
-# genuinely unsegmented text; en/de stay Latin as the byte-identity
-# control).  26-char alphabets include the function particles the
-# script-aware stopword check looks for.
+# --- round-11 (extended round 12): script-aware quality gates over a
+# deterministically re-scripted corpus (the testdata text is all-ASCII,
+# so zh-tagged docs are translated char-for-char into Han, fr-tagged
+# into Hiragana, es-tagged into Thai or Lao by doc_id parity, de-tagged
+# into Khmer / Myanmar / Tibetan by doc_id mod 3 — translate() deletes
+# the space, producing genuinely unsegmented text; en stays Latin as
+# the byte-identity control).  26-char alphabets; the scripts whose
+# alphabets don't naturally contain the multi-char function particles
+# get them appended so the script-aware stopword check has material.
 _CJK_LATIN = "abcdefghijklmnopqrstuvwxyz "
 _CJK_HAN = "的一是了在和不人有上中大来国个到说们为子与就那要下出"
 _CJK_KANA = "のはをにがたなかでしてもこれそあうえきくけさすせつと"
 _CJK_THAI = "กขคงจชซดตทนบปผพฟมยรลวสหอะเ"
+_CJK_LAO = "ກຂຄງຈສຊຍດຕຖທນບປຜຝພຟມຢຣລວຫອ"
+_CJK_KHMER = "កខគឃងចឆជឈញដឋឌឍណតថទធនបផពភមយ"
+_CJK_MYANMAR = "ကခဂဃငစဆဇဈညဋဌဍဎဏတထဒဓနပဖဗဘမယ"
+_CJK_TIBETAN = "ཀཁགངཅཆཇཉཏཐདནཔཕབམཙཚཛཝཞཟའཡརལ"
 _CJK_BREAK_AT = 60  # newline injected after this many chars (2 lines)
 
 
 def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
+    lang, did = F.col("lang"), F.col("doc_id")
     body = (
-        F.when(F.col("lang") == "zh", F.translate(low, _CJK_LATIN, _CJK_HAN))
-        .when(F.col("lang") == "fr", F.translate(low, _CJK_LATIN, _CJK_KANA))
+        F.when(lang == "zh", F.translate(low, _CJK_LATIN, _CJK_HAN))
+        .when(lang == "fr", F.translate(low, _CJK_LATIN, _CJK_KANA))
         .when(
-            F.col("lang") == "es",
+            (lang == "es") & (did % 2 == 0),
             F.concat(F.translate(low, _CJK_LATIN, _CJK_THAI), F.lit("ที่ของ")),
         )
+        .when(
+            lang == "es",
+            F.concat(F.translate(low, _CJK_LATIN, _CJK_LAO), F.lit("ແລະຂອງ")),
+        )
+        .when(
+            (lang == "de") & (did % 3 == 0),
+            F.concat(F.translate(low, _CJK_LATIN, _CJK_KHMER), F.lit("នៃនិង")),
+        )
+        .when(
+            (lang == "de") & (did % 3 == 1),
+            F.concat(
+                F.translate(low, _CJK_LATIN, _CJK_MYANMAR), F.lit("သည်ကို")
+            ),
+        )
+        .when(
+            lang == "de",
+            F.concat(
+                F.translate(low, _CJK_LATIN, _CJK_TIBETAN), F.lit("དང་ཡིན")
+            ),
+        )
         .otherwise(F.col("text"))
+    )
+    # half the docs of every variant end in their script's terminal
+    # punctuation (ASCII '.' for Latin/Thai/Lao), the other half in
+    # nothing — both C4 terminal-rule branches exercised per script
+    terminal = (
+        F.when(lang.isin("zh", "fr"), F.lit("。"))
+        .when((lang == "de") & (did % 3 == 0), F.lit("។"))
+        .when((lang == "de") & (did % 3 == 1), F.lit("။"))
+        .when(lang == "de", F.lit("།"))
+        .otherwise(F.lit("."))
     )
     text = F.concat(
         F.substring(body, 1, _CJK_BREAK_AT),
         F.lit("\n"),
         F.substring(body, _CJK_BREAK_AT + 1, 1_000_000),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.when(F.col("lang").isin("zh", "fr"), F.lit("。")).otherwise(
-                F.lit(".")
-            ),
-        ).otherwise(F.lit("")),
+        F.when(did % 2 == 0, terminal).otherwise(F.lit("")),
     )
     return docs.select("doc_id", "lang", text.alias("text"))
 
@@ -7107,10 +7143,13 @@ def q_cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_cjk_quality_gates() -> str:
     from hermes_spark.functions.text import (
-        HAN_KANA_CLASS,
-        THAI_LETTER_CLASS,
+        ASCII_UNIT_WEIGHT,
+        NO_TERMINAL_SCRIPTS,
+        UNSEG_UNIT_LCM,
+        UNSEG_UNIT_WEIGHTS,
         UNSEGMENTED_CLASS,
         UNSEGMENTED_PARTICLES,
+        UNSEGMENTED_SCRIPTS,
     )
     from hermes_spark.operators.c4 import C4_LINE_MARKERS
     from hermes_spark.operators.gopher import GOPHER_STOPWORDS
@@ -7124,23 +7163,55 @@ def _sql_cjk_quality_gates() -> str:
     )
     ws = "[ \\t\\n\\f\\r\\x0b]+"
     terminal = "'[.!?\"' || chr(39) || ']$'"
+
+    # per-script counts + exact lcm-scaled units, generated from the
+    # same UNSEGMENTED_SCRIPTS table the Spark expressions derive from
+    def _cnt(src: str, cls: str) -> str:
+        return f"len(regexp_extract_all({src}, '{cls}', 0))"
+
+    def _units(src: str, with_ascii: bool) -> str:
+        terms = [
+            f"{_cnt(src, cls)} * {UNSEG_UNIT_WEIGHTS[n]}"
+            for n, (cls, _) in UNSEGMENTED_SCRIPTS.items()
+        ]
+        if with_ascii:
+            terms.append(f"{_cnt(src, '[A-Za-z]')} * {ASCII_UNIT_WEIGHT}")
+        return (
+            f"CAST(floor(({' + '.join(terms)}) / {UNSEG_UNIT_LCM}) AS BIGINT)"
+        )
+
     # per-line script-aware keep rule (mirror of c4._keep_line with
-    # script_aware=True; min_line_words=3, Thai length clause max(3,5)=5)
-    hk_l = f"len(regexp_extract_all(trim(l), '{HAN_KANA_CLASS}', 0))"
-    th_l = f"len(regexp_extract_all(trim(l), '{THAI_LETTER_CLASS}', 0))"
-    units_l = f"CAST(floor(({hk_l} * 2 + {th_l}) / 4) AS BIGINT)"
+    # script_aware=True; min_line_words=3, no-terminal length clause
+    # max(3,5)=5; units include ASCII words at 2 chars/word — r12)
+    units_l = _units("trim(l)", with_ascii=True)
+    no_term_l = " + ".join(
+        _cnt("trim(l)", UNSEGMENTED_SCRIPTS[n][0]) for n in NO_TERMINAL_SCRIPTS
+    )
+    term_l = " + ".join(
+        _cnt("trim(l)", cls)
+        for n, (cls, _) in UNSEGMENTED_SCRIPTS.items()
+        if n not in NO_TERMINAL_SCRIPTS
+    )
     keep_line = f"""l -> CASE
       WHEN len(regexp_extract_all(trim(l), '{UNSEGMENTED_CLASS}', 0))::DOUBLE
            / greatest(length(regexp_replace(trim(l), '{ws}', '', 'g')), 1)::DOUBLE
            >= 0.3
       THEN (regexp_matches(trim(l), {terminal})
-            OR regexp_matches(trim(l), '[。！？…」』]$')
-            OR ({th_l} > {hk_l} AND {units_l} >= 5))
+            OR regexp_matches(trim(l), '[。！？…」』។៕။།༎]$')
+            OR (({no_term_l}) > ({term_l}) AND {units_l} >= 5))
            AND {units_l} >= 3 AND NOT ({marker_sql})
       ELSE regexp_matches(trim(l), {terminal})
            AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
            AND NOT ({marker_sql})
       END"""
+    script_cnt_defs = ", ".join(
+        f"{_cnt('text', cls)}::BIGINT AS c_{n}"
+        for n, (cls, _) in UNSEGMENTED_SCRIPTS.items()
+    )
+    letter_sum = " + ".join(f"c_{n}" for n in UNSEGMENTED_SCRIPTS) + " + al"
+    unit_terms = " + ".join(
+        f"c_{n} * {UNSEG_UNIT_WEIGHTS[n]}" for n in UNSEGMENTED_SCRIPTS
+    )
     return f"""
 WITH base AS (
   SELECT doc_id, lang, lower(text) AS lt, text AS orig FROM documents
@@ -7148,14 +7219,27 @@ WITH base AS (
   SELECT doc_id, lang,
          CASE WHEN lang = 'zh' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_HAN}')
               WHEN lang = 'fr' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_KANA}')
-              WHEN lang = 'es' THEN translate(lt, '{_CJK_LATIN}', '{_CJK_THAI}') || 'ที่ของ'
+              WHEN lang = 'es' AND doc_id % 2 = 0
+                   THEN translate(lt, '{_CJK_LATIN}', '{_CJK_THAI}') || 'ที่ของ'
+              WHEN lang = 'es'
+                   THEN translate(lt, '{_CJK_LATIN}', '{_CJK_LAO}') || 'ແລະຂອງ'
+              WHEN lang = 'de' AND doc_id % 3 = 0
+                   THEN translate(lt, '{_CJK_LATIN}', '{_CJK_KHMER}') || 'នៃនិង'
+              WHEN lang = 'de' AND doc_id % 3 = 1
+                   THEN translate(lt, '{_CJK_LATIN}', '{_CJK_MYANMAR}') || 'သည်ကို'
+              WHEN lang = 'de'
+                   THEN translate(lt, '{_CJK_LATIN}', '{_CJK_TIBETAN}') || 'དང་ཡིན'
               ELSE orig END AS b
   FROM base
 ), corpus AS (
   SELECT doc_id, lang,
          substr(b, 1, {_CJK_BREAK_AT}) || chr(10) || substr(b, {_CJK_BREAK_AT + 1}, 1000000)
-         || CASE WHEN doc_id % 3 = 0
-                 THEN CASE WHEN lang IN ('zh', 'fr') THEN '。' ELSE '.' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN CASE WHEN lang IN ('zh', 'fr') THEN '。'
+                           WHEN lang = 'de' AND doc_id % 3 = 0 THEN '។'
+                           WHEN lang = 'de' AND doc_id % 3 = 1 THEN '။'
+                           WHEN lang = 'de' THEN '།'
+                           ELSE '.' END
                  ELSE '' END AS text
   FROM scripted
 ), feats AS (
@@ -7178,8 +7262,7 @@ WITH base AS (
          len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE AS n_alpha,
          len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
                                        t -> list_contains([{stop_list}], t))))::BIGINT AS n_stop_ws,
-         len(regexp_extract_all(text, '{HAN_KANA_CLASS}', 0))::BIGINT AS hk,
-         len(regexp_extract_all(text, '{THAI_LETTER_CLASS}', 0))::BIGINT AS th,
+         {script_cnt_defs},
          len(regexp_extract_all(text, '[A-Za-z]', 0))::BIGINT AS al,
          len(regexp_extract_all(text, '{UNSEGMENTED_CLASS}', 0))::BIGINT AS unseg_n,
          greatest(length(regexp_replace(text, '{ws}', '', 'g')), 1)::BIGINT AS nonspace,
@@ -7188,8 +7271,8 @@ WITH base AS (
 ), sm AS (
   SELECT doc_id, lang,
          round(unseg_n::DOUBLE / nonspace::DOUBLE, 6) >= 0.3 AS unsegmented,
-         CAST(floor((hk * 2 + th + al * 2) / 4) AS BIGINT) AS n_units,
-         (hk + th + al)::BIGINT AS letter_chars,
+         CAST(floor(({unit_terms} + al * {ASCII_UNIT_WEIGHT}) / {UNSEG_UNIT_LCM}) AS BIGINT) AS n_units,
+         ({letter_sum})::BIGINT AS letter_chars,
          n_words_ws, nw, tok_chars, n_symbols, n_lines, n_bullet, n_ell,
          n_alpha, n_stop_ws, n_particles, nonspace
   FROM m
@@ -7373,34 +7456,28 @@ FROM scored
 # (tools/check_oracles.py --record → LOCAL_CHECK.json, which the
 # rotation gate verifies and reports).
 _WINDOW_ORDER = [
-    # r11 window (tools/rotate_window.py recommendation with the
-    # round-11 registry edits applied): the registry holds at exactly
-    # 150 — two NEW queries (cjk_quality_gates, lm_by_lang_buckets —
-    # this round's script-aware-gates and per-language-LM operators)
-    # balanced by two merges (duplicate_spans+span_dedup_stats ->
-    # span_dedup_combined; unigram_logprob+bigram_logprob ->
-    # ngram_logprobs).  The four never-checked entries lead; the rest
-    # is the recommended r8-stale cohort (the four replaced
-    # constituents were all in the recommendation, so the swap keeps
-    # the 3-round staleness bound intact).
-    "cjk_quality_gates", "lm_by_lang_buckets", "span_dedup_combined",
-    "ngram_logprobs",
-    # r8-stale cohort (rotate_window.py r11 recommendation)
-    "bpe_encode_stats", "main_content_docs", "outlinks_docs",
-    "host_link_graph", "source_cap_docs", "quality_gate_docs",
-    "oov_rate_docs", "training_order_docs", "jaccard_pairs_exact",
-    "events_collapsed_runs", "events_psi_drift", "dup_rate_by_source",
-    "containment_pairs", "kmeans_ivf_topk", "pq_topk", "ngram_novelty",
-    "quality_classifier", "random_projection", "dsir_weights",
-    "mmr_select", "temperature_mix", "semantic_decontaminate",
-    "hard_negatives", "funnel_counts", "cohort_retention", "split_assign",
-    "compare_diff", "compare_metrics", "minhash_lsh_pairs",
-    "dedup_duplicate_keys", "except_distinct", "key_hash_md5",
-    "sort_aligned_projection", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_nation_revenue", "q10_returned_items",
-    "q18_large_orders", "q14_promo_share", "customer_running_totals",
-    "dedup_clusters", "ngram_jaccard_pairs", "simhash_fingerprints",
-    "lang_id", "tfidf_topk_terms", "dedup_incremental_docs",
+    # r12 window: exactly tools/rotate_window.py's recommendation at
+    # round start (the r9-stale cohort — registry steady at 150, no
+    # adds/merges this round, so the recommendation is taken verbatim
+    # and the 3-round staleness bound holds).
+    "hll_distinct_orders", "kmv_flag_overlap", "events_value_quantiles",
+    "simhash_near_dups", "vocab_top_terms", "text_hash_buckets",
+    "blocking_pairs", "text_stats", "ann_cosine_topk",
+    "ann_cosine_topk_vec", "ivf_assign", "embedding_near_dup",
+    "ivf_topk", "flatten_nested", "near_dup_components", "except_all",
+    "compare_metrics_nokeys", "compare_cherry_pick",
+    "near_dup_components_star", "q6_forecast_revenue",
+    "topk_orders_per_customer", "docs_quality_filter",
+    "curation_pipeline", "events_hourly_rollup", "events_json_extract",
+    "sessionize_events", "windowed_rollup", "events_sliding_rollup",
+    "events_cube", "events_pivot", "user_session_stats",
+    "asof_join_rates", "events_quantiles", "gapfill_rollup",
+    "range_join_windows", "stratified_sample", "scrub_pii",
+    "repetition_ratio", "strip_boilerplate", "events_user_skew",
+    "events_profile", "q2_min_cost_supplier", "q4_priority_exists",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_shipments",
+    "q13_order_distribution", "q15_top_supplier",
 ]
 
 

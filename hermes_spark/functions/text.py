@@ -81,6 +81,13 @@ SCRIPT_CLASSES: dict[str, str] = {
     "grek": "[Ͱ-Ͽ]",
     "deva": "[ऀ-ॿ]",
     "thai": "[฀-๿]",
+    # r12: the remaining space-free SE-Asian / Tibetan scripts (full
+    # blocks — detection wants every char of the script, unlike the
+    # letters-only classes the word proxy uses)
+    "khmer": "[ក-៿]",
+    "lao": "[຀-໿]",
+    "mymr": "[က-႟]",
+    "tibt": "[ༀ-࿿]",
 }
 
 #: within-script discriminators: letters (near-)unique to one language
@@ -95,48 +102,158 @@ FA_ONLY_CHARS = "[پچژگ]"
 #: a script must cover this fraction of non-whitespace chars to decide
 SCRIPT_MIN_RATIO = 0.30
 
-#: Scripts written WITHOUT word-separating whitespace (round 11).  A
-#: Chinese/Japanese/Thai page whitespace-tokenizes to ~1 giant token,
-#: so every word-based quality rule (Gopher min_words / mean word
-#: length, C4 words-per-line) gates such corpora to near-zero — the
-#: word PROXY must switch per script.  Han + Hiragana/Katakana count
-#: ~2 chars per word (the conventional CJK figure); Thai ~4.  Hangul
-#: is space-segmented (Korean writes with spaces) and stays on the
-#: whitespace path.  Literal ranges, portable Java/RE2/Python.
+#: Scripts written WITHOUT word-separating whitespace (round 11; round
+#: 12 extends the surface beyond Han/Kana/Thai).  Such a page
+#: whitespace-tokenizes to ~1 giant token, so every word-based quality
+#: rule (Gopher min_words / mean word length, C4 words-per-line) gates
+#: those corpora to near-zero — the word PROXY must switch per script.
+#: Hangul is space-segmented (Korean writes with spaces) and stays on
+#: the whitespace path.  Literal ranges, portable Java/RE2/Python.
+#:
+#: Letter classes (letters + vowel/tone signs, excluding each script's
+#: digits and punctuation):
+#:
+#: * Han + Hiragana/Katakana — the conventional ~2 chars/word.
+#: * Thai U+0E01-0E3A, U+0E40-0E4E — round 12 extends the old
+#:   ``เ-ๅ`` upper bound to U+0E4E so maiyamok ๆ, mai tai khu ็, the
+#:   tone marks ่ ้ ๊ ๋, thanthakhat ์ and nikhahit ํ count as word
+#:   material (they are integral to Thai words; excluding them both
+#:   undercounted units and inflated the letter-ratio denominator).
+#:   Digits ๐-๙ (U+0E50+) stay excluded.  ~4 chars/word.
+#: * Lao U+0E81-0EBD, U+0EC0-0EC6, U+0EC8-0ECD — Thai's sister
+#:   orthography, same ~4 chars/word.
+#: * Khmer U+1780-17D2 (consonants, independent + dependent vowels,
+#:   signs, coeng) plus ៗ — long clustered words, ~6 chars/word.
+#:   Punctuation ។ ៕ ៖ and digits ០-៩ excluded.
+#: * Myanmar U+1000-103F (consonants, vowels, medials, asat) —
+#:   ~5 chars/word.  Digits ၀-၉ and sections ၊ ။ excluded.
+#: * Tibetan U+0F40-0F6C + U+0F71-0FBC (letters, vowel signs,
+#:   subjoined letters) PLUS the tshegs ་ ༌ (U+0F0B/0F0C) —
+#:   tsheg-delimited SYLLABLES, not words, so whitespace tokenization
+#:   still fails.  The tsheg counts as word material: it is
+#:   orthographically required (~25% of real Tibetan prose chars —
+#:   measured on the r12 fixtures), and excluding it both deflated
+#:   alpha_word_ratio below the 0.8 gate on FLUENT text and broke the
+#:   5-chars-per-word calibration (letters+tshegs per hand-counted
+#:   word ≈ 5; letters alone ≈ 3.7).  Shad ། stays punctuation.
 HAN_KANA_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿ]"
-THAI_LETTER_CLASS = "[ก-ฺเ-ๅ]"  # letters/vowels only, not ๐-๙ digits
-UNSEGMENTED_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿก-ฺเ-ๅ]"
+THAI_LETTER_CLASS = "[ก-ฺเ-๎]"  # r12: extended to U+0E4E (ADVICE r11)
+LAO_LETTER_CLASS = "[ກ-ຽເ-ໆ່-ໍ]"
+KHMER_LETTER_CLASS = "[ក-្ៗ]"
+MYANMAR_LETTER_CLASS = "[က-ဿ]"
+TIBETAN_LETTER_CLASS = "[ཀ-ཬཱ-ྼ་༌]"
 
-#: chars-per-word divisors for the unsegmented word proxy
-HAN_KANA_CHARS_PER_WORD = 2
-THAI_CHARS_PER_WORD = 4
+#: script name -> (letter char class, chars-per-word divisor).  THE
+#: single source of truth for the unsegmented word proxy: the Spark
+#: expressions, the arrow-kernel Python mirrors and the DuckDB oracle
+#: SQL are all generated from this table, so adding a script here
+#: extends every script-aware operator at once.
+UNSEGMENTED_SCRIPTS: dict[str, tuple[str, int]] = {
+    "han_kana": (HAN_KANA_CLASS, 2),
+    "thai": (THAI_LETTER_CLASS, 4),
+    "lao": (LAO_LETTER_CLASS, 4),
+    "khmer": (KHMER_LETTER_CLASS, 6),
+    "myanmar": (MYANMAR_LETTER_CLASS, 5),
+    "tibetan": (TIBETAN_LETTER_CLASS, 5),
+}
+
+#: chars-per-word for embedded ASCII words inside an unsegmented doc
+#: (charged like Han by the gates' unit proxy)
+ASCII_CHARS_PER_WORD = 2
+
+#: exact-integer unit arithmetic: every per-script division is scaled
+#: by lcm(divisors) so ``floor(sum(weight*count) / lcm)`` is computed
+#: identically (and exactly) by Spark, DuckDB and numpy.
+import math as _math
+
+UNSEG_UNIT_LCM = _math.lcm(
+    ASCII_CHARS_PER_WORD, *(d for _, d in UNSEGMENTED_SCRIPTS.values())
+)
+UNSEG_UNIT_WEIGHTS: dict[str, int] = {
+    name: UNSEG_UNIT_LCM // d for name, (_, d) in UNSEGMENTED_SCRIPTS.items()
+}
+ASCII_UNIT_WEIGHT = UNSEG_UNIT_LCM // ASCII_CHARS_PER_WORD
+
+UNSEGMENTED_CLASS = "[" + "".join(
+    cls[1:-1] for cls, _ in UNSEGMENTED_SCRIPTS.values()
+) + "]"
+
+#: scripts that write NO terminal punctuation at all (Thai and Lao end
+#: sentences with nothing) — C4's "line must end in terminal
+#: punctuation" rule is length-gated instead for lines these dominate.
+#: Khmer (។), Myanmar (။), Tibetan (།) have native terminals and keep
+#: the punctuation rule.
+NO_TERMINAL_SCRIPTS: tuple[str, ...] = ("thai", "lao")
+
+#: back-compat aliases (pre-r12 names; the lcm machinery supersedes
+#: the hard-coded pair)
+HAN_KANA_CHARS_PER_WORD = UNSEGMENTED_SCRIPTS["han_kana"][1]
+THAI_CHARS_PER_WORD = UNSEGMENTED_SCRIPTS["thai"][1]
 
 #: High-frequency function particles per unsegmented script — the
 #: analogue of GOPHER_STOPWORDS' "is this natural language" check.
 #: Substring presence (no tokenization possible); zh: genitive 的,
 #: aspect 了, copula 是, locative 在, conjunction 和; ja: case markers
 #: の/は/を/に/が; th: relativizer ที่, genitive ของ, conjunction และ,
-#: locative ใน, perfective ได้.
+#: locative ใน, perfective ได้; lo: the Lao cognates ແລະ (and), ຂອງ
+#: (of), ທີ່ (rel.), ໃນ (in), ໄດ້ (perf.); km: នៃ (of), និង (and),
+#: ជា (copula), បាន (perf.), ដែល (rel.); my: သည် (subject/copula),
+#: ကို (object), နှင့် (with/and), မှာ (locative), ၏ (genitive);
+#: bo: དང (and), ཡིན (copula), གི (genitive), ནི (topic), ལས
+#: (ablative).
 UNSEGMENTED_PARTICLES: tuple[str, ...] = (
     "的", "了", "是", "在", "和",
     "の", "は", "を", "に", "が",
     "ที่", "ของ", "และ", "ใน", "ได้",
+    "ແລະ", "ຂອງ", "ທີ່", "ໃນ", "ໄດ້",
+    "នៃ", "និង", "ជា", "បាន", "ដែល",
+    "သည်", "ကို", "နှင့်", "မှာ", "၏",
+    "དང", "ཡིན", "གི", "ནི", "ལས",
 )
+
+
+def unsegmented_script_counts(col: Column) -> dict[str, Column]:
+    """Per-script letter-char counts (``long``) for a text column —
+    the inputs to the unsegmented word proxy, one ``regexp_extract_all``
+    per script.  Pure expressions; both engines count code points
+    identically on these BMP ranges."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(cls), 0)).cast("long")
+        for name, (cls, _) in UNSEGMENTED_SCRIPTS.items()
+    }
+
+
+def units_from_counts(
+    counts: dict[str, Column], ascii_count: Column | None = None
+) -> Column:
+    """Word-equivalent units from per-script counts:
+    ``floor(sum(count_s / divisor_s))`` in exact lcm-scaled integer
+    arithmetic.  ``ascii_count`` (optional) charges embedded ASCII
+    letters at :data:`ASCII_CHARS_PER_WORD`."""
+    total = None
+    for name in UNSEGMENTED_SCRIPTS:
+        term = counts[name] * F.lit(UNSEG_UNIT_WEIGHTS[name])
+        total = term if total is None else total + term
+    if ascii_count is not None:
+        total = total + ascii_count * F.lit(ASCII_UNIT_WEIGHT)
+    return F.floor(total / F.lit(UNSEG_UNIT_LCM)).cast("long")
 
 
 def unsegmented_char_counts(col: Column) -> tuple[Column, Column]:
     """``(han_kana_chars, thai_letter_chars)`` counts for a text column
-    — the inputs to the unsegmented word proxy.  Pure expressions,
-    both engines count code points identically on these BMP ranges."""
+    (pre-r12 helper, kept for back-compat — new code should use
+    :func:`unsegmented_script_counts`, which also covers Lao, Khmer,
+    Myanmar and Tibetan)."""
     hk = F.size(F.regexp_extract_all(col, F.lit(HAN_KANA_CLASS), 0))
     th = F.size(F.regexp_extract_all(col, F.lit(THAI_LETTER_CLASS), 0))
     return hk.cast("long"), th.cast("long")
 
 
 def word_units(col: Column) -> Column:
-    """Script-aware token-count proxy (round 11): whitespace tokens
-    PLUS the Han/Kana/Thai character word-equivalents
-    ``floor(han_kana/2 + thai/4)`` (exact integer arithmetic).
+    """Script-aware token-count proxy (round 11, extended round 12):
+    whitespace tokens PLUS the unsegmented-script character
+    word-equivalents ``floor(sum(chars_s / divisor_s))`` over
+    :data:`UNSEGMENTED_SCRIPTS` (exact lcm-scaled integer arithmetic).
 
     ``token_count`` sees an unsegmented-script document as ~1 token,
     which silently breaks every budget keyed on it — ``pack_sequences``
@@ -147,10 +264,8 @@ def word_units(col: Column) -> Column:
     space-delimited CJK run is counted once as a token and once as
     units — an accepted upper-bias of the proxy, documented here).
     SQL-portable: both engines compute the identical integer."""
-    hk, th = unsegmented_char_counts(col)
     return (
-        token_count(col)
-        + F.floor((hk * F.lit(2) + th) / F.lit(4)).cast("long")
+        token_count(col) + units_from_counts(unsegmented_script_counts(col))
     ).cast("long")
 
 
@@ -324,6 +439,10 @@ def lang_id(
         .when(c["grek"] / nonspace >= sigma, F.lit("el"))
         .when(c["deva"] / nonspace >= sigma, F.lit("hi"))
         .when(c["thai"] / nonspace >= sigma, F.lit("th"))
+        .when(c["khmer"] / nonspace >= sigma, F.lit("km"))
+        .when(c["lao"] / nonspace >= sigma, F.lit("lo"))
+        .when(c["mymr"] / nonspace >= sigma, F.lit("my"))
+        .when(c["tibt"] / nonspace >= sigma, F.lit("bo"))
         .otherwise(latin)
     )
 
@@ -348,9 +467,24 @@ def add_lang_id(
     :func:`lang_id` (property-tested label equality), so the same
     DuckDB oracle covers both.  Returns ``df`` plus ``out_col``; all
     other columns pass through.  Zero shuffles."""
+    names = list(df.columns)
+    # name-collision guard (r12, ADVICE r11): an existing out_col would
+    # duplicate in the final select (breaking later F.col(out_col) with
+    # an ambiguity error), and an existing __li_* scratch name would be
+    # shadowed by the helper projections — fail loudly instead.
+    if out_col in names:
+        raise ValueError(
+            f"add_lang_id: output column {out_col!r} already exists in the"
+            " input DataFrame — drop or rename it first"
+        )
+    clash = [n for n in names if n.startswith("__li_")]
+    if clash:
+        raise ValueError(
+            f"add_lang_id: input columns {clash} collide with the __li_*"
+            " scratch namespace"
+        )
     text = F.trim(F.col(text_col))
     lowered = F.lower(text)
-    names = list(df.columns)
     p0 = df.select(
         *[F.col(c) for c in names],
         lowered.alias("__li_low"),
@@ -414,6 +548,10 @@ def add_lang_id(
         .when(c["grek"] / nonspace >= sigma, F.lit("el"))
         .when(c["deva"] / nonspace >= sigma, F.lit("hi"))
         .when(c["thai"] / nonspace >= sigma, F.lit("th"))
+        .when(c["khmer"] / nonspace >= sigma, F.lit("km"))
+        .when(c["lao"] / nonspace >= sigma, F.lit("lo"))
+        .when(c["mymr"] / nonspace >= sigma, F.lit("my"))
+        .when(c["tibt"] / nonspace >= sigma, F.lit("bo"))
         .otherwise(latin)
     )
     return p1.select(*[F.col(n) for n in names], cascade.alias(out_col))

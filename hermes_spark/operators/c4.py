@@ -31,10 +31,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     EXPLICIT_WS,
-    HAN_KANA_CLASS,
+    NO_TERMINAL_SCRIPTS,
     SCRIPT_MIN_RATIO,
-    THAI_LETTER_CLASS,
     UNSEGMENTED_CLASS,
+    UNSEGMENTED_SCRIPTS,
+    units_from_counts,
+    unsegmented_script_counts,
 )
 
 #: Lowercase substrings that mark a line as web boilerplate.
@@ -45,13 +47,15 @@ C4_DOC_MARKERS = ("lorem ipsum",)
 
 _TERMINAL = r'[.!?"\x27]$'
 
-#: CJK terminal punctuation (ideographic full stop / fullwidth !?…,
-#: closing corner brackets) — a Chinese/Japanese sentence never ends in
-#: an ASCII period.  Thai uses no terminal punctuation at all, so for
-#: Thai-dominant lines the terminal rule is length-gated instead (a
-#: whole clause's worth of letters), mirroring how mC4 relaxed the
-#: "end in punctuation" rule outside Latin scripts.
-_TERMINAL_UNSEG = r'[。！？…」』]$'
+#: Unsegmented-script terminal punctuation — a Chinese/Japanese
+#: sentence never ends in an ASCII period: ideographic full stop /
+#: fullwidth !?…, closing corner brackets, plus (r12) Khmer khan ។ and
+#: bariyoosan ៕, Myanmar section ။, Tibetan shad ། and nyis shad ༎.
+#: Thai and Lao use no terminal punctuation at all, so for lines those
+#: scripts dominate the terminal rule is length-gated instead (a whole
+#: clause's worth of letters), mirroring how mC4 relaxed the "end in
+#: punctuation" rule outside Latin scripts.
+_TERMINAL_UNSEG = r'[。！？…」』។៕။།༎]$'
 
 
 def _keep_line(min_line_words: int, script_aware: bool = False):
@@ -67,7 +71,11 @@ def _keep_line(min_line_words: int, script_aware: bool = False):
         if not script_aware:
             return keep
         # line-level script switch: a line whose non-ws chars are
-        # mostly Han/Kana/Thai gets char-proxy length + CJK terminals
+        # mostly unsegmented-script letters gets char-proxy length +
+        # script terminals.  Units include embedded ASCII words at 2
+        # chars/word (r12, matching gopher's proxy — a mixed line above
+        # the switch ratio previously got zero credit for its Latin
+        # words and could be dropped despite having enough real words).
         nonspace = F.greatest(
             F.length(F.regexp_replace(t, EXPLICIT_WS + "+", "")), F.lit(1)
         )
@@ -76,16 +84,35 @@ def _keep_line(min_line_words: int, script_aware: bool = False):
             n_unseg.cast("double") / nonspace.cast("double")
             >= F.lit(float(SCRIPT_MIN_RATIO))
         )
-        hk = F.size(F.regexp_extract_all(t, F.lit(HAN_KANA_CLASS), 0))
-        th = F.size(F.regexp_extract_all(t, F.lit(THAI_LETTER_CLASS), 0))
-        units = F.floor((hk * F.lit(2) + th) / F.lit(4)).cast("long")
+        counts = unsegmented_script_counts(t)
+        ascii_l = F.size(
+            F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)
+        ).cast("long")
+        units = units_from_counts(counts, ascii_l)
         long_enough_u = units >= min_line_words
+        no_term = None
+        term_scripts = None
+        for name in UNSEGMENTED_SCRIPTS:
+            if name in NO_TERMINAL_SCRIPTS:
+                no_term = counts[name] if no_term is None else no_term + counts[name]
+            else:
+                term_scripts = (
+                    counts[name] if term_scripts is None
+                    else term_scripts + counts[name]
+                )
         ends_ok_u = t.rlike(_TERMINAL) | t.rlike(_TERMINAL_UNSEG) | (
-            # Thai (no terminal punctuation): a full clause of letters
-            (th > hk) & (units >= F.lit(max(min_line_words, 5)))
+            # Thai/Lao (no terminal punctuation): a full clause of letters
+            (no_term > term_scripts)
+            & (units >= F.lit(max(min_line_words, 5)))
         )
         keep_unseg = ends_ok_u & long_enough_u & ~marked
-        return F.when(is_unseg, keep_unseg).otherwise(keep)
+        # Latin fast screen (r12): lines with no unsegmented char take
+        # the plain rule after one first-match rlike — identical
+        # decisions (zero such chars means is_unseg is false anyway)
+        return F.when(
+            t.rlike(UNSEGMENTED_CLASS),
+            F.when(is_unseg, keep_unseg).otherwise(keep),
+        ).otherwise(keep)
 
     return cond
 
