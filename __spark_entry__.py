@@ -7123,11 +7123,15 @@ def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Script-aware Gopher gate metrics AND C4 line survival over the
-    re-scripted corpus (operators/gopher.py::_script_metrics_from,
-    operators/c4.py script_aware line rules): Han/Kana/Thai docs are
-    judged by the character word proxy, Latin docs byte-identically to
-    the plain gates — the round-10 verdict's #1 gap, oracle-paired."""
+    """Script-aware Gopher gate metrics AND C4 line survival AND the
+    r12 multilingual quality composite over the re-scripted corpus
+    (operators/gopher.py::_script_metrics_from, operators/c4.py
+    script_aware line rules, functions/text.py::
+    quality_score_multilingual): unsegmented-script docs (Han / Kana /
+    Thai / Lao / Khmer / Myanmar / Tibetan since r12) are judged by
+    the character word proxy, Latin docs byte-identically to the plain
+    gates — the round-10 verdict's #1 gap, oracle-paired."""
+    from hermes_spark.functions.text import quality_score_multilingual
     from hermes_spark.operators.c4 import c4_line_stats
     from hermes_spark.operators.gopher import gopher_quality_flags
 
@@ -7137,7 +7141,10 @@ def q_cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_words=GOPHER_MIN_WORDS, min_stopwords=1, script_aware=True,
     )
     c = c4_line_stats(corpus, "doc_id", "text", script_aware=True)
-    lang = corpus.select("doc_id", "lang")
+    lang = corpus.select(
+        "doc_id", "lang",
+        quality_score_multilingual(F.col("text")).alias("mquality"),
+    )
     return lang.join(g, "doc_id").join(c, "doc_id")
 
 
@@ -7211,6 +7218,46 @@ def _sql_cjk_quality_gates() -> str:
     letter_sum = " + ".join(f"c_{n}" for n in UNSEGMENTED_SCRIPTS) + " + al"
     unit_terms = " + ".join(
         f"c_{n} * {UNSEG_UNIT_WEIGHTS[n]}" for n in UNSEGMENTED_SCRIPTS
+    )
+    # r12 multilingual quality composite (functions/text.py::
+    # quality_score_multilingual) — base branch copied from the proven
+    # _sql_text_stats quality shape, unseg branch from the same script
+    # tables as the gates; all over trim(text) like the Spark function
+    stopq = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+    tq = "trim(text)"
+    toksq = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    q_base = f"""round((
+        least(length({tq})::DOUBLE, 2000.0) / 2000.0
+      + length(regexp_replace({tq}, '[^A-Za-z ]', '', 'g'))::DOUBLE / greatest(length({tq}), 1)
+      + least(len(list_filter({toksq}, x -> x IN ({stopq})))::DOUBLE / greatest(len({toksq}), 1), 0.5) * 2.0
+      + CASE WHEN (length({tq}) - (len({toksq}) - 1))::DOUBLE / greatest(len({toksq}), 1) BETWEEN 3 AND 10
+             THEN 1.0 ELSE 0.5 END
+    ) / 4.0, 6)"""
+    letters_q = " + ".join(
+        _cnt(tq, cls) for cls, _ in UNSEGMENTED_SCRIPTS.values()
+    )
+    units_q = (
+        "CAST(floor(("
+        + " + ".join(
+            f"{_cnt(tq, cls)} * {UNSEG_UNIT_WEIGHTS[n]}"
+            for n, (cls, _) in UNSEGMENTED_SCRIPTS.items()
+        )
+        + f") / {UNSEG_UNIT_LCM}) AS BIGINT)"
+    )
+    particles_q = " + ".join(
+        f"contains({tq}, '{p}')::BIGINT" for p in UNSEGMENTED_PARTICLES
+    )
+    q_unseg = f"""round((
+        least(length({tq})::DOUBLE, 2000.0) / 2000.0
+      + (({letters_q}) + length(regexp_replace({tq}, '[^A-Za-z ]', '', 'g')))::DOUBLE
+        / greatest(length({tq}), 1)::DOUBLE
+      + least(({particles_q})::DOUBLE / 5.0, 1.0)
+      + CASE WHEN {units_q} >= 3 THEN 1.0 ELSE 0.5 END
+    ) / 4.0, 6)"""
+    unseg_q = (
+        f"round(len(regexp_extract_all({tq}, '{UNSEGMENTED_CLASS}', 0))::DOUBLE"
+        f" / greatest(length(regexp_replace({tq}, '{ws}', '', 'g')), 1)::DOUBLE, 6)"
+        " >= 0.3"
     )
     return f"""
 WITH base AS (
@@ -7311,14 +7358,18 @@ WITH base AS (
          (contains(lower(text), '{{') OR contains(lower(text), '}}')
           OR contains(lower(text), 'lorem ipsum')) AS doc_poisoned
   FROM feats
+), mq AS (
+  SELECT doc_id,
+         CASE WHEN {unseg_q} THEN {q_unseg} ELSE {q_base} END AS mquality
+  FROM corpus
 )
-SELECT g.doc_id, g.lang, g.unsegmented, g.n_words, g.mean_word_len,
-       g.symbol_ratio, g.bullet_ratio, g.ellipsis_ratio,
+SELECT g.doc_id, g.lang, mq.mquality, g.unsegmented, g.n_words,
+       g.mean_word_len, g.symbol_ratio, g.bullet_ratio, g.ellipsis_ratio,
        g.alpha_word_ratio, g.n_stopwords, g.keep,
        c.n_lines_in, c.n_lines_kept,
        round(c.n_lines_kept::DOUBLE / greatest(c.n_lines_in, 1)::DOUBLE, 6) AS keep_ratio,
        c.doc_poisoned
-FROM g JOIN c USING (doc_id)
+FROM g JOIN c USING (doc_id) JOIN mq USING (doc_id)
 """
 
 

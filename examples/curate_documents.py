@@ -29,7 +29,7 @@ from hermes_spark.functions.text import (
     add_lang_id,
     link_density,
     pii_match_count,
-    quality_score,
+    quality_score_multilingual,
     repetition_ratio,
     scrub_pii,
     token_count,
@@ -107,7 +107,9 @@ def curate(
         "lang",
         "lang_pred",
         token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
+        # r12: the script-fair composite — byte-identical to
+        # quality_score on Latin text, meaningful for CJK/SEA scripts
+        quality_score_multilingual(F.col("text")).alias("quality"),
         repetition_ratio(F.col("text"), 2).alias("rep_bigram"),
         pii_match_count(F.col("text")).alias("n_pii"),
         link_density(F.col("text")).alias("link_dens"),

@@ -50,7 +50,10 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
         bag_fingerprint,
         bpe_token_count,
         doc_fingerprint,
+        quality_score,
+        quality_score_multilingual,
         token_count,
+        word_units,
     )
     from hermes_spark.operators import (
         c4_line_stats,
@@ -100,11 +103,22 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
 
         df = add_lang_id(df, text_col, "__lang_auto")
     text = F.col(text_col)
+    # script-aware cards (r12): whitespace token totals and length
+    # quantiles undercount an unsegmented-script share ~100x and the
+    # English-calibrated quality composite floors it near 0.3 — swap
+    # both for their script-fair twins (word_units /
+    # quality_score_multilingual; Latin values identical)
+    tok_expr = word_units(text) if script_aware else token_count(text)
+    q_expr = (
+        quality_score_multilingual(text) if script_aware
+        else quality_score(text)
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.length(text).alias("__chars"),
-        token_count(text).alias("__toks"),
+        tok_expr.alias("__toks"),
         bpe_token_count(text).alias("__bpe"),
+        q_expr.alias("__q"),
         doc_fingerprint(text).alias("__fp"),
         bag_fingerprint(text).alias("__bag"),
         (F.col(lang_col) if lang_col else F.col("__lang_auto")).alias("__lang"),
@@ -175,6 +189,28 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
                 "report": "length_tokens",
                 "q": row["q"],
                 "est": row["est"],
+            })
+
+        # -- composite quality distribution, per language ------------------
+        # (script-fair when --script-aware; the per-lang rows make a
+        # cross-script corpus's card readable — a low-scoring language
+        # slice is visible instead of dissolving into the global mean)
+        for row in (
+            base.groupBy("__lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("__q"), 4).alias("avg"),
+                F.round(F.percentile_approx("__q", 0.5), 4).alias("p50"),
+            )
+            .orderBy(F.desc("n"))
+            .collect()
+        ):
+            records.append({
+                "report": "quality_composite",
+                "lang": row["__lang"],
+                "n_docs": row["n"],
+                "avg": row["avg"],
+                "p50": row["p50"],
             })
     finally:
         base.unpersist()

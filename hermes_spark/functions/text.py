@@ -212,6 +212,21 @@ UNSEGMENTED_PARTICLES: tuple[str, ...] = (
 )
 
 
+def has_unsegmented_chars(col: Column) -> Column:
+    """Layered screen for "does this text contain ANY unsegmented-script
+    char" (r12): ``octet_length != length`` first — byte length equals
+    char length iff the text is pure ASCII, a one-pass length compare
+    that is FREE next to a regex scan (measured 0.6 vs 3.5 s per 1M
+    docs) — then one ``rlike`` over the union class for the non-ASCII
+    remainder (accented Latin pays the rlike; unsegmented text
+    proceeds).  Exactly equivalent to the plain rlike: pure-ASCII text
+    cannot contain a >U+007F char.  Used by every script-aware gate to
+    keep the Latin hot path at parity with the plain gates."""
+    return F.when(
+        F.octet_length(col) != F.length(col), col.rlike(UNSEGMENTED_CLASS)
+    ).otherwise(F.lit(False))
+
+
 def unsegmented_script_counts(col: Column) -> dict[str, Column]:
     """Per-script letter-char counts (``long``) for a text column —
     the inputs to the unsegmented word proxy, one ``regexp_extract_all``
@@ -568,12 +583,15 @@ def quality_score(col: Column) -> Column:
 
     ENGLISH-CENTRIC BY DESIGN (the stopword list and the [A-Za-z]
     alpha class): a Han/Kana/Thai document bottoms out near ~0.3
-    regardless of fluency.  For multilingual corpora use the
-    script-aware hard gates (``gopher_filter(script_aware=True)``)
-    plus per-language LM scoring (``lm_score_by_lang(script_aware=
-    True)``) as the quality signal instead — a single cross-script
-    composite would conflate script with quality, which is exactly
-    what those operators exist to avoid.
+    regardless of fluency.  For multilingual corpora use
+    :func:`quality_score_multilingual` (r12 — same composite, script-
+    fair components for unsegmented docs, byte-identical here for
+    Latin text), or the script-aware hard gates
+    (``gopher_filter(script_aware=True)``) plus per-language LM
+    scoring (``lm_score_by_lang(script_aware=True)``) when a trained,
+    per-language signal is wanted — a single cross-script composite
+    can rank within a script family but must not be compared across
+    unrelated corpora.
     """
     text = F.trim(col)
     n_chars = F.length(text)
@@ -595,6 +613,65 @@ def quality_score(col: Column) -> Column:
 
     score = (length_score + alpha_ratio + stop_score + word_score) / 4.0
     return F.round(score, 6)
+
+
+def quality_score_multilingual(col: Column) -> Column:
+    """Script-fair :func:`quality_score` (round 12): same four
+    equal-weighted components, with each English-calibrated component
+    swapped for its script-aware analogue when the document is
+    unsegmented-script dominant (``unsegmented_ratio >=
+    SCRIPT_MIN_RATIO``, behind the free :func:`has_unsegmented_chars`
+    screen).  Latin documents score BYTE-IDENTICALLY to
+    :func:`quality_score` (property-tested), so existing rankings are
+    unaffected; a fluent Chinese/Thai/Khmer page now scores in the
+    same band as fluent English instead of bottoming out near 0.3.
+
+    Unsegmented substitutions:
+
+    * alpha ratio -> (script letters + ASCII letters + spaces) / chars
+      — same "mostly language" meaning with the script's own letters;
+    * stopword score -> distinct function particles present
+      (:data:`UNSEGMENTED_PARTICLES`), 5+ saturating to 1.0 — the
+      particle analogue of the 0.5-clamped stopword ratio;
+    * word-shape score -> 1.0 when the word-unit proxy finds at least
+      ``min`` words' worth of letters (the [3,10] mean-token-length
+      band is a Latin shape with no unsegmented analogue), else 0.5;
+    * length score unchanged.
+
+    Like the base score this RANKS within a corpus; cross-language
+    absolute comparisons should still prefer the per-language LM
+    percentile (``lm_quantile_filter_by_lang``).  SQL-portable — the
+    oracle regenerates both branches from the same tables."""
+    text = F.trim(col)
+    n_chars = F.length(text)
+    base = quality_score(col)
+
+    length_score = F.least(n_chars.cast("double"), F.lit(2000.0)) / F.lit(2000.0)
+    counts = unsegmented_script_counts(text)
+    script_letters = None
+    for c in counts.values():
+        script_letters = c if script_letters is None else script_letters + c
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    alpha_ratio_u = (
+        (script_letters + alpha_chars).cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    n_particles = None
+    for p in UNSEGMENTED_PARTICLES:
+        c = text.contains(p).cast("long")
+        n_particles = c if n_particles is None else n_particles + c
+    stop_score_u = F.least(n_particles.cast("double") / F.lit(5.0), F.lit(1.0))
+    word_score_u = F.when(
+        units_from_counts(counts) >= F.lit(3), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score_u = F.round(
+        (length_score + alpha_ratio_u + stop_score_u + word_score_u) / 4.0, 6
+    )
+    unseg = F.when(
+        has_unsegmented_chars(text),
+        unsegmented_ratio(text) >= F.lit(float(SCRIPT_MIN_RATIO)),
+    ).otherwise(F.lit(False))
+    return F.when(unseg, score_u).otherwise(base)
 
 
 def bind_once(expr: Column, fn) -> Column:

@@ -35,6 +35,7 @@ from ..functions.text import (
     SCRIPT_MIN_RATIO,
     UNSEGMENTED_CLASS,
     UNSEGMENTED_SCRIPTS,
+    has_unsegmented_chars,
     units_from_counts,
     unsegmented_script_counts,
 )
@@ -110,7 +111,7 @@ def _keep_line(min_line_words: int, script_aware: bool = False):
         # the plain rule after one first-match rlike — identical
         # decisions (zero such chars means is_unseg is false anyway)
         return F.when(
-            t.rlike(UNSEGMENTED_CLASS),
+            has_unsegmented_chars(t),
             F.when(is_unseg, keep_unseg).otherwise(keep),
         ).otherwise(keep)
 

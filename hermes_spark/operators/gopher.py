@@ -48,8 +48,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     EXPLICIT_WS,
     SCRIPT_MIN_RATIO,
-    UNSEGMENTED_CLASS,
     UNSEGMENTED_PARTICLES,
+    has_unsegmented_chars,
     tokens,
     units_from_counts,
     unsegmented_ratio,
@@ -166,14 +166,14 @@ def _script_metrics_from(
 
     ``unseg`` (optional) is a pre-materialized "is unsegmented"
     boolean; when ``None`` a screened expression is built here:
-    ``rlike(UNSEGMENTED_CLASS)`` first, the ratio only when some such
-    char exists.  Because every metric branches on this boolean inside
-    a lazily-evaluated CASE, an all-Latin document pays ONE cheap
-    rlike (first-match scan) instead of the seven per-script
-    ``regexp_extract_all`` counts — the round-11 verdict's measured
-    1.2-1.5x Latin hot-path overhead (values are unchanged: zero
-    unsegmented chars means ratio 0, so the screen cannot flip the
-    branch).
+    ``has_unsegmented_chars`` (octet-length ASCII short-circuit, then
+    one rlike) first, the ratio only when some such char exists.
+    Because every metric branches on this boolean inside a
+    lazily-evaluated CASE, an all-ASCII document pays ONE length
+    compare instead of the seven per-script ``regexp_extract_all``
+    counts — the round-11 verdict's measured 1.2-1.5x Latin hot-path
+    overhead (values are unchanged: zero unsegmented chars means
+    ratio 0, so the screen cannot flip the branch).
     """
     base = _metrics_from(text, toks, lines)
     counts = unsegmented_script_counts(text)
@@ -191,7 +191,7 @@ def _script_metrics_from(
     ).cast("double")
     if unseg is None:
         unseg = F.when(
-            text.rlike(UNSEGMENTED_CLASS),
+            has_unsegmented_chars(text),
             unsegmented_ratio(text) >= F.lit(float(SCRIPT_MIN_RATIO)),
         ).otherwise(F.lit(False))
 
@@ -304,7 +304,7 @@ def gopher_quality_flags(
     if script_aware:
         pre_cols.append(
             F.when(
-                text.rlike(UNSEGMENTED_CLASS),
+                has_unsegmented_chars(text),
                 unsegmented_ratio(text) >= F.lit(float(SCRIPT_MIN_RATIO)),
             )
             .otherwise(F.lit(False))
@@ -355,10 +355,11 @@ def gopher_filter(
     of semi-joining a second corpus pass or broadcasting an unbounded
     id set (plan-asserted in ``test_gopher.py``).  ``script_aware``
     as in :func:`gopher_quality_flags`; the script-aware predicate is
-    wrapped in a ``rlike(UNSEGMENTED_CLASS)`` screen so all-Latin rows
-    evaluate the PLAIN predicate after one cheap first-match scan
-    (identical decisions — zero unsegmented chars takes the base branch
-    of every script-aware metric anyway).
+    wrapped in a ``has_unsegmented_chars`` screen (octet-length ASCII
+    short-circuit, then one rlike) so all-ASCII rows evaluate the PLAIN
+    predicate after one length compare (identical decisions — zero
+    unsegmented chars takes the base branch of every script-aware
+    metric anyway).
     """
     text = F.col(text_col)
     args = (
@@ -375,7 +376,7 @@ def gopher_filter(
         _script_metrics_from(text, tokens(text), _nonblank_lines(text)), *args
     )
     return df.filter(
-        F.when(text.rlike(UNSEGMENTED_CLASS), script_keep).otherwise(base_keep)
+        F.when(has_unsegmented_chars(text), script_keep).otherwise(base_keep)
     )
 
 

@@ -743,6 +743,41 @@ def _score_arrow_by_lang(
     return narrow.mapInPandas(kernel, out_schema)
 
 
+def _guard_model_bytes(lm: "LangNgramLM", max_model_bytes: int) -> None:
+    """Estimate the driver-side footprint of freezing every language's
+    model tables and fail LOUDLY before collecting anything if it
+    exceeds ``max_model_bytes``.
+
+    Per-row costs (numpy tables + python string overhead, calibrated
+    against the r12 L=50 probe): a vocab term ~90 B (python str in the
+    index dict + key), a bigram row ~16 B (int64 key + int64 count), a
+    context row ~8 B.  One aggregation pass over the bounded count
+    frames — never the corpus."""
+    sizes = (
+        lm.vocab.groupBy().agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.length("term")).alias("vchars"),
+        ).collect()[0]
+    )
+    n_bigrams = lm.bigram_counts.count()
+    n_ctx = lm.context_counts.count()
+    n_vocab = int(sizes["v"] or 0)
+    vchars = int(sizes["vchars"] or 0)
+    est = n_vocab * 90 + vchars * 2 + n_bigrams * 16 + n_ctx * 8
+    if est > max_model_bytes:
+        n_langs = lm.n_vocab.count()
+        raise ValueError(
+            "lm_score_by_lang(score_engine='arrow'): estimated driver "
+            f"model footprint ~{est / 1e9:.2f} GB "
+            f"({n_langs} languages, {n_vocab} vocab terms, {n_bigrams} "
+            f"bigram rows, {n_ctx} context rows) exceeds max_model_bytes="
+            f"{max_model_bytes / 1e9:.2f} GB. Lower vocab_size per "
+            "language, score language shards separately, raise "
+            "max_model_bytes (with driver memory to match), or use "
+            "score_engine='join' (model stays distributed)."
+        )
+
+
 def lm_score_by_lang(
     df: DataFrame,
     lm: LangNgramLM,
@@ -754,6 +789,7 @@ def lm_score_by_lang(
     broadcast_model: bool = False,
     score_engine: str = "auto",
     script_aware: bool = False,
+    max_model_bytes: int = 2_000_000_000,
 ) -> DataFrame:
     """Score each document under ITS language's model.
 
@@ -763,10 +799,23 @@ def lm_score_by_lang(
     exists to prevent), as are docs with fewer than two tokens.
     Engines as in :func:`lm_score`; both produce identical rows
     (property-tested, and each language slice matches the
-    single-language :func:`lm_score` bit-for-bit)."""
+    single-language :func:`lm_score` bit-for-bit).
+
+    ``max_model_bytes`` guards the arrow engine's driver-side model
+    build (r12): it collects and broadcasts ALL language tables —
+    bounded by L×vocab_size but a 100-language crawl at 50k vocab is
+    ~5M vocab rows plus bigram arrays, which would otherwise fail as
+    an opaque driver OOM mid-collect.  The estimate is computed from
+    distributed counts BEFORE anything is collected; breach raises
+    ``ValueError`` naming the measured sizes and the knobs (lower
+    ``vocab_size`` per language, score language shards separately, or
+    use ``score_engine="join"``, which never drivers the model).
+    Estimated ~1 GiB per ~10M bigram rows (probed at L=50 in
+    BASELINE.md r12)."""
     if score_engine == "auto":
         score_engine = "arrow" if broadcast_model else "join"
     if score_engine == "arrow":
+        _guard_model_bytes(lm, max_model_bytes)
         return _score_arrow_by_lang(
             df, lm, id_col, text_col, lang_col, k_num, k_den, script_aware
         )

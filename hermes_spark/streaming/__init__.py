@@ -18,7 +18,11 @@ here is a scale extension built on the same kernels:
 from hermes_spark.streaming.anomaly import anomaly_stream
 from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.correlate import interval_join_streams, last_touch
-from hermes_spark.streaming.dedup import stream_exact_dedup, stream_minhash_dedup
+from hermes_spark.streaming.dedup import (
+    compact_minhash_store,
+    stream_exact_dedup,
+    stream_minhash_dedup,
+)
 from hermes_spark.streaming.distinct import (
     hll_distinct_sink,
     hll_store_estimates,
@@ -45,6 +49,7 @@ __all__ = [
     "sessionize_stream",
     "stream_exact_dedup",
     "stream_minhash_dedup",
+    "compact_minhash_store",
     "ProgressRecorder",
     "windowed_rollup",
 ]

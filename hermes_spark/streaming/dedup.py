@@ -45,6 +45,51 @@ def stream_exact_dedup(
         deduped = keyed.dropDuplicates(["__fp"])
     return deduped.drop("__fp")
 
+#: schema of the accepted-signature store stream_minhash_dedup keeps
+MINHASH_STATE_SCHEMA = "__band string, __id long, __sig array<bigint>"
+
+
+def compact_minhash_store(spark, state_path: str) -> int:
+    """Rewrite a :func:`stream_minhash_dedup` signature store as
+    distinct ``(band, id)`` rows in one fresh parquet directory.
+    Returns the compacted row count.
+
+    Reclaims replay-appended duplicate rows AND collapses the
+    accumulated per-batch append files into one write (hundreds of
+    small files are the other half of the store-scan floor).  Safe to
+    run between batches of a live query only from the query's own
+    ``foreachBatch`` (batches are sequential — no concurrent reader);
+    for an external compactor, stop the query first.
+
+    Swap protocol: write to ``<state_path>__compact_tmp`` (with
+    ``_SUCCESS``), move the old store to ``<state_path>__trash``,
+    rename the temp into place, then delete the trash.  On a crash
+    mid-swap the data still exists in exactly one of the three
+    directories; recovery = rename whichever of tmp (if _SUCCESS) or
+    trash exists back to ``state_path``.  Local/HDFS renames are
+    near-atomic; on object stores without atomic rename run compaction
+    offline or point the store at a state service.  Replay idempotence
+    is property-tested (test_streaming_dedup): compacting between
+    replayed batches never changes the surviving document set.
+    """
+    import shutil as _shutil
+
+    tmp = state_path.rstrip("/") + "__compact_tmp"
+    trash = state_path.rstrip("/") + "__trash"
+    compacted = (
+        spark.read.schema(MINHASH_STATE_SCHEMA)
+        .parquet(state_path)
+        .dropDuplicates(["__band", "__id"])
+    )
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _shutil.rmtree(trash, ignore_errors=True)
+    _shutil.move(state_path, trash)
+    _shutil.move(tmp, state_path)
+    _shutil.rmtree(trash, ignore_errors=True)
+    return int(n)
+
+
 def stream_minhash_dedup(
     stream: DataFrame,
     state_path: str,
@@ -58,6 +103,7 @@ def stream_minhash_dedup(
     max_bucket_size: int = 1000,
     on_batch: Optional[Callable[[DataFrame, int], None]] = None,
     sig_engine: str = "arrow",
+    compact_every: int = 0,
     **start_kwargs,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate dedup: drop any incoming document whose
@@ -86,19 +132,31 @@ def stream_minhash_dedup(
     nothing) — the right bound for dedup; unlike watermarked exact
     dedup this catches re-posts arbitrarily far apart. On a cluster
     point ``state_path`` at reliable storage. Failure semantics: a
-    replayed batch may re-append survivor rows to the store;
-    the store is deduped on read by ``(band, id)``, so replays cost
-    storage, not correctness.
+    replayed batch may re-append survivor rows to the store; duplicate
+    ``(band, id, sig)`` rows are harmless to correctness (the history
+    join deduplicates candidates on ``(band, sig)`` after band
+    pruning), so replays cost storage, not correctness — and
+    compaction reclaims the storage.
 
-    Scale boundary (measured round 11, 1M pages): the store lands at
-    EXACTLY accepted_uniques × num_bands rows (91 MB at 943k accepted
-    — no compaction needed), but each micro-batch RE-SCANS the whole
-    store parquet before the band semi-join prunes it (the join
-    touches O(colliding bands) rows; the scan reads them all).  That
-    rescan is negligible to ~10^7 accepted docs; past that, compact
-    the store periodically (``dropDuplicates`` rewrite) and expect the
-    scan to become the per-batch floor — a true keyed state service
-    (or Spark state store) is the 10^9 path.
+    ``compact_every=K`` (round 12) rewrites the store as distinct
+    ``(band, id)`` rows every K micro-batches: bounds replay bloat AND
+    the small-file accumulation of per-batch appends (each append adds
+    files; after hundreds of batches the per-batch scan pays listing +
+    open overhead for all of them).  The rewrite is read → distinct →
+    write-to-temp → swap; batches within one query run sequentially so
+    no concurrent reader exists, and a crash mid-swap loses only the
+    COMPACTED copy of state that still exists in the trash directory
+    (see :func:`compact_minhash_store`).  ``0`` disables.
+
+    Scale boundary (measured round 11, re-decomposed round 12 — see
+    BASELINE.md): the store lands at accepted_uniques × num_bands rows
+    (91 MB at 943k accepted); each micro-batch re-scans the store
+    parquet before the band semi-join prunes it.  Round 12 removed a
+    read-side ``dropDuplicates([band, id])`` that shuffled the ENTIRE
+    store every batch — the band semi-join + ``(band, sig)`` distinct
+    on the pruned subset makes it redundant.  The remaining rescan is
+    negligible to ~10^7 accepted docs; a true keyed state service (or
+    Spark state store) is the 10^9 path.
     """
     spark = stream.sparkSession
     state_schema = "__band string, __id long, __sig array<bigint>"
@@ -143,11 +201,13 @@ def stream_minhash_dedup(
         banded = sig_frame(batch_df).persist()
         try:
             try:
-                state = (
-                    spark.read.schema(state_schema)
-                    .parquet(state_path)
-                    .dropDuplicates(["__band", "__id"])
-                )
+                # NO read-side dropDuplicates (r12): a (band, id) dupe
+                # from a replayed append only re-produces a candidate
+                # the (band, sig) distinct below collapses — the old
+                # dropDuplicates shuffled the WHOLE store every batch
+                # (the dominant per-batch cost once the store outgrows
+                # the batch; decomposed in BASELINE.md r12).
+                state = spark.read.schema(state_schema).parquet(state_path)
             except Exception:  # first batch: no store yet
                 state = spark.createDataFrame([], state_schema)
 
@@ -208,6 +268,8 @@ def stream_minhash_dedup(
                 survivors.write.mode("append").parquet(output_path)
             if on_batch is not None:
                 on_batch(survivors, batch_id)
+            if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+                compact_minhash_store(spark, state_path)
         finally:
             banded.unpersist()
 

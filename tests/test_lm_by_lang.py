@@ -188,3 +188,34 @@ def test_script_aware_lm_quantile_filter_keeps_cjk(spark):
     ).collect())
     zh_kept = [i for i in kept if i >= 50]
     assert zh_kept and 53 not in zh_kept  # fluent zh in, junk zh out
+
+
+def test_model_bytes_guard_fails_loudly(spark, corpus):
+    """r12: the arrow engine estimates the driver-side model footprint
+    from distributed counts BEFORE collecting; a breach is a
+    ValueError naming sizes and knobs, not a driver OOM.  The join
+    engine never drivers the model and is exempt."""
+    lm = lm_train_by_lang(corpus, vocab_size=100)
+    with pytest.raises(ValueError, match="max_model_bytes"):
+        lm_score_by_lang(
+            corpus, lm, broadcast_model=True, max_model_bytes=10
+        ).collect()
+    # join engine unaffected by the cap
+    rows = lm_score_by_lang(
+        corpus, lm, score_engine="join", max_model_bytes=10
+    ).count()
+    assert rows > 0
+    # generous cap: arrow engine proceeds and matches the join engine
+    a = sorted(
+        (r["doc_id"], r["avg_logprob"])
+        for r in lm_score_by_lang(
+            corpus, lm, broadcast_model=True, max_model_bytes=2**31
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["avg_logprob"])
+        for r in lm_score_by_lang(
+            corpus, lm, score_engine="join"
+        ).collect()
+    )
+    assert a == b

@@ -249,3 +249,53 @@ def test_add_lang_id_collision_guard(spark):
     df2 = spark.createDataFrame([(1, "hello", "x")], ["id", "text", "__li_ns"])
     with pytest.raises(ValueError, match="__li_"):
         add_lang_id(df2, "text")
+
+
+def test_quality_score_multilingual_latin_identical(spark, documents):
+    """Latin text scores BYTE-IDENTICALLY under the multilingual
+    composite (the testdata corpus is all-ASCII — 500 docs, zero
+    diffs)."""
+    from hermes_spark.functions.text import (
+        quality_score,
+        quality_score_multilingual,
+    )
+
+    diffs = documents.select(
+        (quality_score(F.col("text"))
+         != quality_score_multilingual(F.col("text"))).alias("d")
+    ).filter(F.col("d")).count()
+    assert diffs == 0
+
+
+def test_quality_score_multilingual_scores_fluent_scripts(spark):
+    """Fluent real-language paragraphs score in the same band as
+    fluent English (>= 0.6) under the multilingual composite, while
+    the English-calibrated score floors them; same-script garbage
+    scores lower than fluent text in every language."""
+    from hermes_spark.functions.text import (
+        quality_score,
+        quality_score_multilingual,
+    )
+
+    rows = []
+    for i, lang in enumerate(LANGS):
+        rows.append((i * 2, lang, fluent_paragraph(lang)))
+        rows.append((i * 2 + 1, f"{lang}_garbage", garbage_doc(lang)))
+    en = "the cat and the dog sat on the mat with all of that stuff. " * 6
+    rows.append((98, "en", en))
+    df = _frame(spark, rows)
+    got = {
+        r["doc_id"]: (r["mq"], r["q"])
+        for r in df.select(
+            "doc_id",
+            quality_score_multilingual(F.col("text")).alias("mq"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert got[98][0] == got[98][1]  # Latin identical
+    for i, lang in enumerate(LANGS):
+        mq_fluent, q_fluent = got[i * 2]
+        mq_garbage, _ = got[i * 2 + 1]
+        assert mq_fluent >= 0.6, (lang, mq_fluent)
+        assert mq_fluent > q_fluent, (lang, mq_fluent, q_fluent)
+        assert mq_garbage < mq_fluent, (lang, mq_garbage, mq_fluent)

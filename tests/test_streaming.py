@@ -434,6 +434,72 @@ def test_stream_minhash_dedup_replay_idempotent(spark, tmp_path):
     assert ids_final == [1, 2, 3]
 
 
+def test_stream_minhash_store_compaction(spark, tmp_path):
+    """Store compaction (r12): replay-appended duplicate rows are
+    reclaimed, the surviving document set is unchanged when compaction
+    runs BETWEEN replayed batches, and the compact_every knob compacts
+    from inside the query.  Near-dups are still caught against the
+    compacted store."""
+    import glob
+
+    from hermes_spark.streaming import (
+        compact_minhash_store,
+        stream_minhash_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content about spark shuffle partitions"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once(ckpt, **kw):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_minhash_dedup(
+            stream, state_path=state, output_path=out, min_jaccard=0.5,
+            checkpointLocation=str(tmp_path / ckpt),
+            trigger={"availableNow": True}, **kw,
+        )
+        q.awaitTermination(120)
+
+    run_once("ckpt1", compact_every=1)  # knob exercised in-query
+    raw_rows = spark.read.parquet(state).count()
+
+    # a clean replay appends NOTHING (replayed docs match their own
+    # store signatures and are dropped) — store duplicates only arise
+    # from partial-append crash windows, so manufacture that state
+    run_once("ckpt2")
+    assert spark.read.parquet(state).count() == raw_rows
+    bloat = spark.read.parquet(state)
+    bloat.write.mode("append").parquet(state)
+    assert spark.read.parquet(state).count() == 2 * raw_rows
+    n = compact_minhash_store(spark, state)
+    assert n == raw_rows  # back to the unique (band, id) set
+    assert spark.read.parquet(state).count() == raw_rows
+    assert not glob.glob(state + "__*")  # tmp/trash cleaned up
+
+    # replay after compaction: survivors unchanged (idempotent)
+    run_once("ckpt3")
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]
+
+    # a near-dup of doc 1 is still caught against the compacted store
+    spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog again and again!")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_once("ckpt3")
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]
+
+
 def test_anomaly_stream_matches_batch(spark, tmp_path):
     """Streaming trailing z-score equals rolling_anomalies over the
     gap-filled batch rollup, for every bucket the stream has closed."""

@@ -1,0 +1,307 @@
+"""Round-12 scale probes.
+
+Each probe prints one JSON line per measurement (consumed into
+BASELINE.md).  Interleaved A/B within ONE session wherever a
+comparison is claimed — this box's walls swing 2-3x between sessions
+(see BASELINE.md r10), so cross-session deltas are not evidence.
+
+Probes:
+
+* ``latin_ab`` — verdict item 4: the r11 script-aware gates taxed the
+  all-Latin hot path 1.2-1.5x (per-doc Han/Kana/Thai regex counts paid
+  even when the answer is 'Latin').  r12 ships a ``rlike`` first-match
+  screen + a materialized switch boolean; this probe interleaves
+  plain vs script_aware gopher_filter / gopher_quality_flags / c4_clean
+  on the SAME 1M-doc all-Latin corpus, 3 reps each.
+* ``stream_minhash_decomp`` — verdict item 3: per-batch decomposition
+  of the streaming MinHash dedup (signature kernel vs store scan vs
+  band join vs fixed micro-batch overhead) + the shipped store
+  compaction, vs the batch operator on the identical corpus.
+* ``by_lang_guard`` — verdict item 8: by-lang LM model build at L=50
+  languages; the new size guard's estimate vs actual broadcast bytes,
+  and the loud failure mode when the cap is exceeded.
+* ``real_funnel`` — verdict item 7: the multilingual funnel on pages
+  composed from GENUINE zh/ja/th/lo/km/my/bo prose (not transliterated
+  synthetics), per-language survival at every stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def out(obj) -> None:
+    print(json.dumps(obj, ensure_ascii=False), flush=True)
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("r12-probes")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def zipf_corpus(spark, n, seed=23):
+    from pyspark.sql import functions as F
+
+    from hermes_spark.synth import zipf_documents
+
+    work = f"/tmp/diag_minhash_{n}"
+    if not os.path.exists(f"{work}/raw/_SUCCESS"):
+        zipf_documents(
+            spark, n, vocab_size=30_000, doc_len=80, seed=seed,
+            near_dup_every=50, partitions=128,
+        ).select(
+            "doc_id", F.concat(F.col("text"), F.lit(".")).alias("text")
+        ).write.mode("overwrite").parquet(f"{work}/raw")
+    return spark.read.parquet(f"{work}/raw")
+
+
+# ------------------------------------------------------------- latin_ab
+
+def probe_latin_ab(spark) -> None:
+    """Interleaved plain vs script_aware on 1M all-Latin docs, 3 reps:
+    the r12 rlike screen should bring 'aware' to parity with 'plain'
+    (r11 measured 11.2/12.6 s aware vs 10.0/8.0 s plain here)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators import c4_clean, gopher_filter
+    from hermes_spark.operators.gopher import gopher_quality_flags
+
+    n = int(os.environ.get("STAGE_DOCS", "1000000"))
+    docs = zipf_corpus(spark, n)
+    docs.count()  # warm page cache
+
+    for i in range(3):
+        for variant, aware in (("plain", False), ("script_aware", True)):
+            t0 = time.time()
+            rows = gopher_filter(
+                docs, "doc_id", "text", min_words=20, min_stopwords=0,
+                script_aware=aware,
+            ).count()
+            out({"probe": "latin_ab_filter", "rep": i, "variant": variant,
+                 "rows": rows, "wall": round(time.time() - t0, 1)})
+        for variant, aware in (("plain", False), ("script_aware", True)):
+            t0 = time.time()
+            rows = gopher_quality_flags(
+                docs, "doc_id", "text", min_words=20, min_stopwords=0,
+                script_aware=aware,
+            ).filter(F.col("keep")).count()
+            out({"probe": "latin_ab_flags", "rep": i, "variant": variant,
+                 "rows": rows, "wall": round(time.time() - t0, 1)})
+        for variant, aware in (("plain", False), ("script_aware", True)):
+            t0 = time.time()
+            rows = c4_clean(
+                docs, "doc_id", "text", min_line_words=3, script_aware=aware
+            ).count()
+            out({"probe": "latin_ab_c4", "rep": i, "variant": variant,
+                 "rows": rows, "wall": round(time.time() - t0, 1)})
+
+
+# ------------------------------------------------- stream_minhash_decomp
+
+def probe_stream_minhash_decomp(spark) -> None:
+    """Verdict item 3: decompose and close the stream-vs-batch MinHash
+    gap.  Reuses the r11 1M-page WET drop-zone (cached at
+    /tmp/r11_stream_minhash).  Three measurements in ONE session:
+
+    1. full stream, r12 code (read-side store dropDuplicates removed),
+       compact_every=0 — clean-session pages/s + per-batch durations;
+    2. full stream with compact_every=5 — compaction cost vs the
+       small-file accumulation it prevents;
+    3. stage decomposition of a LATE batch (50k pages vs ~3.8M-row
+       store): signature kernel / store scan / history join / in-batch
+       pairs / survivor anti-join — each materialized separately;
+    4. the batch operator on the identical corpus (the ratio target).
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.hashing import band_keys
+    from hermes_spark.operators import fuzzy_dedup_keep_one, minhash_lsh_pairs
+    from hermes_spark.operators.dedup import (
+        banded_match_pairs,
+        minhash_signatures,
+    )
+    from hermes_spark.sources.warc import read_warc, wet_text
+    from hermes_spark.streaming.dedup import stream_minhash_dedup
+    from hermes_spark.streaming.ingest import stream_warc
+
+    work = "/tmp/r11_stream_minhash"
+    shards_dir = f"{work}/dropzone"
+    n_pages = 1_000_000
+    if not os.path.exists(f"{work}/.complete-{n_pages}"):
+        print("corpus missing — run r11_probes.py stream_minhash_1m first",
+              file=sys.stderr)
+        return
+
+    def run_stream(tag, compact_every):
+        state = f"{work}/sigstore_{tag}"
+        sink = f"{work}/accepted_{tag}"
+        ckpt = f"{work}/ckpt_{tag}"
+        for p in (state, sink, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        recs = stream_warc(
+            spark, shards_dir, types=("conversion",), max_files_per_trigger=50
+        )
+        docs = wet_text(recs).select(
+            F.regexp_extract("record_id", r"wet-(\d+)", 1)
+            .cast("long").alias("doc_id"),
+            "text",
+        )
+        t0 = time.time()
+        q = stream_minhash_dedup(
+            docs, state_path=state, output_path=sink,
+            shingle_n=3, num_hashes=16, num_bands=4, min_jaccard=0.7,
+            compact_every=compact_every,
+            checkpointLocation=ckpt, trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        batches = [
+            {"batch": p["batchId"], "ms": p["batchDuration"]}
+            for p in (q.recentProgress or []) if p.get("numInputRows")
+        ]
+        kept = spark.read.parquet(sink).count()
+        store_files = len(_glob.glob(f"{state}/*.parquet"))
+        store_rows = spark.read.parquet(state).count()
+        out({"probe": "stream_decomp_run", "variant": tag,
+             "compact_every": compact_every,
+             "wall": round(wall, 1), "pages_per_s": round(n_pages / wall),
+             "kept": kept, "store_rows": store_rows,
+             "store_files": store_files,
+             "batch_ms_first5": [b["ms"] for b in batches[:5]],
+             "batch_ms_last5": [b["ms"] for b in batches[-5:]]})
+        return state
+
+    state = run_stream("nodrop", compact_every=0)
+    run_stream("compact5", compact_every=5)
+
+    # ---- stage decomposition: late batch (last 50 shards) vs the
+    # full nodrop store
+    late = wet_text(
+        read_warc(spark, f"{shards_dir}/shard-009[5-9]*.warc.gz",
+                  types=("conversion",))
+    ).select(
+        F.regexp_extract("record_id", r"wet-(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "text",
+    ).persist()
+    n_late = late.count()
+
+    num_hashes, num_bands, min_j = 16, 4, 0.7
+    t0 = time.time()
+    sigs = minhash_signatures(
+        late, "doc_id", "text", shingle_n=3, num_hashes=num_hashes,
+        portable=True, sig_engine="arrow",
+    )
+    banded = sigs.select(
+        "__id", "__sig",
+        F.explode(band_keys(F.col("__sig"), num_bands,
+                            num_hashes // num_bands)).alias("__band"),
+    ).persist()
+    n_banded = banded.count()
+    t_sig = time.time() - t0
+
+    t0 = time.time()
+    state_df = spark.read.schema(
+        "__band string, __id long, __sig array<bigint>"
+    ).parquet(state)
+    n_store = state_df.count()
+    t_scan = time.time() - t0
+
+    t0 = time.time()
+    batch_bands = F.broadcast(banded.select("__band").distinct())
+    state_rel = (
+        state_df.join(batch_bands, on="__band", how="left_semi")
+        .select("__band", "__sig").distinct()
+    )
+
+    def est_jaccard(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v,
+        ) / F.lit(num_hashes)
+
+    hist_hits = (
+        banded.alias("b").join(state_rel.alias("s"), on="__band")
+        .filter(est_jaccard(F.col("b.__sig"), F.col("s.__sig"))
+                >= F.lit(min_j))
+        .select(F.col("b.__id").alias("__id")).distinct()
+    )
+    n_hits = hist_hits.count()
+    t_join = time.time() - t0
+
+    t0 = time.time()
+    pairs = banded_match_pairs(banded, min_j, num_hashes,
+                               max_bucket_size=1000)
+    n_pairs = pairs.count()
+    t_inbatch = time.time() - t0
+
+    out({"probe": "stream_decomp_stages", "batch_pages": n_late,
+         "store_rows": n_store, "banded_rows": n_banded,
+         "hist_hits": n_hits, "inbatch_pairs": n_pairs,
+         "t_signature_s": round(t_sig, 1), "t_store_scan_s": round(t_scan, 1),
+         "t_history_join_s": round(t_join, 1),
+         "t_inbatch_pairs_s": round(t_inbatch, 1)})
+    late.unpersist(); banded.unpersist()
+
+    # ---- batch operator yardstick on the identical corpus
+    allr = wet_text(read_warc(spark, shards_dir, types=("conversion",))).select(
+        F.regexp_extract("record_id", r"wet-(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "text",
+    ).persist()
+    allr.count()
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        allr, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4,
+        min_jaccard=0.7, portable=True,
+    )
+    batch_kept = fuzzy_dedup_keep_one(
+        allr, "doc_id", pairs, algorithm="auto", keep_by=F.col("doc_id") * -1
+    ).count()
+    wall = time.time() - t0
+    allr.unpersist()
+    out({"probe": "stream_decomp_batch_ref", "kept": batch_kept,
+         "wall": round(wall, 1), "pages_per_s": round(n_pages / wall)})
+
+
+def main() -> int:
+    names = sys.argv[1:] or ["latin_ab"]
+    spark = get_spark()
+    try:
+        for name in names:
+            fn = globals().get(f"probe_{name}")
+            if fn is None:
+                print(f"unknown probe: {name}", file=sys.stderr)
+                return 2
+            fn(spark)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
