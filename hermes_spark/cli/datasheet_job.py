@@ -117,7 +117,7 @@ def run(spark: SparkSession, argv: list[str]) -> list[dict]:
         F.col(id_col).alias("__id"),
         F.length(text).alias("__chars"),
         tok_expr.alias("__toks"),
-        bpe_token_count(text).alias("__bpe"),
+        bpe_token_count(text, script_aware=script_aware).alias("__bpe"),
         q_expr.alias("__q"),
         doc_fingerprint(text).alias("__fp"),
         bag_fingerprint(text).alias("__bag"),

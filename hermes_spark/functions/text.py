@@ -341,20 +341,43 @@ BPE_CHUNK_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 BPE_CHARS_PER_PIECE = 6
 
 
-def bpe_token_count(col: Column) -> Column:
+#: chars per BPE piece for unsegmented-script runs — real BPEs spend
+#: ~1-2 chars/token on CJK (much denser than the Latin ~4-6)
+BPE_UNSEG_CHARS_PER_PIECE = 2
+
+
+def bpe_token_count(col: Column, script_aware: bool = False) -> Column:
     """BPE-ish token estimate, pure expressions (no tokenizer library):
     pre-tokenize into word/number/punct chunks with
     :data:`BPE_CHUNK_PATTERN`, then charge ``ceil(len/6)`` pieces per
     chunk — long words split into several subwords, as a real BPE would.
     Deterministic and SQL-portable (oracle-checked).
 
-    Known approximation (round 11): an unsegmented Han/Kana/Thai run
-    is ONE punct-class chunk charged len/6 pieces, while real BPEs
-    spend ~1-2 chars/token on CJK — an ~5-10x undercount for those
-    scripts.  For script-fair token BUDGETS use
-    :func:`word_units`; this estimate stays as the oracle-paired
-    English-calibrated corpus statistic."""
-    chunks = F.regexp_extract_all(F.trim(col), F.lit(BPE_CHUNK_PATTERN), 0)
+    Known approximation of the default path (round 11): an unsegmented
+    Han/Kana/Thai run is ONE punct-class chunk charged len/6 pieces,
+    while real BPEs spend ~1-2 chars/token on CJK — an ~5-10x
+    undercount for those scripts.  ``script_aware=True`` (round 12)
+    closes it: unsegmented-script chars are charged separately at
+    ``ceil(chars/2)`` pieces and REMOVED from the chunk stream (blanked
+    to spaces, which splits surrounding Latin chunks exactly where a
+    script boundary splits real pre-tokenizers).  Latin text counts
+    identically either way (no such chars, and the blanking is a
+    no-op), behind the free :func:`has_unsegmented_chars` screen."""
+    text = F.trim(col)
+    if script_aware:
+        unseg_n = F.size(
+            F.regexp_extract_all(text, F.lit(UNSEGMENTED_CLASS), 0)
+        ).cast("long")
+        blanked = F.trim(F.regexp_replace(text, UNSEGMENTED_CLASS, " "))
+        latin_pieces = bpe_token_count(blanked)
+        aware = (
+            latin_pieces
+            + F.ceil(unseg_n / F.lit(BPE_UNSEG_CHARS_PER_PIECE)).cast("long")
+        ).cast("long")
+        return F.when(has_unsegmented_chars(text), aware).otherwise(
+            bpe_token_count(text)
+        )
+    chunks = F.regexp_extract_all(text, F.lit(BPE_CHUNK_PATTERN), 0)
     pieces = F.transform(
         chunks,
         lambda c: F.greatest(

@@ -299,3 +299,34 @@ def test_quality_score_multilingual_scores_fluent_scripts(spark):
         assert mq_fluent >= 0.6, (lang, mq_fluent)
         assert mq_fluent > q_fluent, (lang, mq_fluent, q_fluent)
         assert mq_garbage < mq_fluent, (lang, mq_garbage, mq_fluent)
+
+
+def test_bpe_token_count_script_aware(spark, documents):
+    """r12: the script-aware BPE estimate charges unsegmented chars at
+    ~2/piece instead of folding a whole CJK run into one len/6 chunk.
+    Latin text counts identically either way (500 ASCII docs, zero
+    diffs); on real CJK prose the aware estimate lands within 2x of
+    chars/2 while the plain one undercounts ~3x+."""
+    from hermes_spark.functions.text import bpe_token_count
+
+    diffs = documents.select(
+        (bpe_token_count(F.col("text"))
+         != bpe_token_count(F.col("text"), script_aware=True)).alias("d")
+    ).filter(F.col("d")).count()
+    assert diffs == 0
+
+    rows = [(i, lang, fluent_paragraph(lang)) for i, lang in enumerate(LANGS)]
+    got = {
+        r["doc_id"]: (r["plain"], r["aware"], r["nchars"])
+        for r in _frame(spark, rows).select(
+            "doc_id",
+            bpe_token_count(F.col("text")).alias("plain"),
+            bpe_token_count(F.col("text"), script_aware=True).alias("aware"),
+            F.length("text").alias("nchars"),
+        ).collect()
+    }
+    for i, lang in enumerate(LANGS):
+        plain, aware, nchars = got[i]
+        assert aware > plain * 2, (lang, plain, aware)
+        # within 2x of the chars/2 density in both directions
+        assert nchars / 4 <= aware <= nchars, (lang, aware, nchars)
