@@ -732,13 +732,22 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return bind_once(toks, grams)
 
 
-def repetition_ratio(col: Column, n: int = 2) -> Column:
+def repetition_ratio(col: Column, n: int = 2, script_aware: bool = False) -> Column:
     """Fraction of repeated word n-grams: ``1 - distinct/total`` in
     [0, 1] (0 = no repetition). The classic boilerplate/spam signal from
     Gopher-style quality filtering — pages that loop the same phrases
     score high. Pure expressions over the token array; ``n=1`` measures
-    repeated words, ``n=2``/``n=3`` repeated phrases."""
-    grams = word_ngrams(tokens(F.lower(col)), n)
+    repeated words, ``n=2``/``n=3`` repeated phrases.
+
+    ``script_aware=True`` (r12) char-tokenizes unsegmented-script runs
+    first (:func:`segment_unsegmented` — the spans/LM convention:
+    applied to any such run, no doc-level ratio switch), so a looping
+    CJK page scores high instead of collapsing to ~1 token and
+    repetition 0.  Latin text is byte-identical either way."""
+    low = F.lower(col)
+    if script_aware:
+        low = segment_unsegmented(low)
+    grams = word_ngrams(tokens(low), n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.round(

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     EXPLICIT_WS,
     SCRIPT_MIN_RATIO,
+    UNSEGMENTED_CLASS,
     UNSEGMENTED_PARTICLES,
     has_unsegmented_chars,
     tokens,
@@ -396,6 +397,7 @@ def gopher_repetition_flags(
     top_ngram_max: "dict[int, float] | None" = None,
     dup_ngram_max: "dict[int, float] | None" = None,
     engine: str = "counter",
+    script_aware: bool = False,
 ) -> DataFrame:
     r"""Gopher repetition-rule metrics + the overall ``keep`` flag.
 
@@ -426,6 +428,17 @@ def gopher_repetition_flags(
       upper bound), over the same denominator.
 
     Documents with no tokens/lines score 0 everywhere and pass.
+
+    ``script_aware=True`` (round 12): a document whose non-whitespace
+    chars are >= ``SCRIPT_MIN_RATIO`` unsegmented-script letters is
+    CHAR-tokenized for the n-gram rules (every such char becomes its
+    own token — the same ``segment_unsegmented`` convention the
+    char-level LM uses), so repeated CJK/SEA phrases are visible to
+    the top/dup-gram rules instead of the whole page collapsing to ~1
+    token with repetition 0.  Line/paragraph rules are unchanged
+    (line-based).  Latin documents tokenize identically either way
+    (screened in the kernel with one regex search).  Both engines
+    implement the same switch (property-tested equal).
 
     Scale shape: an Arrow-batched ``mapInPandas`` kernel computes the
     EXACT INTEGER quantities per document (Counter over token tuples —
@@ -489,6 +502,17 @@ def gopher_repetition_flags(
         ws = _re.compile(r"\s+", _re.ASCII)
         para_re = _re.compile(r"\n\s*\n", _re.ASCII)
         _WS = " \t\n\r\x0b\x0c"
+        unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
+        nonws_re = _re.compile("[ \t\n\f\r\x0b]+")
+
+        def tokenize(t):
+            low = t.lower()
+            if script_aware and unseg_re.search(low):
+                hits = unseg_re.findall(low)
+                nonspace = max(len(nonws_re.sub("", low)), 1)
+                if round(len(hits) / nonspace, 6) >= SCRIPT_MIN_RATIO:
+                    low = unseg_re.sub(r" \1 ", low)
+            return [w for w in ws.split(low.strip(" ")) if w != ""]
 
         def group_stats(items):
             # (tot, uniq, chars_all, chars_dup) over exact duplicates
@@ -501,9 +525,7 @@ def gopher_repetition_flags(
             out = {f.name: [] for f in fields}
             for id_, t in zip(b["__id"], b["__t"]):
                 t = "" if t is None else str(t)
-                toks = [
-                    w for w in ws.split(t.lower().strip(" ")) if w != ""
-                ]
+                toks = tokenize(t)
                 lines = [
                     l2 for l2 in (l.strip(_WS) for l in t.split("\n"))
                     if l2 != ""
@@ -619,6 +641,17 @@ def gopher_repetition_flags(
         ws = _re.compile(r"\s+", _re.ASCII)
         para_re = _re.compile(r"\n\s*\n", _re.ASCII)
         _WS = " \t\n\r\x0b\x0c"
+        unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
+        nonws_re = _re.compile("[ \t\n\f\r\x0b]+")
+
+        def tokenize(t):
+            low = t.lower()
+            if script_aware and unseg_re.search(low):
+                hits = unseg_re.findall(low)
+                nonspace = max(len(nonws_re.sub("", low)), 1)
+                if round(len(hits) / nonspace, 6) >= SCRIPT_MIN_RATIO:
+                    low = unseg_re.sub(r" \1 ", low)
+            return [w for w in ws.split(low.strip(" ")) if w != ""]
 
         def group_stats(items):
             c = Counter(items)
@@ -636,7 +669,7 @@ def gopher_repetition_flags(
             doc_nt = np.empty(ndocs, dtype=np.int64)
             for r, (id_, t) in enumerate(zip(b["__id"], b["__t"])):
                 t = "" if t is None else str(t)
-                toks = [w for w in ws.split(t.lower().strip(" ")) if w != ""]
+                toks = tokenize(t)
                 lines = [
                     l2 for l2 in (l.strip(_WS) for l in t.split("\n"))
                     if l2 != ""

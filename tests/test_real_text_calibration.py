@@ -330,3 +330,57 @@ def test_bpe_token_count_script_aware(spark, documents):
         assert aware > plain * 2, (lang, plain, aware)
         # within 2x of the chars/2 density in both directions
         assert nchars / 4 <= aware <= nchars, (lang, aware, nchars)
+
+
+def test_repetition_rules_see_cjk_phrases(spark):
+    """r12: script-aware repetition rules char-tokenize unsegmented
+    docs — a Chinese page looping one phrase now trips the dup-gram
+    rules (plain tokenization saw ~1 token and repetition 0).  Latin
+    docs score identically either way, and the counter and vector
+    engines agree on the aware path."""
+    from hermes_spark.operators.gopher import gopher_repetition_flags
+
+    looping = "机器学习是人工智能的一个分支。" * 30
+    fluent = fluent_paragraph("zh")
+    latin = "the cat sat on the mat and then the dog sat on the rug too. " * 3
+    df = spark.createDataFrame(
+        [(1, looping), (2, fluent), (3, latin)], ["doc_id", "text"]
+    )
+    plain = {r["doc_id"]: r for r in gopher_repetition_flags(
+        df, "doc_id", "text").collect()}
+    aware = {r["doc_id"]: r for r in gopher_repetition_flags(
+        df, "doc_id", "text", script_aware=True).collect()}
+    # the trap: plain sees the looping CJK page as unrepeated
+    assert plain[1]["dup_5gram_char_frac"] == 0.0
+    assert plain[1]["keep"]
+    # aware: the loop saturates the dup-gram rules and gates
+    assert aware[1]["dup_5gram_char_frac"] > 0.9
+    assert not aware[1]["keep"]
+    # fluent zh prose survives the aware rules
+    assert aware[2]["keep"], aware[2]
+    # Latin identical either way
+    assert plain[3].asDict() == aware[3].asDict()
+    # engines agree on the aware path
+    vec = {r["doc_id"]: r for r in gopher_repetition_flags(
+        df, "doc_id", "text", script_aware=True, engine="vector").collect()}
+    for i in (1, 2, 3):
+        assert vec[i].asDict() == aware[i].asDict(), i
+
+
+def test_repetition_ratio_script_aware(spark, documents):
+    """r12: script-aware repetition_ratio sees repeated CJK phrases;
+    Latin text (all 500 testdata docs) scores byte-identically."""
+    from hermes_spark.functions.text import repetition_ratio
+
+    diffs = documents.select(
+        (repetition_ratio(F.col("text"), 2)
+         != repetition_ratio(F.col("text"), 2, script_aware=True)).alias("d")
+    ).filter(F.col("d")).count()
+    assert diffs == 0
+    looping = "机器学习是人工智能的一个分支。" * 20
+    r = spark.createDataFrame([(1, looping)], ["doc_id", "text"]).select(
+        repetition_ratio(F.col("text"), 2).alias("plain"),
+        repetition_ratio(F.col("text"), 2, script_aware=True).alias("aware"),
+    ).collect()[0]
+    assert r["plain"] == 0.0
+    assert r["aware"] > 0.9
