@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import segment_unsegmented, tokens
 
 
 def unit_entropy(
@@ -34,6 +34,7 @@ def unit_entropy(
     id_col: str,
     text_col: str,
     unit: str = "char",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document Shannon entropy (bits/unit) of the unit distribution.
 
@@ -41,11 +42,19 @@ def unit_entropy(
     into lowercased whitespace tokens. Returns ``(id, n_units,
     distinct_units, entropy_bits)``; documents with no units (empty or
     whitespace-only text) are absent from the output.
+
+    ``script_aware=True`` (r12, token path only) char-tokenizes
+    unsegmented-script runs first — a CJK page otherwise collapses to
+    ~1 token with entropy 0 and reads as template spam.  The char path
+    is script-fair already; Latin text identical either way.
     """
     if unit == "char":
         units = F.split(F.col(text_col), "")
     elif unit == "token":
-        units = tokens(F.lower(F.col(text_col)))
+        low = F.lower(F.col(text_col))
+        if script_aware:
+            low = segment_unsegmented(low)
+        units = tokens(low)
     else:
         raise ValueError(f"unit must be 'char' or 'token', got {unit!r}")
 

@@ -38,15 +38,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fast_hash64, portable_hash64
-from ..functions.text import tokens
+from ..functions.text import segment_unsegmented, tokens
 
 __all__ = ["token_buckets", "bucket_distribution", "dsir_weights"]
 
 
-def token_buckets(text_col: Column, buckets: int, portable: bool = True) -> Column:
+def token_buckets(
+    text_col: Column, buckets: int, portable: bool = True,
+    script_aware: bool = False,
+) -> Column:
     """``array<long>`` of hashed-unigram bucket ids (one per token
-    occurrence, order preserved)."""
-    toks = tokens(F.lower(text_col))
+    occurrence, order preserved).  ``script_aware=True`` (r12)
+    char-tokenizes unsegmented-script runs first, so DSIR's hashed
+    unigram model sees CJK characters instead of one whole-page token;
+    Latin identical either way."""
+    low = F.lower(text_col)
+    if script_aware:
+        low = segment_unsegmented(low)
+    toks = tokens(low)
     if portable:
         h = lambda t: portable_hash64(F.concat(F.lit("dsir:"), t))  # noqa: E731
     else:
@@ -55,13 +64,16 @@ def token_buckets(text_col: Column, buckets: int, portable: bool = True) -> Colu
 
 
 def bucket_distribution(
-    df: DataFrame, text_col: str, buckets: int, portable: bool = True
+    df: DataFrame, text_col: str, buckets: int, portable: bool = True,
+    script_aware: bool = False,
 ) -> DataFrame:
     """``(bucket, cnt)`` occurrence counts over a corpus — the hashed
     unigram model, ≤``buckets`` rows regardless of corpus size."""
     return (
         df.select(
-            F.explode(token_buckets(F.col(text_col), buckets, portable)).alias("bucket")
+            F.explode(
+                token_buckets(F.col(text_col), buckets, portable, script_aware)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -77,6 +89,7 @@ def dsir_weights(
     alpha: float = 0.5,
     portable: bool = True,
     cache_doc_buckets: bool = True,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document log importance weight of ``raw`` against ``target``.
 
@@ -92,15 +105,17 @@ def dsir_weights(
     exchange-reuse lambda-bearing subtrees; pass ``False`` to trade one
     extra tokenize+hash scan for zero cache footprint, and
     ``spark.catalog.clearCache()`` to drop the block eagerly.
+    ``script_aware`` char-tokenizes unsegmented-script runs on BOTH
+    corpora (r12 — see :func:`token_buckets`).
     """
-    t_dist = bucket_distribution(target, text_col, buckets, portable)
+    t_dist = bucket_distribution(target, text_col, buckets, portable, script_aware)
 
     doc_buckets = (
         raw.select(
             F.col(id_col),
-            F.explode_outer(token_buckets(F.col(text_col), buckets, portable)).alias(
-                "bucket"
-            ),
+            F.explode_outer(
+                token_buckets(F.col(text_col), buckets, portable, script_aware)
+            ).alias("bucket"),
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("__occ"))

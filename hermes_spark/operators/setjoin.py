@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import segment_unsegmented, tokens
 
 #: threshold scale: Jaccard thresholds resolve to 1e-4
 THRESHOLD_DENOM = 10_000
@@ -49,6 +49,7 @@ def jaccard_set_join(
     text_col: str = "text",
     min_jaccard: float = 0.7,
     stats: "dict | None" = None,
+    script_aware: bool = False,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
     ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``.
@@ -58,17 +59,21 @@ def jaccard_set_join(
 
     Exact — returns every qualifying pair — but candidate generation is
     prefix-filtered, not all-pairs (see module docstring).
+    ``script_aware=True`` (r12) char-tokenizes unsegmented-script runs
+    first — a CJK doc's token SET is otherwise ~1 element and its
+    Jaccard degenerate; Latin text identical either way.
     """
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
     t_scaled = int(round(min_jaccard * THRESHOLD_DENOM))
 
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias(
-                "term"
-            ),
+            F.explode(F.array_distinct(tokens(low))).alias("term"),
         )
         .filter(F.col("term") != "")
     )

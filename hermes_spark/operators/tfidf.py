@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import segment_unsegmented, tokens
 
 
 def tfidf_topk_terms(
@@ -35,16 +35,21 @@ def tfidf_topk_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 
     Returns ``(doc_id, term, tf, score, rank)``; terms are lowercased
     whitespace tokens; ties break lexically. Documents with no tokens
-    produce no rows.
+    produce no rows.  ``script_aware=True`` (r12) char-tokenizes
+    unsegmented-script runs first (:func:`segment_unsegmented`) so a
+    CJK document yields per-character terms instead of one giant
+    token; Latin text is byte-identical either way.
     """
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
-    )
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
+    docs = df.select(F.col(id_col).alias("doc_id"), low.alias("__t"))
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("__t"))).alias("term")
     ).filter(F.col("term") != "")
@@ -256,6 +261,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    script_aware: bool = False,
 ) -> DataFrame:
     """BM25 ranking of documents against a bag of query terms
     (Robertson-Sparck Jones; the standard retrieval baseline).
@@ -269,13 +275,30 @@ def bm25_scores(
     (doc, term)), document stats ride the same pass, the query-term
     filter prunes the tf frame BEFORE any join, and the corpus constants
     (N, avglen, per-term df) are broadcast.  Ties break by doc id.
+
+    ``script_aware=True`` (r12): unsegmented-script runs are
+    char-tokenized on BOTH sides — document text via
+    :func:`segment_unsegmented` and the query terms via the identical
+    Python regex — so a query like 机器学习 matches documents
+    containing those characters instead of requiring the whole page as
+    one term.  Latin queries/corpora are byte-identical either way.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
-    docs = df.select(
-        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
-    )
+    if script_aware:
+        import re as _re
+
+        from ..functions.text import UNSEGMENTED_CLASS
+
+        unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
+        terms = [
+            w for t in terms for w in unseg_re.sub(r" \1 ", t).split() if w
+        ]
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
+    docs = df.select(F.col(id_col).alias("doc_id"), low.alias("__t"))
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("__t"))).alias("term")
     ).filter(F.col("term") != "")
@@ -322,6 +345,7 @@ def oov_rate(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 1000,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus's own
     top-``vocab_size`` terms.
@@ -340,11 +364,17 @@ def oov_rate(
     frequencies; the vocabulary is ``vocab_size`` rows (broadcast into
     the membership join); the per-doc aggregate is one keyed shuffle of
     ``(doc, term, count)`` partials — raw text is scanned once.
+    ``script_aware=True`` (r12) char-tokenizes unsegmented-script runs
+    first, so a CJK share contributes per-character terms to the vocab
+    instead of one always-OOV token per page; Latin unchanged.
     """
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        low = segment_unsegmented(low)
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+            F.explode(tokens(low)).alias("term"),
         )
         .filter(F.col("term") != "")
     )

@@ -384,3 +384,63 @@ def test_repetition_ratio_script_aware(spark, documents):
     ).collect()[0]
     assert r["plain"] == 0.0
     assert r["aware"] > 0.9
+
+
+def test_retrieval_and_stats_script_aware_options(spark, documents):
+    """r12: BM25 / TF-IDF / OOV / token entropy / DSIR buckets /
+    jaccard_set_join all gain the same opt-in char-tokenization for
+    unsegmented scripts.  One assertion per operator: Latin output
+    identical with the flag on, and the CJK failure mode fixed."""
+    from hermes_spark.operators.entropy import unit_entropy
+    from hermes_spark.operators.importance import token_buckets
+    from hermes_spark.operators.setjoin import jaccard_set_join
+    from hermes_spark.operators.tfidf import bm25_scores, oov_rate, tfidf_topk_terms
+
+    zh1 = "机器学习是人工智能的一个分支它让计算机从数据中学习"
+    zh2 = "机器学习是人工智能的一个分支它使电脑能够进行学习了"
+    rows = [(1, zh1), (2, zh2), (3, "the cat sat on the mat with the dog")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # bm25: a CJK query only matches with the flag on
+    hits = bm25_scores(df, ["机器学习"], k=5, script_aware=True).collect()
+    assert {r["doc_id"] for r in hits} == {1, 2}
+    assert bm25_scores(df, ["机器学习"], k=5).count() == 0
+
+    # tfidf: per-char terms exist under the flag
+    aware_terms = tfidf_topk_terms(df, k=3, script_aware=True)
+    assert aware_terms.filter(
+        (F.col("doc_id") == 1) & (F.length("term") == 1)).count() > 0
+
+    # oov_rate: the CJK docs are not 100%-OOV monoliths under the flag
+    oov = {r["doc_id"]: r["n_tokens"] for r in oov_rate(
+        df, vocab_size=30, script_aware=True).collect()}
+    assert oov[1] > 10
+
+    # token entropy: nonzero for CJK under the flag
+    ent = {r["doc_id"]: r["entropy_bits"] for r in unit_entropy(
+        df, "doc_id", "text", unit="token", script_aware=True).collect()}
+    assert ent[1] > 1.0
+
+    # jaccard_set_join: the two zh variants become a near-dup pair
+    pairs = jaccard_set_join(df, min_jaccard=0.5, script_aware=True).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+    assert jaccard_set_join(df, min_jaccard=0.5).count() == 0
+
+    # dsir token_buckets: many buckets per CJK doc under the flag
+    nb = df.filter(F.col("doc_id") == 1).select(
+        F.size(token_buckets(F.col("text"), 4096, script_aware=True)).alias("n")
+    ).collect()[0]["n"]
+    assert nb > 10
+
+    # Latin identity across ALL of them (500 ASCII docs)
+    for plain_df, aware_df, key in (
+        (tfidf_topk_terms(documents, k=3),
+         tfidf_topk_terms(documents, k=3, script_aware=True), "tfidf"),
+        (oov_rate(documents, vocab_size=100),
+         oov_rate(documents, vocab_size=100, script_aware=True), "oov"),
+        (unit_entropy(documents, "doc_id", "text", unit="token"),
+         unit_entropy(documents, "doc_id", "text", unit="token",
+                      script_aware=True), "entropy"),
+    ):
+        assert plain_df.exceptAll(aware_df).count() == 0, key
+        assert aware_df.exceptAll(plain_df).count() == 0, key
