@@ -57,7 +57,12 @@ def quality_features(text_col: Column) -> dict[str, Column]:
     """The four feature expressions, keyed by name. One tokenization,
     shared; every feature is a pure column expression. NULL text is
     treated as empty (``n_tokens = 0``, ratios 0) — without the
-    coalesce, ``size(null)`` is -1 and the whole score row goes null."""
+    coalesce, ``size(null)`` is -1 and the whole score row goes null.
+
+    ENGLISH-CALIBRATED like ``quality_score`` (whitespace tokens +
+    English stopwords): for unsegmented-script corpora use the
+    script-aware gates and per-language LM, or
+    ``quality_score_multilingual``, as the quality signal instead."""
     text_col = F.coalesce(text_col, F.lit(""))
     toks = tokens(F.lower(text_col))
     n = F.size(toks)

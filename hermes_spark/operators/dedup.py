@@ -978,7 +978,7 @@ def fuzzy_dedup_keep_one(
 
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32,
-    portable: bool = True,
+    portable: bool = True, script_aware: bool = False,
 ) -> DataFrame:
     """Per-document SimHash (Charikar '02): token hashes vote per bit.
 
@@ -994,7 +994,14 @@ def simhash_fingerprints(
     # materialize token hashes in their own projection: one hash per
     # token total, instead of one per token per bit (32x less hashing)
     token_hash = portable_hash64 if portable else fast_hash64
-    toks = tokens(F.lower(F.col(text_col)))
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        # r12: char-tokenize unsegmented-script runs — a CJK doc's
+        # simhash is otherwise the hash of ONE token (useless signal)
+        from ..functions.text import segment_unsegmented
+
+        low = segment_unsegmented(low)
+    toks = tokens(low)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: token_hash(t)).alias("__hs"),
@@ -1039,6 +1046,7 @@ def simhash_near_dup_pairs(
     block_bits: int = 8,
     portable: bool = True,
     max_bucket_size: Optional[int] = None,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -1055,7 +1063,10 @@ def simhash_near_dup_pairs(
     Measured at sf0.1 (tools/diag_simhash.py): max bucket 785 (md5) /
     1122 (xxhash64), so the default cap-off is safe at test scale.
     """
-    fps = simhash_fingerprints(df, id_col, text_col, bits=bits, portable=portable)
+    fps = simhash_fingerprints(
+        df, id_col, text_col, bits=bits, portable=portable,
+        script_aware=script_aware,
+    )
     n_blocks = max(max_hamming + 1, bits // block_bits)
     width = bits // n_blocks
 

@@ -49,12 +49,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import segment_unsegmented, tokens, word_ngrams
 
 __all__ = ["topk_ngrams", "ngram_novelty", "pmi_collocations"]
 
 
-def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    script_aware: bool = False,
+) -> DataFrame:
     """Distinct ``(id, gram)`` pairs with per-doc occurrence counts.
 
     One explode + one hash aggregate; the map-side partial combine
@@ -67,9 +70,12 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     (~150× per doc). A bound column reference makes it one split per
     row.
     """
-    toked = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
-    )
+    low = F.lower(F.col(text_col))
+    if script_aware:
+        # r12: char-tokenize unsegmented-script runs (a CJK doc is
+        # otherwise ~1 token and produces no n-grams at all)
+        low = segment_unsegmented(low)
+    toked = df.select(F.col(id_col), tokens(low).alias("__toks"))
     grams = word_ngrams(F.col("__toks"), n)
     return (
         toked.select(F.col(id_col), F.explode(grams).alias("gram"))
@@ -84,6 +90,7 @@ def topk_ngrams(
     text_col: str,
     n: int = 2,
     k: int = 100,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Top-``k`` word ``n``-grams corpus-wide.
 
@@ -92,7 +99,7 @@ def topk_ngrams(
     tiebreak. ``doc_freq`` is the number of distinct documents
     containing the gram; ``total_count`` counts every occurrence.
     """
-    per_doc = _doc_grams(df, id_col, text_col, n)
+    per_doc = _doc_grams(df, id_col, text_col, n, script_aware)
     totals = per_doc.groupBy("gram").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("__occ").alias("total_count"),
@@ -114,6 +121,7 @@ def ngram_novelty(
     n: int = 2,
     min_doc_freq: int = 1,
     max_doc_freq: int | None = None,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Per-document n-gram novelty against the corpus.
 
@@ -128,7 +136,9 @@ def ngram_novelty(
     (both sides of the ratio): drop hapax noise with the former, the
     stop-gram head with the latter.
     """
-    per_doc = _doc_grams(df, id_col, text_col, n).select(id_col, "gram")
+    per_doc = _doc_grams(
+        df, id_col, text_col, n, script_aware
+    ).select(id_col, "gram")
     stats = per_doc.groupBy("gram").agg(
         F.min(id_col).alias("__first"), F.count(F.lit(1)).alias("__df")
     )

@@ -444,3 +444,35 @@ def test_retrieval_and_stats_script_aware_options(spark, documents):
     ):
         assert plain_df.exceptAll(aware_df).count() == 0, key
         assert aware_df.exceptAll(plain_df).count() == 0, key
+
+
+def test_ngrams_and_simhash_script_aware(spark, documents):
+    """r12: n-gram mining and simhash fingerprints gain the opt-in
+    char tokenization; Latin identical, CJK meaningful."""
+    from hermes_spark.operators.dedup import simhash_fingerprints
+    from hermes_spark.operators.ngrams import ngram_novelty, topk_ngrams
+
+    zh1 = "机器学习是人工智能的一个分支它让计算机从数据中学习"
+    zh2 = "机器学习是人工智能的一个分支它使电脑能够进行学习了"
+    df = spark.createDataFrame(
+        [(1, zh1), (2, zh2), (3, "the cat sat on the mat")],
+        ["doc_id", "text"])
+    # plain: zero CJK bigrams; aware: the shared phrase tops the list
+    assert topk_ngrams(df, "doc_id", "text", n=2, k=5).filter(
+        F.col("gram").rlike("[一-鿿]")).count() == 0
+    top = topk_ngrams(df, "doc_id", "text", n=2, k=100, script_aware=True)
+    assert top.filter(F.col("gram") == "机 器").count() == 1
+    nov = {r["doc_id"]: r["n_grams"] for r in ngram_novelty(
+        df, "doc_id", "text", n=2, script_aware=True).collect()}
+    assert nov[1] > 10
+    # simhash: the two zh variants are CLOSE under aware, not under plain
+    def dist(df_, aware):
+        rows = {r["id"]: r["simhash"] for r in simhash_fingerprints(
+            df_, "doc_id", "text", bits=32, script_aware=aware).collect()}
+        return bin(rows[1] ^ rows[2]).count("1")
+    assert dist(df, True) <= 8
+    # Latin identity on the testdata corpus
+    a = simhash_fingerprints(documents, "doc_id", "text", bits=32)
+    b = simhash_fingerprints(documents, "doc_id", "text", bits=32,
+                             script_aware=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
