@@ -96,6 +96,14 @@ SEGMENTED: dict[str, list[str]] = {
         "วันนี้|อากาศ|ดี|มาก|เรา|ไป|เดินเล่น|ใน|สวน|สาธารณะ",
         "เขา|เป็น|ครู|ที่|มี|ประสบการณ์|นักเรียน|ชอบ|เรียน|กับ|เขา|มาก",
     ],
+    # r12b: Lao hand-segmentation (Thai-cognate orthography; word
+    # boundaries follow the same conventions as the Thai segmentation
+    # above — nominalizing prefixes kept with their stem)
+    "lo": [
+        "ມະນຸດ|ທຸກ|ຄົນ|ເກີດ|ມາ|ມີ|ສິດ|ເສລີພາບ|ແລະ|ຄວາມສະເໝີພາບ",
+        "ມື້ນີ້|ອາກາດ|ດີ|ຫຼາຍ|ພວກເຮົາ|ໄປ|ຍ່າງ|ຫຼິ້ນ|ໃນ|ສວນ",
+        "ລາວ|ເປັນ|ຄູ|ທີ່|ມີ|ປະສົບການ|ຫຼາຍ|ປີ",
+    ],
 }
 
 #: per-language garbage: uniform random draws over the script's letter

@@ -95,7 +95,8 @@ def test_chars_per_word_divisors_on_hand_segmented_text():
     generous band around each script's divisor (zh/ja: 2, th: 4).
     Punctuation segments are dropped; letters counted by the same
     class the gates use."""
-    bands = {"zh": (1.2, 3.2), "ja": (1.2, 3.2), "th": (2.5, 6.5)}
+    bands = {"zh": (1.2, 3.2), "ja": (1.2, 3.2), "th": (2.5, 6.5),
+             "lo": (2.5, 6.5)}
     for lang, segmented in SEGMENTED.items():
         total_letters = 0
         total_words = 0
@@ -476,3 +477,24 @@ def test_ngrams_and_simhash_script_aware(spark, documents):
     b = simhash_fingerprints(documents, "doc_id", "text", bits=32,
                              script_aware=True)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_script_aware_gates_stay_zero_shuffle(spark, fluent_and_garbage):
+    """Scale contract: the script-aware gates and screens stay pure
+    scan expressions — zero exchanges in the plans."""
+    from hermes_spark.operators import c4_clean, gopher_filter
+    from hermes_spark.plans import count_exchanges
+
+    gated = gopher_filter(
+        fluent_and_garbage, "doc_id", "text",
+        min_words=10, min_stopwords=1, script_aware=True,
+    )
+    cleaned = c4_clean(
+        fluent_and_garbage, "doc_id", "text", script_aware=True
+    )
+    flags = gopher_quality_flags(
+        fluent_and_garbage, "doc_id", "text", script_aware=True
+    )
+    assert count_exchanges(gated) == 0
+    assert count_exchanges(cleaned) == 0
+    assert count_exchanges(flags) == 0
