@@ -278,10 +278,15 @@ def word_units(col: Column) -> Column:
     their word-equivalents on top of the whitespace tokens (a
     space-delimited CJK run is counted once as a token and once as
     units — an accepted upper-bias of the proxy, documented here).
-    SQL-portable: both engines compute the identical integer."""
-    return (
-        token_count(col) + units_from_counts(unsegmented_script_counts(col))
-    ).cast("long")
+    SQL-portable: both engines compute the identical integer.  The
+    per-script counts hide behind the free
+    :func:`has_unsegmented_chars` screen (r12): an all-ASCII document
+    pays one length compare instead of six regex scans, with identical
+    values (zero unsegmented chars contribute zero units)."""
+    return F.when(
+        has_unsegmented_chars(col),
+        token_count(col) + units_from_counts(unsegmented_script_counts(col)),
+    ).otherwise(token_count(col)).cast("long")
 
 
 def segment_unsegmented(col: Column) -> Column:

@@ -64,6 +64,30 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 BULLET_PREFIXES = ("- ", "* ", "•")
 
 
+def _make_kernel_tokenizer(script_aware: bool):
+    """Tokenizer shared by BOTH repetition-kernel engines (hoisted in
+    r12 so the script-aware switch cannot drift between them): Spark's
+    trim-then-\s+ split, with unsegmented-script docs (ratio >=
+    SCRIPT_MIN_RATIO, mirroring the gates' switch) char-tokenized
+    first under ``script_aware``."""
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
+    nonws_re = _re.compile(EXPLICIT_WS + "+")
+
+    def tokenize(t: str) -> list:
+        low = t.lower()
+        if script_aware and unseg_re.search(low):
+            hits = unseg_re.findall(low)
+            nonspace = max(len(nonws_re.sub("", low)), 1)
+            if round(len(hits) / nonspace, 6) >= SCRIPT_MIN_RATIO:
+                low = unseg_re.sub(r" \1 ", low)
+        return [w for w in ws.split(low.strip(" ")) if w != ""]
+
+    return tokenize
+
+
 def _lines(col: Column) -> Column:
     return F.split(col, "\n")
 
@@ -373,8 +397,25 @@ def gopher_filter(
     )
     if not script_aware:
         return df.filter(base_keep)
-    script_keep = _keep_predicate(
-        _script_metrics_from(text, tokens(text), _nonblank_lines(text)), *args
+    # bind the switch boolean ONCE (r12 review finding): with
+    # unseg=None each of the ~8 script metrics would embed its own
+    # copy of the ratio regexes, and a filter predicate gets no
+    # reliable subexpression elimination — bind_once routes it through
+    # a lambda variable evaluated once per row
+    from ..functions.text import bind_once
+
+    unseg_expr = F.when(
+        has_unsegmented_chars(text),
+        unsegmented_ratio(text) >= F.lit(float(SCRIPT_MIN_RATIO)),
+    ).otherwise(F.lit(False))
+    script_keep = bind_once(
+        unseg_expr,
+        lambda u: _keep_predicate(
+            _script_metrics_from(
+                text, tokens(text), _nonblank_lines(text), unseg=u
+            ),
+            *args,
+        ),
     )
     return df.filter(
         F.when(has_unsegmented_chars(text), script_keep).otherwise(base_keep)
@@ -499,20 +540,9 @@ def gopher_repetition_flags(
         # full Java \s class — 'aa' and 'aa\n' are the same paragraph
         # (a hypothesis counterexample caught the space-only version
         # scoring them distinct). Java \s is ASCII (re.ASCII).
-        ws = _re.compile(r"\s+", _re.ASCII)
         para_re = _re.compile(r"\n\s*\n", _re.ASCII)
         _WS = " \t\n\r\x0b\x0c"
-        unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
-        nonws_re = _re.compile("[ \t\n\f\r\x0b]+")
-
-        def tokenize(t):
-            low = t.lower()
-            if script_aware and unseg_re.search(low):
-                hits = unseg_re.findall(low)
-                nonspace = max(len(nonws_re.sub("", low)), 1)
-                if round(len(hits) / nonspace, 6) >= SCRIPT_MIN_RATIO:
-                    low = unseg_re.sub(r" \1 ", low)
-            return [w for w in ws.split(low.strip(" ")) if w != ""]
+        tokenize = _make_kernel_tokenizer(script_aware)
 
         def group_stats(items):
             # (tot, uniq, chars_all, chars_dup) over exact duplicates
@@ -638,20 +668,9 @@ def gopher_repetition_flags(
         import numpy as np
         import pandas as pd
 
-        ws = _re.compile(r"\s+", _re.ASCII)
         para_re = _re.compile(r"\n\s*\n", _re.ASCII)
         _WS = " \t\n\r\x0b\x0c"
-        unseg_re = _re.compile("(" + UNSEGMENTED_CLASS + ")")
-        nonws_re = _re.compile("[ \t\n\f\r\x0b]+")
-
-        def tokenize(t):
-            low = t.lower()
-            if script_aware and unseg_re.search(low):
-                hits = unseg_re.findall(low)
-                nonspace = max(len(nonws_re.sub("", low)), 1)
-                if round(len(hits) / nonspace, 6) >= SCRIPT_MIN_RATIO:
-                    low = unseg_re.sub(r" \1 ", low)
-            return [w for w in ws.split(low.strip(" ")) if w != ""]
+        tokenize = _make_kernel_tokenizer(script_aware)
 
         def group_stats(items):
             c = Counter(items)

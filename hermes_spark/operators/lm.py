@@ -688,6 +688,10 @@ def _score_arrow_by_lang(
             )
         )
         tables[lang] = (vidx, unk_id, bg_keys, bg_cnts, ctx_arr, types)
+    # drop the guard's persisted model frames now the tables are frozen
+    # (no-op when the caller skipped the guard)
+    for frame in (lm.vocab, lm.bigram_counts, lm.context_counts, lm.n_vocab):
+        frame.unpersist()
     tables_b = sc.broadcast(tables)
 
     ws = re.compile(_JAVA_WS)
@@ -753,6 +757,14 @@ def _guard_model_bytes(lm: "LangNgramLM", max_model_bytes: int) -> None:
     index dict + key), a bigram row ~16 B (int64 key + int64 count), a
     context row ~8 B.  One aggregation pass over the bounded count
     frames — never the corpus."""
+    # persist the three bounded (<= L x V row) frames BEFORE counting:
+    # they are lazy aggregations over the full training corpus, and the
+    # arrow scorer collects the very same frames right after this guard
+    # — without the persist the guard would re-run the whole
+    # model-build lineage once per frame (r12 review finding).  The
+    # scorer unpersists them once the numpy tables are frozen.
+    for frame in (lm.vocab, lm.bigram_counts, lm.context_counts):
+        frame.persist()
     sizes = (
         lm.vocab.groupBy().agg(
             F.count(F.lit(1)).alias("v"),

@@ -49,6 +49,45 @@ def stream_exact_dedup(
 MINHASH_STATE_SCHEMA = "__band string, __id long, __sig array<bigint>"
 
 
+def _require_local_path(path: str, what: str) -> None:
+    """Compaction swaps directories with POSIX renames — refuse
+    non-local URIs LOUDLY instead of failing mid-swap (or worse,
+    "succeeding" against a path that os-level calls can't see while
+    Spark wrote to the remote store)."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{what}: store compaction renames directories with local "
+            f"filesystem calls, but state_path={path!r} is a remote URI. "
+            "Run compaction as an offline Spark job (read -> "
+            "dropDuplicates -> write to a NEW path, then repoint the "
+            "stream), or keep compact_every=0 and use a keyed state "
+            "service at this scale."
+        )
+
+
+def _recover_minhash_store(state_path: str) -> None:
+    """Roll forward/back an interrupted :func:`compact_minhash_store`
+    swap.  After a crash the store contents exist in exactly one of
+    ``state_path`` / ``<state>__compact_tmp`` (complete iff _SUCCESS) /
+    ``<state>__trash``; this puts them back under ``state_path`` and
+    clears the side directories.  No-op when the store is healthy or
+    was never created."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = state_path.rstrip("/") + "__compact_tmp"
+    trash = state_path.rstrip("/") + "__trash"
+    if _os.path.exists(state_path):
+        return
+    if _os.path.exists(_os.path.join(tmp, "_SUCCESS")):
+        _shutil.move(tmp, state_path)  # crash between the two moves
+        _shutil.rmtree(trash, ignore_errors=True)
+        return
+    if _os.path.exists(trash):
+        _shutil.move(trash, state_path)  # crash before tmp completed
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact_minhash_store(spark, state_path: str) -> int:
     """Rewrite a :func:`stream_minhash_dedup` signature store as
     distinct ``(band, id)`` rows in one fresh parquet directory.
@@ -63,19 +102,24 @@ def compact_minhash_store(spark, state_path: str) -> int:
 
     Swap protocol: write to ``<state_path>__compact_tmp`` (with
     ``_SUCCESS``), move the old store to ``<state_path>__trash``,
-    rename the temp into place, then delete the trash.  On a crash
-    mid-swap the data still exists in exactly one of the three
-    directories; recovery = rename whichever of tmp (if _SUCCESS) or
-    trash exists back to ``state_path``.  Local/HDFS renames are
-    near-atomic; on object stores without atomic rename run compaction
-    offline or point the store at a state service.  Replay idempotence
-    is property-tested (test_streaming_dedup): compacting between
-    replayed batches never changes the surviving document set.
+    rename the temp into place, then delete the trash.  A crash
+    mid-swap leaves the data in exactly one of the three directories
+    and :func:`_recover_minhash_store` rolls it back into place — run
+    automatically here and before every micro-batch's store read, so
+    an interrupted compaction can never silently present as an empty
+    store.  LOCAL (or ``file://``) paths only, enforced loudly —
+    remote stores compact via an offline Spark rewrite instead.
+    Replay idempotence is property-tested (test_streaming):
+    compacting between replayed batches never changes the surviving
+    document set.
     """
     import shutil as _shutil
 
+    _require_local_path(state_path, "compact_minhash_store")
+    _recover_minhash_store(state_path)
     tmp = state_path.rstrip("/") + "__compact_tmp"
     trash = state_path.rstrip("/") + "__trash"
+    _shutil.rmtree(tmp, ignore_errors=True)  # incomplete leftover
     compacted = (
         spark.read.schema(MINHASH_STATE_SCHEMA)
         .parquet(state_path)
@@ -159,7 +203,9 @@ def stream_minhash_dedup(
     Spark state store) is the 10^9 path.
     """
     spark = stream.sparkSession
-    state_schema = "__band string, __id long, __sig array<bigint>"
+    state_schema = MINHASH_STATE_SCHEMA
+    if compact_every > 0:
+        _require_local_path(state_path, "stream_minhash_dedup(compact_every)")
 
     def sig_frame(df: DataFrame) -> DataFrame:
         # shared signature front half (operators.dedup.minhash_signatures,
@@ -200,6 +246,11 @@ def stream_minhash_dedup(
             return
         banded = sig_frame(batch_df).persist()
         try:
+            # roll back any compaction interrupted mid-swap BEFORE the
+            # read — without this, a crash between the two swap moves
+            # would present as "no store yet" and silently accept the
+            # entire history again (r12 review finding)
+            _recover_minhash_store(state_path)
             try:
                 # NO read-side dropDuplicates (r12): a (band, id) dupe
                 # from a replayed append only re-produces a candidate

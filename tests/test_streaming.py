@@ -661,3 +661,61 @@ def test_stream_minhash_dedup_mega_cluster_in_batch(spark, tmp_path):
     run_once(schema)
     ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert ids == [0, 900, 1001], ids
+
+
+def test_stream_minhash_compaction_crash_recovery(spark, tmp_path):
+    """r12 review fix: a crash between the two compaction swap moves
+    must NOT present as an empty store on the next batch (which would
+    silently re-accept the entire history).  Both crash windows roll
+    back automatically; remote store paths are refused loudly."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from hermes_spark.streaming import (
+        compact_minhash_store,
+        stream_minhash_dedup,
+    )
+    from hermes_spark.streaming.dedup import _recover_minhash_store
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words entirely here for the second doc")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ck):
+        q = stream_minhash_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            state_path=state, output_path=out, min_jaccard=0.5,
+            checkpointLocation=str(tmp_path / ck),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    rows = spark.read.parquet(state).count()
+
+    # window A: old store in trash, tmp incomplete (no _SUCCESS) —
+    # the next batch's read must recover, not start from empty
+    shutil.move(state, state + "__trash")
+    os.makedirs(state + "__compact_tmp")
+    run("ck2")  # replay everything
+    assert spark.read.parquet(state).count() == rows
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]  # history NOT re-accepted
+
+    # window B: tmp complete (_SUCCESS), store gone — roll forward
+    shutil.move(state, state + "__compact_tmp")
+    _recover_minhash_store(state)
+    assert spark.read.parquet(state).count() == rows
+    assert not os.path.exists(state + "__compact_tmp")
+
+    # remote paths refused before any swap is attempted
+    with _pytest.raises(ValueError, match="remote URI"):
+        compact_minhash_store(spark, "s3a://bucket/state")
