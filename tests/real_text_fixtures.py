@@ -14,11 +14,14 @@ domain).  Each entry is fluent, natural text in the script — NOT
 transliterated testdata.
 
 ``SEGMENTED`` carries hand-word-segmented versions (words separated by
-``|``) for the languages where the segmentation is confidently known
-(zh, ja, th) — these calibrate the chars-per-word divisors directly.
-For km/lo/my/bo the weaker invariants are pinned instead (particle
-coverage, unsegmented ratio, gate survival of fluent vs garbage text);
-that boundary is documented in BASELINE.md.
+``|``) for every fixture language — zh/ja/th/lo since r12a, km/my/bo
+since r12c — so all seven scripts calibrate their chars-per-word
+divisors against real segmentation (plus the weaker invariants:
+particle coverage, unsegmented ratio, gate survival of fluent vs
+garbage text).  Segmentation conventions per script are noted inline;
+the km/my/bo sentences are simple declarative prose where word
+boundaries are uncontroversial, which is exactly why the fixtures are
+short.
 """
 
 # fluent sentences per language (unsegmented scripts only)
@@ -103,6 +106,39 @@ SEGMENTED: dict[str, list[str]] = {
         "ມະນຸດ|ທຸກ|ຄົນ|ເກີດ|ມາ|ມີ|ສິດ|ເສລີພາບ|ແລະ|ຄວາມສະເໝີພາບ",
         "ມື້ນີ້|ອາກາດ|ດີ|ຫຼາຍ|ພວກເຮົາ|ໄປ|ຍ່າງ|ຫຼິ້ນ|ໃນ|ສວນ",
         "ລາວ|ເປັນ|ຄູ|ທີ່|ມີ|ປະສົບການ|ຫຼາຍ|ປີ",
+    ],
+    # r12c: Khmer (compound nouns like គ្រូបង្រៀន 'teacher' and
+    # derived nominals like បទពិសោធន៍ 'experience' kept whole —
+    # the convention behind the 6-chars/word divisor; ថ្ងៃ|នេះ
+    # 'day|this' split like the zh 今天 analogue is NOT)
+    "km": [
+        "មនុស្ស|ទាំងអស់|កើត|មក|មាន|សេរីភាព|និង|សមភាព|ក្នុង|សិទ្ធិ|។",
+        "គាត់|ជា|គ្រូបង្រៀន|ដែល|មាន|បទពិសោធន៍|ច្រើន|ឆ្នាំ|។",
+        "យើង|បាន|ទៅ|ផ្សារ|ជាមួយ|គ្នា|នៅ|ថ្ងៃ|នេះ|។",
+        "សៀវភៅ|នេះ|ជា|របស់|បណ្ណាល័យ|នៃ|សាលារៀន|។",
+        "បច្ចេកវិទ្យា|បាន|ផ្លាស់ប្ដូរ|ជីវិត|របស់|មនុស្ស|ជាច្រើន|។",
+    ],
+    # r12c: Burmese (grammatical particles သည်/ကို/၏/မှာ and the
+    # plural ကြ are their own segments; compound nouns like
+    # စာကြည့်တိုက် 'library' kept whole; the adverbializer စွာ
+    # split from its stem)
+    "my": [
+        "လူတိုင်း|သည်|လွတ်လပ်|စွာ|မွေးဖွား|လာ|ကြ|သည်|။",
+        "သူ|သည်|အတွေ့အကြုံ|ရှိ|သော|ဆရာ|ဖြစ်|သည်|။",
+        "ကျွန်တော်|တို့|သည်|ယနေ့|ဈေး|ကို|သွား|ကြ|သည်|။",
+        "ဤ|စာအုပ်|သည်|ကျောင်း|၏|စာကြည့်တိုက်|မှာ|ရှိ|သည်|။",
+        "မိခင်|နှင့်|ကလေး|သည်|ဥယျာဉ်|ထဲ|မှာ|လမ်းလျှောက်|ကြ|သည်|။",
+    ],
+    # r12c: Tibetan (trailing tsheg ་ kept WITH its word — it is word
+    # material per TIBETAN_LETTER_CLASS; two-syllable lexemes like
+    # རང་དབང 'freedom' / དཔེ་མཛོད 'library' are single words;
+    # case particles ལ/གི/ནས and auxiliaries are their own segments)
+    "bo": [
+        "འགྲོ་བ་|མི་རིགས་|ཡོངས་|ལ་|རང་དབང་|དང་|ཐོབ་ཐང་|འདྲ་མཉམ་|ཡོད|།",
+        "ཁོ་|ནི་|ཉམས་མྱོང་|ཅན་|གྱི་|དགེ་རྒན་|ཞིག་|ཡིན|།",
+        "ང་ཚོ་|དེ་རིང་|གླིང་ཀར་|འགྲོ་|གི་|ཡོད|།",
+        "དེབ་|འདི་|སློབ་གྲྭའི་|དཔེ་མཛོད་|ནས་|ཡིན|།",
+        "ཁོས་|ལས་ཀ་|མང་པོ་|བྱས་|པ་|རེད|།",
     ],
 }
 

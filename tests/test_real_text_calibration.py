@@ -89,14 +89,26 @@ def test_garbage_carries_no_particles():
         assert all(p not in g for p in UNSEGMENTED_PARTICLES), lang
 
 
+def test_segmented_fixtures_reconstruct_real_sentences():
+    """Removing the ``|`` separators reproduces the REAL_SENTENCES
+    entries verbatim — the segmentations really segment the checked-in
+    prose, not paraphrases of it."""
+    for lang, segmented in SEGMENTED.items():
+        for i, sent in enumerate(segmented):
+            assert sent.replace("|", "") in REAL_SENTENCES[lang], (lang, i)
+
+
 def test_chars_per_word_divisors_on_hand_segmented_text():
     """The divisor assumptions hold on genuinely segmented text:
     mean letter-chars per hand-segmented word must sit within a
-    generous band around each script's divisor (zh/ja: 2, th: 4).
-    Punctuation segments are dropped; letters counted by the same
-    class the gates use."""
+    generous band around each script's divisor (zh/ja: 2, th/lo: 4,
+    my/bo: 5, km: 6).  Punctuation segments are dropped; letters
+    counted by the same class the gates use (for bo that includes the
+    tsheg — measured mean 5.0 letters+tshegs per word, r12c).
+    Measured means: km 4.83, my 4.28, bo 5.03 (BASELINE.md r12)."""
     bands = {"zh": (1.2, 3.2), "ja": (1.2, 3.2), "th": (2.5, 6.5),
-             "lo": (2.5, 6.5)}
+             "lo": (2.5, 6.5), "km": (3.5, 8.5), "my": (2.8, 7.0),
+             "bo": (3.0, 7.0)}
     for lang, segmented in SEGMENTED.items():
         total_letters = 0
         total_words = 0
