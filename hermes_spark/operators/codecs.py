@@ -195,6 +195,98 @@ def decode_image(data: bytes) -> dict:
     }
 
 
+def decode_image_pixels(data: bytes) -> np.ndarray:
+    """Pixel-array variant of :func:`decode_image` (same PNG/JPEG
+    signature dispatch) for kernels that need the raster, not summary
+    stats — returns the uint8 ``(h, w, channels)`` array."""
+    if data is not None and bytes(data[:2]) == JPEG_SOI:
+        return decode_jpeg(data)["pixels"]
+    return decode_png(data)["pixels"]
+
+
+def _gray(pixels: np.ndarray) -> np.ndarray:
+    """Float64 ``(h, w)`` luma proxy: mean of the color channels, alpha
+    excluded (same channel convention as the decoders'
+    ``mean_intensity``)."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        return px
+    n_color = 1 if px.shape[2] in (1, 2) else 3
+    return px[:, :, :n_color].mean(axis=2)
+
+
+def _resample_axis(img: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    """Deterministic 1-D resample along ``axis``: exact area averaging
+    when shrinking (integer block boundaries via ``reduceat`` — robust
+    to per-pixel noise, unlike point sampling), pixel-center linear
+    interpolation when growing."""
+    if axis == 1:
+        return _resample_axis(img.T, out_n, 0).T
+    n = img.shape[0]
+    if n == out_n:
+        return img
+    if n >= out_n:
+        bounds = (np.arange(out_n) * n // out_n).astype(np.int64)
+        sums = np.add.reduceat(img, bounds, axis=0)
+        counts = np.diff(np.append(bounds, n)).astype(np.float64)
+        return sums / counts[:, None]
+    pos = (np.arange(out_n) + 0.5) * n / out_n - 0.5
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    i1 = np.clip(i0 + 1, 0, n - 1)
+    frac = np.clip(pos - i0, 0.0, 1.0)[:, None]
+    return img[i0] * (1.0 - frac) + img[i1] * frac
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """n-point orthonormal DCT-II basis (the 8-point ``_DCT8`` special
+    case generalized for the pHash 32x32 transform)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    m = np.cos((2 * x + 1) * k * np.pi / (2.0 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(
+    pixels: np.ndarray, hash_size: int = 8, dct_size: int = 32
+) -> int:
+    """Perceptual image hash (the classic DCT pHash): grayscale ->
+    area-resample to ``dct_size`` x ``dct_size`` -> 2-D orthonormal
+    DCT-II -> keep the top-left ``hash_size`` x ``hash_size`` low
+    frequencies -> one bit per coefficient, set iff the coefficient
+    exceeds the median of the NON-DC coefficients.  Excluding the DC
+    term from the median makes the hash invariant to uniform brightness
+    shifts and (like any median threshold) to contrast scaling; small
+    local edits flip only the few bits whose frequencies they touch, so
+    near-duplicate images land within a small hamming distance.
+
+    Returns a SIGNED 64-bit integer (two's complement) so the value
+    round-trips through a Spark ``long`` column; bit ``i`` (LSB first)
+    is coefficient ``i`` in row-major order over the kept block.
+    """
+    if hash_size * hash_size > 64:
+        raise ValueError("hash_size^2 must fit in 64 bits")
+    gray = _gray(pixels)
+    if gray.size == 0:
+        raise MediaDecodeError("cannot hash an empty image")
+    small = _resample_axis(
+        _resample_axis(gray, dct_size, 0), dct_size, 1
+    )
+    t = _DCT32 if dct_size == 32 else _dct_matrix(dct_size)
+    coeffs = (t @ small @ t.T)[:hash_size, :hash_size].ravel()
+    med = float(np.median(coeffs[1:]))
+    value = 0
+    for i, c in enumerate(coeffs):
+        if c > med:
+            value |= 1 << i
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value
+
+
 def encode_png(pixels: np.ndarray) -> bytes:
     """Encode a ``(h, w)`` or ``(h, w, channels)`` uint8 array as PNG
     (filter type 0, single IDAT)."""

@@ -1067,32 +1067,58 @@ def simhash_near_dup_pairs(
         df, id_col, text_col, bits=bits, portable=portable,
         script_aware=script_aware,
     )
+    return fingerprint_near_dup_pairs(
+        fps, "id", "simhash", bits=bits, max_hamming=max_hamming,
+        block_bits=block_bits, max_bucket_size=max_bucket_size,
+    )
+
+
+def fingerprint_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed integer fingerprint column
+    (SimHash, image pHash, audio fingerprint, ...) by hamming distance
+    <= ``max_hamming`` — the banded gather-and-pair core factored out
+    of :func:`simhash_near_dup_pairs` (r12c, for
+    :func:`~hermes_spark.operators.multimodal.image_near_dup_pairs`).
+
+    Pigeonhole blocking: signatures within hamming k agree exactly on
+    >= 1 of k+1 disjoint bit blocks, so the join key is (block index,
+    block bits) — ONE shuffle, no cross join.  Arithmetic sign
+    extension from negative 64-bit hashes is masked off by the
+    block-width AND.  Returns ``(id_a, id_b, hamming)``.
+    """
     n_blocks = max(max_hamming + 1, bits // block_bits)
     width = bits // n_blocks
 
-    # one row per (doc, block): the bucket key is (block index, block
-    # bits) — same single-shuffle gather-and-pair shape as minhash LSH;
-    # a per-block self-join would re-run the whole simhash pipeline
-    # twice per block (2*n_blocks document scans)
+    hashed = fps.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("__fp")
+    )
     block_key = F.concat_ws(
         "_",
         F.col("__blk").cast("string"),
         # SQL form: pyspark's shiftright() only takes a literal shift
-        F.expr(f"shiftright(simhash, __blk * {width})")
+        F.expr(f"shiftright(__fp, __blk * {width})")
         .bitwiseAND(F.lit((1 << width) - 1))
         .cast("string"),
     )
     bucketed = (
-        fps.select(
+        hashed.select(
             "id",
-            "simhash",
+            "__fp",
             F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
         )
-        .select("id", "simhash", block_key.alias("__k"))
+        .select("id", "__fp", block_key.alias("__k"))
     )
     grouped = (
         bucketed.groupBy("__k")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("__members"))
+        .agg(F.collect_list(F.struct("id", "__fp")).alias("__members"))
         .filter(F.size("__members") >= 2)
     )
     if max_bucket_size is not None:
@@ -1107,7 +1133,7 @@ def simhash_near_dup_pairs(
                     F.least(m1["id"], m2["id"]).alias("id_a"),
                     F.greatest(m1["id"], m2["id"]).alias("id_b"),
                     F.bit_count(
-                        m1["simhash"].bitwiseXOR(m2["simhash"])
+                        m1["__fp"].bitwiseXOR(m2["__fp"])
                     ).alias("hamming"),
                 ),
             ),

@@ -301,3 +301,104 @@ def extract_audio_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(process, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (r12c)
+# ---------------------------------------------------------------------------
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decoder: Optional[Callable[[bytes], "object"]] = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual 64-bit image hash per row: ``(id, phash, decode_error)``.
+
+    The content-level sibling of byte-exact image dedup: re-encoded,
+    recompressed, brightness-shifted or lightly edited copies of an
+    image keep (nearly) the same pHash, so near-duplicate IMAGES are
+    found the same way near-duplicate TEXT is found with SimHash —
+    hamming distance on a 64-bit fingerprint (kernel:
+    :func:`~hermes_spark.operators.codecs.phash64` — grayscale, 32x32
+    area resample, 2-D DCT, median threshold on the low-frequency
+    block).
+
+    ``decoder`` maps bytes -> uint8 pixel array; the default is the
+    real PNG/JPEG parser
+    (:func:`~hermes_spark.operators.codecs.decode_image_pixels`).
+    Decode/hash failures land in ``decode_error`` (per-item isolation);
+    ``phash`` is null for those rows.
+
+    Scale: one scan, zero shuffles — the hash is a pure per-row kernel
+    over Arrow batches.  At 100 TB the decode dominates; push
+    metadata-only filters before this operator so pruned rows never
+    decode, and size partitions so a batch of binaries fits memory
+    (multimodal module notes above).
+    """
+    if decoder is None:
+        from .codecs import decode_image_pixels
+
+        decoder = decode_image_pixels
+    from .codecs import phash64
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("phash", LongType()),
+            StructField("decode_error", StringType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {id_col: row[id_col], "phash": None,
+                       "decode_error": None}
+                try:
+                    rec["phash"] = phash64(
+                        decoder(row[binary_col]), hash_size=hash_size
+                    )
+                except Exception as exc:  # noqa: BLE001 - per-item isolation
+                    rec["decode_error"] = str(exc)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "phash", "decode_error"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(process, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 6,
+    decoder: Optional[Callable[[bytes], "object"]] = None,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate image pairs: pHash + the banded hamming join.
+
+    ``(id_a, id_b, hamming)`` for pairs whose perceptual hashes are
+    within ``max_hamming`` bits (default 6 of 64 — recompressed/
+    brightness-shifted copies measure 0-4 bits apart, unrelated images
+    ~25-40).  Undecodable rows are skipped (their hash is null).
+
+    Same pigeonhole blocking as SimHash near-dups
+    (:func:`~hermes_spark.operators.dedup.fingerprint_near_dup_pairs`):
+    ONE shuffle on (block index, block bits), in-bucket pairing, never
+    an all-pairs join — ``max_bucket_size`` caps degenerate buckets
+    (e.g. millions of identical thumbnails) at a small recall cost.
+    """
+    from .dedup import fingerprint_near_dup_pairs
+
+    hashes = image_phash(
+        df, id_col, binary_col, decoder=decoder
+    ).filter(F.col("phash").isNotNull())
+    return fingerprint_near_dup_pairs(
+        hashes, id_col, "phash", bits=64, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
