@@ -287,6 +287,26 @@ def phash64(
     return value
 
 
+def synthetic_image(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
+    """Deterministic uint8 test image with real low-frequency structure
+    (smooth waves + rectangles) for codec/pHash tests and probes —
+    uniform random noise has no perceptual content for a DCT hash to
+    lock onto.  Lives here (not in tests) so worker processes can
+    import it inside pickled decoder callables."""
+    r = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        127.0
+        + 60 * np.sin(xx / (5 + int(r.integers(3, 20))))
+        + 50 * np.cos(yy / (4 + int(r.integers(2, 15))))
+    )
+    for _ in range(4):
+        y0, x0 = int(r.integers(0, h // 2)), int(r.integers(0, w // 2))
+        img[y0: y0 + int(r.integers(5, h // 2)),
+            x0: x0 + int(r.integers(5, w // 2))] += int(r.integers(-60, 60))
+    return img.clip(0, 255).astype(np.uint8)
+
+
 def encode_png(pixels: np.ndarray) -> bytes:
     """Encode a ``(h, w)`` or ``(h, w, channels)`` uint8 array as PNG
     (filter type 0, single IDAT)."""

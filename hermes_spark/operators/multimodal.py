@@ -402,3 +402,210 @@ def image_near_dup_pairs(
         hashes, id_col, "phash", bits=64, max_hamming=max_hamming,
         max_bucket_size=max_bucket_size,
     )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n_ms: int = 1000,
+    max_frames: int = 8,
+    frame_decoder: Optional[Callable[[bytes, int, int], list]] = None,
+    image_decoder: Optional[Callable[[bytes], "object"]] = None,
+    max_hamming: int = 6,
+    min_overlap_frac: float = 0.5,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs via frame-level perceptual hashing.
+
+    The scalable alternative to comparing videos pairwise: sample up to
+    ``max_frames`` frames per video (:func:`frame_sample`), pHash each
+    frame (:func:`~hermes_spark.operators.codecs.phash64`), then find
+    cross-video frame matches with the same pigeonhole-banded hamming
+    join as image/SimHash near-dups — two videos never meet unless some
+    frame pair agrees exactly on a hash block.  A re-encoded or
+    trimmed copy shares most frame hashes; unrelated videos share none.
+
+    Returns ``(id_a, id_b, matched_a, matched_b, n_frames_a,
+    n_frames_b, overlap_frac)`` where ``matched_x`` counts DISTINCT
+    frames of x within ``max_hamming`` of some frame of the other
+    video, ``overlap_frac = max(matched_a/n_frames_a,
+    matched_b/n_frames_b)`` (containment — robust to one side having
+    extra frames), filtered to ``>= min_overlap_frac``.
+
+    ``frame_decoder`` must yield real image bytes per frame (an
+    ffmpeg-backed callable in production; tests synthesize PNG frames)
+    — the default byte-slicing stub produces frames that fail image
+    decode, in which case those frames simply drop out (null hash).
+
+    Scale: frame sampling and hashing are per-row kernels (zero
+    shuffle); the band join shuffles (videos x frames x blocks) rows
+    ONCE; the overlap aggregation groups the (small) match table.  No
+    stage is quadratic in videos.
+    """
+    from .codecs import phash64
+
+    if image_decoder is None:
+        from .codecs import decode_image_pixels
+
+        image_decoder = decode_image_pixels
+
+    frames = frame_sample(
+        df, id_col, binary_col, every_n_ms=every_n_ms,
+        max_frames=max_frames, decoder=frame_decoder,
+    )
+
+    hash_schema = StructType(
+        [
+            frames.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    ph = phash64(image_decoder(row["frame_bytes"]))
+                except Exception:  # noqa: BLE001 - per-frame isolation
+                    ph = None
+                rows.append(
+                    {
+                        id_col: row[id_col],
+                        "frame_idx": row["frame_idx"],
+                        "phash": ph,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "phash"])
+
+    fhash = (
+        frames.select(id_col, "frame_idx", "frame_bytes")
+        .mapInPandas(hash_frames, hash_schema)
+        .filter(F.col("phash").isNotNull())
+    )
+
+    n_frames = fhash.groupBy(id_col).agg(
+        F.count("*").alias("__nf")
+    )
+
+    bits, block_bits = 64, 8
+    n_blocks = max(max_hamming + 1, bits // block_bits)
+    width = bits // n_blocks
+    block_key = F.concat_ws(
+        "_",
+        F.col("__blk").cast("string"),
+        F.expr(f"shiftright(phash, __blk * {width})")
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .cast("string"),
+    )
+    bucketed = (
+        fhash.select(
+            F.col(id_col).alias("__vid"),
+            "frame_idx",
+            "phash",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
+        )
+        .select("__vid", "frame_idx", "phash", block_key.alias("__k"))
+    )
+    grouped = (
+        bucketed.groupBy("__k")
+        .agg(
+            F.collect_list(
+                F.struct("__vid", "frame_idx", "phash")
+            ).alias("__members")
+        )
+        .filter(F.size("__members") >= 2)
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__members") <= max_bucket_size)
+    members = F.col("__members")
+    # cross-VIDEO frame matches only (same-video frames never pair)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                members,
+                lambda m1, i: F.transform(
+                    F.slice(members, i + 2, F.size(members)),
+                    lambda m2: F.struct(
+                        F.least(m1["__vid"], m2["__vid"]).alias("id_a"),
+                        F.greatest(m1["__vid"], m2["__vid"]).alias("id_b"),
+                        F.when(
+                            m1["__vid"] <= m2["__vid"], m1["frame_idx"]
+                        ).otherwise(m2["frame_idx"]).alias("frame_a"),
+                        F.when(
+                            m1["__vid"] <= m2["__vid"], m2["frame_idx"]
+                        ).otherwise(m1["frame_idx"]).alias("frame_b"),
+                        F.bit_count(
+                            m1["phash"].bitwiseXOR(m2["phash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["id_a"] != p["id_b"])
+        & (p["hamming"] <= F.lit(max_hamming)),
+    )
+    matches = (
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.frame_a", "__p.frame_b")
+        .distinct()
+    )
+    overlaps = matches.groupBy("id_a", "id_b").agg(
+        F.countDistinct("frame_a").alias("matched_a"),
+        F.countDistinct("frame_b").alias("matched_b"),
+    )
+    nf_a = n_frames.select(
+        F.col(id_col).alias("id_a"), F.col("__nf").alias("n_frames_a")
+    )
+    nf_b = n_frames.select(
+        F.col(id_col).alias("id_b"), F.col("__nf").alias("n_frames_b")
+    )
+    return (
+        overlaps.join(nf_a, "id_a").join(nf_b, "id_b")
+        .withColumn(
+            "overlap_frac",
+            F.greatest(
+                F.col("matched_a") / F.col("n_frames_a"),
+                F.col("matched_b") / F.col("n_frames_b"),
+            ),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select(
+            "id_a", "id_b", "matched_a", "matched_b",
+            "n_frames_a", "n_frames_b", "overlap_frac",
+        )
+    )
+
+
+def synthetic_video_bytes(
+    seed: int, start: int = 0, n_frames: int = 8, jpeg: bool = False
+) -> bytes:
+    """Demo 'video' payload for :func:`synthetic_frame_decoder`: a
+    7-byte header (seed, start frame, frame count, jpeg flag).  No real
+    video codec exists in this environment, so demos/tests exercise the
+    video dedup plumbing with synthesized frames that are REAL encoded
+    images."""
+    return bytes(
+        seed.to_bytes(4, "big") + bytes([start, n_frames, 1 if jpeg else 0])
+    )
+
+
+def synthetic_frame_decoder(data: bytes, every_n_ms: int, cap: int) -> list:
+    """Frame 'decoder' for :func:`synthetic_video_bytes` payloads:
+    frame j is a real PNG/JPEG encoding of
+    ``synthetic_image(seed*100 + start + j)`` — frame CONTENT, not
+    position, drives pHash matches, exactly like a real decoder.
+    Importable module-level function so worker processes can unpickle
+    it (a test-module-local decoder can't be imported by executors)."""
+    from .codecs import encode_jpeg, encode_png, synthetic_image
+
+    data = bytes(data)
+    seed = int.from_bytes(data[:4], "big")
+    start, n, as_jpeg = data[4], min(int(data[5]), cap), bool(data[6])
+    enc = encode_jpeg if as_jpeg else encode_png
+    return [
+        (j, j * every_n_ms, enc(synthetic_image(seed * 100 + start + j)))
+        for j in range(n)
+    ]

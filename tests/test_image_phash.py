@@ -17,30 +17,13 @@ from hermes_spark.operators.codecs import (
     encode_jpeg,
     encode_png,
     phash64,
+    synthetic_image as _structured_img,
 )
 from hermes_spark.operators.multimodal import image_near_dup_pairs, image_phash
 
 
 def _ham(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
-
-
-def _structured_img(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
-    """Deterministic image with real low-frequency structure (smooth
-    waves + rectangles) — uniform random noise has no perceptual
-    content for a DCT hash to lock onto."""
-    r = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    img = (
-        127
-        + 60 * np.sin(xx / (5 + int(r.integers(3, 20))))
-        + 50 * np.cos(yy / (4 + int(r.integers(2, 15))))
-    )
-    for _ in range(4):
-        y0, x0 = int(r.integers(0, h // 2)), int(r.integers(0, w // 2))
-        img[y0: y0 + int(r.integers(5, h // 2)),
-            x0: x0 + int(r.integers(5, w // 2))] += int(r.integers(-60, 60))
-    return img.clip(0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------------------ kernel
@@ -161,3 +144,73 @@ def test_fingerprint_pairs_generic_matches_direct_hamming(spark):
             if h <= 3:
                 expected[(i, j)] = h
     assert got == expected
+
+
+# ------------------------------------------------------------------- video
+
+
+def _video_bytes(seed: int, start: int = 0, n_frames: int = 8,
+                 jpeg: bool = False) -> bytearray:
+    from hermes_spark.operators.multimodal import synthetic_video_bytes
+
+    return bytearray(synthetic_video_bytes(seed, start, n_frames, jpeg))
+
+
+def test_video_near_dup_pairs(spark):
+    """v0: 8 frames from seed 7.  v1: the same frames recompressed as
+    JPEG (a re-encoded copy).  v2: seed 7 frames 2..9 (a trimmed/
+    shifted copy sharing 6 of 8 frames).  v3: unrelated seed.  The
+    frame-level pHash join finds exactly the three related pairs with
+    the right containment fractions."""
+    from hermes_spark.operators.multimodal import (
+        synthetic_frame_decoder, video_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, _video_bytes(7)),
+            (1, _video_bytes(7, jpeg=True)),
+            (2, _video_bytes(7, start=2)),
+            (3, _video_bytes(99)),
+        ],
+        ["vid", "media"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dup_pairs(
+            df, "vid", "media", max_frames=8, frame_decoder=synthetic_frame_decoder,
+            max_hamming=6, min_overlap_frac=0.5,
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}, set(got)
+    assert got[(0, 1)]["overlap_frac"] == 1.0
+    assert got[(0, 2)]["overlap_frac"] == 0.75
+    assert got[(0, 2)]["matched_a"] == 6 and got[(0, 2)]["matched_b"] == 6
+    assert got[(1, 2)]["overlap_frac"] == 0.75
+
+
+def test_video_default_stub_frames_drop_out(spark):
+    """With the byte-slicing stub frame decoder the frames are not
+    images: every hash is null and the operator returns an EMPTY frame
+    (per-frame isolation, no job failure)."""
+    from hermes_spark.operators.multimodal import video_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"x" * 4096)), (1, bytearray(b"x" * 4096))],
+        ["vid", "media"],
+    )
+    assert video_near_dup_pairs(df, "vid", "media").count() == 0
+
+
+def test_video_near_dup_plan_has_no_cartesian(spark):
+    from hermes_spark.operators.multimodal import (
+        synthetic_frame_decoder, video_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, _video_bytes(7, n_frames=2))], ["vid", "media"])
+    plan = video_near_dup_pairs(
+        df, "vid", "media", frame_decoder=synthetic_frame_decoder
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

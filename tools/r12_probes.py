@@ -538,3 +538,111 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def probe_image_phash(spark) -> None:
+    """r12c: the perceptual image-hash family at 200k images.
+
+    100k structured base images + 80k perturbed PNG twins (brightness
+    shift or sparse pixel noise, re-encoded) + 20k lossy JPEG twins —
+    planted ground truth: twin k pairs with base k.  Measures the
+    distributed hash stage and the banded hamming join end-to-end,
+    recall on planted twins at max_hamming=6, and the false-pair rate
+    (unrelated structured images that land within 6 bits).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from hermes_spark.operators.multimodal import (
+        image_near_dup_pairs, image_phash,
+    )
+
+    n_base = 100_000
+    n_png_twin = 80_000
+    n_jpeg_twin = 20_000
+
+    def gen(batches):
+        from hermes_spark.operators.codecs import encode_jpeg, encode_png
+
+        from hermes_spark.operators.codecs import synthetic_image as mk
+
+        for pdf in batches:
+            rows = []
+            for img_id in pdf["img_id"]:
+                img_id = int(img_id)
+                if img_id < n_base:                      # base: id = seed
+                    px = mk(img_id)
+                    media = encode_png(px)
+                elif img_id < n_base + n_png_twin:       # perturbed PNG twin
+                    seed = img_id - n_base
+                    px = mk(seed)
+                    r = np.random.default_rng(img_id)
+                    if seed % 2 == 0:
+                        px = np.clip(
+                            px.astype(np.int64) + int(r.integers(10, 30)),
+                            0, 255).astype(np.uint8)
+                    else:
+                        noisy = px.copy()
+                        idx = r.integers(0, px.size, 150)
+                        noisy.flat[idx] = r.integers(0, 255, 150)
+                        px = noisy
+                    media = encode_png(px)
+                else:                                    # lossy JPEG twin
+                    seed = img_id - n_base - n_png_twin
+                    media = encode_jpeg(mk(seed))
+                rows.append({"img_id": img_id, "media": media})
+            yield pd.DataFrame(rows, columns=["img_id", "media"])
+
+    total = n_base + n_png_twin + n_jpeg_twin
+    schema = StructType([
+        StructField("img_id", LongType()),
+        StructField("media", BinaryType()),
+    ])
+    tmp = tempfile.mkdtemp(prefix="phash_probe_")
+    try:
+        t0 = time.time()
+        (spark.range(total).select(F.col("id").alias("img_id"))
+         .repartition(256)
+         .mapInPandas(gen, schema)
+         .write.mode("overwrite").parquet(f"{tmp}/images"))
+        gen_s = time.time() - t0
+        images = spark.read.parquet(f"{tmp}/images")
+
+        t0 = time.time()
+        hashes = image_phash(images, "img_id", "media")
+        n_hashed = hashes.filter(F.col("phash").isNotNull()).count()
+        hash_s = time.time() - t0
+
+        t0 = time.time()
+        pairs = image_near_dup_pairs(images, "img_id", "media", max_hamming=6)
+        got = pairs.select("id_a", "id_b").collect()
+        pair_s = time.time() - t0
+
+        got_set = {(r["id_a"], r["id_b"]) for r in got}
+        planted = {(s, n_base + s) for s in range(n_png_twin)} | {
+            (s, n_base + n_png_twin + s) for s in range(n_jpeg_twin)
+        }
+        hit = sum(1 for p in planted if p in got_set)
+        out({
+            "probe": "image_phash",
+            "images": total,
+            "gen_s": round(gen_s, 1),
+            "hash_s": round(hash_s, 1),
+            "hash_images_per_s": round(total / hash_s, 0),
+            "pair_s": round(pair_s, 1),
+            "pair_images_per_s": round(total / pair_s, 0),
+            "n_hashed": n_hashed,
+            "recall_planted": round(hit / len(planted), 4),
+            "n_pairs": len(got_set),
+            "n_unplanted_pairs": len(got_set - planted),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
