@@ -287,6 +287,79 @@ def phash64(
     return value
 
 
+def audio_fingerprint64(
+    samples: np.ndarray,
+    sample_rate: int,
+    n_bands: int = 65,
+    frame_len: int = 2048,
+    f_min: float = 50.0,
+) -> int:
+    """Perceptual 64-bit audio fingerprint (Haitsma-Kalker-style band
+    energy differences, collapsed to one clip-level hash): frame the
+    signal, average the power spectrum across frames, pool it into
+    ``n_bands`` log-spaced bands between ``f_min`` and Nyquist, then
+    set bit ``m`` iff band ``m``'s log energy exceeds band ``m+1``'s.
+    Adjacent-band DIFFERENCES make the hash invariant to volume/gain
+    scaling and robust to re-quantization and low-level noise, while
+    different spectral content flips many bits — the audio analogue of
+    :func:`phash64`, fed to the same banded hamming join.
+
+    Returns a signed 64-bit integer (bit i, LSB first, is band pair i).
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 2:
+        raise MediaDecodeError("cannot fingerprint empty/1-sample audio")
+    if n_bands != 65:
+        raise ValueError("n_bands must be 65 (64 difference bits)")
+    frame_len = min(frame_len, x.size)
+    n_frames = x.size // frame_len
+    frames = x[: n_frames * frame_len].reshape(n_frames, frame_len)
+    # Hann window keeps band energies stable under small time shifts
+    spec = np.abs(np.fft.rfft(frames * np.hanning(frame_len), axis=1)) ** 2
+    mean_spec = spec.mean(axis=0)
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / max(sample_rate, 1))
+    nyquist = max(sample_rate, 1) / 2.0
+    f_lo = min(f_min, nyquist / 4.0)
+    edges = np.geomspace(max(f_lo, freqs[1] if len(freqs) > 1 else 1.0),
+                         nyquist, n_bands + 1)
+    idx = np.searchsorted(freqs, edges)
+    energies = np.empty(n_bands)
+    for b in range(n_bands):
+        lo, hi = idx[b], max(idx[b + 1], idx[b] + 1)
+        energies[b] = mean_spec[lo:hi].mean() if lo < len(mean_spec) else 0.0
+    log_e = np.log10(energies + 1e-12)
+    value = 0
+    for i in range(64):
+        if log_e[i] > log_e[i + 1]:
+            value |= 1 << i
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value
+
+
+def synthetic_audio(
+    seed: int, sample_rate: int = 16000, secs: float = 3.0
+) -> np.ndarray:
+    """Deterministic broadband test audio: white noise shaped by a
+    seed-dependent spectral envelope (8 Gaussian bumps between 100 Hz
+    and 7 kHz) — mimics the energy distribution of music/speech, which
+    is what :func:`audio_fingerprint64`'s band differences key on.
+    Sparse pure tones would leave most bands noise-floor-dominated and
+    the fingerprint meaningless.  Float64 in [-0.7, 0.7]."""
+    r = np.random.default_rng(seed)
+    n = int(sample_rate * secs)
+    spec = np.fft.rfft(r.standard_normal(n))
+    freqs = np.fft.rfftfreq(n, 1.0 / sample_rate)
+    env = np.zeros_like(freqs)
+    for _ in range(8):
+        c = r.uniform(100, 7000)
+        width = r.uniform(50, 2000)
+        amp = r.uniform(0.2, 1.0)
+        env += amp * np.exp(-0.5 * ((freqs - c) / width) ** 2)
+    x = np.fft.irfft(spec * env, n)
+    return x / (np.abs(x).max() + 1e-9) * 0.7
+
+
 def synthetic_image(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
     """Deterministic uint8 test image with real low-frequency structure
     (smooth waves + rectangles) for codec/pHash tests and probes —

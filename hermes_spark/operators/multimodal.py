@@ -609,3 +609,83 @@ def synthetic_frame_decoder(data: bytes, every_n_ms: int, cap: int) -> list:
         (j, j * every_n_ms, enc(synthetic_image(seed * 100 + start + j)))
         for j in range(n)
     ]
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decoder: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """Perceptual 64-bit audio fingerprint per row: ``(id, afp,
+    decode_error)`` — the audio sibling of :func:`image_phash`.
+
+    Kernel: :func:`~hermes_spark.operators.codecs.audio_fingerprint64`
+    (log-spaced band energy differences over the time-averaged power
+    spectrum — gain/requantization-invariant, a few bits under small
+    trims or added noise, ~25-35 bits apart for unrelated content).
+
+    ``decoder`` maps bytes -> ``{"samples", "sample_rate", ...}``; the
+    default is the real RIFF/WAVE parser
+    (:func:`~hermes_spark.operators.codecs.decode_wav`).  Failures land
+    in ``decode_error`` (null ``afp``), per-item isolation.
+
+    Scale: pure per-row Arrow-batched kernel, zero shuffle; FFT cost is
+    O(n log n) in clip length, dominated by decode at crawl scale.
+    """
+    if decoder is None:
+        from .codecs import decode_wav
+
+        decoder = decode_wav
+    from .codecs import audio_fingerprint64
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("afp", LongType()),
+            StructField("decode_error", StringType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {id_col: row[id_col], "afp": None, "decode_error": None}
+                try:
+                    feats = decoder(row[binary_col])
+                    rec["afp"] = audio_fingerprint64(
+                        feats["samples"], feats["sample_rate"]
+                    )
+                except Exception as exc:  # noqa: BLE001 - per-item isolation
+                    rec["decode_error"] = str(exc)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[id_col, "afp", "decode_error"])
+
+    return df.select(id_col, binary_col).mapInPandas(process, out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 10,
+    decoder: Optional[Callable[[bytes], dict]] = None,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs: spectral fingerprint + the banded
+    hamming join (:func:`~hermes_spark.operators.dedup.
+    fingerprint_near_dup_pairs`) — re-encoded, gain-changed, lightly
+    trimmed or renoised copies of a clip pair up; unrelated clips never
+    meet.  ``(id_a, id_b, hamming)``; default threshold 10 of 64 (twin
+    transformations measure 0-9 on the probe corpus, unrelated 24-36).
+    """
+    from .dedup import fingerprint_near_dup_pairs
+
+    fps = audio_fingerprint(
+        df, id_col, binary_col, decoder=decoder
+    ).filter(F.col("afp").isNotNull())
+    return fingerprint_near_dup_pairs(
+        fps, id_col, "afp", bits=64, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
