@@ -1446,3 +1446,137 @@ def dedup_against(
         survivors.select(F.col(id_col).alias("__id")), on="__id", how="left_semi"
     ).select("__band", "__id", "__sig")
     return survivors, new_store_rows
+
+
+def fingerprint_banded_rows(
+    fps: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Explode integer fingerprints into the pigeonhole band layout
+    ``(__blk int, __bv long, __id, __fp)`` used by
+    :func:`fingerprint_dedup_against`'s store — k+1 rows per
+    fingerprint, three longs each, so history is stored PRE-BANDED and
+    never re-exploded per batch (the lesson from the streaming MinHash
+    store)."""
+    n_blocks = max(max_hamming + 1, bits // block_bits)
+    width = bits // n_blocks
+    return fps.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__fp"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
+    ).select(
+        "__id",
+        "__fp",
+        "__blk",
+        F.expr(f"shiftright(__fp, __blk * {width})")
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias("__bv"),
+    )
+
+
+def fingerprint_dedup_against(
+    new_fps: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+    block_bits: int = 8,
+    max_bucket_size: Optional[int] = None,
+    keep_policy: str = "component",
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental PERCEPTUAL dedup: drop new items whose fingerprint
+    (image pHash, audio fingerprint, SimHash — any
+    :func:`fingerprint_near_dup_pairs`-compatible integer) is within
+    ``max_hamming`` of the already-accepted corpus or of an earlier
+    in-batch item — the :func:`dedup_against` shape for hamming space.
+
+    ``new_fps`` carries ``(id_col, hash_col)`` (hash whatever modality
+    upstream: :func:`~hermes_spark.operators.multimodal.image_phash`
+    etc.).  ``store`` rows are ``(__blk, __bv, __fp)`` as produced by
+    :func:`fingerprint_banded_rows` — pre-banded, so each batch
+    equi-joins on ``(__blk, __bv)`` without exploding history.  Returns
+    ``(survivor_fps, new_store_rows)``; append the latter after writing
+    survivors (replay-idempotent when the store is deduped on read —
+    re-appending the same rows only re-drops the same duplicates).
+
+    ``keep_policy`` as :func:`dedup_against`: ``"component"`` keeps
+    each in-batch near-dup component's minimum id that did not match
+    history; ``"greedy"`` drops the larger id of every pair.
+
+    Scale shape: history side is semi-joined to the batch's
+    ``(__blk, __bv)`` set and collapsed to distinct ``(__blk, __bv,
+    __fp)`` first, so a mega-cluster of identical stored fingerprints
+    is ONE row per block; ``max_bucket_size`` then caps genuinely
+    diverse hot buckets by DISTINCT-fingerprint count.  Only the new
+    batch is ever decoded/hashed.
+    """
+    if keep_policy not in ("component", "greedy"):
+        raise ValueError(
+            f"keep_policy must be 'component' or 'greedy', got {keep_policy!r}"
+        )
+    batch_banded = fingerprint_banded_rows(
+        new_fps, id_col, hash_col, bits=bits, max_hamming=max_hamming,
+        block_bits=block_bits,
+    )
+    batch_keys = F.broadcast(
+        batch_banded.select("__blk", "__bv").distinct()
+    )
+    store_rel = (
+        store.join(batch_keys, on=["__blk", "__bv"], how="left_semi")
+        .select("__blk", "__bv", "__fp")
+        .distinct()
+    )
+    if max_bucket_size is not None:
+        hot = (
+            store_rel.groupBy("__blk", "__bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("__blk", "__bv")
+        )
+        store_rel = store_rel.join(
+            F.broadcast(hot), on=["__blk", "__bv"], how="left_anti"
+        )
+    hist_hits = (
+        batch_banded.alias("b")
+        .join(
+            store_rel.withColumnRenamed("__fp", "__sfp").alias("s"),
+            on=["__blk", "__bv"],
+        )
+        .filter(
+            F.bit_count(F.col("b.__fp").bitwiseXOR(F.col("__sfp")))
+            <= F.lit(max_hamming)
+        )
+        .select(F.col("b.__id").alias("__id"))
+        .distinct()
+    )
+    batch_pairs = fingerprint_near_dup_pairs(
+        new_fps, id_col, hash_col, bits=bits, max_hamming=max_hamming,
+        block_bits=block_bits, max_bucket_size=max_bucket_size,
+    )
+    if keep_policy == "greedy":
+        batch_losers = batch_pairs.select(F.col("id_b").alias("__id")).distinct()
+    else:
+        comp = connected_components(batch_pairs)
+        alive = comp.join(
+            hist_hits.withColumnRenamed("__id", "id"), on="id", how="left_anti"
+        )
+        keep = alive.groupBy("component").agg(F.min("id").alias("__keep"))
+        batch_losers = (
+            alive.join(keep, on="component")
+            .filter(F.col("id") != F.col("__keep"))
+            .select(F.col("id").alias("__id"))
+        )
+    dropped = hist_hits.unionByName(batch_losers).distinct()
+    survivors = new_fps.join(
+        dropped.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+    )
+    new_store_rows = batch_banded.join(
+        survivors.select(F.col(id_col).alias("__id")), on="__id",
+        how="left_semi",
+    ).select("__blk", "__bv", "__fp")
+    return survivors, new_store_rows

@@ -214,3 +214,82 @@ def test_video_near_dup_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -------------------------------------------------------- incremental store
+
+
+def test_fingerprint_dedup_against_cross_batch(spark):
+    """Batch 1 accepts fps; batch 2 drops near-matches of history and
+    of earlier in-batch items, keeps the rest; replaying batch 2
+    against the updated store drops everything (idempotence)."""
+    from hermes_spark.operators.dedup import (
+        fingerprint_banded_rows,
+        fingerprint_dedup_against,
+    )
+
+    def s64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    a = 0x0123456789ABCDEF
+    b = 0x7EDCBA9876543210
+    batch1 = spark.createDataFrame(
+        [(1, s64(a)), (2, s64(b))], ["id", "fp"])
+    empty_store = fingerprint_banded_rows(
+        batch1.limit(0), "id", "fp", max_hamming=3)
+    surv1, store_rows1 = fingerprint_dedup_against(
+        batch1, empty_store, "id", "fp", max_hamming=3)
+    assert {r["id"] for r in surv1.collect()} == {1, 2}
+    store = store_rows1
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, s64(a ^ 0b11)),        # 2 bits from history a -> drop
+            (11, s64(0x5555AAAA5555AAAA)),   # novel -> keep
+            (12, s64(0x5555AAAA5555AAAB)),   # 1 bit from 11 -> in-batch drop
+            (13, s64(b ^ (1 << 40) ^ (1 << 41) ^ (1 << 42) ^ (1 << 43))),
+            # 4 bits from history b -> beyond max_hamming=3 -> keep
+        ],
+        ["id", "fp"],
+    )
+    surv2, store_rows2 = fingerprint_dedup_against(
+        batch2, store, "id", "fp", max_hamming=3)
+    assert {r["id"] for r in surv2.collect()} == {11, 13}
+    # survivors' banded rows only
+    assert store_rows2.select("__fp").distinct().count() == 2
+
+    # replay batch2 against the appended store: everything drops
+    store_all = store.unionByName(store_rows2)
+    surv_replay, _ = fingerprint_dedup_against(
+        batch2, store_all, "id", "fp", max_hamming=3)
+    assert surv_replay.count() == 0
+
+
+def test_fingerprint_dedup_against_component_vs_greedy(spark):
+    """A chain a~b, b~c (a !~ c) where history matches ONLY a:
+    component policy keeps the smallest non-history-matched member of
+    the cluster (b), dropping a (history) and c (same component);
+    greedy drops every pair's larger id too, so nothing survives."""
+    from hermes_spark.operators.dedup import (
+        fingerprint_banded_rows,
+        fingerprint_dedup_against,
+    )
+
+    base = 0x00FF00FF00FF00F0
+    a = base                 # 3 bits from stored d -> history hit
+    b = base ^ 0b111         # 3 bits from a (pair), 6 from d (safe)
+    c = b ^ (0b111 << 20)    # 3 bits from b, 6 from a, 9 from d
+    d = base ^ (0b111 << 40)  # the stored fingerprint
+    hist = spark.createDataFrame([(0, d)], ["id", "fp"])
+    store = fingerprint_banded_rows(hist, "id", "fp", max_hamming=3)
+    batch = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["id", "fp"])
+
+    surv_c, _ = fingerprint_dedup_against(
+        batch, store, "id", "fp", max_hamming=3, keep_policy="component")
+    assert {r["id"] for r in surv_c.collect()} == {2}  # min alive in cluster
+
+    surv_g, _ = fingerprint_dedup_against(
+        batch, store, "id", "fp", max_hamming=3, keep_policy="greedy")
+    assert {r["id"] for r in surv_g.collect()} == set()
