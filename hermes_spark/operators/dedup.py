@@ -1073,6 +1073,55 @@ def simhash_near_dup_pairs(
     )
 
 
+#: byte popcount lookup for the arrow hamming kernel
+_POP8 = None
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Vectorized popcount of a uint64 array via a 256-entry byte
+    table (numpy has no native popcount until 2.x's bitwise_count)."""
+    import numpy as np
+
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
+        )
+    return _POP8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+
+
+def _bucket_hamming_pairs_np(
+    ids: "np.ndarray",  # noqa: F821
+    fps: "np.ndarray",  # noqa: F821
+    max_hamming: int,
+    row_chunk_budget: int = 8_000_000,
+):
+    """All (i < j) pairs within ``max_hamming`` inside one bucket:
+    chunked m x m XOR matrix + byte-table popcount — ~2 ns/candidate
+    vs the Catalyst slice-explosion path's per-struct evaluation, and
+    bounded memory (``row_chunk_budget`` candidate cells per chunk).
+    Yields (id_a, id_b, hamming) arrays with id_a/id_b min/max per
+    pair."""
+    import numpy as np
+
+    m = len(ids)
+    f = fps.astype(np.int64).view(np.uint64)
+    rows_per_chunk = max(1, row_chunk_budget // max(m, 1))
+    for lo in range(0, m, rows_per_chunk):
+        hi = min(lo + rows_per_chunk, m)
+        ham = _popcount64(f[lo:hi, None] ^ f[None, :])
+        ii, jj = np.nonzero(ham <= max_hamming)
+        keep = (ii + lo) < jj  # upper triangle only (i < j by position)
+        if not keep.any():
+            continue
+        ii, jj = ii[keep] + lo, jj[keep]
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        id_a = np.where(swap, b, a)
+        id_b = np.where(swap, a, b)
+        yield id_a, id_b, ham[ii - lo, jj].astype(np.int32)
+
+
 def fingerprint_near_dup_pairs(
     fps: DataFrame,
     id_col: str,
@@ -1081,6 +1130,7 @@ def fingerprint_near_dup_pairs(
     max_hamming: int = 3,
     block_bits: int = 8,
     max_bucket_size: Optional[int] = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs over ANY precomputed integer fingerprint column
     (SimHash, image pHash, audio fingerprint, ...) by hamming distance
@@ -1093,7 +1143,22 @@ def fingerprint_near_dup_pairs(
     block bits) — ONE shuffle, no cross join.  Arithmetic sign
     extension from negative 64-bit hashes is masked off by the
     block-width AND.  Returns ``(id_a, id_b, hamming)``.
+
+    ``engine``: in-bucket pairing is inherently O(sum m_k²) over bucket
+    sizes, and ``block_bits``-wide buckets SATURATE once n >> 2^width
+    per block (200k 64-bit hashes at width 8 imply ~600M candidate
+    cells).  ``"arrow"`` (default) runs that inner loop as a chunked
+    numpy XOR matrix + byte-table popcount (~2 ns/candidate, bounded
+    memory); ``"expr"`` keeps the pure-Catalyst slice/struct path —
+    identical output (property-tested), fine for small corpora and
+    engine-independence checks, but its per-candidate struct
+    materialization measured ~100x slower and memory-unbounded at the
+    200k-image probe scale (BASELINE.md r12c).  ``max_bucket_size``
+    remains the recall-trading cap for degenerate hash values either
+    way.
     """
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     n_blocks = max(max_hamming + 1, bits // block_bits)
     width = bits // n_blocks
 
@@ -1116,6 +1181,58 @@ def fingerprint_near_dup_pairs(
         )
         .select("id", "__fp", block_key.alias("__k"))
     )
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        grouped = (
+            bucketed.groupBy("__k")
+            .agg(
+                F.collect_list("id").alias("__ids"),
+                F.collect_list("__fp").alias("__fps"),
+            )
+            .filter(F.size("__ids") >= 2)
+        )
+        if max_bucket_size is not None:
+            grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+        grouped = grouped.select("__ids", "__fps")
+        id_type = fps.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("id_a", id_type),
+                StructField("id_b", id_type),
+                StructField("hamming", IntegerType()),
+            ]
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                parts_a, parts_b, parts_h = [], [], []
+                for ids_cell, fps_cell in zip(pdf["__ids"], pdf["__fps"]):
+                    # the two collect_lists fill in one aggregation pass,
+                    # so index i of both comes from the same input row
+                    assert len(ids_cell) == len(fps_cell)
+                    ids = np.asarray(ids_cell)
+                    f = np.asarray(fps_cell, dtype=np.int64)
+                    for a, b, h in _bucket_hamming_pairs_np(
+                        ids, f, max_hamming
+                    ):
+                        parts_a.append(a)
+                        parts_b.append(b)
+                        parts_h.append(h)
+                if parts_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(parts_a),
+                            "id_b": np.concatenate(parts_b),
+                            "hamming": np.concatenate(parts_h),
+                        }
+                    )
+
+        return grouped.mapInPandas(kernel, out_schema).distinct()
+
     grouped = (
         bucketed.groupBy("__k")
         .agg(F.collect_list(F.struct("id", "__fp")).alias("__members"))

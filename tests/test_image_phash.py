@@ -293,3 +293,41 @@ def test_fingerprint_dedup_against_component_vs_greedy(spark):
     surv_g, _ = fingerprint_dedup_against(
         batch, store, "id", "fp", max_hamming=3, keep_policy="greedy")
     assert {r["id"] for r in surv_g.collect()} == set()
+
+
+def test_fingerprint_pairs_arrow_equals_expr(spark):
+    """Property: the arrow in-bucket kernel and the Catalyst expression
+    path emit the IDENTICAL pair set (ids + hamming), including
+    negative hashes, dense near-dup clusters and string ids."""
+    from hermes_spark.operators.dedup import fingerprint_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+
+    def s64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    fps = [int(x) for x in rng.integers(-(1 << 62), 1 << 62, 60)]
+    # dense cluster: 12 variants of one hash within 0-4 bits
+    seedfp = fps[0]
+    for i in range(12):
+        flip = 0
+        for b in rng.integers(0, 64, i % 5):
+            flip |= 1 << int(b)
+        fps.append(s64(seedfp ^ flip))
+    rows = [(i, f) for i, f in enumerate(fps)]
+    df = spark.createDataFrame(rows, ["id", "fp"])
+    for mh in (2, 4):
+        a = {tuple(r) for r in fingerprint_near_dup_pairs(
+            df, "id", "fp", max_hamming=mh, engine="arrow").collect()}
+        e = {tuple(r) for r in fingerprint_near_dup_pairs(
+            df, "id", "fp", max_hamming=mh, engine="expr").collect()}
+        assert a == e, (mh, a ^ e)
+    # string ids round-trip through the kernel
+    sdf = spark.createDataFrame(
+        [(f"doc-{i}", f) for i, f in enumerate(fps)], ["id", "fp"])
+    a = {tuple(r) for r in fingerprint_near_dup_pairs(
+        sdf, "id", "fp", max_hamming=3, engine="arrow").collect()}
+    e = {tuple(r) for r in fingerprint_near_dup_pairs(
+        sdf, "id", "fp", max_hamming=3, engine="expr").collect()}
+    assert a == e

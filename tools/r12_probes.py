@@ -536,8 +536,6 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def probe_image_phash(spark) -> None:
@@ -646,3 +644,7 @@ def probe_image_phash(spark) -> None:
         })
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
