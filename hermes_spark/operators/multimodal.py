@@ -509,49 +509,71 @@ def video_near_dup_pairs(
         )
         .select("__vid", "frame_idx", "phash", block_key.alias("__k"))
     )
+    # in-bucket frame pairing runs as the same chunked numpy XOR +
+    # popcount kernel as fingerprint_near_dup_pairs(engine="arrow") —
+    # 8-bit blocks saturate once frames >> 256 per block and the
+    # Catalyst slice/struct path materializes every candidate (the
+    # 200k-image probe measured it heap-unbounded; BASELINE.md r12c)
+    import numpy as np
+
+    from .dedup import _bucket_hamming_pairs_np
+
     grouped = (
         bucketed.groupBy("__k")
         .agg(
-            F.collect_list(
-                F.struct("__vid", "frame_idx", "phash")
-            ).alias("__members")
+            F.collect_list("__vid").alias("__vids"),
+            F.collect_list("frame_idx").alias("__frames"),
+            F.collect_list("phash").alias("__fps"),
         )
-        .filter(F.size("__members") >= 2)
+        .filter(F.size("__vids") >= 2)
     )
     if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("__members") <= max_bucket_size)
-    members = F.col("__members")
-    # cross-VIDEO frame matches only (same-video frames never pair)
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                members,
-                lambda m1, i: F.transform(
-                    F.slice(members, i + 2, F.size(members)),
-                    lambda m2: F.struct(
-                        F.least(m1["__vid"], m2["__vid"]).alias("id_a"),
-                        F.greatest(m1["__vid"], m2["__vid"]).alias("id_b"),
-                        F.when(
-                            m1["__vid"] <= m2["__vid"], m1["frame_idx"]
-                        ).otherwise(m2["frame_idx"]).alias("frame_a"),
-                        F.when(
-                            m1["__vid"] <= m2["__vid"], m2["frame_idx"]
-                        ).otherwise(m1["frame_idx"]).alias("frame_b"),
-                        F.bit_count(
-                            m1["phash"].bitwiseXOR(m2["phash"])
-                        ).alias("hamming"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: (p["id_a"] != p["id_b"])
-        & (p["hamming"] <= F.lit(max_hamming)),
+        grouped = grouped.filter(F.size("__vids") <= max_bucket_size)
+    grouped = grouped.select("__vids", "__frames", "__fps")
+    vid_type = frames.schema[id_col].dataType
+    match_schema = StructType(
+        [
+            StructField("id_a", vid_type),
+            StructField("id_b", vid_type),
+            StructField("frame_a", IntegerType()),
+            StructField("frame_b", IntegerType()),
+        ]
     )
-    matches = (
-        grouped.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.id_a", "__p.id_b", "__p.frame_a", "__p.frame_b")
-        .distinct()
-    )
+
+    def pair_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = {"id_a": [], "id_b": [], "frame_a": [], "frame_b": []}
+            for vids_cell, frames_cell, fps_cell in zip(
+                pdf["__vids"], pdf["__frames"], pdf["__fps"]
+            ):
+                # the collect_lists fill in one aggregation pass, so
+                # index i of all three comes from the same input row;
+                # pair on POSITION, then key the hamming hits back to
+                # (video, frame) and drop same-video hits
+                assert len(vids_cell) == len(fps_cell)
+                pos = np.arange(len(vids_cell))
+                f = np.asarray(fps_cell, dtype=np.int64)
+                vids = np.asarray(vids_cell)
+                frames_arr = np.asarray(frames_cell, dtype=np.int64)
+                for pa, pb, _h in _bucket_hamming_pairs_np(pos, f, max_hamming):
+                    va, vb = vids[pa], vids[pb]
+                    keep = va != vb
+                    if not keep.any():
+                        continue
+                    va, vb = va[keep], vb[keep]
+                    fa = frames_arr[pa[keep]]
+                    fb = frames_arr[pb[keep]]
+                    swap = va > vb
+                    parts["id_a"].append(np.where(swap, vb, va))
+                    parts["id_b"].append(np.where(swap, va, vb))
+                    parts["frame_a"].append(np.where(swap, fb, fa))
+                    parts["frame_b"].append(np.where(swap, fa, fb))
+            if parts["id_a"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in parts.items()}
+                )
+
+    matches = grouped.mapInPandas(pair_kernel, match_schema).distinct()
     overlaps = matches.groupBy("id_a", "id_b").agg(
         F.countDistinct("frame_a").alias("matched_a"),
         F.countDistinct("frame_b").alias("matched_b"),
