@@ -365,9 +365,15 @@ def image_phash(
                 except Exception as exc:  # noqa: BLE001 - per-item isolation
                     rec["decode_error"] = str(exc)
                 rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[id_col, "phash", "decode_error"]
+            out = pd.DataFrame(rows, columns=[id_col, "phash", "decode_error"])
+            # nullable Int64, NOT object->float64: one null in the batch
+            # would otherwise coerce the column to float64 and round
+            # every 64-bit hash to 53-bit precision (silent low-bit
+            # corruption — caught by the streaming corrupt-row test)
+            out["phash"] = pd.array(
+                [r["phash"] for r in rows], dtype="Int64"
             )
+            yield out
 
     return df.select(id_col, binary_col).mapInPandas(process, out_schema)
 
@@ -478,7 +484,13 @@ def video_near_dup_pairs(
                         "phash": ph,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "phash"])
+            out = pd.DataFrame(rows, columns=[id_col, "frame_idx", "phash"])
+            # nullable Int64 (see image_phash): object->float64 coercion
+            # under any null would corrupt 64-bit frame hashes
+            out["phash"] = pd.array(
+                [r["phash"] for r in rows], dtype="Int64"
+            )
+            yield out
 
     fhash = (
         frames.select(id_col, "frame_idx", "frame_bytes")
@@ -682,7 +694,11 @@ def audio_fingerprint(
                 except Exception as exc:  # noqa: BLE001 - per-item isolation
                     rec["decode_error"] = str(exc)
                 rows.append(rec)
-            yield pd.DataFrame(rows, columns=[id_col, "afp", "decode_error"])
+            out = pd.DataFrame(rows, columns=[id_col, "afp", "decode_error"])
+            # nullable Int64 (see image_phash): object->float64 coercion
+            # under any null would corrupt 64-bit fingerprints
+            out["afp"] = pd.array([r["afp"] for r in rows], dtype="Int64")
+            yield out
 
     return df.select(id_col, binary_col).mapInPandas(process, out_schema)
 

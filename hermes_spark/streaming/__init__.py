@@ -20,7 +20,9 @@ from hermes_spark.streaming.compare import compare_stream
 from hermes_spark.streaming.correlate import interval_join_streams, last_touch
 from hermes_spark.streaming.dedup import (
     compact_minhash_store,
+    compact_fingerprint_store,
     stream_exact_dedup,
+    stream_fingerprint_dedup,
     stream_minhash_dedup,
 )
 from hermes_spark.streaming.distinct import (
@@ -47,7 +49,9 @@ __all__ = [
     "read_upsert_store",
     "upsert_sink",
     "sessionize_stream",
+    "compact_fingerprint_store",
     "stream_exact_dedup",
+    "stream_fingerprint_dedup",
     "stream_minhash_dedup",
     "compact_minhash_store",
     "ProgressRecorder",

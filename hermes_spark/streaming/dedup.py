@@ -113,17 +113,30 @@ def compact_minhash_store(spark, state_path: str) -> int:
     compacting between replayed batches never changes the surviving
     document set.
     """
+    return _compact_store(
+        spark, state_path, MINHASH_STATE_SCHEMA, ["__band", "__id"],
+        "compact_minhash_store",
+    )
+
+
+def _compact_store(
+    spark, state_path: str, schema: str, dedup_cols: list, what: str
+) -> int:
+    """The swap-protocol compaction core shared by the MinHash and
+    fingerprint stores (read -> dropDuplicates -> write temp -> trash
+    swap -> delete trash; see :func:`compact_minhash_store` for the
+    crash-window analysis)."""
     import shutil as _shutil
 
-    _require_local_path(state_path, "compact_minhash_store")
+    _require_local_path(state_path, what)
     _recover_minhash_store(state_path)
     tmp = state_path.rstrip("/") + "__compact_tmp"
     trash = state_path.rstrip("/") + "__trash"
     _shutil.rmtree(tmp, ignore_errors=True)  # incomplete leftover
     compacted = (
-        spark.read.schema(MINHASH_STATE_SCHEMA)
+        spark.read.schema(schema)
         .parquet(state_path)
-        .dropDuplicates(["__band", "__id"])
+        .dropDuplicates(dedup_cols)
     )
     compacted.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
@@ -323,6 +336,124 @@ def stream_minhash_dedup(
                 compact_minhash_store(spark, state_path)
         finally:
             banded.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch)
+    trigger = start_kwargs.pop("trigger", None)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    for key, value in start_kwargs.items():
+        writer = writer.option(key, value)
+    return writer.start()
+
+
+#: schema of the banded fingerprint store stream_fingerprint_dedup keeps
+#: (the layout operators.dedup.fingerprint_banded_rows emits)
+FINGERPRINT_STATE_SCHEMA = "__blk int, __bv bigint, __fp bigint"
+
+
+def compact_fingerprint_store(spark, state_path: str) -> int:
+    """Rewrite a :func:`stream_fingerprint_dedup` store as distinct
+    ``(__blk, __bv, __fp)`` rows — same swap protocol and crash
+    recovery as :func:`compact_minhash_store` (shared core)."""
+    return _compact_store(
+        spark, state_path, FINGERPRINT_STATE_SCHEMA,
+        ["__blk", "__bv", "__fp"], "compact_fingerprint_store",
+    )
+
+
+def stream_fingerprint_dedup(
+    stream: DataFrame,
+    state_path: str,
+    fingerprints: Optional[Callable[[DataFrame], DataFrame]] = None,
+    output_path: Optional[str] = None,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+    max_hamming: int = 6,
+    max_bucket_size: Optional[int] = 1000,
+    keep_policy: str = "greedy",
+    on_batch: Optional[Callable[[DataFrame, int], None]] = None,
+    compact_every: int = 0,
+    **start_kwargs,
+) -> StreamingQuery:
+    """Streaming PERCEPTUAL near-dup dedup — the media sibling of
+    :func:`stream_minhash_dedup`: drop any incoming item whose 64-bit
+    perceptual fingerprint (image pHash by default) is within
+    ``max_hamming`` of an already-accepted item or an earlier in-batch
+    item, across micro-batches.
+
+    ``fingerprints`` maps a batch frame to ``(id_col, "fp")`` — default
+    :func:`~hermes_spark.operators.multimodal.image_phash` on
+    ``binary_col`` (rows that fail decode are passed through UNDEDUPED
+    rather than dropped: an undecodable item can't be proven a
+    duplicate; filter them upstream if they should not survive).  Swap
+    in ``audio_fingerprint`` / ``simhash_fingerprints`` for other
+    modalities — the store format is modality-agnostic.
+
+    Per micro-batch (``foreachBatch``), everything delegates to
+    :func:`~hermes_spark.operators.dedup.fingerprint_dedup_against`
+    against the PRE-BANDED store at ``state_path`` (k+1 rows of three
+    longs per accepted fingerprint — batches equi-join on
+    ``(__blk, __bv)`` without re-exploding history).  Survivors append
+    their banded rows to the store and flow to ``output_path`` /
+    ``on_batch``.  Replays re-append survivor rows; duplicate store
+    rows are harmless to correctness (the history join collapses them)
+    and ``compact_every=K`` reclaims them with the same crash-recovered
+    swap as the MinHash store.
+
+    ``keep_policy`` defaults to ``"greedy"`` (drop the larger id of
+    every in-batch pair — the per-batch semantics of
+    :func:`stream_minhash_dedup`); ``"component"`` keeps one
+    representative per in-batch cluster even when its minimum matched
+    history.
+    """
+    from ..operators.dedup import fingerprint_dedup_against
+
+    spark = stream.sparkSession
+    if compact_every > 0:
+        _require_local_path(state_path, "stream_fingerprint_dedup(compact_every)")
+
+    def default_fingerprints(df: DataFrame) -> DataFrame:
+        from ..operators.multimodal import image_phash
+
+        return (
+            image_phash(df, id_col, binary_col)
+            .filter(F.col("phash").isNotNull())
+            .select(id_col, F.col("phash").alias("fp"))
+        )
+
+    fp_fn = fingerprints or default_fingerprints
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fps = fp_fn(batch_df).persist()
+        try:
+            _recover_minhash_store(state_path)
+            try:
+                store = spark.read.schema(FINGERPRINT_STATE_SCHEMA).parquet(
+                    state_path
+                )
+            except Exception:  # first batch: no store yet
+                store = spark.createDataFrame([], FINGERPRINT_STATE_SCHEMA)
+
+            surv_fps, store_rows = fingerprint_dedup_against(
+                fps, store, id_col, "fp", max_hamming=max_hamming,
+                max_bucket_size=max_bucket_size, keep_policy=keep_policy,
+            )
+            # survivors = rows whose fingerprint survived, PLUS rows
+            # that produced no fingerprint (decode failures pass through)
+            dropped = fps.select(id_col).exceptAll(surv_fps.select(id_col))
+            survivors = batch_df.join(dropped, on=id_col, how="left_anti")
+
+            store_rows.write.mode("append").parquet(state_path)
+            if output_path is not None:
+                survivors.write.mode("append").parquet(output_path)
+            if on_batch is not None:
+                on_batch(survivors, batch_id)
+            if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+                compact_fingerprint_store(spark, state_path)
+        finally:
+            fps.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch)
     trigger = start_kwargs.pop("trigger", None)

@@ -331,3 +331,78 @@ def test_fingerprint_pairs_arrow_equals_expr(spark):
     e = {tuple(r) for r in fingerprint_near_dup_pairs(
         sdf, "id", "fp", max_hamming=3, engine="expr").collect()}
     assert a == e
+
+
+# --------------------------------------------------------------- streaming
+
+
+def test_stream_fingerprint_dedup_across_batches(spark, tmp_path):
+    """Recompressed image re-posts are dropped across micro-batches;
+    new images survive and enter the banded store; undecodable rows
+    pass through; compaction keeps the store healthy."""
+    from hermes_spark.streaming import stream_fingerprint_dedup
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, media binary").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_fingerprint_dedup(
+            stream,
+            state_path=state,
+            output_path=out,
+            max_hamming=6,
+            compact_every=1,
+            checkpointLocation=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    # batch 1: base image 0, its JPEG twin (in-batch dup), a distinct
+    # image, and a corrupt row (passes through)
+    write_batch([
+        (1, bytearray(encode_png(_structured_img(900)))),
+        (2, bytearray(encode_jpeg(_structured_img(900)))),
+        (3, bytearray(encode_png(_structured_img(901)))),
+        (4, bytearray(b"corrupt bytes")),
+    ])
+    schema = spark.read.parquet(src).schema
+    run_once(schema)
+    # batch 2: a re-encode of image 901 (cross-batch dup) + a new image
+    write_batch([
+        (5, bytearray(encode_jpeg(_structured_img(901)))),
+        (6, bytearray(encode_png(_structured_img(902)))),
+    ])
+    run_once(schema)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3, 4, 6], ids
+    # the store holds banded rows for exactly the 3 accepted fingerprints
+    store = spark.read.parquet(state)
+    assert store.select("__fp").distinct().count() == 3
+    assert set(store.columns) == {"__blk", "__bv", "__fp"}
+
+
+def test_phash_exact_under_null_in_same_batch(spark):
+    """Regression: a decode failure in the same Arrow batch must not
+    corrupt neighboring hashes.  pandas coerces an object column with a
+    null to float64, which rounds 64-bit ints to 53-bit precision —
+    the kernels emit nullable Int64 instead; the exact kernel hash must
+    round-trip bit-for-bit."""
+    jpg = bytearray(encode_jpeg(_structured_img(900)))
+    expected = phash64(decode_image_pixels(bytes(jpg)))
+    df = spark.createDataFrame(
+        [(2, jpg), (4, bytearray(b"corrupt bytes"))],
+        "doc_id long, media binary",
+    ).repartition(1)
+    got = {r["doc_id"]: r["phash"] for r in image_phash(
+        df, "doc_id", "media").collect()}
+    assert got[2] == expected, (got[2], expected)
+    assert got[4] is None
