@@ -646,5 +646,106 @@ def probe_image_phash(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_stream_phash(spark) -> None:
+    """r12c: streaming perceptual dedup at 120k images / 6 micro-batches.
+
+    Each batch carries 10k new base images + 10k perceptual copies of
+    EARLIER batches' bases (re-encoded JPEG) — so in steady state half
+    of every batch should be dropped against the banded store.
+    Measures per-batch wall, end-to-end images/s, store growth, and the
+    survivor count vs expectation; compact_every=2 exercises the
+    store swap under load.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from hermes_spark.streaming import stream_fingerprint_dedup
+
+    n_batches, new_per_batch, dup_per_batch = 6, 10_000, 10_000
+
+    def gen_batch(batch_no):
+        def gen(batches):
+            from hermes_spark.operators.codecs import (
+                encode_jpeg, encode_png, synthetic_image,
+            )
+
+            for pdf in batches:
+                rows = []
+                for img_id in pdf["img_id"]:
+                    img_id = int(img_id)
+                    slot = img_id % (new_per_batch + dup_per_batch)
+                    if slot < new_per_batch or batch_no == 0:
+                        # new base image, unique seed
+                        seed = batch_no * new_per_batch + slot % new_per_batch
+                        media = encode_png(synthetic_image(seed))
+                    else:
+                        # perceptual copy of an EARLIER batch's base
+                        seed = (img_id * 2654435761) % (
+                            batch_no * new_per_batch
+                        )
+                        media = encode_jpeg(synthetic_image(seed))
+                    rows.append({"img_id": img_id, "media": media})
+                yield pd.DataFrame(rows, columns=["img_id", "media"])
+
+        return gen
+
+    schema = StructType([
+        StructField("img_id", LongType()),
+        StructField("media", BinaryType()),
+    ])
+    tmp = tempfile.mkdtemp(prefix="stream_phash_")
+    src, state, outp, ckpt = [f"{tmp}/{d}" for d in ("src", "state", "out", "ckpt")]
+    batch_walls = []
+    try:
+        per_batch = new_per_batch + dup_per_batch
+        for b in range(n_batches):
+            base_id = b * per_batch
+            (spark.range(base_id, base_id + per_batch)
+             .select(F.col("id").alias("img_id"))
+             .repartition(32)
+             .mapInPandas(gen_batch(b), schema)
+             .write.mode("append").parquet(f"{src}/batch={b}"))
+
+        read_schema = spark.read.parquet(f"{src}/batch=0").schema
+        t_total = time.time()
+        for b in range(n_batches):
+            t0 = time.time()
+            q = stream_fingerprint_dedup(
+                spark.readStream.schema(read_schema).parquet(f"{src}/batch={b}"),
+                state_path=state, output_path=outp, id_col="img_id",
+                max_hamming=6, compact_every=2,
+                checkpointLocation=f"{ckpt}/{b}",
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(600)
+            batch_walls.append(round(time.time() - t0, 1))
+        total_s = time.time() - t_total
+
+        n_out = spark.read.parquet(outp).count()
+        store = spark.read.parquet(state)
+        out({
+            "probe": "stream_phash",
+            "images": n_batches * per_batch,
+            "batches": n_batches,
+            "batch_walls_s": batch_walls,
+            "total_s": round(total_s, 1),
+            "images_per_s": round(n_batches * per_batch / total_s, 0),
+            "survivors": n_out,
+            # batch 0's dup slots repeat seeds 0..9999 in-batch, so it
+            # contributes ~10k unique; batches 1-5 add 10k new seeds each
+            "expected_survivors_approx": (n_batches - 1) * new_per_batch
+            + new_per_batch,
+            "store_rows": store.count(),
+            "store_distinct_fps": store.select("__fp").distinct().count(),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     raise SystemExit(main())
