@@ -1047,6 +1047,7 @@ def simhash_near_dup_pairs(
     portable: bool = True,
     max_bucket_size: Optional[int] = None,
     script_aware: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -1070,6 +1071,7 @@ def simhash_near_dup_pairs(
     return fingerprint_near_dup_pairs(
         fps, "id", "simhash", bits=bits, max_hamming=max_hamming,
         block_bits=block_bits, max_bucket_size=max_bucket_size,
+        engine=engine,
     )
 
 
@@ -1122,6 +1124,67 @@ def _bucket_hamming_pairs_np(
         yield id_a, id_b, ham[ii - lo, jj].astype(np.int32)
 
 
+def _bucket_pairs_with_collapse(
+    ranks: "np.ndarray",  # noqa: F821
+    fps: "np.ndarray",  # noqa: F821
+    max_hamming: int,
+    cap: Optional[int],
+):
+    """Position-index pairs for one bucket, with the MinHash-style
+    mega-cluster collapse for over-cap buckets (r12c review fix —
+    dropping an over-cap bucket outright silently un-deduped >cap
+    IDENTICAL fingerprints, which agree on EVERY block so no other
+    bucket catches them).
+
+    Under the cap (or cap None): the full pairwise kernel — every
+    (i < j) pair within ``max_hamming``, full cliques, identical to
+    the Catalyst expression path.  Over the cap: each
+    identical-fingerprint group collapses to chain pairs from its
+    minimum-``ranks`` member (hamming 0, preserves connectivity), and
+    cross-fingerprint candidates pair only between those group
+    representatives — and only if the DISTINCT-fingerprint count is
+    itself within the cap (a genuinely diverse hot bucket stays
+    skipped; true near-dup pairs there still meet in their other,
+    colder blocks).  ``ranks`` picks each group's representative
+    deterministically (min rank = min id), so output does not depend
+    on collect order.
+
+    Yields UNORDERED (i, j, hamming) position-index arrays (i != j
+    per pair); the caller orients ids.
+    """
+    import numpy as np
+
+    m = len(fps)
+    if cap is None or m <= cap:
+        yield from _bucket_hamming_pairs_np(
+            np.arange(m, dtype=np.int64), fps, max_hamming
+        )
+        return
+    order = np.argsort(ranks, kind="stable")
+    sorted_fps = fps[order]
+    uniq, first_sorted_idx, inverse = np.unique(
+        sorted_fps, return_index=True, return_inverse=True
+    )
+    # representative of each identical group = its min-rank member
+    # (np.unique's first_sorted_idx is the FIRST position in the
+    # rank-sorted array, i.e. the group's minimum rank)
+    reps = order[first_sorted_idx]
+    # chain pairs: rep -> every other member of its identical group
+    group_of = np.empty(m, dtype=np.int64)
+    group_of[order] = inverse
+    rep_of = reps[group_of]
+    members = np.nonzero(np.arange(m) != rep_of)[0]
+    if len(members):
+        yield rep_of[members], members, np.zeros(len(members), dtype=np.int32)
+    if len(uniq) <= cap:
+        for a, b, h in _bucket_hamming_pairs_np(
+            np.arange(len(uniq), dtype=np.int64), uniq, max_hamming
+        ):
+            nz = h > 0  # identical-fp pairs already chained above
+            if nz.any():
+                yield reps[a[nz]], reps[b[nz]], h[nz]
+
+
 def fingerprint_near_dup_pairs(
     fps: DataFrame,
     id_col: str,
@@ -1137,6 +1200,8 @@ def fingerprint_near_dup_pairs(
     <= ``max_hamming`` — the banded gather-and-pair core factored out
     of :func:`simhash_near_dup_pairs` (r12c, for
     :func:`~hermes_spark.operators.multimodal.image_near_dup_pairs`).
+    Null fingerprints are dropped up front (a null can't be proven a
+    near-dup; mirrors the expression path's null-comparison semantics).
 
     Pigeonhole blocking: signatures within hamming k agree exactly on
     >= 1 of k+1 disjoint bit blocks, so the join key is (block index,
@@ -1153,9 +1218,14 @@ def fingerprint_near_dup_pairs(
     identical output (property-tested), fine for small corpora and
     engine-independence checks, but its per-candidate struct
     materialization measured ~100x slower and memory-unbounded at the
-    200k-image probe scale (BASELINE.md r12c).  ``max_bucket_size``
-    remains the recall-trading cap for degenerate hash values either
-    way.
+    200k-image probe scale (BASELINE.md r12c).
+
+    ``max_bucket_size`` semantics differ by engine for OVER-cap buckets
+    (under the cap both emit full cliques): ``"arrow"`` collapses them
+    — identical-fingerprint chains + distinct-fingerprint
+    representative pairs (see :func:`_bucket_pairs_with_collapse`), so
+    a micro-batch of >cap IDENTICAL thumbnails still dedups;
+    ``"expr"`` keeps the original drop-the-bucket behavior.
     """
     if engine not in ("arrow", "expr"):
         raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
@@ -1164,7 +1234,7 @@ def fingerprint_near_dup_pairs(
 
     hashed = fps.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("__fp")
-    )
+    ).filter(F.col("__fp").isNotNull())
     block_key = F.concat_ws(
         "_",
         F.col("__blk").cast("string"),
@@ -1195,8 +1265,9 @@ def fingerprint_near_dup_pairs(
             )
             .filter(F.size("__ids") >= 2)
         )
-        if max_bucket_size is not None:
-            grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+        # NO bucket-size pre-filter here: over-cap buckets are handed
+        # to the kernel, which COLLAPSES them (identical chains +
+        # representative pairs) instead of dropping them outright
         grouped = grouped.select("__ids", "__fps")
         id_type = fps.schema[id_col].dataType
         out_schema = StructType(
@@ -1213,14 +1284,18 @@ def fingerprint_near_dup_pairs(
                 for ids_cell, fps_cell in zip(pdf["__ids"], pdf["__fps"]):
                     # the two collect_lists fill in one aggregation pass,
                     # so index i of both comes from the same input row
+                    # (nulls were filtered before bucketing — a null fp
+                    # would desync the two lists)
                     assert len(ids_cell) == len(fps_cell)
                     ids = np.asarray(ids_cell)
                     f = np.asarray(fps_cell, dtype=np.int64)
-                    for a, b, h in _bucket_hamming_pairs_np(
-                        ids, f, max_hamming
+                    for i, j, h in _bucket_pairs_with_collapse(
+                        ids, f, max_hamming, max_bucket_size
                     ):
-                        parts_a.append(a)
-                        parts_b.append(b)
+                        ia, ib = ids[i], ids[j]
+                        swap = ia > ib
+                        parts_a.append(np.where(swap, ib, ia))
+                        parts_b.append(np.where(swap, ia, ib))
                         parts_h.append(h)
                 if parts_a:
                     yield pd.DataFrame(
@@ -1629,13 +1704,32 @@ def fingerprint_dedup_against(
     ``(__blk, __bv)`` set and collapsed to distinct ``(__blk, __bv,
     __fp)`` first, so a mega-cluster of identical stored fingerprints
     is ONE row per block; ``max_bucket_size`` then caps genuinely
-    diverse hot buckets by DISTINCT-fingerprint count.  Only the new
-    batch is ever decoded/hashed.
+    diverse hot buckets by DISTINCT-fingerprint count.  The
+    ``(__blk, __bv)`` key space is only ``n_blocks * 2^width`` (2048
+    at the 64-bit/8-block default), so ONCE THE STORE EXCEEDS
+    ``~max_bucket_size * 2^width`` DISTINCT FINGERPRINTS every bucket
+    goes hot (r12c review finding): near-miss recall then degrades,
+    but EXACT re-posts are still always caught — batch rows whose
+    every block is hot fall back to a fingerprint-equality semi-join
+    against the store's block-0 rows (an 8-byte-key equi-join over
+    1/n_blocks of the store, paid only when saturation actually
+    bites).  Raise or disable the cap to keep near-miss recall on
+    large stores; the batch's internal id/fp frame is
+    ``localCheckpoint``-ed so callers' decode/hash lineage runs ONCE,
+    not once per downstream subtree.
     """
     if keep_policy not in ("component", "greedy"):
         raise ValueError(
             f"keep_policy must be 'component' or 'greedy', got {keep_policy!r}"
         )
+    n_blocks = max(max_hamming + 1, bits // block_bits)
+    # materialize (id, fp) ONCE — 16 B/row; without this the decode+
+    # hash lineage upstream re-runs for every one of the four
+    # downstream subtrees (hist join, in-batch pairs, anti-join,
+    # store rows)
+    new_fps = new_fps.select(
+        F.col(id_col), F.col(hash_col)
+    ).filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=True)
     batch_banded = fingerprint_banded_rows(
         new_fps, id_col, hash_col, bits=bits, max_hamming=max_hamming,
         block_bits=block_bits,
@@ -1648,16 +1742,44 @@ def fingerprint_dedup_against(
         .select("__blk", "__bv", "__fp")
         .distinct()
     )
+    exact_hits = None
     if max_bucket_size is not None:
         hot = (
             store_rel.groupBy("__blk", "__bv")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_bucket_size)
             .select("__blk", "__bv")
-        )
+        ).localCheckpoint(eager=True)  # <= n_blocks * 2^width rows
         store_rel = store_rel.join(
             F.broadcast(hot), on=["__blk", "__bv"], how="left_anti"
         )
+        if hot.count() > 0:
+            # batch rows whose EVERY block bucket is hot would see no
+            # history at all through the banded join — identical
+            # re-posts included.  Equality fallback: semi-join their
+            # full fingerprints against the store's block-0 rows.
+            fully_hot = (
+                batch_banded.join(
+                    F.broadcast(hot), on=["__blk", "__bv"], how="inner"
+                )
+                .groupBy("__id")
+                .agg(F.count(F.lit(1)).alias("__nh"))
+                .filter(F.col("__nh") >= n_blocks)
+                .select("__id")
+            )
+            exact_hits = (
+                new_fps.select(
+                    F.col(id_col).alias("__id"),
+                    F.col(hash_col).alias("__fp"),
+                )
+                .join(F.broadcast(fully_hot), on="__id", how="left_semi")
+                .join(
+                    store.filter(F.col("__blk") == 0).select("__fp"),
+                    on="__fp",
+                    how="left_semi",
+                )
+                .select("__id")
+            )
     hist_hits = (
         batch_banded.alias("b")
         .join(
@@ -1671,6 +1793,8 @@ def fingerprint_dedup_against(
         .select(F.col("b.__id").alias("__id"))
         .distinct()
     )
+    if exact_hits is not None:
+        hist_hits = hist_hits.unionByName(exact_hits).distinct()
     batch_pairs = fingerprint_near_dup_pairs(
         new_fps, id_col, hash_col, bits=bits, max_hamming=max_hamming,
         block_bits=block_bits, max_bucket_size=max_bucket_size,

@@ -396,8 +396,11 @@ def image_near_dup_pairs(
     Same pigeonhole blocking as SimHash near-dups
     (:func:`~hermes_spark.operators.dedup.fingerprint_near_dup_pairs`):
     ONE shuffle on (block index, block bits), in-bucket pairing, never
-    an all-pairs join — ``max_bucket_size`` caps degenerate buckets
-    (e.g. millions of identical thumbnails) at a small recall cost.
+    an all-pairs join — over-cap buckets collapse (identical-hash
+    chains + distinct-hash representative pairs), so ``max_bucket_size``
+    bounds the quadratic work of degenerate buckets (e.g. millions of
+    identical thumbnails) while identical copies still dedup; only
+    near-miss pairs inside a diverse hot bucket are skipped.
     """
     from .dedup import fingerprint_near_dup_pairs
 
@@ -528,7 +531,7 @@ def video_near_dup_pairs(
     # 200k-image probe measured it heap-unbounded; BASELINE.md r12c)
     import numpy as np
 
-    from .dedup import _bucket_hamming_pairs_np
+    from .dedup import _bucket_pairs_with_collapse
 
     grouped = (
         bucketed.groupBy("__k")
@@ -539,8 +542,9 @@ def video_near_dup_pairs(
         )
         .filter(F.size("__vids") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("__vids") <= max_bucket_size)
+    # over-cap buckets collapse in the kernel (identical chains +
+    # representative pairs) rather than dropping — see
+    # dedup._bucket_pairs_with_collapse
     grouped = grouped.select("__vids", "__frames", "__fps")
     vid_type = frames.schema[id_col].dataType
     match_schema = StructType(
@@ -563,11 +567,16 @@ def video_near_dup_pairs(
                 # pair on POSITION, then key the hamming hits back to
                 # (video, frame) and drop same-video hits
                 assert len(vids_cell) == len(fps_cell)
-                pos = np.arange(len(vids_cell))
                 f = np.asarray(fps_cell, dtype=np.int64)
                 vids = np.asarray(vids_cell)
                 frames_arr = np.asarray(frames_cell, dtype=np.int64)
-                for pa, pb, _h in _bucket_hamming_pairs_np(pos, f, max_hamming):
+                # deterministic representative choice for the over-cap
+                # collapse: rank members by (video, frame)
+                ranks = np.empty(len(vids), dtype=np.int64)
+                ranks[np.lexsort((frames_arr, vids))] = np.arange(len(vids))
+                for pa, pb, _h in _bucket_pairs_with_collapse(
+                    ranks, f, max_hamming, max_bucket_size
+                ):
                     va, vb = vids[pa], vids[pb]
                     keep = va != vb
                     if not keep.any():

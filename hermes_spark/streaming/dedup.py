@@ -324,12 +324,18 @@ def stream_minhash_dedup(
                 dropped.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
             )
 
+            # output BEFORE the store append (r12c review fix): a crash
+            # between the two writes then replays into duplicate output
+            # rows (recoverable downstream); the old order let the
+            # replayed batch see its own survivors in the store and
+            # drop them — written to neither output nor store's
+            # downstream, silent loss
+            if output_path is not None:
+                survivors.write.mode("append").parquet(output_path)
             banded.join(
                 survivors.select(F.col(id_col).alias("__id")), on="__id", how="left_semi"
             ).select("__band", "__id", "__sig").write.mode("append").parquet(state_path)
 
-            if output_path is not None:
-                survivors.write.mode("append").parquet(output_path)
             if on_batch is not None:
                 on_batch(survivors, batch_id)
             if compact_every > 0 and (batch_id + 1) % compact_every == 0:
@@ -445,9 +451,12 @@ def stream_fingerprint_dedup(
             dropped = fps.select(id_col).exceptAll(surv_fps.select(id_col))
             survivors = batch_df.join(dropped, on=id_col, how="left_anti")
 
-            store_rows.write.mode("append").parquet(state_path)
+            # output BEFORE the store append (see stream_minhash_dedup:
+            # crash between the writes -> duplicate output on replay,
+            # never silent loss)
             if output_path is not None:
                 survivors.write.mode("append").parquet(output_path)
+            store_rows.write.mode("append").parquet(state_path)
             if on_batch is not None:
                 on_batch(survivors, batch_id)
             if compact_every > 0 and (batch_id + 1) % compact_every == 0:

@@ -406,3 +406,121 @@ def test_phash_exact_under_null_in_same_batch(spark):
         df, "doc_id", "media").collect()}
     assert got[2] == expected, (got[2], expected)
     assert got[4] is None
+
+
+# ------------------------------------------------------- review-fix pins
+
+
+def test_null_fingerprints_are_dropped_not_crashed(spark):
+    """r12c review: >= 2 null fingerprints used to desync the two
+    collect_lists (collect_list skips nulls) and kill the job on the
+    kernel's alignment assert.  Nulls now filter out up front — the
+    simhash wrapper inherits this via null-text docs."""
+    from hermes_spark.operators.dedup import (
+        fingerprint_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 101), (3, None), (4, None)],
+        "id long, fp long",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in fingerprint_near_dup_pairs(
+        df, "id", "fp", max_hamming=3).collect()}
+    assert got == {(1, 2)}
+    txt = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"),
+         (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(
+        txt, "doc_id", "text", bits=32, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_over_cap_identical_cluster_still_dedups(spark):
+    """r12c review: a cluster of > max_bucket_size IDENTICAL
+    fingerprints agrees on EVERY block, so the old drop-the-bucket cap
+    lost it entirely.  The collapse emits identical-hash chains (all
+    members connect to the min id) plus representative pairs for
+    distinct near fingerprints."""
+    from hermes_spark.operators.dedup import fingerprint_near_dup_pairs
+
+    rows = [(i, 7777) for i in range(20)]          # 20 identical
+    rows += [(100, 7777 ^ 0b11)]                   # near (hamming 2)
+    rows += [(200, -(1 << 60) + 12345)]            # far
+    df = spark.createDataFrame(rows, "id long, fp long")
+    pairs = fingerprint_near_dup_pairs(
+        df, "id", "fp", max_hamming=3, max_bucket_size=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # chain: every identical member pairs with the min id 0
+    for i in range(1, 20):
+        assert got.get((0, i)) == 0, (i, got)
+    # representative pair to the near fingerprint survives the collapse
+    assert got.get((0, 100)) == 2
+    assert all(200 not in k for k in got)
+    # connected-components over the pairs still collapses the cluster
+    from hermes_spark.operators.dedup import fuzzy_dedup_keep_one
+
+    pairs_df = fingerprint_near_dup_pairs(
+        df, "id", "fp", max_hamming=3, max_bucket_size=10)
+    kept = fuzzy_dedup_keep_one(df, "id", pairs_df)
+    assert {r["id"] for r in kept.collect()} == {0, 200}
+
+
+def test_store_saturation_exact_fallback(spark):
+    """r12c review: the (blk, bv) bucket space is tiny, so a large
+    store makes every bucket hot and the banded history join returns
+    nothing — exact re-posts must still be caught by the equality
+    fallback.  Constructed saturation: cap=1 with fillers sharing one
+    block each with A makes ALL of A's buckets hot."""
+    from hermes_spark.operators.dedup import (
+        fingerprint_banded_rows,
+        fingerprint_dedup_against,
+    )
+
+    def s64(x):
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    a = 0x1234_5678_9ABC_DEF0
+    fillers = []
+    flip_all = int("81" * 8, 16)  # flips a bit in every 8-bit block
+    for j in range(8):
+        mask = flip_all & ~(0xFF << (8 * j))  # leave block j intact
+        fillers.append(s64(a ^ mask))
+    hist = spark.createDataFrame(
+        [(i, f) for i, f in enumerate([s64(a)] + fillers)], "id long, fp long"
+    )
+    store = fingerprint_banded_rows(hist, "id", "fp", max_hamming=3)
+
+    batch = spark.createDataFrame(
+        [(100, s64(a)),            # exact re-post -> MUST drop
+         (101, s64(a ^ 1)),        # near re-post: documented miss
+         (102, s64(~a & ((1 << 63) - 1)))],  # novel -> keep
+        "id long, fp long",
+    )
+    surv, _ = fingerprint_dedup_against(
+        batch, store, "id", "fp", max_hamming=3, max_bucket_size=1)
+    kept = {r["id"] for r in surv.collect()}
+    assert 100 not in kept          # exact fallback caught it
+    assert 102 in kept
+    # uncapped: both re-posts drop (the recall the cap trades away)
+    surv2, _ = fingerprint_dedup_against(
+        batch, store, "id", "fp", max_hamming=3, max_bucket_size=None)
+    assert {r["id"] for r in surv2.collect()} == {102}
+
+
+def test_simhash_engine_kwarg_passthrough(spark, documents):
+    """r12c review: simhash_near_dup_pairs exposes engine= so callers
+    can run the pure-Catalyst path for engine-independence checks."""
+    from hermes_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = documents.limit(60)
+    a = {tuple(r) for r in simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=6,
+        engine="arrow").collect()}
+    e = {tuple(r) for r in simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=6,
+        engine="expr").collect()}
+    assert a == e
