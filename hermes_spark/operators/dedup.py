@@ -1680,6 +1680,7 @@ def fingerprint_dedup_against(
     block_bits: int = 8,
     max_bucket_size: Optional[int] = None,
     keep_policy: str = "component",
+    history_max_bucket_size: Optional[int] = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Incremental PERCEPTUAL dedup: drop new items whose fingerprint
     (image pHash, audio fingerprint, SimHash — any
@@ -1703,20 +1704,27 @@ def fingerprint_dedup_against(
     Scale shape: history side is semi-joined to the batch's
     ``(__blk, __bv)`` set and collapsed to distinct ``(__blk, __bv,
     __fp)`` first, so a mega-cluster of identical stored fingerprints
-    is ONE row per block; ``max_bucket_size`` then caps genuinely
-    diverse hot buckets by DISTINCT-fingerprint count.  The
-    ``(__blk, __bv)`` key space is only ``n_blocks * 2^width`` (2048
-    at the 64-bit/8-block default), so ONCE THE STORE EXCEEDS
-    ``~max_bucket_size * 2^width`` DISTINCT FINGERPRINTS every bucket
-    goes hot (r12c review finding): near-miss recall then degrades,
-    but EXACT re-posts are still always caught — batch rows whose
-    every block is hot fall back to a fingerprint-equality semi-join
-    against the store's block-0 rows (an 8-byte-key equi-join over
-    1/n_blocks of the store, paid only when saturation actually
-    bites).  Raise or disable the cap to keep near-miss recall on
-    large stores; the batch's internal id/fp frame is
-    ``localCheckpoint``-ed so callers' decode/hash lineage runs ONCE,
-    not once per downstream subtree.
+    is ONE row per block.  The two caps are SEPARATE on purpose (r12c
+    review + fp_saturation probe):
+
+    * ``max_bucket_size`` caps the IN-BATCH pairing only (over-cap
+      buckets collapse, see :func:`_bucket_pairs_with_collapse`) —
+      keep it set; it bounds the quadratic side.
+    * ``history_max_bucket_size`` (default ``None`` = complete) caps
+      the history join's hot buckets.  The ``(__blk, __bv)`` key space
+      is only ``n_blocks * 2^width`` (2048 at the 64-bit/8-block
+      default), so once the store exceeds ``~cap * 2^width`` DISTINCT
+      fingerprints EVERY bucket goes hot and a capped history join
+      finds nothing — measured at 400k stored fps (BASELINE.md): the
+      uncapped join was both complete and FASTER (6.0 vs 9.3 s).
+      When a cap IS set and saturation bites, batch rows whose every
+      block is hot fall back to a fingerprint-equality semi-join
+      against the store's block-0 rows, so exact re-posts are still
+      always caught; near-miss recall in hot buckets is the trade.
+
+    The batch's internal id/fp frame is ``localCheckpoint``-ed so
+    callers' decode/hash lineage runs ONCE, not once per downstream
+    subtree.
     """
     if keep_policy not in ("component", "greedy"):
         raise ValueError(
@@ -1743,11 +1751,11 @@ def fingerprint_dedup_against(
         .distinct()
     )
     exact_hits = None
-    if max_bucket_size is not None:
+    if history_max_bucket_size is not None:
         hot = (
             store_rel.groupBy("__blk", "__bv")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
+            .filter(F.col("__n") > history_max_bucket_size)
             .select("__blk", "__bv")
         ).localCheckpoint(eager=True)  # <= n_blocks * 2^width rows
         store_rel = store_rel.join(

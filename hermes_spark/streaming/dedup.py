@@ -376,6 +376,7 @@ def stream_fingerprint_dedup(
     binary_col: str = "media",
     max_hamming: int = 6,
     max_bucket_size: Optional[int] = 1000,
+    history_max_bucket_size: Optional[int] = None,
     keep_policy: str = "greedy",
     on_batch: Optional[Callable[[DataFrame, int], None]] = None,
     compact_every: int = 0,
@@ -405,6 +406,13 @@ def stream_fingerprint_dedup(
     rows are harmless to correctness (the history join collapses them)
     and ``compact_every=K`` reclaims them with the same crash-recovered
     swap as the MinHash store.
+
+    ``max_bucket_size`` caps only the IN-BATCH pairing (over-cap
+    buckets collapse); ``history_max_bucket_size`` stays ``None`` by
+    default — a capped history join silently finds NOTHING once the
+    store saturates its 2048-bucket key space (~cap*256 distinct
+    fingerprints; measured in BASELINE.md's fp_saturation probe, the
+    uncapped join is also faster).
 
     ``keep_policy`` defaults to ``"greedy"`` (drop the larger id of
     every in-batch pair — the per-batch semantics of
@@ -445,6 +453,7 @@ def stream_fingerprint_dedup(
             surv_fps, store_rows = fingerprint_dedup_against(
                 fps, store, id_col, "fp", max_hamming=max_hamming,
                 max_bucket_size=max_bucket_size, keep_policy=keep_policy,
+                history_max_bucket_size=history_max_bucket_size,
             )
             # survivors = rows whose fingerprint survived, PLUS rows
             # that produced no fingerprint (decode failures pass through)

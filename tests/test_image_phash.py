@@ -501,13 +501,15 @@ def test_store_saturation_exact_fallback(spark):
         "id long, fp long",
     )
     surv, _ = fingerprint_dedup_against(
-        batch, store, "id", "fp", max_hamming=3, max_bucket_size=1)
+        batch, store, "id", "fp", max_hamming=3,
+        history_max_bucket_size=1)
     kept = {r["id"] for r in surv.collect()}
     assert 100 not in kept          # exact fallback caught it
     assert 102 in kept
     # uncapped: both re-posts drop (the recall the cap trades away)
     surv2, _ = fingerprint_dedup_against(
-        batch, store, "id", "fp", max_hamming=3, max_bucket_size=None)
+        batch, store, "id", "fp", max_hamming=3,
+        history_max_bucket_size=None)
     assert {r["id"] for r in surv2.collect()} == {102}
 
 

@@ -747,5 +747,70 @@ def probe_stream_phash(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_fp_saturation(spark) -> None:
+    """r12c review follow-up: measure the incremental fingerprint
+    store's bucket-saturation boundary at scale (no image decode —
+    fingerprint-level, isolating the join behavior).
+
+    Store: 400k random 64-bit fingerprints (avg ~1,560 distinct per
+    (blk, bv) bucket — past the cap=1000 hot threshold, so MOST
+    buckets are hot).  Batch: 10k exact re-posts + 10k 2-bit near
+    re-posts + 10k novel.  Records per-class drop rates and walls for
+    cap=1000 (fallback regime) vs cap=None (full banded join).
+    """
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators.dedup import (
+        fingerprint_banded_rows,
+        fingerprint_dedup_against,
+    )
+
+    rng = np.random.default_rng(41)
+    n_store = 400_000
+
+    def s64(arr):
+        arr = np.asarray(arr, dtype=np.uint64)
+        return arr.astype(np.int64)
+
+    store_fps = s64(rng.integers(0, 1 << 64, n_store, dtype=np.uint64))
+    store_df = spark.createDataFrame(
+        [(int(i), int(f)) for i, f in enumerate(store_fps)], "id long, fp long"
+    )
+    store = fingerprint_banded_rows(
+        store_df, "id", "fp", max_hamming=3
+    ).localCheckpoint(eager=True)
+
+    exact = store_fps[:10_000]
+    near = store_fps[10_000:20_000] ^ np.int64(0b11)
+    novel = s64(rng.integers(0, 1 << 64, 10_000, dtype=np.uint64))
+    batch_rows = (
+        [(100_000_0 + i, int(f)) for i, f in enumerate(exact)]
+        + [(200_000_0 + i, int(f)) for i, f in enumerate(near)]
+        + [(300_000_0 + i, int(f)) for i, f in enumerate(novel)]
+    )
+    batch = spark.createDataFrame(batch_rows, "id long, fp long")
+
+    results = {}
+    for cap in (1000, None):
+        t0 = time.time()
+        surv, _ = fingerprint_dedup_against(
+            batch, store, "id", "fp", max_hamming=3,
+            history_max_bucket_size=cap, keep_policy="greedy",
+        )
+        kept = {r["id"] for r in surv.collect()}
+        wall = time.time() - t0
+        results[str(cap)] = {
+            "wall_s": round(wall, 1),
+            "exact_dropped": 10_000 - sum(
+                1 for i in range(10_000) if 100_000_0 + i in kept),
+            "near_dropped": 10_000 - sum(
+                1 for i in range(10_000) if 200_000_0 + i in kept),
+            "novel_kept": sum(
+                1 for i in range(10_000) if 300_000_0 + i in kept),
+        }
+    out({"probe": "fp_saturation", "store_fps": n_store, **results})
 if __name__ == "__main__":
     raise SystemExit(main())
