@@ -620,7 +620,11 @@ def probe_image_phash(spark) -> None:
         hash_s = time.time() - t0
 
         t0 = time.time()
-        pairs = image_near_dup_pairs(images, "img_id", "media", max_hamming=6)
+        cap = os.environ.get("PHASH_PROBE_CAP")
+        pairs = image_near_dup_pairs(
+            images, "img_id", "media", max_hamming=6,
+            max_bucket_size=int(cap) if cap else None,
+        )
         got = pairs.select("id_a", "id_b").collect()
         pair_s = time.time() - t0
 
