@@ -110,3 +110,28 @@ def test_unigram_empty_and_null_text(spark):
     assert got[2]["n_tokens"] == 0 and got[2]["pieces"] == []
     assert got[3]["n_tokens"] == 0
     assert got[1]["n_tokens"] >= 1
+
+
+def test_unigram_counts_feed_pack_sequences(corpus):
+    """Composition: exact learned-token budgets drive the packer via
+    token_count_col — the accounting pack_sequences exists for."""
+    from hermes_spark.operators.packing import pack_sequences
+
+    vocab = unigram_train(corpus, vocab_size=200, em_iters=2)
+    counts = unigram_token_counts(corpus, vocab, "doc_id", "text")
+    packed = pack_sequences(
+        corpus.join(counts, "doc_id"), "doc_id",
+        token_count_col="n_tokens", budget=64,
+    )
+    rows = packed.collect()
+    assert len(rows) == corpus.count()
+    # every sequence respects the budget in LEARNED tokens: the sum of
+    # n_tokens per (shard, seq) stays under budget + one max doc
+    from collections import defaultdict
+
+    per_seq = defaultdict(int)
+    max_doc = 0
+    for r in rows:
+        per_seq[(r["shard"], r["seq_in_shard"])] += r["n_tokens"]
+        max_doc = max(max_doc, r["n_tokens"])
+    assert all(v < 64 + max_doc for v in per_seq.values())

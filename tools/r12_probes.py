@@ -816,5 +816,81 @@ def probe_fp_saturation(spark) -> None:
                 1 for i in range(10_000) if 300_000_0 + i in kept),
         }
     out({"probe": "fp_saturation", "store_fps": n_store, **results})
+
+
+def probe_unigram(spark) -> None:
+    """r12c: unigram tokenizer at sf0.1 scale — training wall on the
+    60k-doc corpus and distributed Viterbi encode throughput, plus the
+    composed unigram -> pack_sequences budget path."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.operators.packing import pack_sequences
+    from hermes_spark.operators.unigram import (
+        unigram_encode, unigram_train,
+    )
+
+    docs = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        + "/documents.parquet"
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    vocab = unigram_train(docs, vocab_size=8000, em_iters=3)
+    train_s = time.time() - t0
+
+    t0 = time.time()
+    enc = unigram_encode(docs, vocab, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    agg = enc.agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+    ).collect()[0]
+    enc_s = time.time() - t0
+    chars = docs.select(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))
+    ).collect()[0][0]
+
+    t0 = time.time()
+    packed = pack_sequences(
+        docs.join(enc.select("doc_id", "n_tokens"), "doc_id"),
+        "doc_id", token_count_col="n_tokens", budget=2048,
+    )
+    n_seqs = packed.select("shard", "seq_in_shard").distinct().count()
+    pack_s = time.time() - t0
+
+    # second leg: realistic vocabulary (zipf corpus, 100k docs) — the
+    # testdata documents table has only ~60 distinct words, so its
+    # useful vocab saturates at ~54 pieces
+    zdocs = zipf_corpus(spark, 100_000).localCheckpoint(eager=True)
+    t0 = time.time()
+    zvocab = unigram_train(zdocs, vocab_size=8000, em_iters=3)
+    ztrain_s = time.time() - t0
+    t0 = time.time()
+    zn = unigram_encode(zdocs, zvocab, "doc_id", "text").agg(
+        F.sum("n_tokens").alias("tok")
+    ).collect()[0]["tok"]
+    zenc_s = time.time() - t0
+
+    out({
+        "probe": "unigram",
+        "zipf_docs": 100_000,
+        "zipf_vocab": len(zvocab),
+        "zipf_train_s": round(ztrain_s, 1),
+        "zipf_encode_s": round(zenc_s, 1),
+        "zipf_docs_per_s": round(100_000 / zenc_s, 0),
+        "zipf_tokens": int(zn),
+        "docs": n_docs,
+        "vocab": len(vocab),
+        "train_s": round(train_s, 1),
+        "encode_s": round(enc_s, 1),
+        "encode_docs_per_s": round(n_docs / enc_s, 0),
+        "encode_tokens": int(agg["tok"]),
+        "chars_per_token": round(chars / agg["tok"], 2),
+        "packed_sequences": n_seqs,
+        "pack_s": round(pack_s, 1),
+    })
 if __name__ == "__main__":
     raise SystemExit(main())
