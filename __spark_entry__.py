@@ -1576,14 +1576,52 @@ GROUP BY e.event_type
 """
 
 
+#: hamming radius for the r12c ahash near-dup leg of the multimodal
+#: combined query (measured at sf0.01: 105 of 124,750 doc pairs land
+#: within 10 of 63 bits — nontrivial but far from degenerate)
+AHASH_MAX_HAMMING = 10
+
+
+def _ahash63(data: bytes) -> int:
+    """Deterministic 63-bit average-hash of a byte blob: 63 samples
+    spread across the blob (byte index ``(k*n) div 63``), bit k set
+    iff ``63*s_k > sum(s)`` — exact integer arithmetic replayed
+    verbatim by the DuckDB oracle (hex-extraction), so the REAL banded
+    hamming join (``fingerprint_near_dup_pairs``, arrow kernel) gets
+    an exact cross-engine correctness check.  63 bits, not 64, so the
+    packed value never touches the sign bit in either engine."""
+    n = len(data)
+    if n == 0:
+        return 0
+    s = [data[(k * n) // 63] for k in range(63)]
+    tot = sum(s)
+    v = 0
+    for k, x in enumerate(s):
+        if 63 * x > tot:
+            v |= 1 << k
+    return v
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: text bytes stand in for media
     binaries (no codec libs in this environment), metadata attach +
     Arrow-batched mapInPandas feature extraction with the deterministic
     stub decoder (operators/multimodal.py). Oracle-paired: the stub's
     byte arithmetic is reproduced in DuckDB via hex(blob) byte
-    extraction (see ``_sql_multimodal_image_features``)."""
+    extraction (see ``_sql_multimodal_image_features``).
+
+    r12c combined-query extension (registry stays at 150 per the
+    SURVEY §8.9 consolidation rule): each doc also carries its
+    ``_ahash63`` fingerprint and ``n_near`` — how many OTHER docs land
+    within ``AHASH_MAX_HAMMING`` bits — computed by the REAL
+    ``fingerprint_near_dup_pairs`` banded arrow kernel and checked
+    against a brute-force DuckDB ``bit_count(xor(...))`` self-join, so
+    the perceptual-dedup pairing core is exact-oracle-paired, not just
+    pytest-pinned."""
+    import pandas as pd
+
     from hermes_spark.operators import extract_image_features, with_media_metadata
+    from hermes_spark.operators.dedup import fingerprint_near_dup_pairs
     from hermes_spark.operators.multimodal import decode_image_stub
 
     docs = _read(spark, sf_dir, "documents")
@@ -1595,11 +1633,48 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB oracle replays the stub's arithmetic.  The default decoder
     # is the real PNG parser (operators/codecs.py) since round 6.
     feats = extract_image_features(media, "doc_id", "media", decoder=decode_image_stub)
-    return feats.select(
-        "doc_id",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        F.round("mean_intensity", 4).alias("mean_intensity"),
+
+    ahash_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def ahash_kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": [
+                        _ahash63(bytes(b)) for b in pdf["media"]
+                    ],
+                }
+            )
+
+    hashes = media.select("doc_id", "media").mapInPandas(
+        ahash_kernel, ahash_schema
+    )
+    pairs = fingerprint_near_dup_pairs(
+        hashes, "doc_id", "ahash", bits=64, max_hamming=AHASH_MAX_HAMMING
+    )
+    near_counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        feats.join(hashes, "doc_id")
+        .join(near_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+            F.col("ahash"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
     )
 
 
@@ -2299,6 +2374,8 @@ FROM a JOIN c USING (u) GROUP BY 1, 2
 def _sql_multimodal_image_features() -> str:
     # byte i (1-based) of the UTF-8 blob, via its hex dump
     byte_i = "('0x' || substring(hx, 2*i-1, 2))::BIGINT"
+    # byte at 0-based index (k*n)//63, the _ahash63 sample positions
+    byte_k = "('0x' || substring(hx, 2*((k*n)//63) + 1, 2))::BIGINT"
     return f"""
 WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
 h AS (SELECT doc_id, hex(blob) AS hx, octet_length(blob) AS n FROM b),
@@ -2307,12 +2384,41 @@ sums AS (
     coalesce(list_sum(list_transform(range(1, least(n, 64) + 1), i -> {byte_i})), 0) AS c64,
     coalesce(list_sum(list_transform(range(1, least(n, 256) + 1), i -> {byte_i})), 0) AS c256
   FROM h
+),
+samp AS (
+  SELECT doc_id, n,
+    CASE WHEN n = 0 THEN [] ELSE
+      list_transform(range(0, 63), k -> {byte_k}) END AS s
+  FROM h
+),
+hashes AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN 0 ELSE
+      list_sum(
+        list_transform(range(0, 63),
+          k -> CASE WHEN 63 * s[k + 1] > list_sum(s)
+               THEN (1::BIGINT << k) ELSE 0 END)
+      ) END::BIGINT AS ahash
+  FROM samp
+),
+near AS (
+  SELECT a.doc_id,
+         count(*) FILTER (
+           WHERE b.doc_id != a.doc_id
+             AND bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
+         )::BIGINT AS n_near
+  FROM hashes a CROSS JOIN hashes b
+  GROUP BY a.doc_id
 )
-SELECT doc_id,
+SELECT s.doc_id,
   (16 + c64 % 64)::BIGINT AS width,
   (16 + (c64 // 64) % 64)::BIGINT AS height,
-  round(c256 / greatest(least(n, 256), 1), 4) AS mean_intensity
-FROM sums
+  round(c256 / greatest(least(s.n, 256), 1), 4) AS mean_intensity,
+  hs.ahash AS ahash,
+  near.n_near AS n_near
+FROM sums s
+JOIN hashes hs ON s.doc_id = hs.doc_id
+JOIN near ON s.doc_id = near.doc_id
 """
 
 
