@@ -706,15 +706,19 @@ def bloom_member(
     UTF8 substring scans the 2·m/8-char literal per probe — measured
     80× slower than the plain join at 60M rows before this fix.)
     """
+    # One numpy int64 literal (round 12): the previous
+    # F.array(*[F.lit(w).cast("long")]) made ~2*m/64 py4j round trips
+    # plus a 2048-child CreateArray the analyzer re-walked per probe
+    # reference -- measured 5-7 s of pure DRIVER time per bloom_member
+    # call at m=2^17 (tools/r12_opt_probes.py bloom_decomp).
+    # F.lit(ndarray[int64]) is ONE py4j call producing ONE
+    # Literal(ArrayType(LongType)) node; the little-endian np.frombuffer
+    # view IS the two's-complement signed decode the old per-word loop
+    # computed.
+    import numpy as np
+
     raw = bytes.fromhex(bitmap_hex)  # decode ONCE, not per word
-    words = [
-        int.from_bytes(raw[j * 8 : j * 8 + 8], "little")
-        for j in range(len(raw) // 8)
-    ]
-    # two's-complement into signed 64-bit for LongType literals
-    arr = F.array(
-        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
-    )
+    arr = F.lit(np.frombuffer(raw, dtype="<i8"))
     cond = None
     for i in range(k):
         p = _hash60(col, portable, salt=f"bf{i}|") % m_bits
