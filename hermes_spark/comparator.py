@@ -255,10 +255,23 @@ class DatasetComparator:
         rcnt = generate_unique_column_name(data_cols, "HermesRefCnt")
         acnt = generate_unique_column_name(data_cols, "HermesActCnt")
 
-        # ONE full-data shuffle: classify every distinct row.
+        # ONE full-data shuffle: classify every distinct row.  The
+        # exchange is keyed on the synthetic KEY, not the full row
+        # (round 12): HashPartitioning(key) satisfies the groupBy's
+        # clustered distribution (key ⊂ grouping set), so the per-key
+        # rollup below AND the diff joins on the key all reuse this one
+        # exchange — the old shape paid a second, classification-wide
+        # exchange for the rollup plus exchanges under the diff joins.
+        # Trade-off (documented in docs/TUNING.md): the map-side partial
+        # aggregation the wide groupBy used to get is skipped, which
+        # only mattered when one side held many EXACT duplicate rows;
+        # certification inputs are near-duplicate-free by contract (the
+        # duplicate gate), and the measured interleaved A/B is ~2x in
+        # its favor (metrics fold 4.7-13.2 s -> 2.6-4.4 s at sf0.1).
         tagged = keyed_ref.withColumn(side, F.lit("r")).unionByName(
             keyed_actual.withColumn(side, F.lit("a"))
         )
+        tagged = tagged.repartition(F.col(f"`{key}`"))
         classified = (
             tagged.groupBy(*[F.col(f"`{c}`") for c in data_cols])
             .agg(
@@ -307,13 +320,33 @@ class DatasetComparator:
         result_df = None
         diff_count = 0
         if ref_except_count + actual_except_count > 0:
-            ref_except = classified.filter(F.col(acnt) == 0).select(
-                *[F.col(f"`{c}`") for c in data_cols]
+            # persist the (diff-sized) except frames: the diff dataframe
+            # references each side twice (full-outer join + flattened
+            # errCol join) and is itself evaluated at least twice (the
+            # count here + the caller's write) — without this, every
+            # evaluation re-filters the wide classification cache four
+            # times (round 12; released with the classification in
+            # release()).
+            ref_except = (
+                classified.filter(F.col(acnt) == 0)
+                .select(*[F.col(f"`{c}`") for c in data_cols])
+                .persist()
             )
-            actual_except = classified.filter(F.col(rcnt) == 0).select(
-                *[F.col(f"`{c}`") for c in data_cols]
+            actual_except = (
+                classified.filter(F.col(rcnt) == 0)
+                .select(*[F.col(f"`{c}`") for c in data_cols])
+                .persist()
             )
-            result_df = self._create_diff_dataframe(key, ref_except, actual_except)
+            self._persisted.extend([ref_except, actual_except])
+            # the diff frame itself is evaluated by this count AND by
+            # whatever the caller does with result_df (write, show);
+            # persisting it makes the count fill a diff-sized cache the
+            # later actions read instead of re-running the three joins
+            # (round 12; released via release() like the classification)
+            result_df = self._create_diff_dataframe(
+                key, ref_except, actual_except
+            ).persist()
+            self._persisted.append(result_df)
             diff_count = result_df.count()
         else:
             self.release()
@@ -367,6 +400,11 @@ class DatasetComparator:
         tagged = light(keyed_ref).withColumn(side, F.lit("r")).unionByName(
             light(keyed_actual).withColumn(side, F.lit("a"))
         )
+        # key-partitioned exchange (round 12, same reasoning as fast
+        # mode): HashPartitioning(key) satisfies the (key, rowhash)
+        # grouping, so the per-key rollup below runs on the same
+        # exchange instead of adding a second one
+        tagged = tagged.repartition(F.col(f"`{key}`"))
         classified = (
             tagged.groupBy(F.col(f"`{key}`"), F.col(f"`{rh}`"))
             .agg(
@@ -431,9 +469,22 @@ class DatasetComparator:
                     .distinct()
                 )
 
+            # NOT persisted (round-12 A/B): Catalyst's ReuseExchange
+            # already computes the identical semi-join/distinct subtrees
+            # once per action, and a persist() boundary here measured
+            # ~2.4 s SLOWER at sf0.1 (cache materialization of wide rows
+            # beats the reused-exchange rescan it saves)
             ref_except = rematerialize(keyed_ref, acnt)
             actual_except = rematerialize(keyed_actual, rcnt)
-            result_df = self._create_diff_dataframe(key, ref_except, actual_except)
+            # persist the FINAL diff frame only (round-12 A/B): the
+            # count below fills a diff-sized cache that the caller's
+            # write/show reads, skipping a second full rematerialize +
+            # three-join pass — while per-side except persists measured
+            # SLOWER (they defeat ReuseExchange within the first action)
+            result_df = self._create_diff_dataframe(
+                key, ref_except, actual_except
+            ).persist()
+            self._persisted.append(result_df)
             diff_count = result_df.count()
         else:
             self.release()
