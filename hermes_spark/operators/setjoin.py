@@ -100,6 +100,10 @@ def jaccard_set_join(
     docs = ordered.withColumn(
         "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
     )
+    # materialize the PPJoin index table once (round 12) — see
+    # containment_join; the candidate branch and both verify sides
+    # otherwise each re-run the explode + df-count join + per-doc sort
+    docs = docs.localCheckpoint(eager=False)
 
     pre = docs.select(
         "doc_id", "n", F.explode("prefix").alias("term")
@@ -111,7 +115,11 @@ def jaccard_set_join(
         F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "term"
     )
     cand = (
-        a.join(b, on="term")
+        # shuffled hash join on the gram key (round 12) — see
+        # containment_join: keeps the quadratic in-bucket pairing at
+        # shuffle-partition parallelism instead of the checkpointed docs
+        # table's coalesced partition count
+        a.hint("shuffle_hash").join(b, on="term")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length pruning, integer form of t*na <= nb and t*nb <= na
@@ -236,6 +244,13 @@ def containment_join(
     docs = ordered.withColumn(
         "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
     )
+    # materialize the tokenized/ordered docs table once (round 12): it
+    # feeds the candidate branch AND both verify sides — without the
+    # checkpoint each reference re-runs the explode + df-count join +
+    # per-doc sort (measured 3 full recomputes per action; the PPJoin
+    # index table is meant to be built once).  Lazy: fills on the first
+    # action, no extra pass.
+    docs = docs.localCheckpoint(eager=False)
     pre_a = docs.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
         F.explode("prefix").alias("term"),
@@ -245,7 +260,14 @@ def containment_join(
         F.explode("terms").alias("term"),
     )
     cand = (
-        pre_a.join(all_b, on="term")
+        # shuffled hash join, not broadcast (round 12): the checkpointed
+        # docs table is AQE-coalesced to few partitions, and a broadcast
+        # join would run the quadratic in-bucket pairing at the probe
+        # side's (starved) parallelism — the term-keyed exchange spreads
+        # the exploded rows by gram, which is also the scale shape (the
+        # prefix buckets ARE the work units).  Build side = the rare
+        # prefix grams.
+        pre_a.hint("shuffle_hash").join(all_b, on="term")
         .filter(
             (F.col("id_a") != F.col("id_b"))
             # size prune: i <= n_b and i >= t*n_a force n_b >= t*n_a —
