@@ -196,6 +196,7 @@ def containment_join(
     min_containment: float = 0.8,
     ngram: int = 3,
     stats: "dict | None" = None,
+    checkpoint_index: bool = False,
 ) -> DataFrame:
     """Asymmetric containment pairs: ``(id_a, id_b, n_a, n_b, n_common,
     containment)`` where ``containment = |A ∩ B| / |A| >=
@@ -244,13 +245,17 @@ def containment_join(
     docs = ordered.withColumn(
         "prefix", F.slice(F.col("terms"), 1, (F.col("n") - ceil_tn + 1).cast("int"))
     )
-    # materialize the tokenized/ordered docs table once (round 12): it
-    # feeds the candidate branch AND both verify sides — without the
-    # checkpoint each reference re-runs the explode + df-count join +
-    # per-doc sort (measured 3 full recomputes per action; the PPJoin
-    # index table is meant to be built once).  Lazy: fills on the first
-    # action, no extra pass.
-    docs = docs.localCheckpoint(eager=False)
+    # ``checkpoint_index=True`` materializes the tokenized/ordered docs
+    # table once for the candidate branch and both verify sides — the
+    # right shape when the index recompute (3 scans + wide shuffles)
+    # dominates, i.e. large corpora.  Default OFF: the round-12
+    # interleaved A/B at sf0.1 measured plain 10.2 s vs checkpointed
+    # 11.0 s — at small scale the overlapping recomputes are cheaper
+    # than serializing the (AQE-coalesced) index materialization, and
+    # unlike the Jaccard join the containment candidate join indexes
+    # ALL grams, so its wall is pair volume, not the index.
+    if checkpoint_index:
+        docs = docs.localCheckpoint(eager=False)
     pre_a = docs.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
         F.explode("prefix").alias("term"),
@@ -259,15 +264,15 @@ def containment_join(
         F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
         F.explode("terms").alias("term"),
     )
+    lhs = pre_a.hint("shuffle_hash") if checkpoint_index else pre_a
     cand = (
-        # shuffled hash join, not broadcast (round 12): the checkpointed
-        # docs table is AQE-coalesced to few partitions, and a broadcast
-        # join would run the quadratic in-bucket pairing at the probe
-        # side's (starved) parallelism — the term-keyed exchange spreads
-        # the exploded rows by gram, which is also the scale shape (the
-        # prefix buckets ARE the work units).  Build side = the rare
-        # prefix grams.
-        pre_a.hint("shuffle_hash").join(all_b, on="term")
+        # with the checkpointed index the docs table is AQE-coalesced to
+        # few partitions and a broadcast candidate join would run the
+        # quadratic in-bucket pairing at the probe side's starved
+        # parallelism — the shuffle_hash hint spreads the exploded rows
+        # by gram (build side = the rare prefix grams); without the
+        # checkpoint AQE's own choice measured fastest (round 12)
+        lhs.join(all_b, on="term")
         .filter(
             (F.col("id_a") != F.col("id_b"))
             # size prune: i <= n_b and i >= t*n_a force n_b >= t*n_a —
