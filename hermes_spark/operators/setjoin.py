@@ -50,6 +50,7 @@ def jaccard_set_join(
     min_jaccard: float = 0.7,
     stats: "dict | None" = None,
     script_aware: bool = False,
+    checkpoint_index: bool = True,
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, n_a, n_b, n_common, jaccard)`` with
     ``id_a < id_b`` and distinct-token Jaccard >= ``min_jaccard``.
@@ -62,6 +63,18 @@ def jaccard_set_join(
     ``script_aware=True`` (r12) char-tokenizes unsegmented-script runs
     first — a CJK doc's token SET is otherwise ~1 element and its
     Jaccard degenerate; Latin text identical either way.
+
+    ``checkpoint_index=True`` (default; measured ~5x on the bench
+    corpus, round 12) materializes the tokenize + df-count join +
+    rare-first-sort index ONCE via ``localCheckpoint`` instead of
+    recomputing it for the candidate branch and both verify sides.
+    Caveats (round 13, mirrors ``containment_join``): lineage is
+    truncated, so executor loss/decommission makes the returned frame
+    unrecomputable, checkpoint blocks linger until RDD GC, and the
+    checkpointed table is a full-corpus executor-storage
+    materialization — pass ``False`` to trade the 3x recompute for
+    zero storage footprint (the right call when executor storage is
+    the binding constraint).
     """
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
@@ -103,28 +116,48 @@ def jaccard_set_join(
     # materialize the PPJoin index table once (round 12) — see
     # containment_join; the candidate branch and both verify sides
     # otherwise each re-run the explode + df-count join + per-doc sort
-    docs = docs.localCheckpoint(eager=False)
+    if checkpoint_index:
+        docs = docs.localCheckpoint(eager=False)
 
     pre = docs.select(
-        "doc_id", "n", F.explode("prefix").alias("term")
+        "doc_id", "n", F.posexplode("prefix").alias("pos", "term")
     )
     a = pre.select(
-        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "term"
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+        F.col("pos").alias("pos_a"), "term",
     )
     b = pre.select(
-        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "term"
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+        F.col("pos").alias("pos_b"), "term",
     )
+    shj = a.hint("shuffle_hash") if checkpoint_index else a
     cand = (
         # shuffled hash join on the gram key (round 12) — see
         # containment_join: keeps the quadratic in-bucket pairing at
         # shuffle-partition parallelism instead of the checkpointed docs
         # table's coalesced partition count
-        a.hint("shuffle_hash").join(b, on="term")
+        shj.join(b, on="term")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length pruning, integer form of t*na <= nb and t*nb <= na
             & (F.col("n_a") * t_scaled <= F.col("n_b") * THRESHOLD_DENOM)
             & (F.col("n_b") * t_scaled <= F.col("n_a") * THRESHOLD_DENOM)
+            # PPJoin positional filter (round 13, lossless — see
+            # containment_join): with 0-indexed match positions, shared
+            # tokens beyond this one fit in min(n_a - pos_a, n_b -
+            # pos_b) - 1 slots, bounding the overlap c for the pair's
+            # FIRST shared token (which for a qualifying pair lies in
+            # BOTH prefixes, so its row survives).  Qualifying needs
+            # c*(DENOM + t) >= t*(n_a + n_b) (c/(na+nb-c) >= t in
+            # integers), so prune when even the bound cannot reach it.
+            & (
+                F.least(
+                    F.col("n_a") - F.col("pos_a"),
+                    F.col("n_b") - F.col("pos_b"),
+                )
+                * (THRESHOLD_DENOM + t_scaled)
+                >= (F.col("n_a") + F.col("n_b")) * t_scaled
+            )
         )
         .select("id_a", "id_b")
         .distinct()
@@ -258,11 +291,11 @@ def containment_join(
         docs = docs.localCheckpoint(eager=False)
     pre_a = docs.select(
         F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
-        F.explode("prefix").alias("term"),
+        F.posexplode("prefix").alias("pos_a", "term"),
     )
     all_b = docs.select(
         F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-        F.explode("terms").alias("term"),
+        F.posexplode("terms").alias("pos_b", "term"),
     )
     lhs = pre_a.hint("shuffle_hash") if checkpoint_index else pre_a
     cand = (
@@ -278,6 +311,21 @@ def containment_join(
             # size prune: i <= n_b and i >= t*n_a force n_b >= t*n_a —
             # a short doc can never contain a long one's required overlap
             & (F.col("n_b") * THRESHOLD_DENOM >= F.col("n_a") * t_scaled)
+            # PPJoin positional filter (round 13, lossless): both gram
+            # arrays share the global rare-first order, so when the
+            # matched gram sits at 0-indexed position pos_b of B, every
+            # LATER shared gram lies in B's remaining n_b - pos_b slots
+            # — an upper bound on |A ∩ B| for the pair's FIRST shared
+            # gram, which for a qualifying pair is always inside A's
+            # prefix (positions 1..|prefix_a| cover the first shared
+            # gram whenever overlap >= ceil(t*n_a)) and so always
+            # generates a candidate row that passes.  The A-side bound
+            # n_a - pos_a >= ceil(t*n_a) holds for every prefix
+            # position by construction, so only B's side can prune.
+            & (
+                (F.col("n_b") - F.col("pos_b")) * THRESHOLD_DENOM
+                >= F.col("n_a") * t_scaled
+            )
         )
         .select("id_a", "id_b")
         .distinct()
