@@ -38,9 +38,14 @@ Two execution modes (``ComparisonConfig.mode``):
 
 Scale notes (100 TB design):
 * the only unavoidable full-data shuffle is the row-classification
-  aggregation; it is keyed on the full row, so it is skew-free by
-  construction (identical rows are duplicates, which the duplicate gate
-  bounds).
+  aggregation; since round 12 it is keyed on the SYNTHETIC KEY (not the
+  full row) so the per-key rollup and the diff joins reuse one exchange
+  — which means a hot user-supplied key (null-ish join keys, default
+  values) with ``allow_duplicates=True`` concentrates in one partition
+  with no map-side partial-aggregation relief (docs/TUNING.md
+  "duplicate-heavy inputs").  ``ComparisonConfig.skew_guard`` (round
+  13) samples the raw key columns on large inputs and falls back to
+  the full-row-keyed shape when a hot key is detected.
 * the diff joins run over the complements only (usually a tiny fraction of
   the input) and AQE broadcast-joins them at runtime.
 * the md5-key inherits the reference's separator-injection caveat
@@ -141,6 +146,9 @@ class DatasetComparator:
         # surface the executed mode in the _METRICS document (matters
         # when "auto" resolved it)
         result.additional_info.setdefault("mode", mode)
+        # let callers of the module-level compare() free the fast/hash
+        # caches without holding the comparator itself
+        result._releaser = self.release
         return result
 
     def choose_mode(self) -> str:
@@ -162,6 +170,58 @@ class DatasetComparator:
         for df in self._persisted:
             df.unpersist()
         self._persisted.clear()
+
+    def _classification_skew_ok(self) -> bool:
+        """Whether keying the classification exchange on the synthetic
+        key is safe (no hot key that would serialize into one
+        partition).
+
+        Free for whole-row keys (identical rows are duplicates, bounded
+        by the duplicate gate) and for inputs under
+        ``skew_guard_min_bytes`` (the worst-case partition is bounded by
+        the input).  Otherwise one cheap column-pruned sampling job over
+        the RAW key columns decides: a key owning more than
+        ``skew_guard_factor / shuffle.partitions`` of the sampled rows
+        trips the guard and the caller keeps the full-row-keyed shape
+        (map-side partial aggregation spreads the hot key; the rollup
+        then pays its own — distinct-rows-sized — exchange).
+        """
+        cfg = self.config
+        if not cfg.skew_guard or not self.keys:
+            return True
+        try:
+            from .plans import input_size_bytes
+
+            size = input_size_bytes(self.ref) + input_size_bytes(self.actual)
+        except Exception:
+            size = 0
+        if size < cfg.skew_guard_min_bytes:
+            return True
+        top = set(self.ref.columns)
+        cols = [
+            (F.col(f"`{k}`") if k in top else F.col(k)).alias(f"__k{i}")
+            for i, k in enumerate(self.keys)
+        ]
+        sample = (
+            self.ref.select(*cols)
+            .unionByName(self.actual.select(*cols))
+            .sample(fraction=cfg.skew_guard_fraction, seed=7)
+        )
+        stats = (
+            sample.groupBy(*[F.col(f"__k{i}") for i in range(len(cols))])
+            .count()
+            .agg(
+                F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("tot"),
+            )
+            .collect()[0]
+        )
+        if stats["tot"] == 0:
+            return True
+        parts = int(
+            self.ref.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return stats["mx"] * parts <= cfg.skew_guard_factor * stats["tot"]
 
     # ------------------------------------------------- reference-faithful
 
@@ -271,7 +331,8 @@ class DatasetComparator:
         tagged = keyed_ref.withColumn(side, F.lit("r")).unionByName(
             keyed_actual.withColumn(side, F.lit("a"))
         )
-        tagged = tagged.repartition(F.col(f"`{key}`"))
+        if self._classification_skew_ok():
+            tagged = tagged.repartition(F.col(f"`{key}`"))
         classified = (
             tagged.groupBy(*[F.col(f"`{c}`") for c in data_cols])
             .agg(
@@ -404,7 +465,8 @@ class DatasetComparator:
         # mode): HashPartitioning(key) satisfies the (key, rowhash)
         # grouping, so the per-key rollup below runs on the same
         # exchange instead of adding a second one
-        tagged = tagged.repartition(F.col(f"`{key}`"))
+        if self._classification_skew_ok():
+            tagged = tagged.repartition(F.col(f"`{key}`"))
         classified = (
             tagged.groupBy(F.col(f"`{key}`"), F.col(f"`{rh}`"))
             .agg(
@@ -615,9 +677,9 @@ def compare(
 
     Note: fast/hash modes persist an intermediate the returned
     ``result_df`` depends on. When you are done with ``result_df``,
-    construct :class:`DatasetComparator` directly and call
-    :meth:`~DatasetComparator.release` to free executor storage (the
-    CLI job and plugins do)."""
+    call ``result.release()`` to free the executor storage (the CLI
+    job and plugins do; equivalent to
+    :meth:`DatasetComparator.release` on the producing instance)."""
     return DatasetComparator(
         ref, actual, keys=keys, config=config, optional_schema=schema,
         safe_key_hash=safe_key_hash,

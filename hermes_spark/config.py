@@ -50,6 +50,25 @@ class ComparisonConfig:
     #: exceeds this many bytes (wide rows -> classification shuffle moves
     #: key+hash only), else "fast".
     auto_hash_row_bytes: int = 128
+    #: Fast/hash modes key the classification exchange on the synthetic
+    #: key (round 12, one exchange feeds classification + rollup + diff
+    #: joins) — which concentrates every row of a hot user-supplied key
+    #: in ONE partition with no map-side partial aggregation, and AQE
+    #: skew handling does NOT apply (user repartition + reused exchange).
+    #: The guard samples the raw key columns (column-pruned scan) and
+    #: falls back to the pre-round-12 full-row-keyed shape when one key
+    #: owns more than ``skew_guard_factor`` partitions' fair share.
+    #: Results are identical either way; see docs/TUNING.md.
+    skew_guard: bool = True
+    #: Inputs below this on-disk size skip the sampling job entirely —
+    #: the worst-case single partition is bounded by the input itself,
+    #: and the guard would cost more than it protects.
+    skew_guard_min_bytes: int = 4 * 1024**3
+    #: Fraction of rows sampled (key columns only) by the guard.
+    skew_guard_fraction: float = 0.001
+    #: A key is hot when its sampled share exceeds ``factor / P`` where
+    #: ``P = spark.sql.shuffle.partitions`` (factor x the fair share).
+    skew_guard_factor: float = 4.0
 
     def validate(self) -> "ComparisonConfig":
         for value, name in (

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame
 
@@ -29,10 +29,26 @@ class ComparisonResult:
     diff_count: int = 0
     passed_options: str = ""
     additional_info: dict[str, str] = field(default_factory=dict)
+    #: set by DatasetComparator: frees the executor-storage caches
+    #: ``result_df`` reads from (fast/hash modes persist the
+    #: classification and diff frames).  Call :meth:`release` when done
+    #: with ``result_df`` — especially through the module-level
+    #: ``compare()`` convenience function, where the comparator instance
+    #: (and its ``release()``) is otherwise unreachable.
+    _releaser: Optional[Callable[[], None]] = field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def passed(self) -> bool:
         return self.diff_count == 0
+
+    def release(self) -> None:
+        """Unpersist any DataFrames the producing comparator cached on
+        behalf of ``result_df``.  Safe to call multiple times; a no-op
+        for results not produced by a comparator (e.g. ``from_json``)."""
+        if self._releaser is not None:
+            self._releaser()
 
     def get_metadata(self) -> dict[str, Any]:
         return {
