@@ -286,6 +286,31 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Engine session tuning (round 13, both scale-neutral; see
+        # OPTIMIZATION_r13.md "Session configuration"):
+        # - the default 100-entry codegen cache thrashes on any
+        #   application that runs more than a handful of distinct
+        #   plans (this suite: 67+), recompiling every WholeStageCodegen
+        #   unit on every pass — measured 20-23% of warm-pass wall on a
+        #   20-query subset.  Long-running production apps raise it for
+        #   exactly this reason; cached classes are bounded by entry
+        #   count, not input size.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
+        # - openCostInBytes models per-file open latency when packing
+        #   scan splits; the 4 MB default caps effective parallelism at
+        #   ~totalBytes/4MB tasks, which for small inputs leaves most
+        #   cores idle through every CPU-bound map stage (md5,
+        #   tokenize).  256 KB keeps Spark's own bytesPerCore formula
+        #   in charge (splits still scale with input size AND core
+        #   count); at production scale maxPartitionBytes binds and
+        #   this value is irrelevant.  Measured −7-9% warm-pass wall.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
