@@ -5553,16 +5553,12 @@ def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    # checkpoint the (<= depth*width row) states: cms_inner_product
-    # reads each twice (cell join + row spine) and each read otherwise
-    # re-runs the full explode+aggregate over the table (round 12) —
-    # matches the operator's intended use, where states are persisted
-    sa = cms_state(
-        orders, "o_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH
-    ).localCheckpoint(eager=False)
-    sb = cms_state(
-        li, "l_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH
-    ).localCheckpoint(eager=False)
+    # round 13: the round-12 localCheckpoint of the states measured a
+    # LOSS on the interleaved A/B (3.50 vs 2.74 s median at sf0.1) and
+    # the driver scored it regressed — the double read of each state is
+    # cheaper than the checkpoint materialization barrier here
+    sa = cms_state(orders, "o_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH)
+    sb = cms_state(li, "l_orderkey", depth=CMIP_DEPTH, width=CMIP_WIDTH)
     est = cms_inner_product(sa, sb, depth=CMIP_DEPTH)
     exact = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])

@@ -101,6 +101,7 @@ def duplicate_spans(
     portable: bool = True,
     max_docs_per_gram: int = 50,
     script_aware: bool = False,
+    checkpoint_grams: bool = True,
 ) -> DataFrame:
     """Maximal verbatim token spans (≥ ``min_tokens``) shared between
     document pairs.  ``script_aware`` as in :func:`gram_positions`
@@ -118,10 +119,21 @@ def duplicate_spans(
     Hash collisions: the 60-bit gram hash makes a false shared-gram
     ~2^-60 per pair; at corpus scale verify hits downstream if exact
     guarantees are required (the reference-style rematerialize check).
+
+    ``checkpoint_grams`` (round 13, default on) materializes the gram
+    stream once instead of running the tokenize + per-gram hash pass
+    twice (hot-gram census + kept branch) — measured −23% at sf0.1,
+    and at scale the recompute is a second full corpus scan.  The
+    materialized rows are narrow (id, pos, 8-byte hash) but one per
+    token position; turn it off if executor storage is tighter than a
+    recompute, or if the returned frame must survive executor loss
+    (localCheckpoint truncates lineage).
     """
     grams = gram_positions(
         df, id_col, text_col, min_tokens, portable, script_aware
     )
+    if checkpoint_grams:
+        grams = grams.localCheckpoint(eager=False)
     # Drop boilerplate grams BEFORE gathering: filtering after
     # collect_list would still build one aggregation buffer per hot
     # gram (a gram in millions of documents = an OOM-sized buffer).
@@ -187,6 +199,7 @@ def span_dedup_stats(
     portable: bool = True,
     max_docs_per_gram: int = 50,
     script_aware: bool = False,
+    checkpoint_grams: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-span exposure: how much of each document
     is covered by verbatim spans shared with ANY other document.
@@ -198,7 +211,7 @@ def span_dedup_stats(
     """
     spans = duplicate_spans(
         df, id_col, text_col, min_tokens, portable, max_docs_per_gram,
-        script_aware,
+        script_aware, checkpoint_grams,
     )
     sides = spans.select(
         F.col("id_a").alias(id_col), F.col("span_tokens")

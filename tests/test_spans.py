@@ -87,3 +87,14 @@ def test_span_dedup_stats_rollup(spark, span_docs):
     assert out[2].dup_spans == 1 and out[2].n_tokens == 22
     assert out[3].dup_spans == 0 and out[3].dup_span_tokens == 0
     assert out[4].dup_spans == 0
+
+
+def test_checkpoint_grams_parity(spark, span_docs):
+    # round 13: the gram stream is materialized once by default; the
+    # off-switch must produce the identical span set
+    on = duplicate_spans(span_docs, "doc_id", "text", min_tokens=8).collect()
+    off = duplicate_spans(
+        span_docs, "doc_id", "text", min_tokens=8, checkpoint_grams=False
+    ).collect()
+    key = lambda r: (r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens)
+    assert sorted(map(key, on)) == sorted(map(key, off))
