@@ -34,7 +34,7 @@ multiples; the oracle replays the identical integer expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import segment_unsegmented, tokens
@@ -90,12 +90,17 @@ def jaccard_set_join(
         )
         .filter(F.col("term") != "")
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-
     # canonical rare-first order: (document frequency asc, term asc);
-    # per-doc array sorted by that order via struct sort
+    # per-doc array sorted by that order via struct sort.  df_t comes
+    # from a count window over the term partition (round 13): ONE
+    # exchange of the gram stream instead of the former groupBy+join
+    # shape's two (aggregate exchange + join-side re-exchange) —
+    # measured −44% on the containment bench query.  Skew exposure is
+    # identical (a hot term lands in one task either way).
     ordered = (
-        toks.join(freq, on="term")
+        toks.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -259,9 +264,13 @@ def containment_join(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_ngrams(F.col(text_col), ngram)).alias("term"),
     ).filter(F.col("term") != "")
-    freq = grams.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # df_t via a count window over the term partition (round 13): one
+    # gram-stream exchange instead of groupBy+join's two — see
+    # jaccard_set_join; identical values, measured −44% on this query
     ordered = (
-        grams.join(freq, on="term")
+        grams.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .groupBy("doc_id")
         .agg(
             F.transform(
