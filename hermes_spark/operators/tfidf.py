@@ -54,11 +54,19 @@ def tfidf_topk_terms(
         "doc_id", F.explode(tokens(F.col("__t"))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
 
+    # df_t via a count window over the term partition (round 13): the
+    # former groupBy+join shape re-ran the whole tf aggregation subtree
+    # for the dfreq side and paid a second term-keyed exchange; the
+    # window computes identical values off one exchange of the
+    # (already doc+term-aggregated, so partial-agg concerns don't
+    # apply) tf frame.  A/B at sf0.1: 0.68 -> 0.66 s, one less
+    # exchange and no tf recompute.
     scored = (
-        tf.join(dfreq, on="term")
+        tf.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -114,6 +122,10 @@ def unigram_logprob(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
+    # groupBy+join deliberately (round 13 A/B): a count window over the
+    # term partition exchanges the FULL token stream with no map-side
+    # partial aggregation (0.37 -> 0.45 s at sf0.1); the groupBy
+    # compresses tokens to distinct terms before both exchanges
     term_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     totals = toks.agg(F.count(F.lit(1)).alias("total"))
     return (
@@ -185,6 +197,11 @@ def bigram_logprob(
         .filter(F.col("prev").isNotNull())
         .select("doc_id", "prev", F.col("term").alias("cur"))
     )
+    # groupBy+join-back deliberately (round 13 A/B): count windows over
+    # (prev,cur)/(prev) exchange the full bigram stream twice with no
+    # partial aggregation (0.58 -> 0.69 s at sf0.1); the groupBys
+    # shuffle only aggregated counts even though the bigram subtree is
+    # recomputed per side.
     big_counts = bigrams.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).alias("big_cnt")
     )
