@@ -606,7 +606,6 @@ def _grouped_bucket_pairs_arrow(
     input row (asserted in the kernel).
     """
     import numpy as np
-    import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -627,13 +626,40 @@ def _grouped_bucket_pairs_arrow(
         ]
     )
 
+    # mapInArrow, not mapInPandas (round 13, guide §4): the buckets
+    # arrive as Arrow ListArrays, so the member ids and the flat
+    # signature matrix are numpy VIEWS of the Arrow buffers — the
+    # pandas path materialized a Python list per member signature
+    # (~300k PyObjects/batch at sf0.1) on the way in and re-boxed the
+    # multi-million-row pair frame on the way out.  Signatures compare
+    # as int32 (components are mod 2^31-1 by construction), halving
+    # the O(pairs × num_hashes) gather traffic of the triu compare.
     def kernel(batches):
-        for pdf in batches:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids_la = batch.column(0)
+            sigs_la = batch.column(1)
+            nb = len(ids_la)
+            if nb == 0:
+                continue
+            counts = ids_la.value_lengths().to_numpy(zero_copy_only=False)
+            counts = counts.astype(np.int64)
+            ids_np = ids_la.flatten().to_numpy(zero_copy_only=False)
+            sig_flat = (
+                sigs_la.flatten()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, num_hashes)
+                .astype(np.int32, copy=False)
+            )
+            starts = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
             parts_a, parts_b, parts_e = [], [], []
-            for ids_cell, sigs_cell in zip(pdf["__ids"], pdf["__sigs"]):
-                ids = np.asarray(ids_cell)
-                assert len(ids_cell) == len(sigs_cell)
-                sig = np.stack([np.asarray(s, dtype=np.int64) for s in sigs_cell])
+            for r in range(nb):
+                s0, s1 = int(starts[r]), int(starts[r + 1])
+                ids = ids_np[s0:s1]
+                sig = sig_flat[s0:s1]
                 for a, b, e in _bucket_pairs_np(
                     ids, sig, num_hashes, max_bucket_size, min_est
                 ):
@@ -642,15 +668,16 @@ def _grouped_bucket_pairs_arrow(
                         parts_b.append(b)
                         parts_e.append(e)
             if parts_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(parts_a),
-                        "id_b": np.concatenate(parts_b),
-                        "est_jaccard": np.concatenate(parts_e),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(parts_a)),
+                        pa.array(np.concatenate(parts_b)),
+                        pa.array(np.concatenate(parts_e)),
+                    ],
+                    ["id_a", "id_b", "est_jaccard"],
                 )
 
-    return grouped.mapInPandas(kernel, out_schema)
+    return grouped.mapInArrow(kernel, out_schema)
 
 
 def ngram_jaccard_pairs(
@@ -1253,7 +1280,6 @@ def fingerprint_near_dup_pairs(
     )
     if engine == "arrow":
         import numpy as np
-        import pandas as pd
 
         from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -1278,17 +1304,42 @@ def fingerprint_near_dup_pairs(
             ]
         )
 
+        # mapInArrow, not mapInPandas (round 13, guide §4): member ids
+        # and fingerprints are numpy views of the Arrow list buffers —
+        # the pandas path materialized a Python list per bucket cell on
+        # the way in and re-boxed the pair frame on the way out.  The
+        # two collect_lists fill in one aggregation pass, so index i of
+        # both comes from the same input row (nulls were filtered
+        # before bucketing — a null fp would desync the two lists).
         def kernel(batches):
-            for pdf in batches:
+            import pyarrow as pa
+
+            for batch in batches:
+                ids_la = batch.column(0)
+                fps_la = batch.column(1)
+                nb = len(ids_la)
+                if nb == 0:
+                    continue
+                counts = ids_la.value_lengths().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                fcounts = fps_la.value_lengths().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                assert (counts == fcounts).all()
+                ids_np = ids_la.flatten().to_numpy(zero_copy_only=False)
+                fps_np = (
+                    fps_la.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
+                starts = np.zeros(nb + 1, dtype=np.int64)
+                np.cumsum(counts, out=starts[1:])
                 parts_a, parts_b, parts_h = [], [], []
-                for ids_cell, fps_cell in zip(pdf["__ids"], pdf["__fps"]):
-                    # the two collect_lists fill in one aggregation pass,
-                    # so index i of both comes from the same input row
-                    # (nulls were filtered before bucketing — a null fp
-                    # would desync the two lists)
-                    assert len(ids_cell) == len(fps_cell)
-                    ids = np.asarray(ids_cell)
-                    f = np.asarray(fps_cell, dtype=np.int64)
+                for r in range(nb):
+                    s0, s1 = int(starts[r]), int(starts[r + 1])
+                    ids = ids_np[s0:s1]
+                    f = fps_np[s0:s1]
                     for i, j, h in _bucket_pairs_with_collapse(
                         ids, f, max_hamming, max_bucket_size
                     ):
@@ -1298,15 +1349,20 @@ def fingerprint_near_dup_pairs(
                         parts_b.append(np.where(swap, ia, ib))
                         parts_h.append(h)
                 if parts_a:
-                    yield pd.DataFrame(
-                        {
-                            "id_a": np.concatenate(parts_a),
-                            "id_b": np.concatenate(parts_b),
-                            "hamming": np.concatenate(parts_h),
-                        }
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(parts_a)),
+                            pa.array(np.concatenate(parts_b)),
+                            pa.array(
+                                np.concatenate(parts_h).astype(
+                                    np.int32, copy=False
+                                )
+                            ),
+                        ],
+                        ["id_a", "id_b", "hamming"],
                     )
 
-        return grouped.mapInPandas(kernel, out_schema).distinct()
+        return grouped.mapInArrow(kernel, out_schema).distinct()
 
     grouped = (
         bucketed.groupBy("__k")

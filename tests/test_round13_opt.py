@@ -1,0 +1,89 @@
+"""Round-13 optimization tests: the vectorized single-block MD5 must be
+bit-identical to hashlib for every message width it accepts, at every
+call site (packed shingle codes, grouped strings)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from hermes_spark.functions.hashing import MERSENNE31
+from hermes_spark.functions.sigkernel import (
+    _hash31_of_codes,
+    hash31_np,
+    md5_prefix32,
+)
+
+
+def _loop_prefix32(rows: np.ndarray) -> np.ndarray:
+    n, w = rows.shape
+    flat = rows.tobytes()
+    return np.array(
+        [
+            int(hashlib.md5(flat[i * w:(i + 1) * w]).hexdigest()[:8], 16)
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+
+
+@pytest.mark.parametrize("width", [0, 1, 2, 3, 4, 7, 8, 16, 31, 54, 55])
+def test_md5_prefix32_matches_hashlib_every_width(width):
+    rng = np.random.default_rng(width + 1)
+    buf = rng.integers(0, 256, size=(257, width), dtype=np.uint8)
+    assert (md5_prefix32(buf) == _loop_prefix32(buf)).all()
+
+
+def test_md5_prefix32_crosses_chunk_boundary():
+    from hermes_spark.functions import sigkernel
+
+    n = sigkernel._MD5_CHUNK + 17  # force >1 internal chunk
+    rng = np.random.default_rng(99)
+    buf = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    got = md5_prefix32(buf)
+    # spot-check a sample (full loop would dominate the test's runtime)
+    idx = rng.integers(0, n, size=200)
+    sample = _loop_prefix32(buf[idx])
+    assert (got[idx] == sample).all()
+
+
+def test_md5_prefix32_rejects_multiblock_width():
+    with pytest.raises(ValueError):
+        md5_prefix32(np.zeros((2, 56), dtype=np.uint8))
+
+
+def test_hash31_of_codes_portable_matches_reference_recipe():
+    rng = np.random.default_rng(7)
+    shingle_n = 3
+    codes = rng.integers(0, 1 << (8 * shingle_n), size=1000, dtype=np.int64)
+    got = _hash31_of_codes(codes, shingle_n, portable=True, seed=42)
+    byts = np.empty((len(codes), shingle_n), dtype=np.uint8)
+    for k in range(shingle_n):
+        byts[:, shingle_n - 1 - k] = (codes >> np.int64(8 * k)) & np.int64(0xFF)
+    want = _loop_prefix32(byts) % MERSENNE31
+    assert (got == want).all()
+
+
+def test_hash31_np_portable_all_lengths_incl_multiblock():
+    # mixed lengths incl. empty, exactly-55, and >55 (multi-block fallback)
+    strings = [
+        "",
+        "a",
+        "abc",
+        "x" * 55,
+        "y" * 56,
+        "z" * 200,
+        "héllo wörld",  # non-ASCII UTF-8
+        "日本語のテキスト",
+    ] * 3
+    got = hash31_np(strings, portable=True, seed=42)
+    want = np.array(
+        [
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % MERSENNE31
+            for s in strings
+        ],
+        dtype=np.int64,
+    )
+    assert (got == want).all()
