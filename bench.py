@@ -311,6 +311,19 @@ def main() -> None:
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
         )
+        # - AQE coalesces post-shuffle partitions by BYTES; stages whose
+        #   work is not byte-proportional (quadratic in-bucket pair
+        #   kernels, Python-boundary stages) get serialized onto 1-3
+        #   tasks when the exchange is byte-light.  Lowering the
+        #   coalescing floor from the 1 MB default keeps such stages
+        #   parallel; at production sizes totalBytes/parallelism >> 1 MB
+        #   so the floor never binds there (scale-neutral; measured
+        #   minhash_lsh_pairs 6.2 -> 3.2 s interleaved, suite A/B in
+        #   OPTIMIZATION_r13.md).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
