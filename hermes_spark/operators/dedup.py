@@ -1006,18 +1006,34 @@ def fuzzy_dedup_keep_one(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32,
     portable: bool = True, script_aware: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document SimHash (Charikar '02): token hashes vote per bit.
 
     Returns ``(id, simhash)`` with ``simhash`` a ``bits``-wide integer.
-    Pure expressions: one hash per token, then ONE fold over the
-    token-hash array accumulating all ``bits`` vote counters at once
-    (an earlier version ran one ``aggregate`` per bit — ``bits``
-    traversals of the array; the single fold is ~30% faster at sf0.1
-    and scales with tokens, not tokens×bits).
-    ``portable=False`` swaps the oracle-reproducible md5 token hash for
-    xxhash64 — the production path.
+    Tokenization and the per-token hash stay Catalyst expressions (one
+    JVM-intrinsic hash per token, bit-exact with the oracle recipe);
+    only the vote fold differs by ``engine``:
+
+    * ``"arrow"`` (default, round 13): the token-hash arrays cross as
+      Arrow list buffers and the O(tokens × bits) vote accumulation
+      runs as numpy shifts + ``np.add.reduceat`` segment sums —
+      higher-order ``aggregate``/``zip_with`` lambdas are interpreted
+      per element, and the fold was the measured wall of the
+      fingerprint stage (~97%-interpreter profile, BASELINE.md r9).
+    * ``"expr"`` keeps the pure-expression fold: ONE fold over the
+      token-hash array accumulating all ``bits`` vote counters at once
+      (an earlier version ran one ``aggregate`` per bit — ``bits``
+      traversals of the array; the single fold is ~30% faster at sf0.1
+      and scales with tokens, not tokens×bits).
+
+    Both engines are bit-identical (property-tested, incl. null text
+    and empty-token docs).  ``portable=False`` swaps the
+    oracle-reproducible md5 token hash for xxhash64 — the production
+    path.
     """
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     # materialize token hashes in their own projection: one hash per
     # token total, instead of one per token per bit (32x less hashing)
     token_hash = portable_hash64 if portable else fast_hash64
@@ -1033,6 +1049,68 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: token_hash(t)).alias("__hs"),
     )
+    if engine == "arrow":
+        import numpy as np
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("id", df.schema[id_col].dataType),
+                StructField("simhash", LongType()),
+            ]
+        )
+
+        def kernel(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                ids = batch.column(0)
+                hs_la = batch.column(1)
+                n = len(hs_la)
+                if n == 0:
+                    continue
+                if isinstance(hs_la, pa.ChunkedArray):
+                    hs_la = hs_la.combine_chunks()
+                valid = (
+                    np.asarray(hs_la.is_valid())
+                    if hs_la.null_count
+                    else np.ones(n, dtype=bool)
+                )
+                # null __hs (null text) -> null simhash, matching the
+                # expression fold's aggregate(null) = null
+                counts = np.zeros(n, dtype=np.int64)
+                lens = hs_la.value_lengths().to_numpy(zero_copy_only=False)
+                counts[valid] = np.asarray(lens, dtype=np.float64)[
+                    valid
+                ].astype(np.int64)
+                flat = hs_la.flatten().to_numpy(zero_copy_only=False)
+                flat = flat.astype(np.int64, copy=False)
+                sim = np.zeros(n, dtype=np.int64)
+                nonempty = counts > 0
+                ne_counts = counts[nonempty]
+                if ne_counts.size:
+                    starts = np.zeros(ne_counts.size, dtype=np.int64)
+                    if ne_counts.size > 1:
+                        np.cumsum(ne_counts[:-1], out=starts[1:])
+                    ne_sim = np.zeros(ne_counts.size, dtype=np.int64)
+                    for b in range(bits):
+                        ones = np.add.reduceat(
+                            (flat >> np.int64(b)) & np.int64(1), starts
+                        )
+                        # vote = 2*ones - n_tokens; bit set when >= 0
+                        ne_sim += ((2 * ones >= ne_counts).astype(np.int64)
+                                   << np.int64(b))
+                    sim[nonempty] = ne_sim
+                # empty token arrays: every vote counter is 0 (>= 0),
+                # so every bit is set — same as the expression fold
+                sim[valid & ~nonempty] = (1 << bits) - 1
+                out_sim = pa.array(sim, mask=~valid)
+                yield pa.RecordBatch.from_arrays(
+                    [ids, out_sim], ["id", "simhash"]
+                )
+
+        return hashed.mapInArrow(kernel, out_schema)
 
     def bits_pm1(h: Column) -> Column:
         # literal shifts (shiftright needs a constant count): the token's

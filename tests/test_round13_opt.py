@@ -87,3 +87,46 @@ def test_hash31_np_portable_all_lengths_incl_multiblock():
         dtype=np.int64,
     )
     assert (got == want).all()
+
+
+def test_simhash_vote_engines_identical(spark):
+    """The arrow vote fold must match the expression fold bit-for-bit,
+    including null text, empty/whitespace text, and non-ASCII."""
+    from hermes_spark.operators.dedup import simhash_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "одно слово и ещё"),
+        (7, "日本語 テキスト です"),
+        (8, "a"),
+        (9, "x " * 200),
+        (10, "MiXeD CaSe TeXt MiXeD CaSe"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for portable in (True, False):
+        arrow = {
+            r["id"]: r["simhash"]
+            for r in simhash_fingerprints(
+                df, "doc_id", "text", portable=portable, engine="arrow"
+            ).collect()
+        }
+        expr = {
+            r["id"]: r["simhash"]
+            for r in simhash_fingerprints(
+                df, "doc_id", "text", portable=portable, engine="expr"
+            ).collect()
+        }
+        assert arrow == expr
+
+
+def test_simhash_vote_engines_identical_real_corpus(spark):
+    from hermes_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = simhash_fingerprints(docs, "doc_id", "text", engine="arrow")
+    e = simhash_fingerprints(docs, "doc_id", "text", engine="expr")
+    assert a.exceptAll(e).count() == 0 and e.exceptAll(a).count() == 0
