@@ -489,6 +489,115 @@ def _hash31_of_codes(
     return r
 
 
+#: padding sentinel for shingles shorter than n (whole-string shingles
+#: of short texts): above every valid codepoint (<= 0x10FFFF), so a
+#: padded code can never collide with a real n-char shingle's code
+_SHINGLE_PAD = np.int64(0x1FFFFF)
+
+
+def packed_shingles_from_arrow(texts_arr, shingle_n: int):
+    """Distinct character n-grams of one Arrow string array as 21-bit
+    codepoint-packed int64 codes (``shingle_n <= 3``), one sorted list
+    per row — an INJECTIVE image of the string shingle set (round 13).
+
+    ``functions.hashing.shingles`` (array<string>) is interpreted
+    per-element (transform/sequence/substr lambdas + array_distinct),
+    and downstream exact-Jaccard consumers only use intersection /
+    union SIZES, which any injection preserves: each shingle is exactly
+    n chars (codepoints < 0x110000 < 2^21, so n<=3 packs into a
+    positive int64), and shorter whole-string shingles pad with a
+    sentinel above the codepoint range.  Null text yields a null list
+    (matching ``shingles(null)``); the distinct set is returned sorted
+    (consumers are order-insensitive).  Returns a ``pyarrow.ListArray``
+    of int64 aligned with the input rows.
+    """
+    import pyarrow as pa
+
+    if shingle_n > 3:
+        raise ValueError("packed shingles require shingle_n <= 3")
+    if isinstance(texts_arr, pa.ChunkedArray):
+        texts_arr = texts_arr.combine_chunks()
+    n_rows = len(texts_arr)
+    if not pa.types.is_string(texts_arr.type) and not pa.types.is_large_string(
+        texts_arr.type
+    ):
+        texts_arr = texts_arr.cast(pa.string())
+    off_dtype = (
+        np.int64 if pa.types.is_large_string(texts_arr.type) else np.int32
+    )
+    bufs = texts_arr.buffers()
+    off0 = texts_arr.offset
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[off0: off0 + n_rows + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    blen = np.diff(offs).astype(np.int64)
+    if texts_arr.null_count:
+        valid = np.asarray(texts_arr.is_valid())
+    else:
+        valid = np.ones(n_rows, dtype=bool)
+    if len(data):
+        cs = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(data >= 0x80, out=cs[1:])
+        nonascii = cs[offs[1:].astype(np.int64)] - cs[offs[:-1].astype(np.int64)]
+    else:
+        nonascii = np.zeros(n_rows, dtype=np.int64)
+
+    # one shared flat codepoint buffer for every valid row: ASCII rows
+    # widen their byte span directly (byte == codepoint), non-ASCII
+    # rows decode once via utf-32-le; row order in the buffer is input
+    # order so segments stay contiguous
+    row_cps: list = [None] * n_rows
+    for r in range(n_rows):
+        if not valid[r]:
+            continue
+        if nonascii[r] == 0:
+            row_cps[r] = data[offs[r]: offs[r] + blen[r]].astype(np.uint32)
+        else:
+            s = texts_arr[r].as_py()
+            row_cps[r] = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    all_codes: list = []
+    total = 0
+    for r in range(n_rows):
+        cps = row_cps[r]
+        if cps is None:
+            out_offsets[r + 1] = total
+            continue
+        L = len(cps)
+        if L <= shingle_n:
+            code = np.int64(0)
+            for k in range(shingle_n):
+                c = np.int64(cps[k]) if k < L else _SHINGLE_PAD
+                code = (code << np.int64(21)) | c
+            codes = np.array([code], dtype=np.int64)
+        else:
+            n_codes = L - shingle_n + 1
+            codes = cps[:n_codes].astype(np.int64)
+            for k in range(1, shingle_n):
+                codes = (codes << np.int64(21)) | cps[k: n_codes + k]
+            codes = np.unique(codes)
+        all_codes.append(codes)
+        total += len(codes)
+        out_offsets[r + 1] = total
+    values = (
+        np.concatenate(all_codes) if all_codes else np.empty(0, dtype=np.int64)
+    )
+    if valid.all():
+        offsets_arr = pa.array(out_offsets, type=pa.int32())
+        return pa.ListArray.from_arrays(offsets_arr, pa.array(values))
+    # a null at offsets[i] marks list i as null (the final offset stays)
+    offs_py = [
+        None if i < n_rows and not valid[i] else int(out_offsets[i])
+        for i in range(n_rows + 1)
+    ]
+    offsets_arr = pa.array(offs_py, type=pa.int32())
+    return pa.ListArray.from_arrays(offsets_arr, pa.array(values))
+
+
 def signatures_for_texts(
     texts,
     shingle_n: int,

@@ -704,11 +704,51 @@ def ngram_jaccard_pairs(
     ``num_salts`` tasks. Each pair still joins exactly once (at the left
     row's salt).
     """
-    sh = df.select(
-        *[F.col(c) for c in group_cols],
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), n=shingle_n).alias("__sh"),
-    )
+    if shingle_n <= 3:
+        # 21-bit codepoint-packed int64 shingles (round 13, guide §4.2 /
+        # §2.3): the string shingle expression is interpreted per element
+        # (~2.5 s of the sf0.1 wall on its own), and the per-pair
+        # array_intersect/array_union then compare strings.  The packing
+        # is INJECTIVE (see sigkernel.packed_shingles_from_arrow), so the
+        # intersection/union sizes — all this operator consumes — are
+        # unchanged, while the join shuffles 8-byte longs instead of
+        # string cells and the per-pair set ops compare integers.
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        from ..functions.sigkernel import packed_shingles_from_arrow
+
+        narrow = df.select(
+            *[F.col(c) for c in group_cols],
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+        )
+        out_fields = [
+            StructField(c, df.schema[c].dataType) for c in group_cols
+        ] + [
+            StructField("__id", df.schema[id_col].dataType),
+            StructField("__sh", ArrayType(LongType())),
+        ]
+        n_pass = len(group_cols) + 1
+
+        def sh_kernel(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                packed = packed_shingles_from_arrow(
+                    batch.column(n_pass), shingle_n
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in range(n_pass)] + [packed],
+                    [f.name for f in out_fields],
+                )
+
+        sh = narrow.mapInArrow(sh_kernel, StructType(out_fields))
+    else:
+        sh = df.select(
+            *[F.col(c) for c in group_cols],
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), n=shingle_n).alias("__sh"),
+        )
     on = list(group_cols)
     left = sh.select(
         *on,
