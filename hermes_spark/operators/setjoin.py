@@ -175,12 +175,21 @@ def jaccard_set_join(
         stats["candidates"] = cand.count()
         stats["docs"] = docs.count()
 
-    left = docs.select(
+    # order-insensitive verify: without the checkpoint, skip the
+    # df-count window + canonical sort in the verify recomputes
+    # (see containment_join, round 13)
+    if checkpoint_index:
+        vdocs = docs
+    else:
+        vdocs = toks.groupBy("doc_id").agg(
+            F.collect_set("term").alias("terms")
+        ).withColumn("n", F.size("terms").cast("long"))
+    left = vdocs.select(
         F.col("doc_id").alias("id_a"),
         F.col("terms").alias("__ta"),
         F.col("n").alias("n_a"),
     )
-    right = docs.select(
+    right = vdocs.select(
         F.col("doc_id").alias("id_b"),
         F.col("terms").alias("__tb"),
         F.col("n").alias("n_b"),
@@ -343,11 +352,23 @@ def containment_join(
         cand = cand.localCheckpoint(eager=True)
         stats["candidates"] = cand.count()
         stats["docs"] = docs.count()
-    left = docs.select(
+    # verify needs each doc's distinct gram SET and size only —
+    # array_intersect is order-insensitive, so without the checkpoint
+    # the two verify branches use a frame with NO df-count window and
+    # NO canonical sort (round 13: each full-index recompute measured
+    # ~1.7 s vs ~0.8 s for the set-only frame; the plain shape
+    # recomputes its index for every branch)
+    if checkpoint_index:
+        vdocs = docs
+    else:
+        vdocs = grams.groupBy("doc_id").agg(
+            F.collect_set("term").alias("terms")
+        ).withColumn("n", F.size("terms").cast("long"))
+    left = vdocs.select(
         F.col("doc_id").alias("id_a"), F.col("terms").alias("__ta"),
         F.col("n").alias("n_a"),
     )
-    right = docs.select(
+    right = vdocs.select(
         F.col("doc_id").alias("id_b"), F.col("terms").alias("__tb"),
         F.col("n").alias("n_b"),
     )
